@@ -1,0 +1,68 @@
+"""SparkSession construction tuned for the engine's workloads.
+
+Defaults encode the scale posture (SURVEY §4): AQE on (runtime coalesce +
+skew-join handling), Arrow for the few Pandas-UDF paths, and shuffle
+partitioning sized by the caller (tests use small counts; a 1000-executor
+cluster would size ``spark.sql.shuffle.partitions`` to ~2-3× total cores
+or rely on AQE coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_session", "ship_package"]
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers.
+
+    Closures on the exact-inference path (``mapInPandas`` partial folds)
+    reference package modules by name, so every executor needs the package
+    importable. On a real cluster this is the ``--py-files`` deployment
+    story; doing it programmatically keeps ``spark-submit`` invocations
+    flag-free. Idempotent per session.
+    """
+    if getattr(spark, "_engine_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.mkdtemp(prefix="engine-pyfiles-"), "nifi_hive_schema_generator_bundle_spark"
+    )
+    archive = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
+                                  os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(archive)
+    spark._engine_pkg_shipped = True
+
+
+def get_session(
+    app_name: str = "nifi-hive-schema-generator-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

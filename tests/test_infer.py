@@ -1,0 +1,102 @@
+"""Distributed inference tests: reference-exact path vs native path
+(SURVEY §5d differential test), end-to-end DDL on the provenance fixture."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql.types import ArrayType, StringType, StructType
+
+from nifi_hive_schema_generator_bundle_spark.catalog import infer_and_register, infer_ddl
+from nifi_hive_schema_generator_bundle_spark.operators.infer import (
+    infer_schema_df,
+    infer_schema_exact,
+    infer_schema_native,
+)
+from nifi_hive_schema_generator_bundle_spark.plans.lattice import (
+    finalize_type,
+    schema_from_json_lines,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "provenance.ndjson")
+
+
+def canon(dt):
+    """Order-insensitive structural form (reference field order is
+    unspecified — SURVEY §1.4 rule 6)."""
+    if isinstance(dt, StructType):
+        return {
+            "struct": {f.name: canon(f.dataType) for f in sorted(dt.fields, key=lambda f: f.name)}
+        }
+    if isinstance(dt, ArrayType):
+        return {"array": canon(dt.elementType)}
+    return type(finalize_type(dt)).__name__
+
+
+def test_exact_matches_single_thread_fold(spark):
+    with open(FIXTURE) as fh:
+        expected = schema_from_json_lines(line.strip() for line in fh)
+    got = infer_schema_exact(spark, FIXTURE)
+    assert canon(got) == canon(expected)
+
+
+def test_exact_is_partition_count_invariant(spark):
+    df1 = spark.read.text(FIXTURE).repartition(1)
+    df7 = spark.read.text(FIXTURE).repartition(7)
+    assert canon(infer_schema_df(df1, "value")) == canon(infer_schema_df(df7, "value"))
+
+
+def test_native_agrees_with_exact_on_fixture(spark):
+    exact = infer_schema_exact(spark, FIXTURE)
+    native = infer_schema_native(spark, FIXTURE)
+    assert canon(native) == canon(exact)
+
+
+def test_fixture_key_types(spark):
+    t = finalize_type(infer_schema_exact(spark, FIXTURE))
+    by_name = {f.name: f.dataType for f in t.fields}
+    # conflict demotion: [100,104] on row 1 vs scalar on later rows
+    assert by_name["eventOrdinal"] == StringType()
+    # empty arrays merged with populated string arrays
+    assert by_name["parentIds"] == ArrayType(StringType(), True)
+    assert by_name["childIds"] == ArrayType(StringType(), True)
+    # struct key-union across rows, null absorbed
+    assert isinstance(by_name["allAttributes"], StructType)
+    assert "parent.hdfs.location" in by_name["allAttributes"].fieldNames()
+    assert by_name["processGroupId"] == StringType()
+    # field present on some rows only
+    assert by_name["transitUri"] == StringType()
+
+
+def test_infer_ddl_end_to_end(spark):
+    ddl = infer_ddl(spark, FIXTURE, "prov", "/warehouse/prov")
+    assert ddl.startswith("DROP TABLE prov;\nCREATE EXTERNAL TABLE prov (")
+    assert ddl.endswith(
+        ") ROW FORMAT SERDE 'org.apache.hive.hcatalog.data.JsonSerDe'\n"
+        "location '/warehouse/prov';"
+    )
+    # sanitization hit the dotted/dashed attribute keys
+    assert "`server_timezone`: STRING" in ddl
+    assert "`User_Agent`: STRING" in ddl
+    assert "`parent_hdfs_location`: STRING" in ddl
+    assert "." not in ddl.split("CREATE EXTERNAL TABLE prov (")[1].split(") ROW FORMAT")[0]
+    # conflict-demoted column renders scalar
+    assert "`eventOrdinal` STRING" in ddl
+
+
+def test_infer_and_register_executes(spark, tmp_path):
+    res = infer_and_register(spark, FIXTURE, "prov_reg", str(tmp_path / "loc"))
+    assert res["good_count"] == 5
+    assert res["bad_count"] == 0
+    assert "prov_reg" in [t.name for t in spark.catalog.listTables()]
+    cols = spark.table("prov_reg").columns
+    assert "eventOrdinal" in cols
+    spark.sql("DROP TABLE prov_reg")
+
+
+def test_top_level_array_file_yields_error_definition(spark, tmp_path):
+    p = tmp_path / "arr.json"
+    p.write_text('[{"a": 1}, {"a": 2}]\n')
+    ddl = infer_ddl(spark, str(p), "t", "/x")
+    assert "ERROR" in ddl  # reference quirk preserved (CreateHQL.scala:91)
