@@ -1,0 +1,33 @@
+"""Text helper columns shared by the text-analysis and dedup operators.
+
+Semantics are deliberately simple and SQL-replicable (the duckdb oracle
+recomputes them), and everything stays in JVM built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["normalize_ws", "whitespace_tokens", "bpe_ish_tokens", "BPE_ISH_TOKEN_RE"]
+
+# A GPT-2-style pre-tokenizer shape: word pieces, numbers, punctuation runs.
+# (Real BPE merges need a vocab; this is the count-compatible approximation.)
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def normalize_ws(c: Column | str) -> Column:
+    """Trim + collapse internal whitespace to single spaces."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.trim(c), r"\s+", " ")
+
+
+def whitespace_tokens(c: Column | str) -> Column:
+    """Split on whitespace runs; empty string → empty array (not [''])."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(normalize_ws(c), " "), lambda t: t != "")
+
+
+def bpe_ish_tokens(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_RE), 0)

@@ -1,0 +1,48 @@
+"""Vector math over ``array<float|double>`` columns — pure JVM expressions.
+
+``F.zip_with`` + ``F.aggregate`` keep the arithmetic inside whole-stage
+codegen; at 100 TB this is the difference between a scan-bound job and a
+Python-serialization-bound one. Casts to double first so local results
+match a DuckDB/duckdb-oracle double computation bit-for-bit per element.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "l2_norm", "l2_normalize", "cosine_similarity"]
+
+
+def _as_double_array(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length array columns."""
+    a, b = _as_double_array(a), _as_double_array(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = _as_double_array(a)
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def l2_normalize(a: Column | str) -> Column:
+    a = _as_double_array(a)
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL-safe on zero vectors (returns NULL, matching
+    SQL division-by-zero semantics so oracles agree)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

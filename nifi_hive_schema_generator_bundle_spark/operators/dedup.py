@@ -1,0 +1,418 @@
+"""Deduplication operators — exact and near-duplicate, designed shuffle-lean.
+
+Scale design notes (the part that matters at 100 TB):
+
+* **exact_dedup** — one hash-partitioned aggregation on the normalized
+  text fingerprint (map-side partial aggregation applies; the shuffle
+  carries only (fingerprint, min_id), never document bodies).
+* **minhash_lsh** — per-row signature computation is narrow (no shuffle);
+  banding explodes each doc into ``bands`` rows keyed by (band, bandhash),
+  so the candidate-generation shuffle carries ``bands × 8-byte`` keys per
+  doc. Buckets are self-joined only within identical band hashes, which is
+  the LSH guarantee that candidate count stays ~linear; a size cap guards
+  against degenerate buckets (all-identical corpora) becoming quadratic.
+* **simhash** — 64-bit signature per doc via bit-vote aggregation in one
+  narrow projection; candidates via 4×16-bit chunk equality (Hamming ≤ 3
+  ⇒ at least one chunk identical by pigeonhole), verified with
+  ``bit_count(xor)``.
+* **connected components** — iterative min-label propagation over the
+  candidate-pair edge list (alternating small-star-ish join rounds, AQE
+  handles the shrinking frontier). Converges in O(log n) rounds on
+  near-dup graphs, whose components are tiny in practice.
+
+Every step is DataFrame built-ins — no Python in any per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import normalize_ws, whitespace_tokens
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+    "embedding_near_dup_pairs",
+    "connected_components",
+    "dedup_keep_min",
+]
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the minimum id per exact (normalized) text value.
+
+    Returns (id_col, n_copies). The shuffle key is the md5 fingerprint —
+    16 bytes regardless of document size — and partial aggregation folds
+    duplicates map-side before the exchange.
+    """
+    fp = F.md5(normalize_ws(F.lower(F.col(text_col))))
+    return (
+        df.groupBy(fp.alias("fp"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings. Built from the token array with
+    ``transform`` over an index sequence + ``slice`` — no explode, no UDF."""
+    toks = whitespace_tokens(F.lower(text))
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
+    """num_perm-wide MinHash signature: for seed i, min over shingles of
+    ``xxhash64(shingle, i)``. One narrow expression per permutation —
+    codegen'd, vectorizable, zero shuffle."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) with estimated Jaccard ≥
+    threshold. Estimate = fraction of matching minhash components
+    (unbiased estimator of set Jaccard).
+
+    Plan: narrow signature projection → explode to ``bands`` rows/doc →
+    shuffle on (band, bandhash) → within-bucket self-join → distinct pair
+    verification on full signatures.
+    """
+    rows = num_perm // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(shingles(F.col(text_col), k), num_perm).alias("sig"),
+        )
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("sig", b * rows + 1, rows)), b
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    # degenerate-bucket guard: identical-corpus buckets would be quadratic
+    bucket_sizes = banded.groupBy("band", "bucket").count()
+    banded = banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
+        ["band", "bucket"],
+    )
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_perm))
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for pairs. With ``candidates`` (id_a, id_b)
+    given — typically LSH output — verification joins shingle sets back by
+    id; without, falls back to a full self-join (test scale only: O(n²)).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    )
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        cand = a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+    else:
+        cand = (
+            candidates.select("id_a", "id_b")
+            .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+            .withColumnRenamed("sh", "sh_a")
+            .join(sh.withColumnRenamed("id", "id_b"), "id_b")
+            .withColumnRenamed("sh", "sh_b")
+        )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, as one narrow expression:
+    per-token xxhash64 → per-bit ±1 votes aggregated across the token
+    array → sign bits packed into a long."""
+    toks = whitespace_tokens(F.lower(text))
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                # call_function: SQL shiftright takes a column shift amount
+                # (the PySpark wrapper only accepts a literal int)
+                lambda b: F.call_function("shiftright", F.xxhash64(tok), b)
+                .bitwiseAND(F.lit(1)) * 2 - 1,
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, b: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming (≤ 3 guaranteed
+    complete via 4-chunk pigeonhole banding)."""
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    chunked = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    F.call_function("shiftright", F.col("sh"), c * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                ),
+            )
+        ).alias("cc"),
+    ).select("id", "sh", "cc.chunk", "cc.val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 0,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold.
+
+    ``n_planes=0``: exact all-pairs (test scale). ``n_planes>0``: random-
+    hyperplane LSH — rows are bucketed by the sign pattern of ``n_planes``
+    deterministic pseudo-random projections, pairs only form within a
+    bucket (high-cosine vectors collide with probability
+    ``(1 - θ/π)^n_planes``); this is the 100 TB path, trading recall for
+    a near-linear shuffle.
+    """
+    from ..functions.vectors import cosine_similarity, l2_normalize
+
+    base = df.select(
+        F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")
+    )
+    if n_planes > 0:
+        from .similarity import random_hyperplane_bucket
+
+        base = base.withColumn("bucket", random_hyperplane_bucket("v", n_planes))
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col("a.id") < F.col("b.id")
+        )
+    else:
+        join_cond = F.col("a.id") < F.col("b.id")
+    a, b = base.alias("a"), base.alias("b")
+    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# components / resolution
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, *, max_iter: int = 20
+) -> DataFrame:
+    """(id, component) from an edge list (id_a, id_b) via iterative
+    min-label propagation. Each round: label ← min(label of self, labels
+    of neighbors); stops when no label changes. Rounds are plain joins —
+    AQE re-plans as the frontier shrinks; near-dup components are shallow
+    so this converges in a handful of rounds."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_min(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every doc that belongs to a near-dup component except the
+    min-id representative. Docs in no component survive untouched."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,158 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two tiers (SURVEY north-star / BASELINE.json):
+
+* **brute_force_topk** — the exact baseline: broadcast the (small) query
+  set against the corpus, JVM-side cosine, per-query top-k via window
+  ``row_number``. At 100 TB the corpus side stays partition-parallel and
+  the only shuffle is the (n_queries × corpus_partitions → k) top-k
+  reduction, which AQE coalesces.
+* **lsh_topk** — random-hyperplane LSH: corpus and queries hash to sign
+  buckets over ``n_planes`` deterministic projections; cosine is computed
+  only within matching buckets (multi-probe by flipping 1 bit recovers
+  recall). Shuffle is bucket-partitioned — near-linear scale path.
+
+The hyperplanes are generated from a seed with ``xxhash64`` arithmetic —
+deterministic across runs and executors, no driver-side random state to
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, l2_normalize
+
+__all__ = ["brute_force_topk", "lsh_topk", "random_hyperplane_bucket"]
+
+
+def _plane_component(plane: int, dim_idx: Column, seed: int) -> Column:
+    """Deterministic pseudo-random ±1 hyperplane component (Rademacher
+    planes preserve cosine-LSH guarantees and cost one hash per cell)."""
+    h = F.xxhash64(dim_idx, F.lit(plane), F.lit(seed))
+    return (h.bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
+
+
+def random_hyperplane_bucket(
+    vec: Column | str, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Pack sign(v·r_p) for each plane p into one long bucket id."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def _cell(p):
+        # closure factory: PySpark infers lambda arity from the signature,
+        # so the plane index can't ride along as a default argument
+        return lambda x, i: x * _plane_component(p, i, seed)
+
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(v, idx, _cell(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank).
+
+    ``queries`` is broadcast — the small-dim side of the join (SURVEY §4:
+    broadcast small sides, no shuffle of the corpus). Ties break on
+    ascending corpus id for full determinism.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias(query_id_col), F.col(vec_col).alias("q_vec")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        query_id_col,
+        F.col("c_id").alias(id_col),
+        F.round(cosine_similarity("c_vec", "q_vec"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share a hyperplane sign-bucket with
+    the query (plus 1-bit-flip probes when ``multiprobe``), then exact
+    cosine + window rank within candidates only."""
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        random_hyperplane_bucket(l2_normalize(F.col(vec_col)), n_planes).alias(
+            "bucket"
+        ),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("q_vec"),
+        random_hyperplane_bucket(l2_normalize(F.col(vec_col)), n_planes).alias(
+            "qb"
+        ),
+    )
+    if multiprobe:
+        probes = F.array_union(
+            F.array(F.col("qb")),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda p: F.col("qb").bitwiseXOR(
+                    F.call_function("shiftleft", F.lit(1).cast("long"), p)
+                ),
+            ),
+        )
+        q = q.select(query_id_col, "q_vec", F.explode(probes).alias("bucket"))
+    else:
+        q = q.withColumnRenamed("qb", "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .select(
+            query_id_col,
+            F.col("c_id").alias(id_col),
+            F.round(cosine_similarity("c_vec", "q_vec"), 6).alias("cosine"),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines.
+
+All metrics are single-pass, shuffle-free column expressions (narrow
+transformations) — at 100 TB each of these is exactly one scan with
+whole-stage codegen, no Python. Language ID is the only operator with a
+small broadcast (the stopword profiles, a few KB literal map).
+
+Operators:
+* ``token_stats``       — whitespace + BPE-ish token counts, char counts
+* ``quality_score``     — length / punctuation / stopword / repetition
+  heuristics → [0,1] score (C4/Gopher-style cheap filters)
+* ``language_id``       — stopword-profile n-gram-free heuristic argmax
+* ``fingerprint``       — md5 of whitespace-normalized lowercase text
+  (exact-dup key) + a 64-bit rolling-style hash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import bpe_ish_tokens, normalize_ws, whitespace_tokens
+
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "STOPWORD_PROFILES",
+]
+
+# Tiny per-language stopword profiles for the heuristic language scorer.
+# Real pipelines plug in fastText/CLD3 via mapInPandas; the heuristic is the
+# dependency-free deterministic default.
+STOPWORD_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "para", "con", "que"],
+}
+
+_PUNCT_RE = r"[^\w\s]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token/char counts. One narrow projection."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        F.length(t).alias("char_count"),
+        F.size(whitespace_tokens(t)).alias("ws_token_count"),
+        F.size(bpe_ish_tokens(t)).alias("bpe_token_count"),
+    )
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda tok: F.array_contains(arr, tok)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cheap quality heuristics → component columns + combined score.
+
+    Components (each in [0,1], higher = better):
+    * ``len_score``   — saturating length ratio (≥200 chars → 1.0)
+    * ``punct_score`` — 1 − punctuation-character ratio
+    * ``stop_score``  — saturating English-stopword token ratio (≥ 10% → 1)
+    * ``rep_score``   — distinct-token / token ratio (repetition penalty)
+    """
+    t = F.col(text_col)
+    toks = whitespace_tokens(F.lower(t))
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    stop_hits = _stopword_hits(toks, STOPWORD_PROFILES["en"])
+    len_score = F.least(F.lit(1.0), n_chars / F.lit(200.0))
+    punct_score = F.when(n_chars > 0, 1.0 - punct / n_chars).otherwise(F.lit(0.0))
+    stop_score = F.when(
+        n_tok > 0, F.least(F.lit(1.0), (stop_hits / n_tok) / F.lit(0.10))
+    ).otherwise(F.lit(0.0))
+    rep_score = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)) / n_tok
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        F.round(len_score, 6).alias("len_score"),
+        F.round(punct_score, 6).alias("punct_score"),
+        F.round(stop_score, 6).alias("stop_score"),
+        F.round(rep_score, 6).alias("rep_score"),
+        F.round(
+            (len_score + punct_score + stop_score + rep_score) / 4.0, 6
+        ).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language as argmax of per-language stopword hit counts.
+
+    Ties break lexicographically ('und' ties → first language code in
+    sorted order); zero hits everywhere → 'und' (undetermined). The
+    profile arrays are expression literals — effectively a broadcast of a
+    few KB, no shuffle, no UDF.
+    """
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    scores = [
+        _stopword_hits(toks, STOPWORD_PROFILES[lang]).alias(f"hits_{lang}")
+        for lang in sorted(STOPWORD_PROFILES)
+    ]
+    scored = df.select("*", *scores)
+    langs = sorted(STOPWORD_PROFILES)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return scored.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints:
+
+    * ``fp_md5``  — md5 hex of lowercase whitespace-normalized text; the
+      canonical exact-dup key (oracle-replicable in any SQL engine)
+    * ``fp_hash64`` — xxhash64 of the same normalization; cheap 8-byte
+      join/cluster key at scale
+    """
+    norm = normalize_ws(F.lower(F.col(text_col)))
+    return df.select(
+        "*",
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_hash64"),
+    )

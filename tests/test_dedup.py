@@ -1,0 +1,108 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding near-dup, connected components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+    connected_components,
+    dedup_keep_min,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun near the garden"
+)
+NEAR = BASE.replace("afternoon", "evening")  # one token differs
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats for large scale analytics workloads today"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                      # exact dup of 1
+        (3, "  " + BASE.upper() + " "),  # normalized dup of 1
+        (4, NEAR),                      # near dup of 1
+        (5, OTHER),
+        (6, OTHER + " v2 with a small suffix appended here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    kept = exact_dedup(docs).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.n_copies) for r in kept] == [(1, 3), (4, 1), (5, 1), (6, 1)]
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got  # exact dups: jaccard 1.0
+    assert (1, 4) in got                    # near dup crosses 0.5
+    assert (1, 5) not in got and (4, 5) not in got
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert est[(1, 2)] == 1.0
+
+
+def test_ngram_jaccard_verifies_candidates(spark, docs):
+    cand = minhash_lsh_pairs(docs, threshold=0.3)
+    verified = ngram_jaccard_pairs(docs, threshold=0.5, candidates=cand).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in verified}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 <= got[(1, 4)] < 1.0
+    assert (1, 5) not in got
+
+
+def test_ngram_jaccard_full_selfjoin(spark, docs):
+    verified = ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in verified}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_simhash_near_dup(spark, docs):
+    pairs = simhash_pairs(docs, max_hamming=10).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got[(1, 2)] == 0       # identical text → identical simhash
+    assert got[(1, 3)] == 0       # case/ws-normalized
+    assert (1, 4) in got          # one token flip → few bits
+    assert (1, 5) not in got
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),   # ~cos 0.999
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (4, [2.0, 0.0, 0.0, 0.0]),      # same direction as 1, scaled
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(df, threshold=0.95).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert not any(3 in p for p in got)
+
+
+def test_connected_components_and_keep_min(spark, docs):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    kept = sorted(r.doc_id for r in dedup_keep_min(docs, pairs).collect())
+    assert kept == [1, 4, 5]
+
+
+def test_lsh_plans_stay_jvm_side(spark, docs):
+    plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,87 @@
+"""ANN search tests on the driver-generated embeddings table."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke_dir):
+    return spark.read.parquet(os.path.join(sf_smoke_dir, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def test_brute_force_self_is_top1(spark, emb, queries):
+    res = brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert rows[0].vec_id == qid          # self-match first
+        assert rows[0].cosine == pytest.approx(1.0, abs=1e-4)
+        assert len(rows) == 5
+        assert all(rows[i].cosine >= rows[i + 1].cosine for i in range(4))
+
+
+def test_brute_force_matches_numpy(spark, emb, queries):
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    q0 = vecs[0]
+    sims = {
+        vid: float(v @ q0 / (np.linalg.norm(v) * np.linalg.norm(q0)))
+        for vid, v in vecs.items()
+    }
+    expected = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = (
+        brute_force_topk(emb, queries.filter("query_id = 0"), k=5)
+        .orderBy("rank")
+        .collect()
+    )
+    for (evid, esim), r in zip(expected, got):
+        assert r.vec_id == evid
+        assert r.cosine == pytest.approx(esim, abs=1e-4)
+
+
+def test_lsh_topk_recall(spark, emb, queries):
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, k=5, n_planes=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    # self-match always survives LSH (identical bucket), recall is approximate
+    recalls = []
+    for qid, want in exact_sets.items():
+        got = approx_sets.get(qid, set())
+        assert qid in got
+        recalls.append(len(got & want) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.2  # sanity floor for 8 planes
+
+
+def test_broadcast_in_brute_force_plan(spark, emb, queries):
+    plan = (
+        brute_force_topk(emb, queries, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

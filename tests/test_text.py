@@ -1,0 +1,69 @@
+"""Text-analysis operator tests (token stats, quality, lang-id, fingerprint)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nifi_hive_schema_generator_bundle_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat and the dog sat in a house"),
+        (2, "der hund ist nicht ein kater und das haus"),
+        (3, "x" * 400),
+        (4, ""),
+        (5, "word word word word word"),
+        (6, "Hello, world! A test of 123 numbers... and punctuation?!"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats(spark, docs):
+    got = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert got[1].ws_token_count == 9
+    assert got[1].char_count == 34
+    assert got[4].ws_token_count == 0
+    assert got[6].bpe_token_count > got[6].ws_token_count  # punctuation split off
+
+
+def test_quality_score_components(spark, docs):
+    got = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert got[3].len_score == 1.0      # 400 chars saturates
+    assert got[4].quality == 0.0        # empty doc bottoms out
+    assert got[5].rep_score == pytest.approx(0.2)  # 1 distinct / 5 tokens
+    assert 0.0 <= got[6].quality <= 1.0
+    assert got[1].stop_score == 1.0     # 4/9 stopwords >> 10% cap
+
+
+def test_language_id(spark, docs):
+    got = {r.doc_id: r.pred_lang for r in language_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[4] == "und"  # no tokens
+    assert got[3] == "und"  # no stopword hits
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "  HELLO WORLD  "), (4, "other")],
+        "doc_id long, text string",
+    )
+    got = fingerprint(df).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[1].fp_md5 == by_id[2].fp_md5 == by_id[3].fp_md5
+    assert by_id[4].fp_md5 != by_id[1].fp_md5
+    assert by_id[1].fp_hash64 == by_id[2].fp_hash64
+
+
+def test_no_python_udf_in_plans(spark, docs):
+    # scale guard: these operators must stay JVM-side (SURVEY §4)
+    for op in (token_stats, quality_score, language_id, fingerprint):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
