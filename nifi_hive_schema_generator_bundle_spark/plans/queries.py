@@ -1,0 +1,683 @@
+"""The engine's headline query registry — the driver contract surface.
+
+Each entry pairs an idiomatic-Spark DataFrame program with the ANSI-SQL
+oracle DuckDB runs on the same parquet tables (CORRECTNESS gate, see
+``__spark_entry__.py``). Column names/aliases match exactly on both sides;
+the driver's comparison sorts columns by name and hashes values.
+
+Float determinism rules used throughout (so Spark and DuckDB hash-match):
+
+* money aggregates go through DECIMAL(18,2)/(38,4) arithmetic (exact,
+  order-independent), then cast to double and round
+* rank/top-k queries carry a unique-id tiebreak so result SETS are
+  deterministic even under float ties
+* timestamps are returned as 'yyyy-MM-dd' strings, never raw timestamps
+
+Scale notes per query live in the docstrings — these are also the queries
+``bench.py`` times at sf0.1.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLE_SQL", "load_table", "register_query"]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. ``events.ts`` is TIMESTAMP(NANOS) parquet,
+    which Spark's vectorized reader rejects; read it as a long
+    (``nanosAsLong``) and rebuild the timestamp at micro precision
+    (Spark's native resolution — DuckDB reads the same values as
+    TIMESTAMP_NS, truncation below micros is irrelevant to both)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+_DEC = "decimal(18,2)"
+
+
+# ===========================================================================
+# Reference core: schema inference + routing (SURVEY §2 O1-O17)
+# ===========================================================================
+
+@register_query(
+    "infer_props_schema",
+    oracle="""
+    WITH kv AS (
+        SELECT k AS column_name,
+               CASE json_type(props, k)
+                    WHEN 'ARRAY' THEN 'A' WHEN 'OBJECT' THEN 'O'
+                    WHEN 'NULL' THEN NULL ELSE 'S' END AS cat
+        FROM (SELECT unnest(json_keys(props)) AS k, props FROM events)
+    )
+    SELECT column_name,
+           CASE WHEN count(DISTINCT cat) > 1 THEN 'STRING'
+                WHEN max(cat) = 'A' THEN 'ARRAY<STRING>'
+                WHEN max(cat) = 'O' THEN 'STRUCT'
+                ELSE 'STRING' END AS hive_type
+    FROM kv GROUP BY column_name ORDER BY column_name
+    """,
+)
+def infer_props_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed reference-exact schema inference over the ``props`` JSON
+    column (SURVEY §2 O5). The oracle replays the depth-1 lattice in SQL
+    (sufficient for this table's flat objects; nesting is covered by the
+    golden-DDL unit tests). Scale: one scan + ≤numPartitions partial rows."""
+    from ..operators.infer import infer_schema_df
+    from ..plans.render import render_compact_type
+
+    events = load_table(spark, sf_dir, "events")
+    schema = infer_schema_df(events, "props")
+    rows = [(f.name, render_compact_type(f.dataType)) for f in schema.fields]
+    return spark.createDataFrame(
+        sorted(rows), "column_name string, hive_type string"
+    )
+
+
+@register_query(
+    "route_json_validity",
+    oracle="""
+    SELECT
+      CAST(sum(CASE WHEN json_valid(props)
+                AND (ltrim(props) LIKE '{%' OR ltrim(props) LIKE '[%')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+      CAST(sum(CASE WHEN json_valid(props)
+                AND (ltrim(props) LIKE '{%' OR ltrim(props) LIKE '[%')
+               THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+    FROM events
+    """,
+)
+def route_json_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record success/failure routing counts (SURVEY §2 O3/O14)."""
+    from ..operators.routing import split_valid
+
+    events = load_table(spark, sf_dir, "events")
+    good, bad = split_valid(events, "props")
+    return good.agg(F.count("*").alias("n_valid")).crossJoin(
+        bad.agg(F.count("*").alias("n_invalid"))
+    )
+
+
+# ===========================================================================
+# Relational surface (extension categories from SURVEY §2)
+# ===========================================================================
+
+@register_query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))) AS DOUBLE), 2) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy single-pass aggregation. Catalyst pushes
+    the shipdate filter into the parquet scan and partial-aggregates
+    map-side; shuffle carries only 4-ish groups × partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register_query(
+    "q3_top_orders",
+    oracle=f"""
+    SELECT l.l_orderkey AS o_orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice AS {_DEC}) * (1 - CAST(l.l_discount AS {_DEC}))) AS DOUBLE), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dims join fact + top-k. ``customer`` is
+    broadcast (small side); lineitem→orders joins on the shuffle key both
+    sides already need. Exact decimal revenue makes the DESC order (and
+    the LIMIT cut) engine-independent; orderkey breaks residual ties."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(li.l_orderkey.alias("o_orderkey"), o.o_orderdate)
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register_query(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           round(CAST(sum(CAST(l.l_extendedprice AS {_DEC}) * (1 - CAST(l.l_discount AS {_DEC}))) AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. All dimension tables (region, nation,
+    supplier, customer) broadcast — the only shuffle left is
+    lineitem⋈orders on orderkey. At 100 TB that is the minimal-shuffle
+    plan for this topology."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+@register_query(
+    "q6_revenue_delta",
+    oracle=f"""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS {_DEC}) * CAST(l_discount AS {_DEC})) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+scalar-agg — the predicate-pushdown
+    showcase (all four predicates reach the parquet reader)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register_query(
+    "customers_with_big_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) demo — left_semi keeps the build side tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register_query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) demo."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register_query(
+    "events_topk_per_user",
+    oracle="""
+    SELECT user_id, event_id, rnk FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rnk
+        FROM events)
+    WHERE rnk <= 3 ORDER BY user_id, rnk
+    """,
+)
+def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-k per key. event_id tiebreak ⇒ deterministic.
+    At scale: single hash-partition-by-user shuffle; AQE handles skewed
+    users; no driver involvement."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+        .orderBy("user_id", "rnk")
+    )
+
+
+@register_query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min timeout): lag + conditional
+    flag + per-user aggregation. One shuffle on user_id covers both the
+    window and the groupBy (Catalyst reuses the partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register_query(
+    "event_type_daily_counts",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY event_type, day ORDER BY event_type, day
+    """,
+)
+def event_type_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped batch rollup (the tumbling-window agg the streaming
+    module runs continuously; here as the batch equivalent)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast(_DEC)).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register_query(
+    "sources_langs_union",
+    oracle="""
+    SELECT DISTINCT source AS val FROM documents
+    UNION
+    SELECT DISTINCT lang AS val FROM documents
+    ORDER BY val
+    """,
+)
+def sources_langs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation demo (UNION distinct)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("source").alias("val"))
+        .union(d.select(F.col("lang").alias("val")))
+        .distinct()
+        .orderBy("val")
+    )
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (north star; BASELINE.json)
+# ===========================================================================
+
+@register_query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (exact-dup key) — narrow, shuffle-free."""
+    from ..operators.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprint(d).select("doc_id", "fp_md5").orderBy("doc_id")
+
+
+@register_query(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    ORDER BY doc_id
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping min doc_id per normalized text."""
+    from ..operators.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d).orderBy("doc_id")
+
+
+@register_query(
+    "token_stats_docs",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS char_count,
+           CAST(len(list_filter(string_split_regex(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS INT) AS ws_token_count,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INT) AS bpe_token_count
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex)."""
+    from ..operators.text import token_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_stats(d).select(
+        "doc_id", "char_count", "ws_token_count", "bpe_token_count"
+    ).orderBy("doc_id")
+
+
+@register_query(
+    "language_id_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+        CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))) AS BIGINT) AS h_de,
+        CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','that','for','it'], x))) AS BIGINT) AS h_en,
+        CAST(len(list_filter(t, x -> list_contains(['el','la','los','las','es','un','una','para','con','que'], x))) AS BIGINT) AS h_es,
+        CAST(len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une','pour','dans','que'], x))) AS BIGINT) AS h_fr
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM hits ORDER BY doc_id
+    """,
+)
+def language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID; tie-break = language-code sort order, encoded
+    identically in the oracle's CASE ladder."""
+    from ..operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "pred_lang").orderBy("doc_id")
+
+
+@register_query(
+    "quality_scores_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+      round(least(1.0, n_chars / 200.0), 6) AS len_score,
+      round(CASE WHEN n_chars > 0 THEN 1.0 - punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS punct_score,
+      round(CASE WHEN len(toks) > 0 THEN least(1.0,
+            (CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','for','it'], x))) AS DOUBLE) / len(toks)) / 0.10)
+            ELSE 0.0 END, 6) AS stop_score,
+      round(CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS rep_score
+    FROM t ORDER BY doc_id
+    """,
+)
+def quality_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality heuristic components."""
+    from ..operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_score(d).select(
+        "doc_id", "len_score", "punct_score", "stop_score", "rep_score"
+    ).orderBy("doc_id")
+
+
+@register_query(
+    "ann_cosine_topk",
+    oracle="""
+    SELECT q.vec_id AS query_id, c.vec_id, rnk FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                        c.vec_id) AS rnk
+      FROM embeddings c, embeddings q WHERE q.vec_id < 5
+    ) s JOIN embeddings q ON q.vec_id = s.qid JOIN embeddings c ON c.vec_id = s.cid
+    WHERE rnk <= 10 ORDER BY query_id, rnk
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (the exact ANN
+    baseline; the LSH variant is the rows-only ``lsh_ann_topk``). Returns
+    integer ranks only — cosine stays internal so float formatting can't
+    perturb the hash; tiebreak on vec_id pins the SET."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        brute_force_topk(emb, q, k=10)
+        .select("query_id", "vec_id", F.col("rank").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register_query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4) AS avg_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregation: per-label L2-norm average."""
+    from ..functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", l2_norm("embedding").alias("norm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+# --- rows-only entries (non-SQL-expressible; driver records weaker check) --
+
+@register_query("minhash_near_dup")
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs at est-Jaccard ≥ 0.5."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register_query("simhash_near_dup")
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3."""
+    from ..operators.dedup import simhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register_query("near_dedup_docs")
+def near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup pipeline: LSH candidates → Jaccard verify ≥ 0.8 →
+    connected components → keep min id. Returns surviving doc ids."""
+    from ..operators.dedup import (
+        dedup_keep_min,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(d, threshold=0.5)
+    verified = ngram_jaccard_pairs(d, threshold=0.8, candidates=cand)
+    return dedup_keep_min(d, verified).select("doc_id").orderBy("doc_id")
+
+
+@register_query("lsh_ann_topk")
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH top-k (the 100 TB ANN path; approximate by design)."""
+    from ..operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        lsh_topk(emb, q, k=10, n_planes=8)
+        .select("query_id", "vec_id", F.col("rank").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )

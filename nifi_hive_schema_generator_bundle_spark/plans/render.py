@@ -30,6 +30,7 @@ from .lattice import finalize_type
 
 __all__ = [
     "render_type",
+    "render_compact_type",
     "render_definition",
     "render_hive_ddl",
     "render_spark_ddl",
@@ -61,6 +62,21 @@ def render_type(dt: DataType, indent: int = 0, key: str | None = None) -> str:
     else:
         body = "STRING"
     return prefix + body
+
+
+def render_compact_type(dt: DataType) -> str:
+    """Single-line uppercase rendering (``ARRAY<STRING>``,
+    ``STRUCT<`k`: STRING>``) — same lattice, no indentation. Used where a
+    type travels inside a row (e.g. the inference query surface) rather
+    than a DDL body."""
+    if isinstance(dt, ArrayType):
+        return f"ARRAY<{render_compact_type(dt.elementType)}>"
+    if isinstance(dt, StructType):
+        fields = ", ".join(
+            f"`{f.name}`: {render_compact_type(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT<{fields}>"
+    return "STRING"
 
 
 def render_definition(schema: DataType, indent: int = 0) -> str:

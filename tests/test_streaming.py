@@ -1,0 +1,106 @@
+"""Structured Streaming tests: drift-tracking inference (foreachBatch) and
+windowed aggregations."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_hive_schema_generator_bundle_spark.streaming.infer_stream import (
+    run_inference_stream,
+)
+from nifi_hive_schema_generator_bundle_spark.streaming.windows import (
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+
+def test_inference_stream_drift(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "batch1.json").write_text('{"a": 1}\n{"a": 2, "b": "x"}\n')
+
+    q, state = run_inference_stream(
+        spark,
+        str(indir),
+        "stream_t",
+        "/warehouse/stream_t",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        quarantine_path=str(tmp_path / "bad"),
+    )
+    q.awaitTermination(120)
+    assert state.good_rows == 2 and state.bad_rows == 0
+    assert len(state.ddl_history) == 1
+    assert "`a` STRING" in state.current_ddl and "`b` STRING" in state.current_ddl
+
+    # second batch: drift (new column c, conflict on a) + one bad line
+    (indir / "batch2.json").write_text('{"a": [1], "c": {"d": 1}}\nnot json\n')
+    q2, state2 = run_inference_stream(
+        spark,
+        str(indir),
+        "stream_t",
+        "/warehouse/stream_t",
+        checkpoint_dir=str(tmp_path / "ckpt"),  # same checkpoint: only new file
+        quarantine_path=str(tmp_path / "bad"),
+    )
+    # rebuild accumulated state from scratch is fresh; merge both batches
+    state2.schema = state.schema
+    q2.awaitTermination(120)
+    assert state2.bad_rows == 1
+    ddl = state2.current_ddl
+    assert "`c` STRUCT<" in ddl
+    assert "`a` STRING" in ddl  # [1] vs scalar conflict stays STRING
+    # quarantined line preserved byte-identical
+    bad_lines = []
+    for f in os.listdir(tmp_path / "bad"):
+        if not f.startswith(("_", ".")):
+            bad_lines += (tmp_path / "bad" / f).read_text().splitlines()
+    assert bad_lines == ["not json"]
+
+
+def test_windowed_counts_batch_equivalence(spark, sf_smoke_dir):
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import load_table
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    res = windowed_event_counts(ev, window="1 day").collect()
+    assert len(res) > 0
+    total = sum(r.n for r in res)
+    assert total == ev.count()
+
+
+def test_windowed_counts_streaming_mode(spark, sf_smoke_dir, tmp_path):
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import load_table
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    src = str(tmp_path / "stream_src")
+    ev.limit(500).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = windowed_event_counts(stream, window="1 day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")  # watermark allows append
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # append mode only emits closed windows; with availableNow the final
+    # watermark leaves the last window open — assert the stream ran and
+    # produced a queryable sink
+    assert spark.sql("SELECT count(*) FROM win_counts").collect()[0][0] >= 0
+
+
+def test_sessionize_stream_batch_mode(spark, sf_smoke_dir):
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import load_table
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    sess = sessionize_stream(ev).collect()
+    assert len(sess) > 0
+    assert sum(r.n_events for r in sess) == ev.count()
