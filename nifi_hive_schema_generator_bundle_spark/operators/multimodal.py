@@ -1,0 +1,200 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Media travel as opaque ``binary`` columns next to a typed metadata struct
+(SURVEY north-star). The Spark-side plumbing — schemas, Arrow batch shape,
+``mapInPandas`` signatures, partition sizing — is real and tested; the
+actual codec work is STUBBED (this container ships no image/audio libs):
+``decode_fn=None`` uses a deterministic fake "decoder" so the distributed
+path is exercised end-to-end, and a real decoder (PIL/librosa/ffmpeg) drops
+in as a one-argument callable without touching the plumbing.
+
+Scale notes: media rows are large — the module keeps them in Arrow batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` should be lowered for
+>1 MB payloads), never collects, and repartitions by byte budget rather
+than row count (``repartition_by_bytes``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media_metadata",
+    "decode_features",
+    "frame_sample",
+    "repartition_by_bytes",
+]
+
+# the canonical media column group: payload + typed metadata struct
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType(), True),
+                    StructField("n_bytes", LongType(), True),
+                    StructField("sha256", StringType(), True),
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("duration_ms", LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame, payload_col: str = "payload", mime: str | None = None
+) -> DataFrame:
+    """Derive the metadata struct from the raw payload — JVM-side only
+    (length/sha2); pixel/sample dimensions stay NULL until decode."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(p).cast("long").alias("n_bytes"),
+            F.sha2(p, 256).alias("sha256"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a real feature extractor: fold the
+    sha256 digest into ``dim`` floats in [0, 1). NOT a real decoder —
+    replace via ``decode_fn`` (see module docstring)."""
+    out: list[float] = []
+    seed = payload or b""
+    h = hashlib.sha256(seed)
+    while len(out) < dim:
+        d = h.digest()
+        out.extend(b / 255.0 for b in d)
+        h = hashlib.sha256(d)
+    return out[:dim]
+
+
+def decode_features(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    dim: int = 64,
+    decode_fn: Callable[[bytes], list[float]] | None = None,
+) -> DataFrame:
+    """payload → fixed-dim feature vector via ``mapInPandas`` (Arrow).
+
+    The UDF ships only (id, payload) — column pruning keeps other columns
+    out of the Python worker; features join back by id downstream if
+    needed. ``decode_fn`` is the pluggable real decoder; default is the
+    deterministic fake (see module docstring).
+    """
+    fn = decode_fn or (lambda b: _fake_decode(b, dim))
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("features", ArrayType(FloatType(), False), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [
+                        None if b is None else fn(bytes(b))
+                        for b in pdf[payload_col]
+                    ],
+                }
+            )
+
+    # Arrow batch sizing for large payloads is a session conf
+    # (spark.sql.execution.arrow.maxRecordsPerBatch), not a plan property.
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_frames: int = 4,
+    frame_bytes: int = 32,
+    extract_fn: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Video → sampled frames, exploded one row per frame.
+
+    Stub extractor slices the payload into ``n_frames`` evenly-spaced
+    ``frame_bytes`` windows (deterministic); a real ffmpeg-based
+    ``extract_fn(payload, n) -> list[frame_bytes]`` drops in unchanged.
+    """
+    fn = extract_fn or (
+        lambda b, n: [
+            b[(i * max(1, (len(b) - frame_bytes)) // max(1, n - 1)) if n > 1 else 0:][
+                :frame_bytes
+            ]
+            for i in range(n)
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                for i, fr in enumerate(fn(bytes(payload), n_frames)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def repartition_by_bytes(
+    df: DataFrame, *, bytes_col_expr=None, target_mb: int = 128
+) -> DataFrame:
+    """Repartition a media DataFrame so each partition holds roughly
+    ``target_mb`` of payload — row-count partitioning is wrong when rows
+    range from 10 KB thumbnails to 100 MB videos."""
+    expr = bytes_col_expr if bytes_col_expr is not None else F.length("payload")
+    total = df.agg(F.sum(expr.cast("long"))).collect()[0][0] or 0
+    n = max(1, int(total / (target_mb * 1024 * 1024)) + 1)
+    return df.repartition(n)
