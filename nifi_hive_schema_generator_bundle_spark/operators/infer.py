@@ -34,12 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DataType, StructType
 
-from ..plans.lattice import (
-    infer_json_line,
-    merge_types,
-    type_from_dict,
-    type_to_dict,
-)
+from ..plans.lattice import infer_raw, merge_raw, merge_types, type_from_dict
 
 __all__ = ["infer_schema_native", "infer_schema_exact", "infer_schema_df"]
 
@@ -58,19 +53,24 @@ def infer_schema_native(
 
 
 def _fold_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Collapse every Arrow batch of JSON lines into one partial-schema row."""
-    schema: DataType | None = None
+    """Collapse every Arrow batch of JSON lines into one partial-schema row.
+
+    Folds in the raw-shape lattice (plain dict/list/str) — pyspark type
+    objects never appear in the per-record loop (~10× faster; see
+    lattice.infer_raw)."""
+    loads = json.loads
+    schema = _SENTINEL = object()
     for pdf in batches:
         for line in pdf.iloc[:, 0]:
             if line is None or line == "":
                 continue
             try:
-                t = infer_json_line(line)
+                t = infer_raw(loads(line))
             except ValueError:
                 continue  # malformed rows are routed by operators.routing, not here
-            schema = t if schema is None else merge_types(schema, t)
-    if schema is not None:
-        yield pd.DataFrame({"part": [json.dumps(type_to_dict(schema))]})
+            schema = t if schema is _SENTINEL else merge_raw(schema, t)
+    if schema is not _SENTINEL:
+        yield pd.DataFrame({"part": [json.dumps(schema)]})
 
 
 def infer_schema_df(df: DataFrame, column: str = "value") -> DataType:

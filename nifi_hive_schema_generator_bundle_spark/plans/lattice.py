@@ -55,6 +55,8 @@ __all__ = [
     "finalize_type",
     "infer_json_value",
     "infer_json_line",
+    "infer_raw",
+    "merge_raw",
     "merge_types",
     "schema_from_json_lines",
     "type_to_dict",
@@ -159,6 +161,45 @@ def finalize_type(dt: DataType) -> DataType:
             [StructField(f.name, finalize_type(f.dataType), True) for f in dt.fields]
         )
     return dt
+
+
+# --- raw-shape lattice (executor hot path) --------------------------------
+#
+# The exact-inference fold runs once per record on executors; building
+# pyspark.sql.types objects there is ~10× slower than folding over the
+# plain shapes the ser/de below already uses (None | "s" | [elem] |
+# {name: shape}). The typed and raw forms are kept in lockstep —
+# ``type_to_dict(infer_json_value(v)) == infer_raw(v)`` by construction
+# (property-tested in test_lattice).
+
+def infer_raw(value: Any) -> Any:
+    """``infer_json_value`` over raw shapes (executor hot path)."""
+    if value is None:
+        return None
+    if isinstance(value, dict):
+        return {k: infer_raw(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        elem: Any = None
+        for item in value:
+            elem = merge_raw(elem, infer_raw(item))
+        return [elem]
+    return "s"
+
+
+def merge_raw(a: Any, b: Any) -> Any:
+    """``merge_types`` over raw shapes (executor hot path)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if isinstance(a, list) and isinstance(b, list):
+        return [merge_raw(a[0], b[0])]
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = merge_raw(out[k], v) if k in out else v
+        return out
+    return "s"
 
 
 # --- compact ser/de so executors can ship partial schemas to the driver ---

@@ -168,3 +168,36 @@ def test_top_level_array_content_degrades():
 def test_serde_roundtrip():
     t = infer_json_line('{"a":[{"x":1,"n.k":null}],"b":"s","c":[]}')
     assert type_from_dict(type_to_dict(t)) == t
+
+
+def test_raw_lattice_lockstep_with_typed():
+    """infer_raw/merge_raw (executor hot path) must agree with the typed
+    lattice on every shape — property-checked over random JSON values."""
+    import random
+
+    from nifi_hive_schema_generator_bundle_spark.plans.lattice import (
+        infer_raw,
+        merge_raw,
+    )
+
+    rng = random.Random(7)
+
+    def rand_json(depth=0):
+        kinds = ["scalar", "null", "list", "dict"] if depth < 3 else ["scalar", "null"]
+        k = rng.choice(kinds)
+        if k == "scalar":
+            return rng.choice([1, -2.5, True, "s", 10**12])
+        if k == "null":
+            return None
+        if k == "list":
+            return [rand_json(depth + 1) for _ in range(rng.randint(0, 3))]
+        return {f"k{rng.randint(0, 4)}": rand_json(depth + 1) for _ in range(rng.randint(0, 3))}
+
+    vals = [rand_json() for _ in range(300)]
+    for v in vals:
+        assert infer_raw(v) == type_to_dict(infer_json_value(v)), v
+    for a in vals[:40]:
+        for b in vals[:40]:
+            got = merge_raw(infer_raw(a), infer_raw(b))
+            want = type_to_dict(merge_types(infer_json_value(a), infer_json_value(b)))
+            assert got == want, (a, b)
