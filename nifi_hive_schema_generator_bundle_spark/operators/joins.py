@@ -1,0 +1,133 @@
+"""Temporal join operators the reference lacks (SURVEY §2 "categories the
+reference does NOT have" — joins): as-of join and time-range join,
+expressed shuffle-lean for the 100 TB case.
+
+Scale design notes:
+
+* **asof_join** — NOT a join at all physically: both sides are tagged and
+  unioned, then a single window pass per key carries the most recent
+  right-side payload forward onto each left row. One shuffle (hash by
+  key), one sort (by event time within key) — compare with the naive
+  ``left.join(right, key).filter(r.ts <= l.ts)`` + argmax, which explodes
+  to |left|×|right-per-key| intermediate rows before pruning. Skewed keys
+  degrade to a big sort within one partition; mitigate upstream by
+  salting the key and re-merging, or pre-filtering right to a time
+  horizon.
+* **range_join** — interval containment via bucketed equi-join: both
+  sides are bucketed by ``time // bucket_width`` (intervals explode to
+  every bucket they overlap), so Catalyst executes an equi-join on the
+  bucket id instead of a cartesian BroadcastNestedLoopJoin. Bucket width
+  should approximate the median interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    tolerance: Column | None = None,
+    prefix: str = "",
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    ``right[right_time] <= left[left_time]`` and the same ``on`` key
+    (left-outer semantics: unmatched left rows keep NULL payloads).
+
+    Ties on ``right_time`` within a key resolve to the greatest payload
+    struct (deterministic: max over (time, payload...)); a right row at
+    exactly ``left_time`` DOES match, mirroring DuckDB/pandas
+    ``ASOF JOIN`` / ``merge_asof`` with direction='backward'.
+
+    ``tolerance``: optional max staleness (a Column interval/duration in
+    the same unit as the time columns); matches older than
+    ``left_time - tolerance`` are nulled out.
+    """
+    lcols = left.columns
+    payload = F.struct(
+        F.col(right_time).alias("__t"), *[F.col(c) for c in right_payload]
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l = left.select(
+        "*",
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    # right rows (__side=0) sort before left rows at equal timestamps, so
+    # the running max at a left row includes same-instant right rows.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.max("__payload").over(w)
+    # window first, THEN drop the right-side rows — filtering first would
+    # remove the very rows the carry-forward reads.
+    out = merged.withColumn("__match", carried).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__match",
+            F.when(
+                F.col("__match.__t") >= F.col("__ts") - tolerance, F.col("__match")
+            ),
+        )
+    sel = [F.col(c) for c in lcols] + [
+        F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_payload
+    ]
+    return out.select(*sel)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    bucket: Column,
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """Join left points to right intervals containing them
+    (``start <= t < end``) via bucketed equi-join.
+
+    ``bucket`` is a Column expression giving the bucket width in the time
+    columns' native unit (e.g. ``F.lit(3600)`` for hourly buckets over
+    epoch seconds). Right intervals are exploded to one row per bucket
+    they overlap; left points map to exactly one bucket; the equi-join on
+    bucket id replaces the otherwise-cartesian range join. AQE handles
+    residual skew.
+    """
+    lb = left.withColumn("__b", (F.col(left_time) / bucket).cast("long"))
+    rb = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                (F.col(right_start) / bucket).cast("long"),
+                (F.col(right_end) / bucket).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (F.col(left_time) >= F.col(right_start))
+        & (F.col(left_time) < F.col(right_end))
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return lb.join(rb, on="__b").filter(cond).drop("__b")

@@ -44,7 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                # integer DIV, not `/`: double division rounds the low
+                # microsecond digit; DuckDB (and parquet nanos->micros
+                # readers generally) truncate.
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -680,4 +683,184 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_topk(emb, q, k=10, n_planes=8)
         .select("query_id", "vec_id", F.col("rank").alias("rnk"))
         .orderBy("query_id", "rnk")
+    )
+
+
+# ===========================================================================
+# round-1 widening: temporal joins, rollup, exact near-dup oracles
+# ===========================================================================
+
+@register_query(
+    "purchase_attribution_asof",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           v.event_id AS last_view_id
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY purchase_id
+    """,
+)
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward attribution): each purchase picks up the
+    latest 'view' event by the same user at or before it. Physically a
+    union + one windowed carry-forward pass — one shuffle on the key, no
+    join explosion (operators.joins.asof_join; SURVEY §2 'joins the
+    reference lacks'). Ties on ts resolve to max event_id on both sides;
+    purchases with no prior view keep NULL (left-outer)."""
+    from ..operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["event_id"],
+        prefix="view_",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("view_event_id").alias("last_view_id"),
+    ).orderBy("purchase_id")
+
+
+@register_query(
+    "events_rollup",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events
+    )
+    SELECT event_type, day, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value
+    FROM e GROUP BY ROLLUP(event_type, day)
+    ORDER BY event_type NULLS FIRST, day NULLS FIRST
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (event_type → day → grand total) — the cube/
+    grouping-sets family the reference lacks. Decimal-exact sums so the
+    hash matches DuckDB regardless of float add order."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return (
+        e.rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
+        )
+    )
+
+
+@register_query(
+    "ngram_jaccard_docs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' '))) END AS sh
+        FROM toks
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.5 (all-pairs form — the
+    verification kernel of the near-dedup pipeline, oracle-checked
+    exactly; at 100 TB the same kernel runs only on LSH candidates)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register_query(
+    "embedding_near_dup",
+    oracle="""
+    WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs at test
+    scale; ``n_planes>0`` switches to hyperplane-LSH bucketing at 100 TB —
+    that path is exercised by lsh_ann_topk)."""
+    from ..operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@register_query("media_features_docs")
+def media_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (rows-only: mapInPandas decode is
+    not SQL-expressible): documents.text bytes stand in for media
+    payloads → metadata struct (JVM-side sha/length) → Arrow-batched
+    fake-decode to a 16-dim feature vector → summary projection."""
+    from ..operators.multimodal import attach_media_metadata, decode_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    with_meta = attach_media_metadata(d, mime="text/plain")
+    feats = decode_features(with_meta, dim=16)
+    return (
+        with_meta.select("media_id", F.col("meta.n_bytes").alias("n_bytes"),
+                         F.col("meta.sha256").alias("sha256"))
+        .join(feats, "media_id")
+        .select(
+            "media_id",
+            "n_bytes",
+            "sha256",
+            F.size("features").alias("feat_dim"),
+            F.round(F.aggregate("features", F.lit(0.0),
+                                lambda a, x: a + x.cast("double")), 4
+                    ).alias("feat_sum"),
+        )
+        .orderBy("media_id")
     )

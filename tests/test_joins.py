@@ -1,0 +1,78 @@
+"""asof_join / range_join semantics on hand-built frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nifi_hive_schema_generator_bundle_spark.operators.joins import (
+    asof_join,
+    range_join,
+)
+
+
+def _asof(spark, tolerance=None):
+    left = spark.createDataFrame(
+        [(1, 10, "o1"), (1, 20, "o2"), (2, 15, "o3"), (3, 5, "o4")],
+        "k int, t int, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 12, 101, "b"), (2, 15, 102, "c"),
+         (2, 16, 103, "d"), (9, 1, 104, "e")],
+        "k int, t int, eid int, tag string",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_payload=["eid", "tag"], tolerance=tolerance, prefix="m_",
+    )
+    return {r["name"]: (r["m_eid"], r["m_tag"]) for r in out.collect()}
+
+
+def test_asof_backward_with_boundary_and_outer(spark):
+    got = _asof(spark)
+    assert got["o1"] == (100, "a")  # boundary: right at exactly left_time matches
+    assert got["o2"] == (101, "b")  # latest prior, not just any prior
+    assert got["o3"] == (102, "c")  # per-key isolation (103 is later)
+    assert got["o4"] == (None, None)  # no match -> left-outer NULLs
+
+
+def test_asof_tolerance(spark):
+    got = _asof(spark, tolerance=F.lit(5))
+    assert got["o1"] == (100, "a")   # staleness 0 <= 5
+    assert got["o2"] == (None, None)  # staleness 8 > 5 -> nulled
+    assert got["o3"] == (102, "c")
+
+
+def test_asof_tie_resolves_to_max_payload(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, 7, "lo"), (1, 10, 9, "hi")], "k int, t int, eid int, tag string"
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_payload=["eid", "tag"],
+    ).collect()
+    assert (out[0]["eid"], out[0]["tag"]) == (9, "hi")
+
+
+def test_range_join_matches_naive(spark):
+    pts = spark.createDataFrame(
+        [(i, float(i * 7 % 50)) for i in range(40)], "pid int, t double"
+    )
+    ivs = spark.createDataFrame(
+        [(j, float(j * 5), float(j * 5 + 8)) for j in range(10)],
+        "iid int, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pts, ivs, left_time="t", right_start="lo", right_end="hi",
+            bucket=F.lit(8),
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(ivs)
+        .filter((F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
