@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "token_stats_docs",
     "quality_scores_docs",
     "language_id_docs",
+    "purchase_attribution_asof",
+    "events_rollup",
+    "embedding_near_dup",
+    "media_features_docs",
 ]
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_partitions
 from ..functions.textfns import normalize_ws, whitespace_tokens
 
 __all__ = [
@@ -131,6 +132,7 @@ def minhash_lsh_pairs(
     verification on full signatures.
     """
     rows = num_perm // bands
+    df = ensure_min_partitions(df)  # small-split inputs must not serialize the hash loop
     # signature via explode + 64 codegen'd min-aggregates: the hash/min hot
     # loop stays in whole-stage codegen (higher-order-function folds are
     # interpreted — measured ~2× slower), and map-side partial mins mean
@@ -153,9 +155,11 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("sig", b * rows + 1, rows)), b
-                    ).alias("bucket"),
+                    # xxhash64 hashes the long-array slice directly — no
+                    # string materialization per band
+                    F.xxhash64(F.slice("sig", b * rows + 1, rows), b).alias(
+                        "bucket"
+                    ),
                 ),
             )
         ).alias("bb"),
@@ -211,6 +215,7 @@ def ngram_jaccard_pairs(
     given — typically LSH output — verification joins shingle sets back by
     id; without, falls back to a full self-join (test scale only: O(n²)).
     """
+    df = ensure_min_partitions(df)
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     )
@@ -285,6 +290,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming (≤ 3 guaranteed
     complete via 4-chunk pigeonhole banding)."""
+    df = ensure_min_partitions(df)
     sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
     chunked = sh.select(
         "id",
@@ -346,7 +352,7 @@ def embedding_near_dup_pairs(
     """
     from ..functions.vectors import cosine_similarity, l2_normalize
 
-    base = df.select(
+    base = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")
     )
     if n_planes > 0:

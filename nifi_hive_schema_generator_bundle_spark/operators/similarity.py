@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_partitions
 from ..functions.vectors import cosine_similarity, l2_normalize
 
 __all__ = ["brute_force_topk", "lsh_topk", "random_hyperplane_bucket"]
@@ -79,7 +80,7 @@ def brute_force_topk(
     broadcast small sides, no shuffle of the corpus). Ties break on
     ascending corpus id for full determinism.
     """
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     )
     q = queries.select(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_partitions
 from ..functions.textfns import bpe_ish_tokens, normalize_ws, whitespace_tokens
 
 __all__ = [
@@ -44,6 +45,7 @@ _PUNCT_RE = r"[^\w\s]"
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token/char counts. One narrow projection."""
+    df = ensure_min_partitions(df)
     t = F.col(text_col)
     return df.select(
         "*",
@@ -67,6 +69,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     * ``stop_score``  — saturating English-stopword token ratio (≥ 10% → 1)
     * ``rep_score``   — distinct-token / token ratio (repetition penalty)
     """
+    df = ensure_min_partitions(df)
     t = F.col(text_col)
     toks = whitespace_tokens(F.lower(t))
     n_tok = F.size(toks)
@@ -101,6 +104,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     profile arrays are expression literals — effectively a broadcast of a
     few KB, no shuffle, no UDF.
     """
+    df = ensure_min_partitions(df)
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     scores = [
         _stopword_hits(toks, STOPWORD_PROFILES[lang]).alias(f"hits_{lang}")
@@ -123,6 +127,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     * ``fp_hash64`` — xxhash64 of the same normalization; cheap 8-byte
       join/cluster key at scale
     """
+    df = ensure_min_partitions(df)
     norm = normalize_ws(F.lower(F.col(text_col)))
     return df.select(
         "*",
