@@ -1,0 +1,57 @@
+"""Physical-plan assertions — the scale contract (SURVEY §4).
+
+Correctness tests say the queries return the right rows; these say they
+return them with the plan we want at 100 TB: filters pushed into the
+parquet scan, columns pruned, small dimensions broadcast instead of
+shuffling the fact table."""
+
+from __future__ import annotations
+
+import pytest
+
+from nifi_hive_schema_generator_bundle_spark.plans.queries import QUERIES
+
+
+def plan_of(spark, sf_smoke_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_smoke_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q6_filter_pushdown_and_pruning(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "q6_revenue_delta")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range predicate at the scan
+    assert "l_comment" not in plan  # untouched wide columns pruned
+    assert plan.count("Exchange") <= 2  # one partial/final agg shuffle only
+
+
+def test_q3_broadcasts_dimensions(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "q3_top_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact side must not shuffle for the join
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+
+
+def test_q5_no_fact_shuffle_join(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "q5_region_revenue")
+    # all five joins broadcast (tree section lists each join once)
+    assert plan.count("BroadcastHashJoin Inner") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_partial_agg(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "q1_pricing_summary")
+    # map-side partial aggregation before the exchange (HashAggregate
+    # appears both below and above the shuffle)
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters" in plan
+
+
+def test_asof_is_single_shuffle_no_join(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "purchase_attribution_asof")
+    # union + window implementation: no join operator at all
+    assert "Join" not in plan
+    assert "Window" in plan
