@@ -110,19 +110,17 @@ def ddl_per_group(
     location_fmt: str = "/warehouse/{table}",
 ) -> dict[str, str]:
     """One DDL per distinct routing value — the EL ``${destination.table.
-    name}`` pattern distributed: repartition by the routing column so each
-    group's fold is co-located, then per-group exact inference.
+    name}`` pattern distributed.
 
-    Scale note: groups are processed via the same no-shuffle partial-fold,
-    run per group after a single hash partitioning on ``table_col``; the
-    number of distinct tables is assumed driver-small (it is a DDL list).
+    Single pass, zero shuffle: each partition folds a key → partial-schema
+    dict (``infer_schema_by_key``); the driver merges ≤ partitions × keys
+    serialized trees. The earlier per-table ``filter`` loop re-scanned the
+    input once per distinct table — O(T) scans vs this one.
     """
-    from .operators.infer import infer_schema_df
+    from .operators.infer import infer_schema_by_key
 
-    tables = [r[0] for r in df.select(table_col).distinct().collect()]
-    out: dict[str, str] = {}
-    for t in tables:
-        sub = df.filter(F.col(table_col) == t)
-        schema = infer_schema_df(sub, json_col)
-        out[t] = render_hive_ddl(schema, t, location_fmt.format(table=t))
-    return out
+    schemas = infer_schema_by_key(df, json_col, table_col)
+    return {
+        t: render_hive_ddl(schema, t, location_fmt.format(table=t))
+        for t, schema in sorted(schemas.items())
+    }

@@ -80,8 +80,12 @@ def infer_schema_df(df: DataFrame, column: str = "value") -> DataType:
     driver merge of ≤ numPartitions partials. No shuffle, no collect of
     data rows; the driver sees only serialized schema trees.
     """
+    from ..functions.partitioning import ensure_min_partitions
+
     partials = (
-        df.select(F.col(column).cast("string").alias("value"))
+        ensure_min_partitions(
+            df.select(F.col(column).cast("string").alias("value"))
+        )
         .mapInPandas(_fold_batches, schema="part string")
         .collect()
     )
@@ -95,3 +99,58 @@ def infer_schema_exact(spark: SparkSession, path: str) -> DataType:
     """Reference-exact inference over NDJSON file(s): one text scan
     (``spark.read.text`` splits lines for free) + the partial-fold plan."""
     return infer_schema_df(spark.read.text(path), "value")
+
+
+def _fold_batches_keyed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Keyed variant of ``_fold_batches``: one partial schema per
+    (partition, key) instead of per partition."""
+    loads = json.loads
+    schemas: dict = {}
+    for pdf in batches:
+        for key, line in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+            if line is None or line == "":
+                continue
+            try:
+                t = infer_raw(loads(line))
+            except ValueError:
+                continue
+            prev = schemas.get(key)
+            schemas[key] = t if key not in schemas else merge_raw(prev, t)
+    if schemas:
+        yield pd.DataFrame(
+            {
+                "key": list(schemas.keys()),
+                "part": [json.dumps(v) for v in schemas.values()],
+            }
+        )
+
+
+def infer_schema_by_key(
+    df: DataFrame, json_col: str, key_col: str
+) -> dict[str, DataType]:
+    """Reference-exact inference per routing key in ONE pass.
+
+    Plan shape: scan → mapInPandas (per-partition dict of key → partial
+    schema, ≤ |keys| rows out per partition) → driver merge. No shuffle
+    at all — the per-key fold happens inside each partition and the
+    driver sees ``partitions × keys`` tiny serialized trees, never rows.
+    The key cardinality is assumed driver-small (it is a DDL list)."""
+    from ..functions.partitioning import ensure_min_partitions
+
+    partials = (
+        ensure_min_partitions(
+            df.select(
+                F.col(key_col).cast("string").alias("key"),
+                F.col(json_col).cast("string").alias("value"),
+            )
+        )
+        .mapInPandas(_fold_batches_keyed, schema="key string, part string")
+        .collect()
+    )
+    out: dict[str, DataType] = {}
+    for row in partials:
+        t = type_from_dict(json.loads(row["part"]))
+        out[row["key"]] = (
+            merge_types(out[row["key"]], t) if row["key"] in out else t
+        )
+    return out

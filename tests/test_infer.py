@@ -100,3 +100,40 @@ def test_top_level_array_file_yields_error_definition(spark, tmp_path):
     p.write_text('[{"a": 1}, {"a": 2}]\n')
     ddl = infer_ddl(spark, str(p), "t", "/x")
     assert "ERROR" in ddl  # reference quirk preserved (CreateHQL.scala:91)
+
+
+def test_infer_schema_by_key_single_pass(spark):
+    from pyspark.sql.types import ArrayType, StringType, StructType
+
+    from nifi_hive_schema_generator_bundle_spark.operators.infer import (
+        infer_schema_by_key,
+    )
+
+    rows = [
+        ("t_a", '{"x": 1}'),
+        ("t_a", '{"x": [2], "y": "s"}'),   # x conflicts within t_a -> STRING
+        ("t_b", '{"x": [1, 2]}'),          # x stays ARRAY in t_b
+        ("t_b", 'garbage not json'),       # malformed line skipped
+    ]
+    df = spark.createDataFrame(rows, "tbl string, payload string").repartition(4)
+    schemas = infer_schema_by_key(df, "payload", "tbl")
+    assert set(schemas) == {"t_a", "t_b"}
+    a, b = schemas["t_a"], schemas["t_b"]
+    assert isinstance(a, StructType) and isinstance(b, StructType)
+    assert isinstance(a["x"].dataType, StringType)       # demoted by conflict
+    assert isinstance(b["x"].dataType, ArrayType)        # isolated per key
+    assert "y" in a.fieldNames() and "y" not in b.fieldNames()
+
+
+def test_ddl_per_group_one_ddl_per_table(spark):
+    from nifi_hive_schema_generator_bundle_spark.catalog import ddl_per_group
+
+    df = spark.createDataFrame(
+        [("orders_t", '{"oid": 1}'), ("users_t", '{"uid": "u1", "tags": []}')],
+        "tbl string, payload string",
+    )
+    ddls = ddl_per_group(df, "payload", "tbl", location_fmt="/wh/{table}")
+    assert set(ddls) == {"orders_t", "users_t"}
+    assert "CREATE EXTERNAL TABLE orders_t" in ddls["orders_t"]
+    assert "location '/wh/users_t';" in ddls["users_t"]
+    assert "`tags` ARRAY<" in ddls["users_t"]
