@@ -864,3 +864,20 @@ def media_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register_query("ivf_ann_topk")
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid-probing ANN (rows-only: KMeans fit is iterative, not
+    SQL-expressible). Same query set as lsh_ann_topk for comparability."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)
+        .select("query_id", "vec_id", F.col("rank").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )

@@ -85,3 +85,45 @@ def test_broadcast_in_brute_force_plan(spark, emb, queries):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_smoke_dir):
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).collect()
+    }
+    assert exact == full_probe
+
+
+def test_ivf_partial_probe_subset_and_shape(spark, sf_smoke_dir):
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) <= 5
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # a query's own vector is in its probed cell -> always rank 1
+        assert rs[0]["vec_id"] == qid or any(r["vec_id"] == qid for r in rs)
