@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "events_rollup",
     "embedding_near_dup",
     "media_features_docs",
+    "ivf_ann_topk",
 ]
 
 

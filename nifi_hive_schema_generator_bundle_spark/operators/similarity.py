@@ -166,6 +166,8 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    max_iter: int = 8,
+    fit_sample: int = 100_000,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -174,57 +176,84 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k — the centroid-probing scale
     path, complementary to ``lsh_topk``'s hyperplane buckets.
 
-    Index: fit KMeans (MLlib, fixed seed) on the corpus; every corpus
-    vector lands in exactly one centroid cell. Search: each query scores
-    the ``n_centroids`` centroids (tiny, broadcast both ways), probes its
-    ``nprobe`` nearest cells, and runs exact cosine + rank only within
-    those cells — the corpus-side shuffle is one hash partition by cell
-    id, candidate volume ~``nprobe/n_centroids`` of the corpus per query.
+    Index: Lloyd-iterate ``n_centroids`` centroids on a driver-bounded
+    sample of ≤ ``fit_sample`` vectors (numpy, milliseconds — a coarse
+    quantizer needs representative centroids, not a converged global fit),
+    then assign every corpus vector to its nearest centroid with one
+    Arrow-batched argmax pass (``mapInPandas``; the centroid matrix rides
+    the closure). Search: each query probes its ``nprobe`` nearest cells
+    and runs exact cosine + rank within those cells only — candidate
+    volume ~``nprobe/n_centroids`` of the corpus per query.
     ``nprobe == n_centroids`` degrades gracefully to exact brute force
     (tested equal to ``brute_force_topk``).
-
-    At 100 TB: fit on a driver-bounded ``sample`` of the corpus instead of
-    the full frame (KMeans cost is per-iteration linear in rows); the
-    assignment/search stages are unchanged.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
     )
-    feat = c.withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
-    assigned = model.transform(feat).select(
-        "c_id", "c_vec", F.col("prediction").alias("cell")
+    n = c.count()
+    frac = min(1.0, fit_sample / max(n, 1))
+    sample = np.stack(
+        [
+            np.asarray(r["c_vec"])
+            for r in c.sample(frac, seed=seed).limit(fit_sample).collect()
+        ]
     )
-    # centroid table is tiny: score every (query, centroid) pair via a
-    # broadcast cross join, keep each query's nprobe nearest cells
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(max_iter):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        cell = d2.argmin(1)
+        for j in range(len(cents)):
+            pts = sample[cell == j]
+            if len(pts):
+                cents[j] = pts.mean(0)
+
+    centroids = cents  # (C, dim) — ships in the task closure
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            M = np.stack(pdf["c_vec"].to_numpy())
+            d = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame(
+                {
+                    "c_id": pdf["c_id"],
+                    "c_vec": pdf["c_vec"],
+                    "cell": d.argmin(1).astype("int32"),
+                }
+            )
+
+    assigned = c.mapInPandas(
+        assign, schema="c_id long, c_vec array<double>, cell int"
+    )
+
+    # each query scores the tiny centroid table driver-side is wasteful in
+    # a distributed plan; do it with the same broadcast-join pattern the
+    # other ANN paths use
     spark = corpus.sparkSession
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
-        f"cell int, centroid array<double>",
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centroids)],
+        "cell int, centroid array<double>",
     )
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
-    qc = q.join(F.broadcast(cents))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
     dist_w = Window.partitionBy(query_id_col).orderBy(
         F.col("cdist").asc(), F.col("cell").asc()
     )
     probes = (
-        qc.select(
+        q.join(F.broadcast(cent_df))
+        .select(
             query_id_col,
             "q_vec",
             "cell",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("q_vec").cast("array<double>"),
-                        "centroid",
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
+            F.aggregate(
+                F.zip_with("q_vec", "centroid", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             ).alias("cdist"),
         )
         .withColumn("crank", F.row_number().over(dist_w))

@@ -881,3 +881,46 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", F.col("rank").alias("rnk"))
         .orderBy("query_id", "rnk")
     )
+
+
+@register_query(
+    "events_user_reach",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (two-phase expand under the hood; the
+    approx_count_distinct HLL swap-in is the 100 TB variant when exact
+    distinct isn't required — not oracle-comparable across engines)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register_query(
+    "langs_not_in_source",
+    oracle="""
+    SELECT lang FROM (
+        SELECT DISTINCT lang FROM documents
+        EXCEPT
+        SELECT DISTINCT lang FROM documents WHERE source = 'src18'
+    ) ORDER BY lang
+    """,
+)
+def langs_not_in_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT — ``subtract``): corpus languages
+    with no document from source src18."""
+    d = load_table(spark, sf_dir, "documents")
+    all_langs = d.select("lang").distinct()
+    src_langs = d.filter(F.col("source") == "src18").select("lang").distinct()
+    return all_langs.subtract(src_langs).orderBy("lang")
