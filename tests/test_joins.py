@@ -76,3 +76,32 @@ def test_range_join_matches_naive(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.partitioning import (
+        salted_join,
+    )
+
+    # heavily skewed: 90% of left rows share key 0
+    big = spark.createDataFrame(
+        [(i, 0 if i % 10 else i % 7) for i in range(1000)], "rid int, k int"
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(7)], "k int, name string")
+    plain = {(r["rid"], r["name"]) for r in big.join(small, "k").collect()}
+    salted = {
+        (r["rid"], r["name"])
+        for r in salted_join(big, small, "k", n_salts=8).collect()
+    }
+    assert salted == plain
+
+    # left join keeps unmatched big rows exactly once
+    small2 = small.filter(F.col("k") < 3)
+    plain_l = sorted(
+        (r["rid"], r["name"]) for r in big.join(small2, "k", "left").collect()
+    )
+    salted_l = sorted(
+        (r["rid"], r["name"])
+        for r in salted_join(big, small2, "k", how="left", n_salts=8).collect()
+    )
+    assert salted_l == plain_l
