@@ -924,3 +924,72 @@ def langs_not_in_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_langs = d.select("lang").distinct()
     src_langs = d.filter(F.col("source") == "src18").select("lang").distinct()
     return all_langs.subtract(src_langs).orderBy("lang")
+
+
+@register_query(
+    "orders_above_cust_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           round(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o.o_orderkey
+    """,
+)
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (orders 50%+ above their own
+    customer's average), decorrelated the way an optimizer would: one
+    window average over the customer key instead of a per-row subquery —
+    single shuffle, no re-scan."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice").cast(_DEC).cast("double"), 2).alias(
+                "totalprice"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register_query(
+    "part_brand_pricing",
+    oracle="""
+    SELECT regexp_extract(p_brand, '#(\\d+)$', 1) AS brand_num,
+           upper(p_type) AS ptype,
+           count(*) AS n_parts,
+           round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
+           max(p_size) AS max_size
+    FROM part
+    WHERE p_size BETWEEN 5 AND 40 AND p_name LIKE '%re%'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def part_brand_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface sampler (regexp_extract / upper / LIKE /
+    BETWEEN) over a filtered aggregate — everything stays in whole-stage
+    codegen; filter + pruning reach the scan."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_size").between(5, 40) & F.col("p_name").like("%re%"))
+        .groupBy(
+            F.regexp_extract("p_brand", r"#(\d+)$", 1).alias("brand_num"),
+            F.upper("p_type").alias("ptype"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum(F.col("p_retailprice").cast(_DEC)).cast("double"), 2
+            ).alias("total_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("brand_num", "ptype")
+    )
