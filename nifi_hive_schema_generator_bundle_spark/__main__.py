@@ -1,0 +1,116 @@
+"""Command-line surface: ``python -m nifi_hive_schema_generator_bundle_spark <cmd>``.
+
+The processor's one pipeline plus its pieces (SURVEY §7 "small PySpark
+library + CLI"):
+
+    infer   NDJSON -> inferred Hive DDL on stdout (optionally executed)
+    route   NDJSON -> valid/invalid counts (optionally write quarantine)
+    group   NDJSON with a routing column -> one DDL per table value
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _session(args):
+    from .session import get_session
+
+    return get_session(
+        "nifi-hive-schema-generator-cli",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def cmd_infer(args) -> int:
+    from .catalog import infer_ddl, register_table
+    from .operators.infer import infer_schema_exact, infer_schema_native
+
+    spark = _session(args)
+    ddl = infer_ddl(
+        spark,
+        args.input,
+        args.table,
+        args.location,
+        exact=not args.native,
+        drop_if_exists=args.drop_if_exists,
+    )
+    print(ddl)
+    if args.register:
+        schema = (
+            infer_schema_exact(spark, args.input)
+            if not args.native
+            else infer_schema_native(spark, args.input)
+        )
+        register_table(spark, schema, args.table, args.location)
+        print(f"-- registered {args.table} in the session catalog", file=sys.stderr)
+    return 0
+
+
+def cmd_route(args) -> int:
+    from .operators.routing import split_valid
+
+    spark = _session(args)
+    lines = spark.read.text(args.input)
+    good, bad = split_valid(lines, "value")
+    if args.quarantine:
+        bad.write.mode("overwrite").text(args.quarantine)
+    print(f"valid={good.count()} invalid={bad.count()}")
+    return 0
+
+
+def cmd_group(args) -> int:
+    from .catalog import ddl_per_group
+
+    spark = _session(args)
+    df = spark.read.json(args.input)
+    from pyspark.sql import functions as F
+
+    df = df.select(
+        F.col(args.table_col).alias("__tbl"),
+        F.to_json(F.struct(*[c for c in df.columns if c != args.table_col])).alias(
+            "__payload"
+        ),
+    )
+    for table, ddl in ddl_per_group(
+        df, "__payload", "__tbl", location_fmt=args.location_fmt
+    ).items():
+        print(ddl)
+        print()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nifi_hive_schema_generator_bundle_spark")
+    p.add_argument("--master", default=None, help="Spark master (default: env/local[*])")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("infer", help="infer Hive DDL from NDJSON")
+    pi.add_argument("input")
+    pi.add_argument("--table", required=True)
+    pi.add_argument("--location", required=True)
+    pi.add_argument("--native", action="store_true", help="Spark-native inference (default: reference-exact)")
+    pi.add_argument("--register", action="store_true", help="also execute the DDL against the session catalog")
+    pi.add_argument("--drop-if-exists", action="store_true")
+    pi.set_defaults(fn=cmd_infer)
+
+    pr = sub.add_parser("route", help="valid/invalid routing counts")
+    pr.add_argument("input")
+    pr.add_argument("--quarantine", default=None, help="write invalid lines here")
+    pr.set_defaults(fn=cmd_route)
+
+    pg = sub.add_parser("group", help="one DDL per value of a routing column")
+    pg.add_argument("input")
+    pg.add_argument("--table-col", required=True)
+    pg.add_argument("--location-fmt", default="/warehouse/{table}")
+    pg.set_defaults(fn=cmd_group)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

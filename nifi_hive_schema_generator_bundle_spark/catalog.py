@@ -120,7 +120,10 @@ def ddl_per_group(
     from .operators.infer import infer_schema_by_key
 
     schemas = infer_schema_by_key(df, json_col, table_col)
+    # a NULL routing value cannot name a table — those rows are the
+    # caller's quarantine problem (split_valid upstream), not a DDL group
+    named = [(t, s) for t, s in schemas.items() if t is not None]
     return {
         t: render_hive_ddl(schema, t, location_fmt.format(table=t))
-        for t, schema in sorted(schemas.items())
+        for t, schema in sorted(named)
     }

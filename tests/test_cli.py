@@ -1,0 +1,44 @@
+"""CLI surface (`python -m nifi_hive_schema_generator_bundle_spark`) driven in-process —
+getOrCreate reuses the test session, so no extra JVM spins up."""
+
+from __future__ import annotations
+
+from nifi_hive_schema_generator_bundle_spark.__main__ import main
+
+
+def _fixture(tmp_path):
+    p = tmp_path / "in.ndjson"
+    p.write_text(
+        '{"id": 1, "tags": ["a"], "tbl": "t_one"}\n'
+        '{"id": "x", "tbl": "t_one"}\n'
+        "not json\n"
+        '{"id": 3, "tbl": "t_two", "extra": {"k": 1}}\n'
+    )
+    return str(p)
+
+
+def test_cli_infer(spark, tmp_path, capsys):
+    rc = main(["infer", _fixture(tmp_path), "--table", "cli_t", "--location", "/x"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "CREATE EXTERNAL TABLE cli_t (" in out
+    assert "`id` STRING" in out
+
+
+def test_cli_route_with_quarantine(spark, tmp_path, capsys):
+    q = str(tmp_path / "bad")
+    rc = main(["route", _fixture(tmp_path), "--quarantine", q])
+    assert rc == 0
+    assert "valid=3 invalid=1" in capsys.readouterr().out
+    bad = spark.read.text(q).collect()
+    assert [r["value"] for r in bad] == ["not json"]
+
+
+def test_cli_group(spark, tmp_path, capsys):
+    rc = main(["group", _fixture(tmp_path), "--table-col", "tbl"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "CREATE EXTERNAL TABLE t_one (" in out
+    assert "CREATE EXTERNAL TABLE t_two (" in out
+    # the corrupt line has no routing value -> no DDL group for it
+    assert "None" not in out
