@@ -993,3 +993,30 @@ def part_brand_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_num", "ptype")
     )
+
+
+@register_query(
+    "events_hourly_windows",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming tumbling-window operator (streaming/windows.py) run
+    in batch mode — identical plan modulo the state store, so the oracle
+    checks the window/agg semantics the stream uses."""
+    from ..streaming.windows import windowed_event_counts
+
+    e = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(e, window="1 hour", watermark="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    ).orderBy("window_start", "event_type")

@@ -137,3 +137,15 @@ def test_ddl_per_group_one_ddl_per_table(spark):
     assert "CREATE EXTERNAL TABLE orders_t" in ddls["orders_t"]
     assert "location '/wh/users_t';" in ddls["users_t"]
     assert "`tags` ARRAY<" in ddls["users_t"]
+
+
+def test_empty_input_yields_no_column_ddl(spark, tmp_path):
+    """Reference parity: empty content folds to the empty object, whose
+    definition is an empty column list (CreateHQL.scala:12,85-92) — no
+    crash, no columns (SURVEY O16 guard)."""
+    p = tmp_path / "empty.ndjson"
+    p.write_text("")
+    ddl = infer_ddl(spark, str(p), "t_empty", "/x")
+    assert "CREATE EXTERNAL TABLE t_empty (" in ddl
+    body = ddl.split("t_empty (")[1].split(") ROW FORMAT")[0]
+    assert body.strip() == ""
