@@ -1020,3 +1020,37 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     ).orderBy("window_start", "event_type")
+
+
+@register_query(
+    "doc_char_entropy",
+    oracle="""
+    SELECT doc_id, round(entropy(c), 4) AS char_entropy
+    FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (a cheap
+    gibberish/compressibility signal for quality filtering). Two-level
+    aggregation: (doc, char) counts partial-agg map-side, then the
+    entropy formula -Σ p·log2 p per doc — no per-row Python anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).filter(F.col("c") != "")
+    counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("doc_id")
+    p = F.col("n") / F.sum("n").over(tot)
+    ent = (
+        counts.withColumn("term", -p * F.log2(p))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term"), 4).alias("char_entropy"))
+    )
+    # empty documents have no char rows; the oracle scores them 0.0
+    return (
+        d.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select("doc_id", F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"))
+        .orderBy("doc_id")
+    )
