@@ -1054,3 +1054,69 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"))
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "events_props_extract",
+    oracle="""
+    SELECT event_type,
+           count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+           sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function surface (get_json_object) on the engine's core
+    data type: extract $.k from the props document per row (non-scalar
+    shapes cast to NULL on both engines), aggregate per type. Exact
+    integer sums — no float hashing concerns."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k_val"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k_val").alias("n_k"),
+            F.sum("k_val").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register_query(
+    "lineitem_price_quantiles",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_extendedprice,
+               cume_dist() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_extendedprice) AS cd
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(l_extendedprice) FILTER (cd >= 0.5), 2) AS p50,
+           round(min(l_extendedprice) FILTER (cd >= 0.9), 2) AS p90,
+           round(min(l_extendedprice) FILTER (cd >= 0.99), 2) AS p99
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-statistics family: discrete quantiles per group, defined
+    rank-wise (min value whose cume_dist ≥ p) so the result is an actual
+    data value — interpolated percentile_cont is float-boundary-fragile
+    across engines. One window sort per group; the 100 TB variant swaps
+    in approx_percentile (t-digest sketch, no full sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    c = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.cume_dist().over(w).alias("cd"),
+    )
+    q = lambda p: F.round(  # noqa: E731
+        F.min(F.when(F.col("cd") >= p, F.col("l_extendedprice"))), 2
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(q(0.5).alias("p50"), q(0.9).alias("p90"), q(0.99).alias("p99"))
+        .orderBy("l_returnflag")
+    )
