@@ -118,13 +118,17 @@ def infer_props_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def route_json_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-record success/failure routing counts (SURVEY §2 O3/O14)."""
-    from ..operators.routing import split_valid
+    """Per-record success/failure routing counts (SURVEY §2 O3/O14) as a
+    single conditional aggregation — one scan, not one per route. The
+    two-frame form (``split_valid``) is for callers that consume the
+    routed rows, not their counts."""
+    from ..operators.routing import is_valid_json
 
     events = load_table(spark, sf_dir, "events")
-    good, bad = split_valid(events, "props")
-    return good.agg(F.count("*").alias("n_valid")).crossJoin(
-        bad.agg(F.count("*").alias("n_invalid"))
+    valid = is_valid_json("props").cast("long")
+    return events.agg(
+        F.sum(valid).alias("n_valid"),
+        F.sum(F.lit(1) - valid).alias("n_invalid"),
     )
 
 
