@@ -1124,3 +1124,24 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(q(0.5).alias("p50"), q(0.9).alias("p90"), q(0.99).alias("p99"))
         .orderBy("l_returnflag")
     )
+
+
+@register_query("media_frame_sample")
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing (rows-only: the extractor is a
+    deterministic stub; the Arrow/mapInPandas shape is the real artifact):
+    documents.text bytes as payloads → 4 evenly-spaced 32-byte frames per
+    doc, exploded one row per frame with a stable frame hash."""
+    from ..operators.multimodal import frame_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    frames = frame_sample(d, n_frames=4, frame_bytes=32)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").alias("frame_len"),
+        F.sha2("frame", 256).alias("frame_sha"),
+    ).orderBy("media_id", "frame_idx")
