@@ -1145,3 +1145,52 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame").alias("frame_len"),
         F.sha2("frame", 256).alias("frame_sha"),
     ).orderBy("media_id", "frame_idx")
+
+
+@register_query(
+    "langs_in_both_sources",
+    oracle="""
+    SELECT lang FROM (
+        SELECT DISTINCT lang FROM documents WHERE source = 'src1'
+        INTERSECT
+        SELECT DISTINCT lang FROM documents WHERE source = 'src3'
+    ) ORDER BY lang
+    """,
+)
+def langs_in_both_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT DISTINCT): languages with documents
+    from both src1 and src3."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("source") == "src1").select("lang").distinct()
+    b = d.filter(F.col("source") == "src3").select("lang").distinct()
+    return a.intersect(b).orderBy("lang")
+
+
+@register_query(
+    "events_daily_pivot",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): daily counts with one column per event type.
+    The explicit value list keeps the plan a single-pass conditional
+    aggregation — an unbounded pivot would need a distinct-values job
+    first (never do that blind at 100 TB)."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+    return out
