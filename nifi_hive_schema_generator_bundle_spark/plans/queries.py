@@ -1194,3 +1194,28 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
     )
     return out
+
+
+@register_query(
+    "infer_roundtrip_parse",
+    oracle="""
+    SELECT count(*) FILTER (json_valid(props) AND ltrim(props) LIKE '{%') AS n_parsed,
+           count(*) AS n_total
+    FROM events
+    """,
+)
+def infer_roundtrip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-trip contract, distributed (SURVEY §5b): the inferred
+    schema must re-parse every valid object record losslessly-as-strings.
+    Infer over props (O5), finalize, apply with from_json, count
+    successes — equal to the count of valid object rows."""
+    from ..operators.infer import infer_schema_df
+    from ..plans.lattice import finalize_type
+
+    events = load_table(spark, sf_dir, "events")
+    schema = finalize_type(infer_schema_df(events, "props"))
+    parsed = events.select(F.from_json("props", schema).alias("rec"))
+    return parsed.agg(
+        F.count("rec").alias("n_parsed"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
