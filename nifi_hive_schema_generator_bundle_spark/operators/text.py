@@ -28,6 +28,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "STOPWORD_PROFILES",
+    "tfidf_top_terms",
 ]
 
 # Tiny per-language stopword profiles for the heuristic language scorer.
@@ -133,4 +134,47 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_hash64"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = term count within the doc; idf = ln(N / df_t) over the corpus
+    (natural log, no smoothing — SQL-replicable). Plan: explode tokens →
+    (doc, term) counts (map-side partials) → term doc-frequencies (second
+    small agg) → broadcast-join idf back → window top-k. The only
+    corpus-wide state is the (term, df) table, which is vocabulary-sized,
+    not corpus-sized. Ties break lexicographically for determinism.
+    """
+    from pyspark.sql import Window
+
+    d = ensure_min_partitions(df)
+    toks = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rnk")
     )

@@ -1219,3 +1219,40 @@ def infer_roundtrip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("rec").alias("n_parsed"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+@register_query(
+    "tfidf_top_terms_docs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+            x -> x <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(n.n_docs / dfreq.df_t) AS tfidf_raw
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, round(tfidf_raw, 6) AS tfidf, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf_raw DESC, term ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF
+    (operators/text.tfidf_top_terms — vocabulary-sized corpus state,
+    broadcast idf join, window top-k)."""
+    from ..operators.text import tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(d, k=3)
+    return out.withColumn("rnk", F.col("rnk").cast("long")).orderBy("doc_id", "rnk")
