@@ -33,6 +33,7 @@ __all__ = [
     "render_compact_type",
     "render_definition",
     "render_hive_ddl",
+    "render_alter_ddl",
     "render_spark_ddl",
     "sanitize_identifiers",
     "sanitize_schema",
@@ -156,3 +157,38 @@ def render_spark_ddl(schema: DataType, table: str, location: str) -> str:
     return (
         f"CREATE TABLE {table} (\n  {cols}\n) USING JSON LOCATION '{location}'"
     )
+
+
+def render_alter_ddl(old: DataType, new: DataType, table: str) -> list[str]:
+    """Incremental drift DDL (SURVEY §7 step 5): statements that evolve an
+    existing table from ``old`` to ``new`` without a full re-create.
+
+    Top-level additions become one ``ALTER TABLE … ADD COLUMNS``; any
+    column whose type changed (conflict demotion, array-element widening,
+    struct key growth) becomes ``ALTER TABLE … CHANGE COLUMN`` — Hive can
+    restate a column type in place for SerDe-backed tables. Returns []
+    when nothing changed, and falls back to nothing-but-CHANGE statements
+    rather than guessing about removals (the lattice never removes keys).
+    """
+    if not isinstance(old, StructType) or not isinstance(new, StructType):
+        return []
+    stmts: list[str] = []
+    old_by_name = {f.name: f.dataType for f in old.fields}
+    added = [f for f in new.fields if f.name not in old_by_name]
+    if added:
+        cols = ", ".join(
+            sanitize_identifiers(
+                f"`{f.name}` {render_compact_type(f.dataType)}"
+            )
+            for f in added
+        )
+        stmts.append(f"ALTER TABLE {table} ADD COLUMNS ({cols});")
+    for f in new.fields:
+        if f.name in old_by_name and old_by_name[f.name] != f.dataType:
+            col = sanitize_identifiers(f"`{f.name}`")
+            stmts.append(
+                f"ALTER TABLE {table} CHANGE COLUMN {col} {col} "
+                + sanitize_identifiers(render_compact_type(f.dataType))
+                + ";"
+            )
+    return stmts

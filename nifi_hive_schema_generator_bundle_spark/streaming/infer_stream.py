@@ -28,7 +28,7 @@ from pyspark.sql.types import DataType, StructType
 from ..operators.infer import infer_schema_df
 from ..operators.routing import split_valid
 from ..plans.lattice import merge_types, type_to_dict
-from ..plans.render import render_hive_ddl
+from ..plans.render import render_alter_ddl, render_hive_ddl
 
 __all__ = ["InferenceState", "run_inference_stream"]
 
@@ -44,6 +44,7 @@ class InferenceState:
     good_rows: int = 0
     bad_rows: int = 0
     ddl_history: list[str] = field(default_factory=list)
+    alter_history: list[str] = field(default_factory=list)
     on_drift: Callable[[str, DataType], None] | None = None
     quarantine_path: str | None = None
 
@@ -68,11 +69,17 @@ class InferenceState:
             before = type_to_dict(self.schema)
             merged = merge_types(self.schema, batch_schema)
             if type_to_dict(merged) != before:
+                old = self.schema
                 self.schema = merged
                 ddl = render_hive_ddl(
                     merged, self.table, self.location, drop_if_exists=True
                 )
                 self.ddl_history.append(ddl)
+                # incremental path: evolve the live table in place instead
+                # of re-creating it (SURVEY §7 step 5 - ALTER on drift)
+                self.alter_history.extend(
+                    render_alter_ddl(old, merged, self.table)
+                )
                 if self.on_drift is not None:
                     self.on_drift(ddl, merged)
         finally:

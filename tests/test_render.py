@@ -94,3 +94,24 @@ def test_spark_ddl_executable_dialect():
     assert "`c` array<string>" in ddl  # bottoms finalized to string
     assert "`d` struct<e:string>" in ddl
     assert ddl.startswith("CREATE TABLE t (") and ddl.endswith("USING JSON LOCATION '/x'")
+
+
+def test_render_alter_ddl_add_and_change():
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from nifi_hive_schema_generator_bundle_spark.plans.lattice import (
+        infer_json_line,
+        merge_types,
+    )
+    from nifi_hive_schema_generator_bundle_spark.plans.render import (
+        render_alter_ddl,
+    )
+
+    old = infer_json_line('{"a": [1], "keep": "x"}')
+    new = merge_types(old, infer_json_line('{"a": 2, "n.ew": {"k": 1}}'))
+    stmts = render_alter_ddl(old, new, "t")
+    joined = "\n".join(stmts)
+    assert "ALTER TABLE t ADD COLUMNS (`n_ew` STRUCT<`k`: STRING>);" in joined
+    assert "ALTER TABLE t CHANGE COLUMN `a` `a` STRING;" in joined
+    assert "keep" not in joined  # unchanged columns untouched
+    assert render_alter_ddl(new, new, "t") == []  # no drift -> no statements

@@ -53,6 +53,13 @@ def test_inference_stream_drift(spark, tmp_path):
     ddl = state2.current_ddl
     assert "`c` STRUCT<" in ddl
     assert "`a` STRING" in ddl  # [1] vs scalar conflict stays STRING
+    # incremental evolution: new column -> ADD COLUMNS, conflicted column
+    # -> CHANGE COLUMN restating the demoted type
+    alters = "\n".join(state2.alter_history)
+    assert "ADD COLUMNS (`c` STRUCT<`d`: STRING>)" in alters
+    # `a` was STRING before and after this batch (scalar/scalar already
+    # demoted in batch1) -> no spurious CHANGE COLUMN
+    assert "CHANGE COLUMN" not in alters
     # quarantined line preserved byte-identical
     bad_lines = []
     for f in os.listdir(tmp_path / "bad"):
