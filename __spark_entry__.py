@@ -26,10 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _prepare(spark: SparkSession) -> None:
     """Make the engine package importable on executors regardless of which
-    session the driver hands us."""
+    session the driver hands us, and pin the session timezone — the date
+    renderings the oracles compare against are timezone-naive (DuckDB),
+    so a non-UTC driver session would shift every date_format output."""
     from nifi_hive_schema_generator_bundle_spark.session import ship_package
 
     ship_package(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def entry(spark: SparkSession) -> DataFrame:
