@@ -1256,3 +1256,27 @@ def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     out = tfidf_top_terms(d, k=3)
     return out.withColumn("rnk", F.col("rnk").cast("long")).orderBy("doc_id", "rnk")
+
+
+@register_query("events_sketch_stats")
+def events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (rows-only: HLL++ and t-digest estimates
+    are engine-specific): distinct users via approx_count_distinct and
+    value quantiles via approx_percentile, per event type — the
+    no-full-sort / bounded-memory path the exact queries
+    (events_user_reach, lineitem_price_quantiles) trade against at
+    100 TB. Accuracy bounds are unit-tested against the exact answers."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.round(
+                F.expr("approx_percentile(value, 0.5, 1000)"), 2
+            ).alias("approx_p50"),
+            F.round(
+                F.expr("approx_percentile(value, 0.99, 1000)"), 2
+            ).alias("approx_p99"),
+        )
+        .orderBy("event_type")
+    )

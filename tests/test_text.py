@@ -67,3 +67,21 @@ def test_no_python_udf_in_plans(spark, docs):
     for op in (token_stats, quality_score, language_id, fingerprint):
         plan = op(docs)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sketch_stats_accuracy(spark, sf_correct_dir):
+    """HLL distinct within 5% of exact; t-digest p50 within 5% of exact."""
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import QUERIES
+
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["events_sketch_stats"](spark, sf_correct_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in QUERIES["events_user_reach"](spark, sf_correct_dir).collect()
+    }
+    for et, row in approx.items():
+        true_users = exact[et]["n_users"]
+        assert abs(row["approx_users"] - true_users) <= max(2, 0.05 * true_users)
+        assert row["approx_p50"] is not None and row["approx_p99"] >= row["approx_p50"]
