@@ -21,6 +21,9 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     session's default parallelism) iff it currently has fewer. Narrow
     inputs only — do not use after a wide transform whose partitioning
     you want to keep."""
+    if df.isStreaming:
+        return df  # .rdd is illegal on streaming frames; the micro-batch
+        # source controls split count there
     sc = df.sparkSession.sparkContext
     want = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= want:
