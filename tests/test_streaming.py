@@ -111,3 +111,41 @@ def test_sessionize_stream_batch_mode(spark, sf_smoke_dir):
     sess = sessionize_stream(ev).collect()
     assert len(sess) > 0
     assert sum(r.n_events for r in sess) == ev.count()
+
+
+def test_text_operator_reuses_in_stream(spark, tmp_path):
+    """The batch text operators run unchanged inside a stream (narrow,
+    stateless plans; the partition guard passes streaming frames
+    through)."""
+    import json
+
+    from nifi_hive_schema_generator_bundle_spark.operators.text import (
+        quality_score,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = tmp_path / "tsrc"
+    src.mkdir()
+    (src / "a.json").write_text(
+        json.dumps({"doc_id": 1, "text": "A normal enough sentence here."})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": "!!!???"})
+        + "\n"
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        quality_score(stream)
+        .writeStream.format("memory")
+        .queryName("qs_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM qs_stream").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["quality"] > rows[2]["quality"]
