@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "media_features_docs",
     "ivf_ann_topk",
+    "tfidf_top_terms_docs",
+    "q4_priority_late_ship",
 ]
 
 
