@@ -25,54 +25,65 @@ def _session(args):
 
 
 def cmd_infer(args) -> int:
-    from .catalog import infer_ddl, register_table
+    from .catalog import register_table
     from .operators.infer import infer_schema_exact, infer_schema_native
+    from .plans.render import render_hive_ddl
 
     spark = _session(args)
-    ddl = infer_ddl(
-        spark,
-        args.input,
-        args.table,
-        args.location,
-        exact=not args.native,
-        drop_if_exists=args.drop_if_exists,
+    # infer ONCE, then render and (optionally) register from the same
+    # schema — rendering and registration are driver-side string work
+    schema = (
+        infer_schema_native(spark, args.input)
+        if args.native
+        else infer_schema_exact(spark, args.input)
     )
-    print(ddl)
-    if args.register:
-        schema = (
-            infer_schema_exact(spark, args.input)
-            if not args.native
-            else infer_schema_native(spark, args.input)
+    print(
+        render_hive_ddl(
+            schema, args.table, args.location, drop_if_exists=args.drop_if_exists
         )
+    )
+    if args.register:
         register_table(spark, schema, args.table, args.location)
         print(f"-- registered {args.table} in the session catalog", file=sys.stderr)
     return 0
 
 
 def cmd_route(args) -> int:
-    from .operators.routing import split_valid
+    from pyspark.sql import functions as F
+
+    from .operators.routing import is_valid_json, split_valid
 
     spark = _session(args)
     lines = spark.read.text(args.input)
-    good, bad = split_valid(lines, "value")
     if args.quarantine:
+        lines = lines.cache()
+        _, bad = split_valid(lines, "value")
         bad.write.mode("overwrite").text(args.quarantine)
-    print(f"valid={good.count()} invalid={bad.count()}")
+    valid = is_valid_json("value").cast("long")
+    counts = lines.agg(
+        F.sum(valid).alias("v"), F.sum(F.lit(1) - valid).alias("i")
+    ).collect()[0]
+    if args.quarantine:
+        lines.unpersist()
+    print(f"valid={counts['v'] or 0} invalid={counts['i'] or 0}")
     return 0
 
 
 def cmd_group(args) -> int:
+    from pyspark.sql import functions as F
+
     from .catalog import ddl_per_group
 
     spark = _session(args)
-    df = spark.read.json(args.input)
-    from pyspark.sql import functions as F
-
-    df = df.select(
-        F.col(args.table_col).alias("__tbl"),
-        F.to_json(F.struct(*[c for c in df.columns if c != args.table_col])).alias(
-            "__payload"
-        ),
+    # raw lines, NOT spark.read.json: a file-wide json read would unify
+    # schemas across all groups before the per-group fold ever runs,
+    # demoting group-local ARRAY/STRUCT columns to STRING. The routing
+    # column stays part of each record (the NiFi-EL use-case routes on an
+    # attribute of the record itself).
+    lines = spark.read.text(args.input)
+    df = lines.select(
+        F.get_json_object("value", f"$.{args.table_col}").alias("__tbl"),
+        F.col("value").alias("__payload"),
     )
     for table, ddl in ddl_per_group(
         df, "__payload", "__tbl", location_fmt=args.location_fmt

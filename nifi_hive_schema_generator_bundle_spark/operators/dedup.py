@@ -401,6 +401,7 @@ def _blocked_cosine_pairs(
     import pandas as pd
 
     B = n_blocks
+    id_sql_type = base.schema["id"].dataType.simpleString()
 
     blocked = base.filter(F.col("v").isNotNull()).withColumn(
         "blk", F.pmod(F.hash("id"), F.lit(B))
@@ -453,7 +454,10 @@ def _blocked_cosine_pairs(
 
     return (
         sides.groupBy("ga", "gb")
-        .applyInPandas(gemm, schema="id_a long, id_b long, cosine double")
+        # id columns keep the caller's id type (string doc ids work too)
+        .applyInPandas(
+            gemm, schema=f"id_a {id_sql_type}, id_b {id_sql_type}, cosine double"
+        )
     )
 
 

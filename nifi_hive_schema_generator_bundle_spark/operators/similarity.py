@@ -194,12 +194,20 @@ def ivf_topk(
     )
     n = c.count()
     frac = min(1.0, fit_sample / max(n, 1))
-    sample = np.stack(
-        [
-            np.asarray(r["c_vec"])
-            for r in c.sample(frac, seed=seed).limit(fit_sample).collect()
-        ]
-    )
+    sampled = c.sample(frac, seed=seed).limit(fit_sample).collect()
+    if not sampled:
+        # empty corpus -> empty result with the contract schema, matching
+        # brute_force_topk's behavior instead of a numpy stack error
+        spark = corpus.sparkSession
+        q_schema = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("q_vec")
+        ).schema[query_id_col].dataType.simpleString()
+        id_t = corpus.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} {q_schema}, {id_col} {id_t}, cosine double, rank int",
+        )
+    sample = np.stack([np.asarray(r["c_vec"]) for r in sampled])
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(max_iter):

@@ -161,14 +161,21 @@ def tfidf_top_terms(
         F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = d.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
+    # corpus size rides the plan as a 1-row broadcast cross join — no
+    # eager collect(), the operator stays lazy and single-pipeline
+    n_docs = d.select(F.countDistinct(id_col).alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))).alias(
-            "tfidf"
-        ),
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df_t"))
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

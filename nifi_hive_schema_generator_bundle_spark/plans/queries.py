@@ -1208,15 +1208,26 @@ def infer_roundtrip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-trip contract, distributed (SURVEY §5b): the inferred
     schema must re-parse every valid object record losslessly-as-strings.
     Infer over props (O5), finalize, apply with from_json, count
-    successes — equal to the count of valid object rows."""
+    successes — equal to the count of valid object rows.
+
+    Parse failures are detected via a corrupt-record column: PERMISSIVE
+    from_json returns a non-null all-null struct for malformed input, so
+    ``count(rec)`` alone would count garbage as parsed."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     from ..operators.infer import infer_schema_df
     from ..plans.lattice import finalize_type
 
     events = load_table(spark, sf_dir, "events")
     schema = finalize_type(infer_schema_df(events, "props"))
-    parsed = events.select(F.from_json("props", schema).alias("rec"))
-    return parsed.agg(
-        F.count("rec").alias("n_parsed"),
+    assert isinstance(schema, StructType)
+    parse_schema = StructType(
+        list(schema.fields) + [StructField("_cr", StringType())]
+    )
+    rec = F.from_json("props", parse_schema, {"columnNameOfCorruptRecord": "_cr"})
+    ok = rec.isNotNull() & rec.getField("_cr").isNull()
+    return events.agg(
+        F.sum(ok.cast("long")).alias("n_parsed"),
         F.count(F.lit(1)).alias("n_total"),
     )
 

@@ -173,8 +173,16 @@ def render_alter_ddl(old: DataType, new: DataType, table: str) -> list[str]:
     if not isinstance(old, StructType) or not isinstance(new, StructType):
         return []
     stmts: list[str] = []
-    old_by_name = {f.name: f.dataType for f in old.fields}
-    added = [f for f in new.fields if f.name not in old_by_name]
+    # compare by SANITIZED name — the live table's columns are sanitized,
+    # so a drifted raw name ('a.b') that sanitizes onto an existing column
+    # ('a_b') is a type restatement, not an addition (adding it would fail
+    # on Hive with a duplicate column)
+    old_by_name = {
+        sanitize_identifiers(f.name): f.dataType for f in old.fields
+    }
+    added = [
+        f for f in new.fields if sanitize_identifiers(f.name) not in old_by_name
+    ]
     if added:
         cols = ", ".join(
             sanitize_identifiers(
@@ -184,8 +192,9 @@ def render_alter_ddl(old: DataType, new: DataType, table: str) -> list[str]:
         )
         stmts.append(f"ALTER TABLE {table} ADD COLUMNS ({cols});")
     for f in new.fields:
-        if f.name in old_by_name and old_by_name[f.name] != f.dataType:
-            col = sanitize_identifiers(f"`{f.name}`")
+        key = sanitize_identifiers(f.name)
+        if key in old_by_name and old_by_name[key] != f.dataType:
+            col = f"`{key}`"
             stmts.append(
                 f"ALTER TABLE {table} CHANGE COLUMN {col} {col} "
                 + sanitize_identifiers(render_compact_type(f.dataType))

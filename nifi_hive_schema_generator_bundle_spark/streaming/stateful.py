@@ -5,14 +5,13 @@ is inherited from the NiFi scheduler); these are north-star extensions
 built on Structured Streaming's keyed-state API.
 
 Scale notes: state lives in the state store partitioned by the group key,
-so memory is bounded per key, not per stream; a processing-time timeout
-evicts idle keys. Fingerprints are stored as a hash (16 hex chars), never
-document bodies.
+so memory is bounded per key, not per stream; an opt-in processing-time
+timeout evicts idle keys. Fingerprints are stored as a hash (md5 hex),
+never document bodies.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterable
 from typing import Any, Iterator
 
@@ -28,6 +27,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.textfns import normalize_ws
+
 __all__ = ["streaming_first_occurrence", "FIRST_OCCURRENCE_SCHEMA"]
 
 FIRST_OCCURRENCE_SCHEMA = StructType(
@@ -39,11 +40,6 @@ FIRST_OCCURRENCE_SCHEMA = StructType(
 )
 
 _STATE_SCHEMA = StructType([StructField("seen", ArrayType(StringType()), True)])
-
-
-def _fp(text: str) -> str:
-    norm = " ".join((text or "").lower().split())
-    return hashlib.md5(norm.encode("utf-8")).hexdigest()[:16]
 
 
 def _make_dedup_group(idle_timeout_ms: int | None):
@@ -60,8 +56,7 @@ def _make_dedup_group(idle_timeout_ms: int | None):
         out_ids: list[int] = []
         out_fps: list[str] = []
         for pdf in pdfs:
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                fp = _fp(text)
+            for doc_id, fp in zip(pdf["doc_id"], pdf["fp"]):
                 if fp not in seen:
                     seen.add(fp)
                     out_ids.append(int(doc_id))
@@ -88,24 +83,26 @@ def streaming_first_occurrence(
     normalized-text fingerprint appears anywhere in the stream; suppress
     all later copies across micro-batches.
 
-    The fingerprint space is hash-partitioned into ``n_buckets`` state
-    groups (the group key), so state distributes across executors and a
-    single hot fingerprint prefix can't pin one task. Not expressible as
-    SQL over a batch table — the driver gate records a rows-only check
-    for the batch-mode harness of this operator.
+    The fingerprint (md5 of whitespace-normalized lowercased text) is
+    computed ONCE, JVM-side, and both the state bucket and the dedup key
+    derive from it — a single normalization source of truth, so
+    fp-equal documents can never land in different buckets. Buckets
+    hash-partition the fingerprint space into ``n_buckets`` state groups
+    so state distributes across executors.
+
+    Not expressible as SQL over a batch table — the driver gate records a
+    rows-only check for the batch-mode harness of this operator.
 
     ``idle_timeout_ms`` (continuous deployments only): evict a bucket's
     fingerprint state after that much processing-time idleness. Leave
     ``None`` for run-to-completion triggers — a pending processing-time
     timeout keeps an ``availableNow`` query from ever terminating.
     """
+    fp = F.md5(normalize_ws(F.lower(F.col(text_col))))
     keyed = stream_df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.col(text_col).alias("text"),
-        (
-            F.abs(F.xxhash64(F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")))
-            % n_buckets
-        ).alias("bucket"),
+        fp.alias("fp"),
+        F.pmod(F.xxhash64(fp), F.lit(n_buckets)).alias("bucket"),
     )
     timeout = (
         GroupStateTimeout.NoTimeout

@@ -42,3 +42,21 @@ def test_cli_group(spark, tmp_path, capsys):
     assert "CREATE EXTERNAL TABLE t_two (" in out
     # the corrupt line has no routing value -> no DDL group for it
     assert "None" not in out
+
+
+def test_cli_group_keeps_group_local_types(spark, tmp_path, capsys):
+    """Regression: a file-wide json read would unify x across groups and
+    demote t_arr's ARRAY to STRING; per-group inference on raw lines must
+    not."""
+    p = tmp_path / "mix.ndjson"
+    p.write_text(
+        '{"x": [1, 2], "tbl": "t_arr"}\n'
+        '{"x": 5, "tbl": "t_scalar"}\n'
+    )
+    rc = main(["group", str(p), "--table-col", "tbl"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    arr_ddl = out.split("CREATE EXTERNAL TABLE t_arr (")[1].split(") ROW")[0]
+    scalar_ddl = out.split("CREATE EXTERNAL TABLE t_scalar (")[1].split(") ROW")[0]
+    assert "`x` ARRAY<" in arr_ddl
+    assert "`x` STRING" in scalar_ddl
