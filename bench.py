@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "tfidf_top_terms_docs",
     "q4_priority_late_ship",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "doc_word_counts",
 ]
 
 

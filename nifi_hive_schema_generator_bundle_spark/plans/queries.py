@@ -1322,3 +1322,344 @@ def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+# ===========================================================================
+# Relational widening, batch 2: more TPC-H shapes, CUBE, generators
+# ===========================================================================
+
+@register_query(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           round(CAST(sum(CAST(l.l_extendedprice AS {_DEC}) * (1 - CAST(l.l_discount AS {_DEC}))) AS DOUBLE), 2) AS revenue,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, per customer. customer
+    and nation broadcast; the only shuffle is lineitem⋈orders on the
+    order key plus the final group-by customer. The returnflag and date
+    filters are pushed into both parquet scans before the join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register_query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer, including
+    zero-order customers (LEFT join with the filter in the join condition,
+    not WHERE — a classic outer-join correctness trap). Two aggregations:
+    the first shuffles on custkey, the second on the (tiny) count domain."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register_query(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT round(CAST(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS {_DEC}) * (1 - CAST(l.l_discount AS {_DEC}))
+                 ELSE 0 END)
+             / sum(CAST(l.l_extendedprice AS {_DEC}) * (1 - CAST(l.l_discount AS {_DEC})))
+           AS DOUBLE), 4) AS promo_share_pct,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join —
+    what share of one month's revenue came from promo parts. part is
+    broadcast, so the month of lineitem never shuffles; both decimal sums
+    happen in one partial-agg pass and the ratio is computed once on the
+    single result row."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC)))
+                    / F.sum(rev)
+                ).cast("double"),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register_query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(t.sum_qty, 2) AS sum_qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate joined back to its
+    parents. The quantity rollup shuffles lineitem on orderkey once; the
+    surviving key set is tiny, so both subsequent joins broadcast it —
+    orders and customer are never shuffled. l_quantity is integral in
+    this dataset, so sum+round is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register_query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS {_DEC}) * (1 - CAST(l.l_discount AS {_DEC}))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 25 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges across the join. Catalyst extracts the common l_partkey equi
+    condition for the (broadcast) hash join and leaves the OR as a
+    residual; the p_size/p_brand halves of each disjunct are pushed to
+    the part scan as an OR filter."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(10, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(25, 50) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register_query(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c.c_nationkey, count(*) AS numcust,
+           round(CAST(sum(CAST(c.c_acctbal AS decimal(18,2))) AS DOUBLE), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average) +
+    NOT EXISTS anti join (above-average-balance customers who never placed
+    an urgent order). The average collapses to one row and is broadcast
+    as a literal-like cross join; the anti join against orders pushes the
+    priority filter into the scan and only ships the o_custkey
+    projection."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register_query(
+    "events_type_day_cube",
+    oracle="""
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), '<all>') AS day,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS decimal(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, date_trunc('day', ts))
+    ORDER BY event_type, day
+    """,
+)
+def events_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping sets in one pass.
+    Spark expands the cube during partial aggregation (each input row
+    feeds 4 groups map-side), so there is still exactly one shuffle; the
+    '<all>' coalesce disambiguates rollup NULLs from data NULLs."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day", F.lit("<all>")).alias("day"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register_query(
+    "doc_word_counts",
+    oracle="""
+    SELECT word, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT 30
+    """,
+)
+def doc_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/LATERAL-VIEW shape: explode each document into words and
+    count global + per-document frequencies. explode runs inside
+    whole-stage codegen (no Python); the distinct-count and the plain
+    count share one shuffle on the word key. At 100 TB the explode
+    multiplies rows ~100×, which is why the projection is cut to
+    (doc_id, word) before exploding."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("word"))
+        .limit(30)
+    )
