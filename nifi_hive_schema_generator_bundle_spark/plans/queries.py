@@ -1663,3 +1663,160 @@ def doc_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("word"))
         .limit(30)
     )
+
+
+# ===========================================================================
+# Relational widening, batch 3: window frames, ntile, arrays, edit distance
+# ===========================================================================
+
+@register_query(
+    "daily_revenue_moving_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+               round(CAST(sum(CAST(o_totalprice AS decimal(18,2))) AS DOUBLE), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT day, revenue,
+           round(avg(revenue) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+    FROM daily ORDER BY day
+    """,
+)
+def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frame (7-row trailing moving average) over daily
+    order revenue. The pre-aggregation shuffles once on day; the window
+    then runs over a single global ordering — fine here because the day
+    domain is tiny (years × 365), NOT a pattern to use over raw rows at
+    100 TB (an unpartitioned window serializes onto one task). The avg
+    runs over already-rounded daily revenue so both engines see identical
+    inputs."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn("ma7", F.round(F.avg("revenue").over(w), 2))
+        .orderBy("day")
+    )
+
+
+@register_query(
+    "customer_spend_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               round(CAST(sum(CAST(o_totalprice AS decimal(18,2))) AS DOUBLE), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT total_spend,
+               ntile(10) OVER (ORDER BY total_spend DESC, o_custkey) AS decile
+        FROM spend
+    )
+    SELECT decile, count(*) AS n_customers,
+           round(min(total_spend), 2) AS min_spend,
+           round(max(total_spend), 2) AS max_spend
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) decile assignment over per-customer spend. The custkey
+    tiebreak makes tile boundaries deterministic under equal spend. Same
+    global-window caveat as the moving average: acceptable because the
+    windowed relation is already one row per customer aggregate; at true
+    scale the decile cut-points would come from approx_percentile
+    instead (see lineitem_price_quantiles for the sketch variant)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_spend")
+        )
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("total_spend"), 2).alias("min_spend"),
+            F.round(F.max("total_spend"), 2).alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register_query(
+    "user_event_type_sets",
+    oracle="""
+    SELECT user_id,
+           array_agg(DISTINCT event_type ORDER BY event_type) AS event_types,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_types DESC, user_id
+    LIMIT 50
+    """,
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation surface: per-user sorted distinct event-type
+    array (collect_set + sort_array, all JVM-side). collect_set's state
+    is bounded by the tiny event-type domain, so partial aggregation
+    stays map-side cheap even when one user has millions of events."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_set("event_type")).alias("event_types"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy(F.col("n_types").desc(), F.col("user_id"))
+        .limit(50)
+    )
+
+
+@register_query(
+    "part_name_edit_pairs",
+    oracle="""
+    SELECT noun, count(*) AS n_close_pairs
+    FROM (
+        SELECT string_split(p1.p_name, ' ')[2] AS noun
+        FROM part p1
+        JOIN part p2
+          ON string_split(p1.p_name, ' ')[2] = string_split(p2.p_name, ' ')[2]
+         AND p1.p_partkey < p2.p_partkey
+        WHERE levenshtein(p1.p_name, p2.p_name) BETWEEN 1 AND 2
+    )
+    GROUP BY noun
+    ORDER BY noun
+    """,
+)
+def part_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match self-join, blocked on the name's noun
+    token so the quadratic comparison only runs within blocks (the same
+    blocking idea the MinHash/SimHash dedup operators use at document
+    scale). levenshtein is a JVM builtin — no Python in the pair loop;
+    distance 0 (identical names) is excluded, that's exact dedup's job."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    p1 = p.withColumn("noun", F.split("p_name", " ").getItem(1))
+    p2 = p1.select(
+        F.col("p_partkey").alias("partkey2"),
+        F.col("p_name").alias("name2"),
+        F.col("noun").alias("noun2"),
+    )
+    return (
+        p1.join(p2, (p1.noun == p2.noun2) & (p1.p_partkey < F.col("partkey2")))
+        .filter(F.levenshtein("p_name", "name2").between(1, 2))
+        .groupBy("noun")
+        .agg(F.count(F.lit(1)).alias("n_close_pairs"))
+        .orderBy("noun")
+    )

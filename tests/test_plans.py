@@ -55,3 +55,34 @@ def test_asof_is_single_shuffle_no_join(spark, sf_smoke_dir):
     # union + window implementation: no join operator at all
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_q10_broadcasts_dims_pushes_filters(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "q10_returned_revenue")
+    # customer and nation broadcast; lineitem⋈orders may shuffle (equi key)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(l_returnflag,R)" in plan  # fact filter at the scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date range at the scan
+
+
+def test_q19_disjunction_reaches_part_scan(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the brand/size OR-filter is pushed into the part parquet scan
+    assert "Or(And(EqualTo(p_brand,Brand#13)" in plan
+
+
+def test_q18_join_back_broadcasts_agg(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "q18_large_orders")
+    # the HAVING-filtered aggregate is the broadcast side of both joins:
+    # orders and customer are never shuffled for a join
+    assert plan.count("BroadcastHashJoin Inner") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_word_counts_codegen_explode(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "doc_word_counts")
+    assert "explode(split(text" in plan  # JVM generator, not a Python UDF
+    assert "BatchEvalPython" not in plan
+    # projection cut to (doc_id, text) before the explode
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
