@@ -1820,3 +1820,513 @@ def part_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_close_pairs"))
         .orderBy("noun")
     )
+
+
+@register_query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(CAST(sum(CAST(l.l_extendedprice AS {_DEC}) * (1 - CAST(l.l_discount AS {_DEC}))) AS DOUBLE), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume by ship year.
+    The disjunctive nation-pair predicate cannot be pushed into either
+    dimension alone, so both nation joins broadcast and the pair filter
+    runs post-join — still only one shuffle (lineitem⋈orders)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register_query(
+    "q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(l.l_extendedprice AS {_DEC}) * (1 - CAST(l.l_discount AS {_DEC})) AS volume,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN region r ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share within a region/product
+    segment — conditional aggregation over an 8-table join. Every
+    dimension broadcasts; numerator and denominator come out of ONE
+    aggregation pass (sum of CASE), not two scans. Division happens
+    after exact decimal sums, so the float rounds identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nc = n.select(
+        F.col("n_nationkey").alias("nck"), F.col("n_regionkey").alias("nc_rk")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("nsk"), F.col("n_name").alias("supp_nation")
+    )
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nck"))
+        .join(F.broadcast(r), F.col("nc_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("nsk"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "volume"
+            ),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3", F.col("volume")
+                    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register_query(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(CAST(sum(CAST(l.l_extendedprice AS {_DEC}) * (1 - CAST(l.l_discount AS {_DEC}))) AS DOUBLE), 2) AS amount
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, l_year
+    ORDER BY nation, l_year DESC
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (sans partsupp, absent from the test schema):
+    product-line amount by supplier nation and ship year. The part filter
+    is a non-anchored LIKE — not pushable to parquet as a range, but the
+    broadcast-join against the filtered part dim prunes lineitem rows
+    before the aggregation shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("amount")
+        )
+        .orderBy(F.col("nation"), F.col("l_year").desc())
+    )
+
+
+@register_query(
+    "q11_top_value_parts",
+    oracle=f"""
+    WITH pv AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))) AS val
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value
+    FROM pv
+    WHERE val * 1000 > (SELECT sum(val) FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a fraction of the
+    global total (HAVING against a scalar subquery). The per-part
+    aggregate is computed ONCE and reused for both the total and the
+    filter; the 1-row total broadcasts into the comparison. The
+    threshold test runs in exact decimal (val*1000 > total), never
+    through floats, so the boundary part set is engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "val"
+            )
+        )
+        .cache()
+    )
+    total = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("val") * 1000 > F.col("total"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register_query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(r.total_rev AS DOUBLE), 2) AS total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — an aggregate reused against its own max (the reference
+    VIEW formulation). Equality on exact decimals keeps ties honest;
+    all suppliers at the max are returned, as in the spec."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "total_rev"
+            )
+        )
+        .cache()
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register_query(
+    "q16_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part segment with a
+    NOT IN exclusion list. The exclusion is a broadcast anti-join (the
+    bad-supplier list is tiny); (partkey,suppkey) pairs are deduped
+    BEFORE the part join so the expensive distinct-count aggregation
+    sees the minimal row set."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@register_query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS {_DEC})) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average quantity threshold,
+    decorrelated into one grouped aggregate joined back on partkey.
+    Quantities are integral doubles, so the per-part sum (hence avg) is
+    exact and the strict `<` boundary matches any engine. The per-part
+    avg is computed only for the filtered brand's parts — the broadcast
+    part dim prunes before the aggregation."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    return (
+        branded.join(F.broadcast(part_avg), branded.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register_query(
+    "q20_heavy_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'red%'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > 100
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: semi-join against an aggregated-with-HAVING
+    subquery (suppliers who moved >100 units of some red part). The
+    aggregate runs on the part-pruned fact, then collapses to a distinct
+    supplier list that semi-joins the supplier dim. Quantity sums are
+    exact (integral doubles), so HAVING's boundary is engine-stable."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register_query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name AS supp_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY supp_name
+    ORDER BY numwait DESC, supp_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier orders (EXISTS + NOT EXISTS self-correlations).
+    Decorrelated into one per-order aggregate — n_suppliers and
+    n_late_suppliers — joined back to the late items on orderkey; both
+    sides of that join are hash-partitioned on the same key, so the
+    correlated pair costs one shuffle, not two correlated scans.
+    "Late" = shipped >60 days after the order date (the schema has no
+    commit/receipt dates)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = flagged.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        flagged.filter(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("supp_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "supp_name")
+        .limit(20)
+    )
+
+
+@register_query(
+    "daily_revenue_lag_delta",
+    oracle=f"""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+               sum(CAST(o_totalprice AS {_DEC})) AS rev
+        FROM orders GROUP BY day
+    )
+    SELECT day,
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           round(CAST(lag(rev) OVER (ORDER BY day) AS DOUBLE), 2) AS prev_revenue,
+           round(CAST(rev - lag(rev) OVER (ORDER BY day) AS DOUBLE), 2) AS delta
+    FROM daily
+    ORDER BY day
+    """,
+)
+def daily_revenue_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() day-over-day revenue delta — the offset-window-function
+    surface (vs. the frame-based moving average already covered). The
+    window runs on the per-day AGGREGATE (a few thousand rows), not the
+    fact table, so the unpartitioned global ordering is a non-issue at
+    any scale; the delta subtraction happens in exact decimal before
+    the final rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"))
+    w = Window.orderBy("day")
+    return (
+        daily.select(
+            "day",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            F.round(F.lag("rev").over(w).cast("double"), 2).alias(
+                "prev_revenue"
+            ),
+            F.round(
+                (F.col("rev") - F.lag("rev").over(w)).cast("double"), 2
+            ).alias("delta"),
+        )
+        .orderBy("day")
+    )
