@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "q10_returned_revenue",
     "q18_large_orders",
     "doc_word_counts",
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "lineitem_price_stats",
+    "redact_numbers_events",
 ]
 
 

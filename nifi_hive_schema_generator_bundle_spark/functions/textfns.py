@@ -9,7 +9,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_ws", "whitespace_tokens", "bpe_ish_tokens", "BPE_ISH_TOKEN_RE"]
+__all__ = [
+    "normalize_ws",
+    "whitespace_tokens",
+    "bpe_ish_tokens",
+    "BPE_ISH_TOKEN_RE",
+    "REDACT_PATTERNS",
+    "redact",
+    "pattern_count",
+]
 
 # A GPT-2-style pre-tokenizer shape: word pieces, numbers, punctuation runs.
 # (Real BPE merges need a vocab; this is the count-compatible approximation.)
@@ -31,3 +39,33 @@ def whitespace_tokens(c: Column | str) -> Column:
 def bpe_ish_tokens(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     return F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_RE), 0)
+
+
+# Scrub patterns for training-data cleaning. Kept to syntax shared by
+# Java regex and RE2 (the duckdb oracle replays them verbatim): no
+# backrefs, no lookaround.
+REDACT_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "number": r"[0-9]+",
+}
+
+
+def redact(c: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace each matched pattern with its ``<KIND>`` placeholder.
+
+    A narrow per-row projection (JVM regex, no Python, no shuffle) —
+    the shape every at-scale scrubbing pass should have. Order is the
+    dict order, so url runs before number and an address's digits don't
+    get double-replaced."""
+    c = F.col(c) if isinstance(c, str) else c
+    for kind in kinds or list(REDACT_PATTERNS):
+        c = F.regexp_replace(c, REDACT_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def pattern_count(c: Column | str, kind: str) -> Column:
+    """How many times a redaction pattern occurs (audit column for the
+    scrub report)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(c, F.lit(REDACT_PATTERNS[kind]))

@@ -2330,3 +2330,131 @@ def daily_revenue_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register_query(
+    "doc_holdout_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM tagged GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def doc_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 train/holdout split (functions/sampling.py) —
+    the reproducible-split primitive a training pipeline needs: the
+    assignment is a pure narrow projection (no shuffle, no stored
+    assignment table, no partition-layout dependence), so it holds
+    bit-identically on any cluster size — and in DuckDB, which is the
+    oracle's proof. 2/16 nibble buckets = 12.5% expected holdout."""
+    from ..functions.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", holdout_sixteenths=2)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+@register_query(
+    "lineitem_price_stats",
+    oracle=f"""
+    WITH m AS (
+        SELECT count(*) AS n,
+               sum(CAST(l_extendedprice AS {_DEC})) AS sx,
+               sum(CAST(l_quantity AS {_DEC})) AS sy,
+               sum(CAST(l_extendedprice AS {_DEC}) * CAST(l_extendedprice AS {_DEC})) AS sxx,
+               sum(CAST(l_quantity AS {_DEC}) * CAST(l_quantity AS {_DEC})) AS syy,
+               sum(CAST(l_extendedprice AS {_DEC}) * CAST(l_quantity AS {_DEC})) AS sxy
+        FROM lineitem
+    )
+    SELECT n AS n_items,
+           round(CAST(sx AS DOUBLE) / n, 6) AS price_mean,
+           round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 6) AS price_stddev,
+           round(CAST(sy AS DOUBLE) / n, 6) AS qty_mean,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_price_qty
+    FROM m
+    """,
+)
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean/stddev/correlation) via exact decimal
+    moment sums. Spark's builtin stddev/corr stream doubles, so their
+    low bits depend on partition order — fine for analytics, fatal for a
+    cross-engine hash gate. Summing the five moments in DECIMAL is
+    order-independent and exact; the float formulas then run on
+    identical one-row scalars in both engines, giving bit-equal results.
+    Same single-pass, map-side-combinable shape as the builtins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast(_DEC)
+    y = F.col("l_quantity").cast(_DEC)
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        n.alias("n_items"),
+        F.round(sx / n, 6).alias("price_mean"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("price_stddev"),
+        F.round(sy / n, 6).alias("qty_mean"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_price_qty"),
+    )
+
+
+@register_query(
+    "redact_numbers_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(len(regexp_extract_all(props, '[0-9]+'))) AS n_numbers,
+           sum(length(regexp_replace(props, '[0-9]+', '<NUMBER>', 'g'))) AS redacted_chars
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def redact_numbers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-scrub audit (functions/textfns.redact): normalize numeric
+    literals to a placeholder and report match counts per event type —
+    the shape of a PII/number-normalization pass over a 100 TB corpus:
+    one narrow JVM-regex projection, aggregation only on the tiny audit
+    columns. Email/URL patterns share the same code path (unit-tested on
+    planted text; this corpus contains none)."""
+    from ..functions.textfns import pattern_count, redact
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            pattern_count("props", "number").alias("n_numbers"),
+            F.length(redact("props", ["number"])).alias("red_len"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n_numbers").alias("n_numbers"),
+            F.sum("red_len").alias("redacted_chars"),
+        )
+        .orderBy("event_type")
+    )

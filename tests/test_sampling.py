@@ -1,0 +1,62 @@
+"""Deterministic hash split/sample (functions/sampling.py): stability
+across partition layouts is the whole point — `df.sample` can't give it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke_dir):
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import load_table
+
+    return load_table(spark, sf_smoke_dir, "documents").select("doc_id", "lang")
+
+
+def test_split_survives_repartition(docs):
+    a = {
+        r.doc_id: r.split
+        for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(17), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+
+
+def test_split_fraction_near_expected(docs):
+    total = docs.count()
+    held = hash_split(docs, "doc_id").filter(F.col("split") == "holdout").count()
+    # 2/16 expected; allow wide tolerance on small corpora
+    assert 0.04 < held / total < 0.22
+
+
+def test_sample_is_subset_and_nested(docs):
+    one = {r.doc_id for r in hash_sample(docs, "doc_id", sixteenths=1).collect()}
+    four = {r.doc_id for r in hash_sample(docs, "doc_id", sixteenths=4).collect()}
+    assert one <= four  # bucket< k is monotone in k: samples nest
+    assert len(four) < docs.count()
+
+
+def test_buckets_cover_range(docs):
+    vals = {
+        r.b for r in docs.select(hash_bucket("doc_id").alias("b")).collect()
+    }
+    assert vals <= set(range(16)) and len(vals) > 8
+
+
+def test_bad_fraction_rejected(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", holdout_sixteenths=17)
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", sixteenths=-1)

@@ -85,3 +85,45 @@ def test_sketch_stats_accuracy(spark, sf_correct_dir):
         true_users = exact[et]["n_users"]
         assert abs(row["approx_users"] - true_users) <= max(2, 0.05 * true_users)
         assert row["approx_p50"] is not None and row["approx_p99"] >= row["approx_p50"]
+
+
+class TestRedact:
+    def test_planted_pii_scrubbed(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.textfns import (
+            pattern_count,
+            redact,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("mail me at bob.smith+x@example.co.uk today", 1, 0, 0),
+                # pattern_count sees RAW text, so the digit inside the
+                # URL counts; redact() still scrubs it as part of <URL>
+                ("see https://a.example.com/p?q=1 and http://b.io", 0, 2, 1),
+                ("call 555 1234 ok", 0, 0, 2),
+                ("clean text only", 0, 0, 0),
+            ],
+            "text string, n_email int, n_url int, n_number int",
+        )
+        got = df.select(
+            redact("text").alias("red"),
+            pattern_count("text", "email").alias("e"),
+            pattern_count("text", "url").alias("u"),
+            pattern_count("text", "number").alias("n"),
+            "n_email", "n_url", "n_number",
+        ).collect()
+        for r in got:
+            assert (r.e, r.u, r.n) == (r.n_email, r.n_url, r.n_number)
+            assert "@" not in r.red and "http" not in r.red
+            import re as _re
+
+            assert not _re.search(r"[0-9]", r.red)
+
+    def test_email_redacted_before_numbers(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.textfns import redact
+
+        row = spark.createDataFrame([("a1b@x2y.com",)], "t string").select(
+            redact("t").alias("red")
+        ).collect()[0]
+        # the email pattern wins; its digits never become <NUMBER>
+        assert row.red == "<EMAIL>"
