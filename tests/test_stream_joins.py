@@ -1,0 +1,166 @@
+"""Stream-stream interval join + watermarked streaming dedup
+(streaming/joins.py): cross-batch duplicate suppression and time-bounded
+event correlation, driven through real streaming queries."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from nifi_hive_schema_generator_bundle_spark.streaming.joins import (
+    dedup_stream,
+    interval_join_streams,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+
+def _write_batch(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(
+        "\n".join(
+            json.dumps(
+                {"event_id": i, "ts": ts, "user_id": u, "kind": k}
+            )
+            for i, ts, u, k in rows
+        )
+        + "\n"
+    )
+
+
+def _drain(spark, df, name, ckpt):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_dedup_stream_suppresses_across_batches(spark, tmp_path):
+    src = tmp_path / "dsrc"
+    sink = str(tmp_path / "dsink")
+    ckpt = str(tmp_path / "ck1")
+
+    def drain_to_parquet():
+        # file sink (memory sink can't recover from a checkpoint, and
+        # cross-batch state recovery is exactly what's under test)
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        out = dedup_stream(stream, ["event_id"], watermark="1 hour")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return sorted(r.event_id for r in spark.read.parquet(sink).collect())
+
+    # batch 1: event 1 twice (same event_id), event 2 once
+    _write_batch(
+        src / "b1.json",
+        [
+            (1, "2024-01-01 10:00:00", 7, "click"),
+            (1, "2024-01-01 10:00:00", 7, "click"),
+            (2, "2024-01-01 10:05:00", 8, "view"),
+        ],
+    )
+    assert drain_to_parquet() == [1, 2]
+
+    # batch 2, same checkpoint: a replay of event 1 (within the
+    # watermark horizon) and a genuinely new event 3
+    _write_batch(
+        src / "b2.json",
+        [
+            (1, "2024-01-01 10:00:00", 7, "click"),
+            (3, "2024-01-01 10:20:00", 9, "click"),
+        ],
+    )
+    # cross-batch state: the replayed event 1 stays suppressed
+    assert drain_to_parquet() == [1, 2, 3]
+
+
+def test_interval_join_attributes_within_window_only(spark, tmp_path):
+    imp_src, clk_src = tmp_path / "imp", tmp_path / "clk"
+    _write_batch(
+        imp_src / "b.json",
+        [
+            (10, "2024-01-01 09:00:00", 1, "imp"),
+            (11, "2024-01-01 09:00:00", 2, "imp"),
+            (12, "2024-01-01 09:00:00", 3, "imp"),
+        ],
+    )
+    _write_batch(
+        clk_src / "b.json",
+        [
+            (20, "2024-01-01 09:30:00", 1, "clk"),  # within 1h → joins
+            (21, "2024-01-01 11:30:00", 2, "clk"),  # too late → dropped
+            (22, "2024-01-01 08:30:00", 3, "clk"),  # before imp → dropped
+        ],
+    )
+    imps = (
+        spark.readStream.schema(SCHEMA)
+        .json(str(imp_src))
+        .selectExpr("event_id AS imp_id", "ts AS imp_ts", "user_id")
+    )
+    clks = (
+        spark.readStream.schema(SCHEMA)
+        .json(str(clk_src))
+        .selectExpr("event_id AS clk_id", "ts AS clk_ts", "user_id")
+    )
+    joined = interval_join_streams(
+        imps,
+        clks,
+        "user_id",
+        left_ts="imp_ts",
+        right_ts="clk_ts",
+        within="1 hour",
+    )
+    rows = _drain(spark, joined, "attrib", str(tmp_path / "ckj"))
+    assert [(r.imp_id, r.clk_id) for r in rows] == [(10, 20)]
+
+
+def test_interval_join_batch_mode_same_semantics(spark, tmp_path):
+    """The same operator runs as a plain batch interval join (watermarks
+    are no-ops in batch) — one code path for backfill and live."""
+    _write_batch(
+        tmp_path / "i" / "b.json",
+        [(10, "2024-01-01 09:00:00", 1, "imp"), (11, "2024-01-01 09:00:00", 2, "imp")],
+    )
+    _write_batch(
+        tmp_path / "c" / "b.json",
+        [(20, "2024-01-01 09:10:00", 1, "clk"), (21, "2024-01-01 23:00:00", 2, "clk")],
+    )
+    imps = (
+        spark.read.schema(SCHEMA)
+        .json(str(tmp_path / "i"))
+        .selectExpr("event_id AS imp_id", "ts AS imp_ts", "user_id")
+    )
+    clks = (
+        spark.read.schema(SCHEMA)
+        .json(str(tmp_path / "c"))
+        .selectExpr("event_id AS clk_id", "ts AS clk_ts", "user_id")
+    )
+    rows = interval_join_streams(
+        imps, clks, "user_id", left_ts="imp_ts", right_ts="clk_ts", within="1 hour"
+    ).collect()
+    assert [(r.imp_id, r.clk_id) for r in rows] == [(10, 20)]
