@@ -2458,3 +2458,111 @@ def redact_numbers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register_query(
+    "props_map_stats",
+    oracle="""
+    WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events)
+    SELECT k AS key, count(*) AS n,
+           min(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS vmin,
+           max(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS vmax,
+           sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS vsum
+    FROM kv GROUP BY key ORDER BY key
+    """,
+)
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props column into
+    map<string,string>, explode to (key, value) pairs, aggregate per
+    key — the generic "semi-structured column → per-key stats" pass.
+    from_json + explode stay whole-stage-codegen JVM ops; only the
+    per-key aggregation shuffles, on a key domain that is tiny by
+    construction (distinct JSON keys, not rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select(F.explode(m).alias("key", "val"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("val").cast("bigint")).alias("vmin"),
+            F.max(F.col("val").cast("bigint")).alias("vmax"),
+            F.sum(F.col("val").cast("bigint")).alias("vsum"),
+        )
+        .orderBy("key")
+    )
+
+
+@register_query(
+    "events_value_bands",
+    oracle="""
+    SELECT b.band, count(*) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 75.0), ('mid', 75.0, 150.0),
+                 ('high', 150.0, 300.0), ('top', 300.0, 500.0))
+         AS b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+)
+def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join as a gate query (operators/joins.range_join): map value
+    points into unequal-width bands via the bucketed-equi-join rewrite —
+    intervals explode to the fixed-width buckets they overlap, points
+    hash to one bucket, and the would-be cartesian range predicate
+    becomes a shuffle-free-broadcastable equi join plus a residual
+    filter. The unit suite proves parity with the naive cross join; this
+    entry proves it against SQL range-join semantics."""
+    from ..operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    bands = ev.sparkSession.createDataFrame(
+        [("low", 0.0, 75.0), ("mid", 75.0, 150.0),
+         ("high", 150.0, 300.0), ("top", 300.0, 500.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(
+        ev,
+        F.broadcast(bands),
+        left_time="value",
+        right_start="lo",
+        right_end="hi",
+        bucket=F.lit(25.0),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+
+@register_query(
+    "customer_balance_percentiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS bal_pct_rank,
+           round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS bal_cume_dist
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def customer_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window surface (percent_rank / cume_dist) — rank
+    positions are integer-derived, so unlike value interpolation they
+    are engine-exact even on float order keys; ties share a rank by
+    definition. Partitioned by segment: parallel across the cluster,
+    no global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    ).orderBy("c_custkey")
