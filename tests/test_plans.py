@@ -86,3 +86,60 @@ def test_word_counts_codegen_explode(spark, sf_smoke_dir):
     assert "BatchEvalPython" not in plan
     # projection cut to (doc_id, text) before the explode
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_q7_single_fact_shuffle(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "q7_nation_volume")
+    # customer/supplier/nation×2 broadcast; only lineitem⋈orders may
+    # shuffle — the minimal-shuffle plan for the topology
+    # tree-section lines only (the detail section repeats each operator);
+    # at smoke scale AQE may broadcast orders too, hence >=
+    assert plan.count("BroadcastHashJoin Inner") >= 4
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # date range at the scan
+
+
+def test_q8_all_dims_broadcast(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin Inner") >= 6
+    assert "EqualTo(p_type,ECONOMY)" in plan  # dim filter pushed to scan
+    assert "EqualTo(r_name,EUROPE)" in plan
+
+
+def test_q16_distinct_before_dim_join(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "q16_supplier_counts")
+    # anti join against the tiny exclusion list broadcasts
+    assert "BroadcastHashJoin LeftAnti" in plan
+    # lineitem scan reads only the two join/dedup columns
+    assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" in plan
+
+
+def test_q21_reuses_orderkey_partitioning(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "q21_waiting_suppliers")
+    # the per-order aggregate and the join back to late items share the
+    # orderkey hash partitioning: no exchange between them beyond the
+    # initial fact shuffles (li⋈o, the groupBy, the final tiny agg)
+    assert "BroadcastHashJoin" in plan  # supplier dim broadcast
+    assert plan.count("Exchange hashpartitioning(l_orderkey") <= 2
+
+
+def test_value_bands_is_equi_join_not_cartesian(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "events_value_bands")
+    # the range predicate must ride an equi join on the bucket id, never
+    # a nested-loop/cartesian product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_redact_stays_jvm_side(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "redact_numbers_events")
+    assert "BatchEvalPython" not in plan  # regex scrub is whole-stage JVM
+    assert "regexp" in plan.lower()  # the scrub runs as a JVM expression
+
+
+def test_holdout_split_no_shuffle_before_agg(spark, sf_smoke_dir):
+    plan = plan_of(spark, sf_smoke_dir, "doc_holdout_split")
+    # the split assignment is a narrow projection: only the final agg
+    # and sort exchanges (each printed twice: tree + detail section)
+    assert plan.count("Exchange") <= 4
+    assert "md5" in plan
