@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "hash_sample"]
+__all__ = ["hash_bucket", "hash_split", "hash_sample", "stratified_hash_sample"]
 
 _NIBBLES = "0123456789abcdef"
 
@@ -62,3 +62,27 @@ def hash_sample(df: DataFrame, key: str, *, sixteenths: int = 1) -> DataFrame:
     if not 0 <= sixteenths <= 16:
         raise ValueError("sixteenths must be in [0, 16]")
     return df.filter(hash_bucket(key) < sixteenths)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    sixteenths: dict[str, int],
+    *,
+    default_sixteenths: int = 16,
+) -> DataFrame:
+    """Per-stratum deterministic downsampling (e.g. rebalance a corpus
+    dominated by one language: keep 4/16 of 'en', all of the rest).
+
+    Same md5-bucket mechanics as ``hash_sample`` — stable across runs
+    and engines — with the keep-threshold chosen per stratum value.
+    Still a pure narrow filter: no shuffle, no per-stratum pass; one
+    scan handles every stratum."""
+    for v in list(sixteenths.values()) + [default_sixteenths]:
+        if not 0 <= v <= 16:
+            raise ValueError("sixteenths values must be in [0, 16]")
+    thr = F.lit(default_sixteenths)
+    for value, k in sorted(sixteenths.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(k)).otherwise(thr)
+    return df.filter(hash_bucket(key) < thr)

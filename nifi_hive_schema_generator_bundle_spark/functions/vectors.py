@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "l2_normalize", "cosine_similarity"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "l2_normalize",
+    "cosine_similarity",
+    "quantize_int8",
+    "dequantize_int8",
+]
 
 
 def _as_double_array(c: Column | str) -> Column:
@@ -46,3 +53,35 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL-safe on zero vectors (returns NULL, matching
     SQL division-by-zero semantics so oracles agree)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def quantize_int8(c: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization:
+    ``struct(scale double, q array<tinyint>)`` with
+    ``x ≈ q * scale / 127``.
+
+    The storage lever for 100 TB embedding columns — 4 bytes/dim float
+    → 1 byte/dim plus one scale, a 4× scan-volume cut for ANN
+    candidate generation (re-rank on the full-precision column). All
+    higher-order functions, no Python. Zero vectors get scale 0 and
+    all-zero codes (x/0 would be NULL; the guard keeps them
+    round-trippable)."""
+    a = _as_double_array(c)
+    scale = F.array_max(F.transform(a, F.abs))
+    q = F.transform(
+        a,
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.round(x / scale * 127.0, 0))
+        .cast("tinyint"),
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(c: Column | str) -> Column:
+    """Inverse of ``quantize_int8``: array<double> with per-element
+    error ≤ scale/254 (half a quantization step)."""
+    c = F.col(c) if isinstance(c, str) else c
+    scale = c.getField("scale")
+    return F.transform(
+        c.getField("q"), lambda q: q.cast("double") * scale / 127.0
+    )

@@ -2566,3 +2566,179 @@ def customer_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     ).orderBy("c_custkey")
+
+
+@register_query(
+    "doc_balanced_sample",
+    oracle="""
+    SELECT lang, count(*) AS n_docs
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          < CASE lang WHEN 'en' THEN '4' ELSE 'g' END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling
+    (functions/sampling.stratified_hash_sample): rebalance an
+    English-heavy corpus by keeping 4/16 of 'en' and all other
+    languages, in ONE narrow scan (the per-stratum threshold is a CASE
+    expression, not per-stratum jobs). The oracle replays the same md5
+    nibble comparison — 'g' sorts after every hex digit, so non-en
+    strata keep everything."""
+    from ..functions.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(docs, "doc_id", "lang", {"en": 4})
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@register_query(
+    "events_grouping_sets",
+    oracle="""
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(year(ts) AS VARCHAR), '<all>') AS yr,
+           count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (year(ts)), ())
+    ORDER BY event_type, yr
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form; rollup and cube are the
+    pre-baked specializations covered by their own entries): per-type,
+    per-year, and grand totals in one pass — Spark expands to a single
+    Expand + aggregate, one shuffle for all three groupings."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return ev.sparkSession.sql(
+        """
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(CAST(year(ts) AS STRING), '<all>') AS yr,
+               count(*) AS n
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (year(ts)), ())
+        ORDER BY event_type, yr
+        """
+    )
+
+
+@register_query(
+    "user_first_last_events",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           first_value(event_id)   OVER w AS first_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+    """,
+)
+def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an unbounded frame — the
+    entry/exit-event shape (what did each user do first and last).
+    event_id tiebreaks equal timestamps so both engines agree on the
+    boundary rows; the frame must be explicitly unbounded-following or
+    last_value degenerates to the current row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.first("event_id").over(w).alias("first_event_id"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+@register_query(
+    "lineitem_measures_unpivot",
+    oracle=f"""
+    WITH agg AS (
+        SELECT l_returnflag,
+               round(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE), 2) AS extendedprice,
+               round(CAST(sum(CAST(l_discount AS {_DEC})) AS DOUBLE), 2) AS discount,
+               round(CAST(sum(CAST(l_tax AS {_DEC})) AS DOUBLE), 2) AS tax
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, total FROM agg
+    UNPIVOT (total FOR measure IN (extendedprice, discount, tax))
+    ORDER BY l_returnflag, measure
+    """,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): per-returnflag measure sums melted to
+    (flag, measure, total) rows via the native unpivot operator (an
+    Expand node — no join, no Python). The melt runs on the tiny
+    aggregate, never on the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+            "extendedprice"
+        ),
+        F.round(F.sum(dec("l_discount")).cast("double"), 2).alias("discount"),
+        F.round(F.sum(dec("l_tax")).cast("double"), 2).alias("tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["extendedprice", "discount", "tax"],
+        "measure",
+        "total",
+    ).orderBy("l_returnflag", "measure")
+
+
+@register_query("embedding_quantize_roundtrip")
+def embedding_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization (functions/vectors.quantize_int8):
+    4× storage/scan cut for ANN candidate generation. Reports per-label
+    reconstruction error stats; the unit suite pins the hard bound
+    (per-element error ≤ scale/254). Rows-only: DuckDB list-lambda
+    float semantics differ enough that a hash oracle would test the
+    engines' float printers, not the operator."""
+    from ..functions.vectors import dequantize_int8, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.withColumn("qz", quantize_int8("embedding"))
+    err = F.array_max(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            dequantize_int8("qz"),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    return (
+        q.select("label", err.alias("max_err"), F.col("qz.scale").alias("scale"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.max("max_err"), 6).alias("worst_err"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+        )
+        .orderBy("label")
+    )
+
+
+@register_query("events_frequent_users")
+def events_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter sketch: DataFrame.freqItems (Karp-Papadimitriou-
+    Shenker single-pass frequent-candidates) over user_id — the
+    constant-memory alternative to an exact groupBy-count when the key
+    domain is huge and only outliers matter. Rows-only by nature
+    (result is a superset of true heavy hitters; the unit test plants
+    one and asserts it surfaces)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.freqItems(["user_id"], support=0.05)

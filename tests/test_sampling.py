@@ -60,3 +60,48 @@ def test_bad_fraction_rejected(docs):
         hash_split(docs, "doc_id", holdout_sixteenths=17)
     with pytest.raises(ValueError):
         hash_sample(docs, "doc_id", sixteenths=-1)
+
+
+def test_stratified_sample_rates_differ_by_stratum(docs):
+    from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+        stratified_hash_sample,
+    )
+
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    after = {
+        r.lang: r.n
+        for r in stratified_hash_sample(docs, "doc_id", "lang", {"en": 4})
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # en downsampled to ~4/16; all other strata kept whole
+    assert after["en"] < before["en"]
+    for lang, n in before.items():
+        if lang != "en":
+            assert after[lang] == n
+    # and the en subset is the same rows hash_sample(4/16) would pick
+    from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+        hash_sample,
+    )
+
+    en_ids = {
+        r.doc_id
+        for r in stratified_hash_sample(docs, "doc_id", "lang", {"en": 4})
+        .filter(F.col("lang") == "en")
+        .collect()
+    }
+    expect = {
+        r.doc_id
+        for r in hash_sample(docs.filter(F.col("lang") == "en"), "doc_id", sixteenths=4).collect()
+    }
+    assert en_ids == expect
+
+
+def test_stratified_bad_rate_rejected(docs):
+    from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+        stratified_hash_sample,
+    )
+
+    with pytest.raises(ValueError):
+        stratified_hash_sample(docs, "doc_id", "lang", {"en": 20})

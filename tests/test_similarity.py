@@ -127,3 +127,72 @@ def test_ivf_partial_probe_subset_and_shape(spark, sf_smoke_dir):
         assert ranks == list(range(1, len(rs) + 1))
         # a query's own vector is in its probed cell -> always rank 1
         assert rs[0]["vec_id"] == qid or any(r["vec_id"] == qid for r in rs)
+
+
+class TestQuantization:
+    def test_roundtrip_error_within_half_step(self, spark, sf_smoke_dir):
+        from nifi_hive_schema_generator_bundle_spark.functions.vectors import (
+            dequantize_int8,
+            quantize_int8,
+        )
+        from nifi_hive_schema_generator_bundle_spark.plans.queries import (
+            load_table,
+        )
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, sf_smoke_dir, "embeddings").limit(100)
+        q = emb.withColumn("qz", quantize_int8("embedding"))
+        checked = q.select(
+            F.array_max(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    dequantize_int8("qz"),
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("max_err"),
+            (F.col("qz.scale") / 254.0 + 1e-12).alias("bound"),
+        ).collect()
+        assert checked and all(r.max_err <= r.bound for r in checked)
+
+    def test_zero_vector_safe(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.vectors import (
+            dequantize_int8,
+            quantize_int8,
+        )
+        from pyspark.sql import functions as F
+
+        row = (
+            spark.createDataFrame([([0.0, 0.0, 0.0],)], "embedding array<float>")
+            .select(dequantize_int8(quantize_int8("embedding")).alias("d"))
+            .collect()[0]
+        )
+        assert row.d == [0.0, 0.0, 0.0]
+
+    def test_codes_are_int8_bounded(self, spark, sf_smoke_dir):
+        from nifi_hive_schema_generator_bundle_spark.functions.vectors import (
+            quantize_int8,
+        )
+        from nifi_hive_schema_generator_bundle_spark.plans.queries import (
+            load_table,
+        )
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, sf_smoke_dir, "embeddings").limit(50)
+        mx = (
+            emb.select(quantize_int8("embedding").alias("qz"))
+            .select(F.array_max(F.transform("qz.q", F.abs)).alias("m"))
+            .agg(F.max("m"))
+            .collect()[0][0]
+        )
+        assert mx <= 127
+
+
+def test_freq_items_surfaces_planted_heavy_hitter(spark):
+    from pyspark.sql import functions as F
+
+    # 500 distinct singletons + one user with 100 events (~17% support)
+    base = spark.range(500).select(F.col("id").alias("user_id"))
+    heavy = spark.range(100).select(F.lit(99999).alias("user_id"))
+    df = base.union(heavy)
+    out = df.freqItems(["user_id"], support=0.1).collect()[0][0]
+    assert 99999 in out
