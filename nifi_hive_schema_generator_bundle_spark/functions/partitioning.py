@@ -12,8 +12,9 @@ shuffle), a round-robin repartition when it's underpartitioned.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-__all__ = ["ensure_min_partitions", "salted_join"]
+__all__ = ["ensure_min_partitions", "salted_join", "partition_stats", "skew_ratio"]
 
 
 def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -63,3 +64,28 @@ def salted_join(
     )
     out = bg.join(sm, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def partition_stats(df: DataFrame) -> DataFrame:
+    """Rows per physical partition: (partition_id, n_rows) — the skew
+    diagnostic. One narrow pass + a tiny aggregate; run it on a stage's
+    input when a straggler task shows up before reaching for salting."""
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy(F.col("__pid").alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("partition_id")
+    )
+
+
+def skew_ratio(df: DataFrame) -> float:
+    """max/mean rows across partitions (1.0 = perfectly even). Driver-
+    side scalar; the decision input for salted_join vs plain join."""
+    rows = partition_stats(df).collect()
+    if not rows:
+        return 1.0
+    counts = [r.n_rows for r in rows]
+    # mean over ALL partitions, not just non-empty ones — a single hot
+    # partition among empties IS the skew case being measured
+    n_part = max(df.rdd.getNumPartitions(), len(counts), 1)
+    return max(counts) / (sum(counts) / n_part)

@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 from ..functions.partitioning import ensure_min_partitions
 from ..functions.vectors import cosine_similarity, l2_normalize
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "random_hyperplane_bucket"]
+__all__ = [
+    "brute_force_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "quantized_rerank_topk",
+    "random_hyperplane_bucket",
+]
 
 
 def _plane_component(plane: int, dim_idx: Column, seed: int) -> Column:
@@ -278,5 +284,76 @@ def ivf_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    candidate_k: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage ANN: int8-quantized candidate scan → full-precision
+    re-rank. Same output contract as ``brute_force_topk``.
+
+    The scale story: stage 1 reads 1 byte/dim instead of 4 and scores
+    with integer multiply-adds, so the full-corpus scan (the term that
+    dominates at 100 TB) gets ~4× cheaper in bandwidth; only
+    ``candidate_k`` rows per query (default 4k) touch the float
+    vectors again. Vectors are L2-normalized BEFORE quantization so the
+    integer dot is a monotone cosine proxy (scale factors are positive
+    per-vector constants); with candidate_k ≥ corpus size the result
+    equals brute force exactly — the property the unit suite pins."""
+    from ..functions.vectors import l2_normalize, quantize_int8
+
+    candidate_k = candidate_k or 4 * k
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        quantize_int8(l2_normalize(vec_col)).alias("c_qz"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias(query_id_col),
+        F.col(vec_col).alias("q_vec"),
+        quantize_int8(l2_normalize(vec_col)).alias("q_qz"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            # widen BEFORE multiplying: tinyint×tinyint overflows under
+            # ANSI semantics
+            F.col("c_qz.q"),
+            F.col("q_qz.q"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        int_dot.cast("double") * F.col("c_qz.scale") * F.col("q_qz.scale")
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx").desc(), F.col("c_id").asc()
+    )
+    cands = (
+        c.join(F.broadcast(q))
+        .withColumn("approx", approx)
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= candidate_k)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cands.select(
+            query_id_col,
+            F.col("c_id").alias(id_col),
+            F.round(cosine_similarity("c_vec", "q_vec"), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

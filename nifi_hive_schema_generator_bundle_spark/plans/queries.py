@@ -2742,3 +2742,19 @@ def events_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     one and asserts it surfaces)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.freqItems(["user_id"], support=0.05)
+
+
+@register_query("quantized_ann_topk")
+def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN (operators/similarity.quantized_rerank_topk): int8
+    candidate scan (1 byte/dim bandwidth, integer dot products) →
+    exact-cosine re-rank of 4k candidates per query. Rows-only: the
+    candidate set is quantization-dependent; the unit suite pins
+    full-probe == brute-force and recall ≥ 0.9 at default margins."""
+    from ..operators.similarity import quantized_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_rerank_topk(emb, queries, k=10)

@@ -18,7 +18,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["SUPPORTED_FORMATS", "is_format_available", "read_any", "convert"]
+__all__ = [
+    "SUPPORTED_FORMATS",
+    "is_format_available",
+    "read_any",
+    "convert",
+    "overwrite_partitions",
+]
 
 # formats built into a stock Spark distribution
 SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv", "text", "avro")
@@ -100,3 +106,27 @@ def convert(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    *,
+    fmt: str = "parquet",
+) -> None:
+    """Idempotent partition-level rewrite: replace ONLY the hive
+    partitions present in ``df``, leaving sibling partitions untouched
+    (dynamic partition overwrite). This is the retryable-backfill
+    primitive — re-running a day's job rewrites that day, not the
+    table. Static overwrite (Spark's default) would drop every
+    partition under ``path``."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r} (one of {SUPPORTED_FORMATS})")
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .format(fmt)
+        .save(path)
+    )

@@ -196,3 +196,58 @@ def test_freq_items_surfaces_planted_heavy_hitter(spark):
     df = base.union(heavy)
     out = df.freqItems(["user_id"], support=0.1).collect()[0][0]
     assert 99999 in out
+
+
+class TestQuantizedRerank:
+    def _frames(self, spark, sf_smoke_dir, nq=5):
+        from nifi_hive_schema_generator_bundle_spark.plans.queries import (
+            load_table,
+        )
+
+        emb = load_table(spark, sf_smoke_dir, "embeddings")
+        queries = (
+            emb.limit(nq)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        return emb, queries
+
+    def test_full_candidates_equals_brute_force(self, spark, sf_smoke_dir):
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            brute_force_topk,
+            quantized_rerank_topk,
+        )
+
+        emb, queries = self._frames(spark, sf_smoke_dir, nq=3)
+        n = emb.count()
+        exact = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        full = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in quantized_rerank_topk(
+                emb, queries, k=5, candidate_k=n
+            ).collect()
+        }
+        assert full == exact  # re-rank is exact cosine; full probe == brute force
+
+    def test_default_candidates_high_recall(self, spark, sf_smoke_dir):
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            brute_force_topk,
+            quantized_rerank_topk,
+        )
+
+        emb, queries = self._frames(spark, sf_smoke_dir, nq=5)
+        k = 10
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(emb, queries, k=k).collect()
+        }
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in quantized_rerank_topk(emb, queries, k=k).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # int8 on normalized vectors loses <1% cosine resolution; with a
+        # 4k candidate margin recall should be near-perfect
+        assert recall >= 0.9, recall
