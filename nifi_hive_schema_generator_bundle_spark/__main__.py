@@ -6,6 +6,8 @@ library + CLI"):
     infer   NDJSON -> inferred Hive DDL on stdout (optionally executed)
     route   NDJSON -> valid/invalid counts (optionally write quarantine)
     group   NDJSON with a routing column -> one DDL per table value
+    convert data in one format -> another (schema-preserving, partitionable)
+    sample  deterministic md5 train/holdout split or downsample -> output dir
 """
 
 from __future__ import annotations
@@ -93,6 +95,39 @@ def cmd_group(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.from_fmt)
+    convert(
+        df,
+        args.output,
+        args.to_fmt,
+        mode=args.mode,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+        compression=args.compression,
+    )
+    print(f"wrote {args.output} as {args.to_fmt}", file=sys.stderr)
+    return 0
+
+
+def cmd_sample(args) -> int:
+    from .functions.sampling import hash_sample, hash_split
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    if args.mode == "split":
+        out = hash_split(df, args.key, holdout_sixteenths=args.sixteenths)
+        convert(out, args.output, args.fmt, mode="overwrite", partition_by=["split"])
+    else:
+        out = hash_sample(df, args.key, sixteenths=args.sixteenths)
+        convert(out, args.output, args.fmt, mode="overwrite")
+    print(f"wrote {args.output} ({args.mode}, {args.sixteenths}/16)", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="nifi_hive_schema_generator_bundle_spark")
     p.add_argument("--master", default=None, help="Spark master (default: env/local[*])")
@@ -118,6 +153,26 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--table-col", required=True)
     pg.add_argument("--location-fmt", default="/warehouse/{table}")
     pg.set_defaults(fn=cmd_group)
+
+    pc = sub.add_parser("convert", help="re-materialize data in another format")
+    pc.add_argument("input")
+    pc.add_argument("output")
+    pc.add_argument("--from-fmt", required=True)
+    pc.add_argument("--to-fmt", required=True)
+    pc.add_argument("--mode", default="error")
+    pc.add_argument("--partition-by", default=None, help="comma-separated columns")
+    pc.add_argument("--compression", default=None)
+    pc.set_defaults(fn=cmd_convert)
+
+    ps = sub.add_parser("sample", help="deterministic hash split/sample")
+    ps.add_argument("input")
+    ps.add_argument("output")
+    ps.add_argument("--fmt", default="parquet")
+    ps.add_argument("--key", required=True, help="stable id column to hash")
+    ps.add_argument("--mode", choices=["split", "sample"], default="split")
+    ps.add_argument("--sixteenths", type=int, default=2,
+                    help="holdout (split) or keep (sample) fraction, n/16")
+    ps.set_defaults(fn=cmd_sample)
 
     args = p.parse_args(argv)
     return args.fn(args)

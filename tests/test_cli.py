@@ -60,3 +60,38 @@ def test_cli_group_keeps_group_local_types(spark, tmp_path, capsys):
     scalar_ddl = out.split("CREATE EXTERNAL TABLE t_scalar (")[1].split(") ROW")[0]
     assert "`x` ARRAY<" in arr_ddl
     assert "`x` STRING" in scalar_ddl
+
+
+def test_cli_convert_roundtrip(spark, sf_smoke_dir, tmp_path):
+    from nifi_hive_schema_generator_bundle_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf_smoke_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    ).limit(30).write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = main([
+        "--master", "local[2]",
+        "convert", src, out, "--from-fmt", "parquet", "--to-fmt", "json",
+    ])
+    assert rc == 0
+    assert spark.read.json(out).count() == 30
+
+
+def test_cli_sample_split_writes_both_partitions(spark, sf_smoke_dir, tmp_path):
+    import os
+
+    from nifi_hive_schema_generator_bundle_spark.__main__ import main
+
+    src = str(tmp_path / "src2")
+    spark.read.parquet(f"{sf_smoke_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    ).write.parquet(src)
+    out = str(tmp_path / "out2")
+    rc = main([
+        "--master", "local[2]",
+        "sample", src, out, "--key", "doc_id", "--mode", "split",
+    ])
+    assert rc == 0
+    parts = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert parts == {"split=train", "split=holdout"}
