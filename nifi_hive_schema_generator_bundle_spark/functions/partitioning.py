@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ensure_min_partitions", "salted_join", "partition_stats", "skew_ratio"]
+__all__ = [
+    "ensure_min_partitions",
+    "salted_join",
+    "partition_stats",
+    "skew_ratio",
+    "zorder_key",
+]
 
 
 def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -89,3 +95,29 @@ def skew_ratio(df: DataFrame) -> float:
     # partition among empties IS the skew case being measured
     n_part = max(df.rdd.getNumPartitions(), len(counts), 1)
     return max(counts) / (sum(counts) / n_part)
+
+
+def zorder_key(cols: list[str], *, bits: int = 16) -> "F.Column":
+    """Interleaved-bit (Morton/Z-order) sort key over integer columns.
+
+    Sorting or range-partitioning by this key clusters rows that are
+    close in EVERY listed dimension into the same files, so per-file
+    min/max statistics prune multi-dimensional predicates — the
+    data-skipping trick single-column sorting can't give you. Columns
+    must already be non-negative ints in a bounded domain (rank or
+    bucket them first); ``bits`` per dimension caps the key at
+    ``bits*len(cols)`` bits (≤ 63 total for a long).
+
+    Pure bit arithmetic in JVM expressions — scales as a narrow
+    projection."""
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError("bits * len(cols) must fit in a signed long")
+    key = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key

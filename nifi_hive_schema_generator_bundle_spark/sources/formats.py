@@ -24,6 +24,7 @@ __all__ = [
     "read_any",
     "convert",
     "overwrite_partitions",
+    "compact",
 ]
 
 # formats built into a stock Spark distribution
@@ -130,3 +131,47 @@ def overwrite_partitions(
         .format(fmt)
         .save(path)
     )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    target_file_mb: float = 256,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite a directory of small files into ~``target_file_mb`` files.
+
+    The small-files problem is the quiet killer of big scans: a 1 TB
+    table in 100k × 10 MB files pays 100k open/footer/seek costs and
+    drowns the scheduler in tasks. Reads the current byte size from the
+    filesystem, computes the output file count, and rewrites in place
+    (atomically per partition-dir via a temp dir + move is the caller's
+    concern on object stores; on HDFS-likes overwrite is fine).
+
+    ``sort_by`` additionally clusters rows (e.g. a zorder_key column)
+    so min/max file statistics become selective — the data-skipping
+    lever. Returns the output file count."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r} (one of {SUPPORTED_FORMATS})")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) + 1)
+    df = spark.read.format(fmt).load(path)
+    if sort_by:
+        # repartitionByRange + local sort: clustered AND evenly sized
+        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        out = df.coalesce(n_files) if df.rdd.getNumPartitions() > n_files else df
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").format(fmt).save(tmp)
+    fs.delete(jpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    written = spark.read.format(fmt).load(path)
+    assert written.columns == df.columns
+    return n_files

@@ -63,3 +63,73 @@ def test_overwrite_partitions_rejects_unknown_format(spark, tmp_path):
     df = spark.createDataFrame([("a", 1)], "day string, v int")
     with pytest.raises(ValueError):
         overwrite_partitions(df, str(tmp_path / "x"), ["day"], fmt="xml")
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.partitioning import (
+        zorder_key,
+    )
+
+    # (x=0b11, y=0b01) with 2 bits -> interleave x0,y0,x1,y1 = 0b0111 = 7
+    df = spark.createDataFrame([(3, 1)], "x int, y int")
+    got = df.select(zorder_key(["x", "y"], bits=2).alias("z")).collect()[0].z
+    assert got == 0b0111
+
+    # locality: neighbors in both dims give nearby keys, far points don't
+    pts = spark.createDataFrame(
+        [(0, 0), (1, 1), (255, 255)], "x int, y int"
+    ).select("x", "y", zorder_key(["x", "y"], bits=8).alias("z"))
+    rows = {(r.x, r.y): r.z for r in pts.collect()}
+    assert abs(rows[(0, 0)] - rows[(1, 1)]) < abs(rows[(0, 0)] - rows[(255, 255)])
+
+
+def test_zorder_key_validates_width(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.partitioning import (
+        zorder_key,
+    )
+
+    with pytest.raises(ValueError):
+        zorder_key([], bits=8)
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits
+
+
+def test_compact_reduces_file_count_and_keeps_rows(spark, tmp_path):
+    import os
+
+    from nifi_hive_schema_generator_bundle_spark.sources.formats import compact
+
+    path = str(tmp_path / "many")
+    # 64 tiny files
+    spark.range(10_000).repartition(64).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert n_before == 64
+    compact(spark, path, target_file_mb=256)
+    n_after = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert n_after <= 2
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_compact_sorted_clusters_minmax(spark, tmp_path):
+    from nifi_hive_schema_generator_bundle_spark.sources.formats import compact
+
+    path = str(tmp_path / "clust")
+    df = spark.range(10_000).withColumn(
+        "k", (F.col("id") * 7919) % 1000  # scrambled order
+    )
+    df.repartition(16).write.parquet(path)
+    compact(spark, path, target_file_mb=0.02, sort_by=["k"])
+    # after a clustered rewrite each file covers a narrow k range:
+    # per-file (max-min) spans must be far below the global span
+    import pyarrow.parquet as pq
+    import os
+
+    spans = []
+    for f in os.listdir(path):
+        if f.startswith("part-"):
+            md = pq.read_metadata(os.path.join(path, f))
+            lo = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+    assert len(spans) >= 2  # actually split into multiple files
+    assert sum(spans) / len(spans) < 400  # each file ≲ a slice of [0,1000)
