@@ -2758,3 +2758,85 @@ def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return quantized_rerank_topk(emb, queries, k=10)
+
+
+@register_query(
+    "q2_best_price_supplier",
+    oracle=f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / count(*) AS avg_price
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name AS supp_name,
+           round(ps.avg_price, 2) AS best_price
+    FROM ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    WHERE p.p_size = 10
+      AND ps.avg_price = (SELECT min(p2.avg_price) FROM ps p2
+                          WHERE p2.l_partkey = ps.l_partkey)
+    ORDER BY p.p_partkey, supp_name
+    """,
+)
+def q2_best_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the argmin-per-group retrieve-attributes pattern
+    (cheapest supplier per part), decorrelated to a min-over-window on
+    the (part,supplier) aggregate — one shuffle for the aggregate, the
+    window reuses its partitioning, dims broadcast. Averages are exact
+    decimal sums divided once in double, so the correlated-min equality
+    behaves identically in both engines; ties keep every best supplier,
+    as the spec requires."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    s = load_table(spark, sf_dir, "supplier")
+    dec = lambda c_: F.col(c_).cast(_DEC)  # noqa: E731
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("min_price", F.min("avg_price").over(w)).filter(
+        F.col("avg_price") == F.col("min_price")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_name").alias("supp_name"),
+            F.round("avg_price", 2).alias("best_price"),
+        )
+        .orderBy("p_partkey", "supp_name")
+    )
+
+
+@register_query(
+    "returnflag_quantity_median",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 2) AS median_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def returnflag_quantity_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median (the interpolating aggregate, vs. the
+    rank-defined discrete quantiles and the approx_percentile sketch
+    already covered). Quantities are integral, so the even-count
+    midpoint interpolation lands on .0/.5 exactly in any engine. Exact
+    median needs a per-group sort — the costly-by-design variant; the
+    sketch entry is the 100 TB default."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 2).alias("median_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
