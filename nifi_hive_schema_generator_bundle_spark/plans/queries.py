@@ -2840,3 +2840,55 @@ def returnflag_quantity_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register_query(
+    "region_nation_matrix",
+    oracle="""
+    SELECT r.r_name, count(*) AS n_pairs,
+           sum(CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END) AS n_home
+    FROM region r CROSS JOIN nation n
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)
+def region_nation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (the one join type the blocked/bucketed
+    operators exist to avoid): every (region, nation) pair with a
+    home-region indicator. Fine precisely because both sides are tiny
+    dims — Spark plans a broadcast nested loop; the point of the entry
+    is that the engine exposes the cartesian primitive for when the
+    caller has bounded it."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(F.broadcast(n))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0)
+            ).alias("n_home"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register_query(
+    "doc_langs_except_all",
+    oracle="""
+    SELECT lang FROM (
+        SELECT lang FROM documents WHERE source = 'src0'
+        EXCEPT ALL
+        SELECT lang FROM documents WHERE source = 'src1'
+    ) ORDER BY lang
+    """,
+)
+def doc_langs_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — the multiplicity-preserving set difference (the
+    distinct variant is covered by `langs_not_in_source`). Bag
+    semantics subtract per-row counts, which Spark implements as a
+    single aggregate on counts rather than a join per occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("source") == "src0").select("lang")
+    b = docs.filter(F.col("source") == "src1").select("lang")
+    return a.exceptAll(b).orderBy("lang")
