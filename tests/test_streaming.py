@@ -149,3 +149,61 @@ def test_text_operator_reuses_in_stream(spark, tmp_path):
     rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM qs_stream").collect()}
     assert set(rows) == {1, 2}
     assert rows[1]["quality"] > rows[2]["quality"]
+
+
+def test_idempotent_partition_sink_replay_converges(spark, tmp_path):
+    """A replayed micro-batch rewrites its partitions instead of
+    appending — retries converge to the same rows."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from nifi_hive_schema_generator_bundle_spark.sources.formats import (
+        overwrite_partitions,
+    )
+    from nifi_hive_schema_generator_bundle_spark.streaming.sink import (
+        idempotent_partition_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"id": 1, "day": "2024-01-01"},
+        {"id": 2, "day": "2024-01-01"},
+        {"id": 3, "day": "2024-01-02"},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("day", StringType())]
+    )
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = idempotent_partition_sink(
+        stream, out, ["day"], checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert q.awaitTermination(120)
+
+    def read_ids():
+        return sorted(
+            r.id
+            for r in spark.read.parquet(out)
+            .select("id")
+            .collect()
+        )
+
+    assert read_ids() == [1, 2, 3]
+    # simulate the crash-and-replay: re-apply the same batch out-of-band
+    batch_df = spark.read.schema(schema).json(str(src))
+    overwrite_partitions(batch_df, out, ["day"])
+    assert read_ids() == [1, 2, 3]  # rewritten, not appended
+
+    # a later batch for day 2 replaces only day 2
+    batch2 = spark.createDataFrame([(9, "2024-01-02")], schema)
+    overwrite_partitions(batch2, out, ["day"])
+    assert read_ids() == [1, 2, 9]
