@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "lineitem_price_stats",
     "redact_numbers_events",
+    "quantized_ann_topk",
+    "q2_best_price_supplier",
 ]
 
 

@@ -305,37 +305,70 @@ def quantized_rerank_topk(
     with integer multiply-adds, so the full-corpus scan (the term that
     dominates at 100 TB) gets ~4× cheaper in bandwidth; only
     ``candidate_k`` rows per query (default 4k) touch the float
-    vectors again. Vectors are L2-normalized BEFORE quantization so the
-    integer dot is a monotone cosine proxy (scale factors are positive
-    per-vector constants); with candidate_k ≥ corpus size the result
-    equals brute force exactly — the property the unit suite pins."""
-    from ..functions.vectors import l2_normalize, quantize_int8
+    vectors again; with candidate_k ≥ corpus size the result equals
+    brute force exactly — the property the unit suite pins.
+
+    Codes are ``round(x·127/max|x|)`` — identical to quantizing the
+    L2-normalized vector, because the norm cancels inside the ratio —
+    and the pair score is ``int_dot·(amax_c/|c|)·(amax_q/|q|)``, a
+    monotone cosine proxy. The quantized corpus is built BEFORE the
+    query join and cached: Spark evaluates higher-order-function
+    lambdas interpreted and re-inlines referenced expressions per
+    element, so quantizing after the join would redo O(dim²) work per
+    (corpus × query) pair — the cache is both the "store the int8
+    index once" architecture and the fix."""
+    from ..functions.vectors import l2_norm
 
     candidate_k = candidate_k or 4 * k
-    c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        quantize_int8(l2_normalize(vec_col)).alias("c_qz"),
+    amax = F.array_max(F.transform(F.col("c_vec"), F.abs))
+    c = (
+        ensure_min_partitions(corpus)
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+        )
+        .withColumn("c_amax", amax)
+        .select(
+            "c_id",
+            "c_vec",
+            F.transform(
+                "c_vec",
+                lambda x: F.round(x * 127.0 / F.col("c_amax"), 0).cast("int"),
+            ).alias("c_q"),
+            (F.col("c_amax") / l2_norm("c_vec")).alias("c_scale"),
+        )
+        .cache()
     )
-    q = queries.select(
-        F.col(query_id_col).alias(query_id_col),
-        F.col(vec_col).alias("q_vec"),
-        quantize_int8(l2_normalize(vec_col)).alias("q_qz"),
+    qamax = F.array_max(F.transform(F.col("q_vec"), F.abs))
+    q = (
+        queries.select(
+            F.col(query_id_col).alias(query_id_col),
+            F.col(vec_col).alias("q_vec"),
+        )
+        .withColumn("q_amax", qamax)
+        .select(
+            query_id_col,
+            "q_vec",
+            F.transform(
+                "q_vec",
+                lambda x: F.round(x * 127.0 / F.col("q_amax"), 0).cast("int"),
+            ).alias("q_q"),
+            (F.col("q_amax") / l2_norm("q_vec")).alias("q_scale"),
+        )
     )
     int_dot = F.aggregate(
         F.zip_with(
-            # widen BEFORE multiplying: tinyint×tinyint overflows under
-            # ANSI semantics
-            F.col("c_qz.q"),
-            F.col("q_qz.q"),
+            # widen BEFORE multiplying: int×int can overflow int under
+            # ANSI semantics at these magnitudes only in theory, long is
+            # free here
+            F.col("c_q"),
+            F.col("q_q"),
             lambda a, b: a.cast("long") * b.cast("long"),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    approx = (
-        int_dot.cast("double") * F.col("c_qz.scale") * F.col("q_qz.scale")
-    )
+    approx = int_dot.cast("double") * F.col("c_scale") * F.col("q_scale")
     wc = Window.partitionBy(query_id_col).orderBy(
         F.col("approx").desc(), F.col("c_id").asc()
     )
