@@ -39,6 +39,7 @@ __all__ = [
     "attach_media_metadata",
     "decode_features",
     "frame_sample",
+    "resize_media",
     "repartition_by_bytes",
 ]
 
@@ -198,3 +199,62 @@ def repartition_by_bytes(
     total = df.agg(F.sum(expr.cast("long"))).collect()[0][0] or 0
     n = max(1, int(total / (target_mb * 1024 * 1024)) + 1)
     return df.repartition(n)
+
+
+def resize_media(
+    df: DataFrame,
+    *,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image resize plumbing: payload → resized payload + updated meta
+    dims. Output schema ``(media_id, payload, width, height)``.
+
+    ``resize_fn(payload, w, h) -> bytes`` is the codec hook (PIL's
+    ``Image.resize`` in a real deployment); the stub produces a
+    deterministic ``w*h``-byte payload derived from the input (sha256
+    keystream) so size contracts and batch shape are exercised without
+    an image lib. Arrow-batched ``mapInPandas`` like the decoder —
+    resizing is per-row CPU work with a large-payload row, exactly the
+    shape where Arrow batching beats row-at-a-time by an order of
+    magnitude."""
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        need = w * h
+        out = bytearray()
+        counter = 0
+        seed = hashlib.sha256(payload).digest()
+        while len(out) < need:
+            out += hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+            counter += 1
+        return bytes(out[:need])
+
+    fn = resize_fn or _fake_resize
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField(payload_col, BinaryType(), True),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                fn(bytes(p), width, height) if p is not None else None
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    payload_col: resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)

@@ -2939,3 +2939,24 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register_query("media_resize")
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (operators/multimodal.resize_media): Arrow-batched
+    payload→payload transform with an exact w·h size contract; codec
+    stubbed per the brief, PIL drops in as ``resize_fn``. Rows-only
+    (binary payloads aren't SQL-comparable)."""
+    from ..operators.multimodal import resize_media
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = resize_media(d, width=16, height=8)
+    return out.select(
+        "media_id",
+        F.length("payload").alias("n_bytes"),
+        "width",
+        "height",
+    ).orderBy("media_id")

@@ -76,3 +76,41 @@ def test_repartition_by_bytes(spark):
     out = repartition_by_bytes(df, target_mb=1)
     # ~10 MB of payload at 1 MB target → ~10 partitions
     assert 5 <= out.rdd.getNumPartitions() <= 15
+
+
+def test_resize_media_stub_contract(spark, sf_smoke_dir):
+    from pyspark.sql import functions as F
+
+    from nifi_hive_schema_generator_bundle_spark.operators.multimodal import (
+        resize_media,
+    )
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import load_table
+
+    d = load_table(spark, sf_smoke_dir, "documents").limit(20).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = resize_media(d, width=8, height=4).collect()
+    assert len(out) == 20
+    # exact size contract: every payload is w*h bytes
+    assert all(len(r.payload) == 32 for r in out)
+    assert all((r.width, r.height) == (8, 4) for r in out)
+    # deterministic: same input -> same resized bytes
+    out2 = resize_media(d, width=8, height=4).collect()
+    assert {r.media_id: bytes(r.payload) for r in out} == {
+        r.media_id: bytes(r.payload) for r in out2
+    }
+
+
+def test_resize_media_custom_fn(spark):
+    from pyspark.sql import functions as F
+
+    from nifi_hive_schema_generator_bundle_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    d = spark.createDataFrame([(1, b"abcdef")], "media_id long, payload binary")
+    got = resize_media(
+        d, width=2, height=1, resize_fn=lambda p, w, h: p[: w * h]
+    ).collect()[0]
+    assert bytes(got.payload) == b"ab"
