@@ -2960,3 +2960,55 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
     ).orderBy("media_id")
+
+
+@register_query(
+    "training_prep_pipeline",
+    oracle="""
+    WITH kept AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id) AS rn
+        FROM documents WHERE length(text) >= 100
+    ),
+    tagged AS (
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                    THEN 'holdout' ELSE 'train' END AS split,
+               len(list_filter(string_split_regex(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                               x -> x <> '')) AS n_tokens
+        FROM kept WHERE rn = 1
+    )
+    SELECT lang, split, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    FROM tagged GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition: a complete training-data prep pass
+    built ONLY from the engine's own operators — length filter → exact
+    dedup (keep min doc_id per normalized text) → deterministic md5
+    train/holdout split → whitespace token counts → per-(lang, split)
+    corpus stats. Every stage is the same code the standalone gate
+    entries test; the oracle replays the whole pipeline in SQL. Plan
+    shape: one narrow scan feeds the dedup shuffle (16-byte
+    fingerprint keys), the semi-join back is on doc_id, the split is a
+    projection — three shuffles end to end at any scale."""
+    from ..functions.sampling import hash_split
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import token_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 100
+    )
+    keep_ids = exact_dedup(docs).select("doc_id")
+    kept = docs.join(keep_ids, "doc_id", "left_semi")
+    tagged = hash_split(kept, "doc_id", holdout_sixteenths=2)
+    with_tokens = token_stats(tagged)
+    return (
+        with_tokens.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ws_token_count").cast("bigint")).alias("total_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
