@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "redact_numbers_events",
     "quantized_ann_topk",
     "q2_best_price_supplier",
+    "training_prep_pipeline",
 ]
 
 
