@@ -133,3 +133,58 @@ def test_compact_sorted_clusters_minmax(spark, tmp_path):
             spans.append(hi - lo)
     assert len(spans) >= 2  # actually split into multiple files
     assert sum(spans) / len(spans) < 400  # each file ≲ a slice of [0,1000)
+
+
+def test_zorder_key_roundtrip_property(spark):
+    """Every bit of every input coordinate is recoverable from the
+    interleaved key (bijectivity over the bounded domain)."""
+    from hypothesis import given, settings, strategies as st
+
+    from nifi_hive_schema_generator_bundle_spark.functions.partitioning import (
+        zorder_key,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                    min_size=1, max_size=6, unique=True))
+    def check(pts):
+        df = spark.createDataFrame(pts, "x int, y int")
+        rows = df.select("x", "y", zorder_key(["x", "y"], bits=8).alias("z")).collect()
+        for r in rows:
+            x = sum(((r.z >> (2 * b)) & 1) << b for b in range(8))
+            y = sum(((r.z >> (2 * b + 1)) & 1) << b for b in range(8))
+            assert (x, y) == (r.x, r.y)
+
+    check()
+
+
+def test_training_pipeline_layout_independent(spark, sf_smoke_dir):
+    """The composed prep pipeline returns identical rows regardless of
+    input partitioning — no operator in the chain leaks layout."""
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import QUERIES
+
+    base = QUERIES["training_prep_pipeline"](spark, sf_smoke_dir).collect()
+    # same pipeline over a deliberately scrambled layout
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import load_table
+    from nifi_hive_schema_generator_bundle_spark.functions.sampling import hash_split
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import exact_dedup
+    from nifi_hive_schema_generator_bundle_spark.operators.text import token_stats
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, sf_smoke_dir, "documents")
+        .repartition(13)
+        .filter(F.length("text") >= 100)
+    )
+    kept = docs.join(exact_dedup(docs).select("doc_id"), "doc_id", "left_semi")
+    out = (
+        token_stats(hash_split(kept, "doc_id", holdout_sixteenths=2))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ws_token_count").cast("bigint")).alias("total_tokens"),
+        )
+        .orderBy("lang", "split")
+        .collect()
+    )
+    assert [tuple(r) for r in base] == [tuple(r) for r in out]

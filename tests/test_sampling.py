@@ -105,3 +105,29 @@ def test_stratified_bad_rate_rejected(docs):
 
     with pytest.raises(ValueError):
         stratified_hash_sample(docs, "doc_id", "lang", {"en": 20})
+
+
+def test_hash_bucket_matches_python_hashlib(spark):
+    """The Spark md5 bucketing equals an independent Python hashlib
+    reference — the cross-engine determinism contract, pinned against a
+    third implementation (DuckDB being the second, in the oracle)."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                    max_size=8, unique=True))
+    def check(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+        got = {
+            r.doc_id: r.b
+            for r in df.select(
+                "doc_id", hash_bucket("doc_id").alias("b")
+            ).collect()
+        }
+        for k in keys:
+            expect = int(hashlib.md5(str(k).encode()).hexdigest()[0], 16)
+            assert got[k] == expect
+
+    check()
