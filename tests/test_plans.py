@@ -143,3 +143,42 @@ def test_holdout_split_no_shuffle_before_agg(spark, sf_smoke_dir):
     # and sort exchanges (each printed twice: tree + detail section)
     assert plan.count("Exchange") <= 4
     assert "md5" in plan
+
+
+# Queries allowed to run Python on the data path — each is explicitly
+# Arrow-batched (mapInPandas) because the semantics need numpy/bytes work:
+# blocked-matmul cosine pairs, IVF centroid assignment, media codec
+# plumbing. Everything else must stay whole-stage-JVM.
+ARROW_BATCHED = {
+    "embedding_near_dup",
+    "ivf_ann_topk",
+    "media_features_docs",
+    "media_frame_sample",
+    "media_resize",
+}
+
+PY_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def test_no_query_degrades_to_cartesian_or_stray_python(spark, sf_smoke_dir):
+    """Blanket plan hygiene over the WHOLE registry: no operator may
+    silently plan a cartesian product, and Python appears only in the
+    declared Arrow-batched set."""
+    for name, fn in sorted(QUERIES.items()):
+        plan = (
+            fn(spark, sf_smoke_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+        has_py = any(t in plan for t in PY_NODES)
+        if name in ARROW_BATCHED:
+            assert has_py, f"{name} should be Arrow-batched but has no Python node"
+        else:
+            assert not has_py, f"{name} unexpectedly runs Python on the data path"
