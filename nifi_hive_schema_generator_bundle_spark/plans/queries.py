@@ -3012,3 +3012,57 @@ def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+@register_query(
+    "doc_langs_intersect_all",
+    oracle="""
+    SELECT lang FROM (
+        SELECT lang FROM documents WHERE source = 'src0'
+        INTERSECT ALL
+        SELECT lang FROM documents WHERE source = 'src1'
+    ) ORDER BY lang
+    """,
+)
+def doc_langs_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection keeping min(count_a, count_b)
+    copies, completing the set-op family (UNION / EXCEPT / INTERSECT in
+    both distinct and ALL forms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("source") == "src0").select("lang")
+    b = docs.filter(F.col("source") == "src1").select("lang")
+    return a.intersectAll(b).orderBy("lang")
+
+
+@register_query(
+    "doc_token_positions",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                           x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, pos, tok FROM (
+        SELECT doc_id, CAST(0 AS INT) AS pos, toks[1] AS tok FROM t WHERE len(toks) >= 1
+        UNION ALL SELECT doc_id, 1, toks[2] FROM t WHERE len(toks) >= 2
+        UNION ALL SELECT doc_id, 2, toks[3] FROM t WHERE len(toks) >= 3
+    ) ORDER BY doc_id, pos
+    """,
+)
+def doc_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — the position-aware generator (vs. plain explode in
+    `doc_word_counts`): leading tokens with their offsets, the shape of
+    prefix/suffix feature extraction. The position comes from the
+    generator itself, not a window, so no sort or shuffle is needed."""
+    from ..functions.textfns import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(whitespace_tokens("text")).alias("pos", "tok"),
+        )
+        .filter(F.col("pos") < 3)
+        .orderBy("doc_id", "pos")
+    )
