@@ -3066,3 +3066,43 @@ def doc_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") < 3)
         .orderBy("doc_id", "pos")
     )
+
+
+@register_query(
+    "doc_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 300
+    ),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id < 150 THEN upper(text) ELSE text END AS text
+        FROM documents WHERE doc_id >= 100 AND doc_id < 400
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text <> n.text THEN 'changed' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+    ORDER BY doc_id
+    """,
+)
+def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff (operators/cdc.snapshot_diff): classify keys as
+    added/removed/changed between two corpus snapshots via a full-outer
+    join on 16-byte content hashes — wide compare columns collapse to
+    md5 BEFORE the join materializes, so the shuffle carries keys and
+    hashes, never documents. The synthetic second snapshot shifts the
+    id window and rewrites a slice, giving all three change classes."""
+    from ..operators.cdc import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 300)
+    new = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 400)).select(
+        "doc_id",
+        F.when(F.col("doc_id") < 150, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, ["doc_id"]).orderBy("doc_id")
