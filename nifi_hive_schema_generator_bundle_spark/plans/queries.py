@@ -3106,3 +3106,36 @@ def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return snapshot_diff(old, new, ["doc_id"]).orderBy("doc_id")
+
+
+@register_query(
+    "documents_profile",
+    oracle="""
+    SELECT 'doc_id' AS "column", count(*) AS n,
+           sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           count(DISTINCT doc_id) AS n_distinct,
+           min(CAST(doc_id AS VARCHAR)) AS min_s, max(CAST(doc_id AS VARCHAR)) AS max_s
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*),
+           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT lang), min(lang), max(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*),
+           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT source), min(source), max(source)
+    FROM documents
+    ORDER BY "column"
+    """,
+)
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality report (operators/profile.profile):
+    count / nulls / distincts / min / max for every column out of ONE
+    aggregation pass, unpivoted to long format. Exact distincts here
+    (oracle-checkable); ``approx=True`` swaps the HLL sketch at scale
+    without changing the report shape."""
+    from ..operators.profile import profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile(docs, ["doc_id", "lang", "source"]).orderBy("column")
