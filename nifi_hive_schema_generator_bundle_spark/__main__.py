@@ -8,6 +8,8 @@ library + CLI"):
     group   NDJSON with a routing column -> one DDL per table value
     convert data in one format -> another (schema-preserving, partitionable)
     sample  deterministic md5 train/holdout split or downsample -> output dir
+    stream  drain an NDJSON directory through streaming inference, print
+            the DDL and any drift ALTERs
 """
 
 from __future__ import annotations
@@ -128,6 +130,31 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    from .streaming.infer_stream import run_inference_stream
+
+    spark = _session(args)
+    q, state = run_inference_stream(
+        spark,
+        args.input,
+        args.table,
+        args.location,
+        checkpoint_dir=args.checkpoint,
+        quarantine_path=args.quarantine,
+        available_now=True,
+    )
+    q.awaitTermination(args.timeout)
+    print(state.current_ddl)
+    for alter in state.alter_history:
+        print(alter)
+    print(
+        f"good={state.good_rows} bad={state.bad_rows} "
+        f"batches={state.batches}",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="nifi_hive_schema_generator_bundle_spark")
     p.add_argument("--master", default=None, help="Spark master (default: env/local[*])")
@@ -173,6 +200,15 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--sixteenths", type=int, default=2,
                     help="holdout (split) or keep (sample) fraction, n/16")
     ps.set_defaults(fn=cmd_sample)
+
+    pst = sub.add_parser("stream", help="streaming inference over an NDJSON dir")
+    pst.add_argument("input")
+    pst.add_argument("--table", required=True)
+    pst.add_argument("--location", required=True)
+    pst.add_argument("--checkpoint", required=True)
+    pst.add_argument("--quarantine", default=None)
+    pst.add_argument("--timeout", type=int, default=300, help="drain timeout sec")
+    pst.set_defaults(fn=cmd_stream)
 
     args = p.parse_args(argv)
     return args.fn(args)

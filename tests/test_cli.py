@@ -95,3 +95,24 @@ def test_cli_sample_split_writes_both_partitions(spark, sf_smoke_dir, tmp_path):
     assert rc == 0
     parts = {d for d in os.listdir(out) if d.startswith("split=")}
     assert parts == {"split=train", "split=holdout"}
+
+
+def test_cli_stream_prints_ddl_and_counts(tmp_path, capsys):
+    from nifi_hive_schema_generator_bundle_spark.__main__ import main
+
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    (src / "b.json").write_text('{"a": 1}\n{"a": 2, "b": "x"}\nnot json\n')
+    rc = main([
+        "--master", "local[2]",
+        "stream", str(src),
+        "--table", "st", "--location", "/warehouse/st",
+        "--checkpoint", str(tmp_path / "ck"),
+        "--quarantine", str(tmp_path / "bad"),
+        "--timeout", "120",
+    ])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "CREATE EXTERNAL TABLE st" in out.out
+    assert "`a` STRING" in out.out and "`b` STRING" in out.out
+    assert "good=2 bad=1" in out.err
