@@ -165,8 +165,12 @@ def tfidf_top_terms(
     # eager collect(), the operator stays lazy and single-pipeline
     n_docs = d.select(F.countDistinct(id_col).alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
+    # the (term, df_t) join deliberately carries NO broadcast hint: the
+    # vocabulary is corpus-dependent (10^8 rows at 100 TB — a forced
+    # broadcast OOMs), so AQE picks broadcast-vs-shuffle from the real
+    # size at runtime; only the 1-row n_docs is always broadcast
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -1063,19 +1063,30 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_query(
     "events_props_extract",
     oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                        '^-?[0-9]+$')
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k_val
+        FROM events
+    )
     SELECT event_type,
-           count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-           sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
-    FROM events GROUP BY event_type ORDER BY event_type
+           count(k_val) AS n_k,
+           CAST(sum(k_val) AS BIGINT) AS sum_k
+    FROM x GROUP BY event_type ORDER BY event_type
     """,
 )
 def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar-function surface (get_json_object) on the engine's core
-    data type: extract $.k from the props document per row (non-scalar
-    shapes cast to NULL on both engines), aggregate per type. Exact
-    integer sums — no float hashing concerns."""
+    data type: extract $.k from the props document per row. Only integral
+    scalars count (regex-guarded try_cast — strict cast would throw under
+    ANSI mode, and DuckDB TRY_CAST rounds '7.5' to 8 while Spark nulls it,
+    so both engines gate on '^-?[0-9]+$' first). Exact integer sums,
+    CAST to BIGINT in the oracle because DuckDB sum() yields HUGEINT."""
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    raw = F.get_json_object("props", "$.k")
+    k = F.when(raw.rlike(r"^-?[0-9]+$"), raw.try_cast("long"))
     return (
         e.select("event_type", k.alias("k_val"))
         .groupBy("event_type")
@@ -2428,8 +2439,8 @@ def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(len(regexp_extract_all(props, '[0-9]+'))) AS n_numbers,
-           sum(length(regexp_replace(props, '[0-9]+', '<NUMBER>', 'g'))) AS redacted_chars
+           CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_numbers,
+           CAST(sum(length(regexp_replace(props, '[0-9]+', '<NUMBER>', 'g'))) AS BIGINT) AS redacted_chars
     FROM events
     GROUP BY event_type ORDER BY event_type
     """,
@@ -2463,12 +2474,20 @@ def redact_numbers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_query(
     "props_map_stats",
     oracle="""
-    WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events)
+    WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events),
+    typed AS (
+        SELECT k,
+               CASE WHEN regexp_matches(json_extract_string(props, '$.' || k),
+                                        '^-?[0-9]+$')
+                    THEN TRY_CAST(json_extract_string(props, '$.' || k) AS BIGINT)
+               END AS v
+        FROM kv
+    )
     SELECT k AS key, count(*) AS n,
-           min(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS vmin,
-           max(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS vmax,
-           sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS vsum
-    FROM kv GROUP BY key ORDER BY key
+           min(v) AS vmin,
+           max(v) AS vmax,
+           CAST(sum(v) AS BIGINT) AS vsum
+    FROM typed GROUP BY key ORDER BY key
     """,
 )
 def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2480,14 +2499,18 @@ def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (distinct JSON keys, not rows)."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,string>")
+    # regex-guarded try_cast: strict cast("bigint") throws on non-integral
+    # values under ANSI mode, and must agree with the oracle's TRY_CAST
+    # (which would round '7.5' instead of nulling it)
+    v = F.when(F.col("val").rlike(r"^-?[0-9]+$"), F.col("val").try_cast("bigint"))
     return (
         ev.select(F.explode(m).alias("key", "val"))
         .groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min(F.col("val").cast("bigint")).alias("vmin"),
-            F.max(F.col("val").cast("bigint")).alias("vmax"),
-            F.sum(F.col("val").cast("bigint")).alias("vsum"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+            F.sum(v).alias("vsum"),
         )
         .orderBy("key")
     )
@@ -2846,7 +2869,7 @@ def returnflag_quantity_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "region_nation_matrix",
     oracle="""
     SELECT r.r_name, count(*) AS n_pairs,
-           sum(CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END) AS n_home
+           CAST(sum(CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END) AS BIGINT) AS n_home
     FROM region r CROSS JOIN nation n
     GROUP BY r.r_name ORDER BY r.r_name
     """,
@@ -2898,10 +2921,10 @@ def doc_langs_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipment_priority",
     oracle="""
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
@@ -2979,7 +3002,7 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                x -> x <> '')) AS n_tokens
         FROM kept WHERE rn = 1
     )
-    SELECT lang, split, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    SELECT lang, split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM tagged GROUP BY lang, split ORDER BY lang, split
     """,
 )
@@ -3112,18 +3135,18 @@ def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents_profile",
     oracle="""
     SELECT 'doc_id' AS "column", count(*) AS n,
-           sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            count(DISTINCT doc_id) AS n_distinct,
            min(CAST(doc_id AS VARCHAR)) AS min_s, max(CAST(doc_id AS VARCHAR)) AS max_s
     FROM documents
     UNION ALL
     SELECT 'lang', count(*),
-           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT lang), min(lang), max(lang)
     FROM documents
     UNION ALL
     SELECT 'source', count(*),
-           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT source), min(source), max(source)
     FROM documents
     ORDER BY "column"

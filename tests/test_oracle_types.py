@@ -1,0 +1,59 @@
+"""Pin the DuckDB output type of every oracle column.
+
+The driver's value-hash canonicalizes DuckDB HUGEINT (int128 — what DuckDB
+returns for sum() over integers) differently from Spark's BIGINT even when
+the values are equal, so an un-cast integer sum() fails hash_match while the
+local repr-based gate stays green (judge round 1: events_props_extract).
+Every integer aggregate in an oracle must be CAST(... AS BIGINT); this test
+makes the whole class of bug impossible to reintroduce.
+
+Runs on sf0.001 regardless of ORACLE_SF: only the *types* matter, and DuckDB
+type inference does not depend on the data volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_DIR = os.path.join(TESTDATA, "sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Types whose canonical hash is known to agree between Spark and the driver's
+# DuckDB-side hasher. Anything else (HUGEINT, DECIMAL, unsigned ints, ...)
+# must be cast in the oracle SQL before it reaches the output.
+ALLOWED = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "VARCHAR[]",
+           "DATE", "TIMESTAMP", "BOOLEAN"}
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+def test_oracle_output_types_are_hash_safe(ddb, name):
+    rel = ddb.sql(entry_mod.oracle_sql()[name])
+    offending = [
+        (col, str(typ))
+        for col, typ in zip(rel.columns, rel.types)
+        if str(typ) not in ALLOWED
+    ]
+    assert not offending, (
+        f"{name}: oracle emits driver-hash-unsafe types {offending}; "
+        f"wrap integer aggregates in CAST(... AS BIGINT)"
+    )

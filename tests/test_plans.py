@@ -165,10 +165,35 @@ PY_NODES = (
 )
 
 
+# Registry entries that legitimately plan a BroadcastNestedLoopJoin.
+# Two classes:
+#   1-row scalar cross joins — a subquery total/average rides the plan as
+#   a broadcast of exactly one row (q11's threshold, q22's avg balance,
+#   TF-IDF's n_docs). Constant-size at any corpus scale.
+#   bounded by-design scans — region_nation_matrix (5×25 dim cartesian),
+#   ann_cosine_topk / quantized_ann_topk (the exact baseline scores every
+#   corpus row against the bounded broadcast query set; the scale path is
+#   LSH/IVF), ivf_ann_topk (queries × centroid-table quantizer scoring,
+#   centroid count is a parameter), ngram_jaccard_docs (documented
+#   test-scale pairwise fallback; production path is candidate-driven).
+# Everything else planning a BNLJ means an accidental non-equi join that
+# only "works" because one side happens to be small — a 100 TB landmine.
+BNLJ_ALLOWED = {
+    "q11_top_value_parts",
+    "q22_idle_rich_customers",
+    "tfidf_top_terms_docs",
+    "region_nation_matrix",
+    "ann_cosine_topk",
+    "quantized_ann_topk",
+    "ivf_ann_topk",
+    "ngram_jaccard_docs",
+}
+
+
 def test_no_query_degrades_to_cartesian_or_stray_python(spark, sf_smoke_dir):
     """Blanket plan hygiene over the WHOLE registry: no operator may
-    silently plan a cartesian product, and Python appears only in the
-    declared Arrow-batched set."""
+    silently plan a cartesian product or an unlisted nested-loop join,
+    and Python appears only in the declared Arrow-batched set."""
     for name, fn in sorted(QUERIES.items()):
         plan = (
             fn(spark, sf_smoke_dir)
@@ -177,8 +202,24 @@ def test_no_query_degrades_to_cartesian_or_stray_python(spark, sf_smoke_dir):
             .toString()
         )
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+        if name not in BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} plans a BroadcastNestedLoopJoin (non-equi join?)"
+            )
         has_py = any(t in plan for t in PY_NODES)
         if name in ARROW_BATCHED:
             assert has_py, f"{name} should be Arrow-batched but has no Python node"
         else:
             assert not has_py, f"{name} unexpectedly runs Python on the data path"
+
+
+def test_tfidf_term_join_has_no_forced_broadcast(spark, sf_smoke_dir):
+    """The (term, df_t) table is vocabulary-sized — corpus-dependent, so a
+    forced broadcast hint is an OOM at 100 TB. Only the 1-row n_docs scalar
+    may carry a hint; the term join strategy is left to AQE."""
+    df = QUERIES["tfidf_top_terms_docs"](spark, sf_smoke_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, (
+        "expected exactly one broadcast hint (the 1-row n_docs scalar); "
+        "the vocabulary-sized term join must not be force-broadcast"
+    )
