@@ -143,8 +143,19 @@ def cmd_stream(args) -> int:
         quarantine_path=args.quarantine,
         available_now=True,
     )
-    q.awaitTermination(args.timeout)
-    print(state.current_ddl)
+    finished = q.awaitTermination(args.timeout)
+    if not finished:
+        # the availableNow drain outran --timeout: stop the query instead
+        # of abandoning it, flag the partial state, and exit non-zero so
+        # callers don't mistake a truncated drain for a completed one
+        q.stop()
+        print(
+            f"warning: stream did not drain within {args.timeout}s; "
+            f"state below is partial",
+            file=sys.stderr,
+        )
+    if state.current_ddl is not None:
+        print(state.current_ddl)
     for alter in state.alter_history:
         print(alter)
     print(
@@ -152,7 +163,7 @@ def cmd_stream(args) -> int:
         f"batches={state.batches}",
         file=sys.stderr,
     )
-    return 0
+    return 0 if finished else 3
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -70,6 +70,13 @@ class InferenceState:
             merged = merge_types(self.schema, batch_schema)
             if type_to_dict(merged) != before:
                 old = self.schema
+                # drift from the empty initial schema IS the table creation
+                # — an ALTER restating the CREATE's columns would be
+                # redundant (and invalid: the table doesn't exist yet). A
+                # resumed state pre-seeded with a prior schema still emits
+                # ALTERs, so the empty-schema test is the right signal,
+                # not ddl_history emptiness.
+                is_creation = isinstance(old, StructType) and not old.fields
                 self.schema = merged
                 ddl = render_hive_ddl(
                     merged, self.table, self.location, drop_if_exists=True
@@ -77,9 +84,10 @@ class InferenceState:
                 self.ddl_history.append(ddl)
                 # incremental path: evolve the live table in place instead
                 # of re-creating it (SURVEY §7 step 5 - ALTER on drift)
-                self.alter_history.extend(
-                    render_alter_ddl(old, merged, self.table)
-                )
+                if not is_creation:
+                    self.alter_history.extend(
+                        render_alter_ddl(old, merged, self.table)
+                    )
                 if self.on_drift is not None:
                     self.on_drift(ddl, merged)
         finally:

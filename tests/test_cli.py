@@ -116,3 +116,29 @@ def test_cli_stream_prints_ddl_and_counts(tmp_path, capsys):
     assert "CREATE EXTERNAL TABLE st" in out.out
     assert "`a` STRING" in out.out and "`b` STRING" in out.out
     assert "good=2 bad=1" in out.err
+
+
+def test_cli_stream_timeout_stops_query_and_exits_nonzero(tmp_path, capsys):
+    """An availableNow drain that outruns --timeout must not be abandoned:
+    the query is stopped, the partial state is flagged on stderr, the exit
+    code is non-zero, and no literal 'None' DDL line is printed."""
+    from nifi_hive_schema_generator_bundle_spark.__main__ import main
+
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    # enough files that listing + the first microbatch cannot finish inside
+    # the 1-second timeout (stream startup alone takes longer than that);
+    # awaitTermination rejects timeout <= 0, so 1 is the floor
+    for i in range(200):
+        (src / f"b{i}.json").write_text('{"a": %d}\n' % i)
+    rc = main([
+        "--master", "local[2]",
+        "stream", str(src),
+        "--table", "st2", "--location", "/warehouse/st2",
+        "--checkpoint", str(tmp_path / "ck2"),
+        "--timeout", "1",
+    ])
+    assert rc == 3
+    out = capsys.readouterr()
+    assert "did not drain" in out.err
+    assert "None" not in out.out.splitlines()

@@ -35,6 +35,8 @@ def test_inference_stream_drift(spark, tmp_path):
     assert state.good_rows == 2 and state.bad_rows == 0
     assert len(state.ddl_history) == 1
     assert "`a` STRING" in state.current_ddl and "`b` STRING" in state.current_ddl
+    # the first DDL is the CREATE — no redundant ALTER restating its columns
+    assert state.alter_history == []
 
     # second batch: drift (new column c, conflict on a) + one bad line
     (indir / "batch2.json").write_text('{"a": [1], "c": {"d": 1}}\nnot json\n')
