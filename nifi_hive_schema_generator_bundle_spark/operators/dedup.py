@@ -466,13 +466,31 @@ def _blocked_cosine_pairs(
 # --------------------------------------------------------------------------
 
 def connected_components(
-    pairs: DataFrame, *, max_iter: int = 20
+    pairs: DataFrame, *, max_iter: int = 20, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """(id, component) from an edge list (id_a, id_b) via iterative
     min-label propagation. Each round: label ← min(label of self, labels
     of neighbors); stops when no label changes. Rounds are plain joins —
     AQE re-plans as the frontier shrinks; near-dup components are shallow
-    so this converges in a handful of rounds."""
+    so this converges in a handful of rounds. Labels propagate one hop
+    per round, so full convergence needs ``max_iter`` ≥ the largest
+    component's diameter; past the cap the result is still deterministic
+    (each label is the min over its ``max_iter``-hop neighborhood).
+
+    ``checkpoint_dir``: reliable checkpoint location (HDFS/S3 on a real
+    cluster) used to truncate lineage between rounds. Without it,
+    ``localCheckpoint`` stores blocks on executors — fine single-node,
+    but a lost executor on a cluster loses the (truncated) lineage.
+    """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b"), F.col("id_a")))
@@ -483,33 +501,34 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = _materialize(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # the convergence flag rides the label-update pass itself (least()
+        # can only decrease the label, so changed ⇔ new < old) — the probe
+        # is then a scan of the materialized frame, not a join+count job
+        new_comp = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_component"), F.col("component")),
+        )
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp < F.col("component")).alias("chg"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        updated = _materialize(updated)
+        n_changed = updated.agg(
+            F.sum(F.col("chg").cast("int")).alias("n")
+        ).collect()[0]["n"]
+        labels = updated.drop("chg")
+        if not n_changed:
             break
     return labels
 

@@ -103,6 +103,49 @@ def test_connected_components_and_keep_min(spark, docs):
     assert kept == [1, 4, 5]
 
 
+def test_connected_components_chain_deeper_than_max_iter(spark):
+    """Labels propagate one hop per round, so a path graph of depth ≥
+    max_iter pins both behaviors: capped rounds give the deterministic
+    partial labeling (min over the max_iter-hop neighborhood), enough
+    rounds give full convergence."""
+    depth = 25
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(depth)], "id_a long, id_b long"
+    )
+    # enough rounds: every node joins component 0
+    full = {
+        r.id: r.component
+        for r in connected_components(chain, max_iter=depth + 2).collect()
+    }
+    assert full == {i: 0 for i in range(depth + 1)}
+    # capped rounds: node i sees min(0, i - max_iter) — deterministic,
+    # not fully converged
+    capped = {
+        r.id: r.component
+        for r in connected_components(chain, max_iter=5).collect()
+    }
+    assert capped[depth] == depth - 5
+    assert capped[3] == 0
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """The checkpoint_dir path must produce identical results while
+    writing lineage-truncation state under the given reliable location
+    (what a real cluster needs to survive executor loss)."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    ckdir = str(tmp_path / "cc_ck")
+    comp = {
+        r.id: r.component
+        for r in connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    assert os.listdir(ckdir)  # checkpoint state actually landed there
+
+
 def test_lsh_plans_stay_jvm_side(spark, docs):
     plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
