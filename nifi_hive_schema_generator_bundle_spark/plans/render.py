@@ -121,6 +121,7 @@ def render_hive_ddl(
     *,
     drop_if_exists: bool = False,
     serde: str = "org.apache.hive.hcatalog.data.JsonSerDe",
+    stored_as: str | None = None,
 ) -> str:
     """Reference-exact DDL (``table``, CreateHQL.scala:94-99).
 
@@ -128,14 +129,23 @@ def render_hive_ddl(
     ``DROP TABLE`` without ``IF EXISTS`` (would error in Hive on first
     run — documented quirk) and the hardcoded hcatalog JsonSerDe with a
     lowercase ``location`` keyword.
+
+    ``stored_as`` swaps the ROW FORMAT SERDE clause for ``STORED AS
+    <fmt>`` — the executable variant for Hive builds without the hcatalog
+    SerDe jar (Spark's builtin Hive ships LazySimpleSerDe formats only).
     """
     drop = f"DROP TABLE IF EXISTS {table};" if drop_if_exists else f"DROP TABLE {table};"
+    storage = (
+        f") STORED AS {stored_as}"
+        if stored_as is not None
+        else f") ROW FORMAT SERDE '{serde}'"
+    )
     return "\n".join(
         [
             drop,
             f"CREATE EXTERNAL TABLE {table} (",
             sanitize_identifiers(render_definition(schema, 1)),
-            f") ROW FORMAT SERDE '{serde}'",
+            storage,
             f"location '{location}';",
         ]
     )
