@@ -4,10 +4,12 @@ pipelines.
 Media travel as opaque ``binary`` columns next to a typed metadata struct
 (SURVEY north-star). The Spark-side plumbing — schemas, Arrow batch shape,
 ``mapInPandas`` signatures, partition sizing — is real and tested; the
-actual codec work is STUBBED (this container ships no image/audio libs):
-``decode_fn=None`` uses a deterministic fake "decoder" so the distributed
-path is exercised end-to-end, and a real decoder (PIL/librosa/ffmpeg) drops
-in as a one-argument callable without touching the plumbing.
+DEFAULT codec is a deterministic fake (this container ships no image/audio
+libs), and a real decoder (PIL/librosa/ffmpeg) drops in as a one-argument
+callable without touching the plumbing. One real codec IS bundled:
+``png_codec`` (stdlib zlib+struct PNG decode/encode) — its ``feature_fn``
+and ``resize`` hooks plug straight into ``decode_features`` /
+``resize_media`` and are tested on real image bytes.
 
 Scale notes: media rows are large — the module keeps them in Arrow batches
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` should be lowered for
