@@ -22,7 +22,13 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["is_valid_json", "split_valid", "RoutedFrames"]
+__all__ = [
+    "is_valid_json",
+    "is_valid_json_lax",
+    "split_valid",
+    "split_valid_whole_content",
+    "RoutedFrames",
+]
 
 
 class RoutedFrames(NamedTuple):
@@ -44,6 +50,42 @@ def is_valid_json(col: Column | str) -> Column:
         & F.try_parse_json(c).isNotNull()
         & first.isin("{", "[")
     )
+
+
+def is_valid_json_lax(col: Column | str) -> Column:
+    """org.json whole-content parity shim (HiveSchemaGenerator.scala:77-95).
+
+    The reference validates a whole FlowFile by constructing one
+    ``JSONObject``/``JSONArray`` from the content: the tokener stops after
+    the first complete value, so a multi-line file whose FIRST value
+    parses is "valid" even when later lines are garbage (those then blow
+    up during inference — the documented quirk). The per-record routing
+    (`is_valid_json`) is strictly better and remains the default; this
+    predicate exists for users comparing routing counts 1:1 with the
+    reference.
+
+    Rendering in Spark expressions: content is lax-valid iff the whole
+    string parses (pretty-printed JSON spanning lines) OR its first line
+    parses (the NDJSON-with-trailing-garbage case the reference's own
+    fixtures exercise) — both subject to the object-or-array first-char
+    rule. Empirically Spark's ``try_parse_json`` (this build) already
+    behaves like org.json's tokener — it stops after the first complete
+    value and ignores trailing garbage — so the first-line disjunct is a
+    guard against future parser tightening, not the load-bearing branch.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    first_line = F.split_part(c, F.lit("\n"), F.lit(1))
+    return is_valid_json(c) | is_valid_json(first_line)
+
+
+def split_valid_whole_content(
+    df: DataFrame, column: str = "value"
+) -> RoutedFrames:
+    """Whole-content routing with the reference's lax verdict — each row
+    is one FlowFile's entire content (`spark.read.text(...,
+    wholetext=True)` produces exactly this shape)."""
+    pred = is_valid_json_lax(column)
+    return RoutedFrames(success=df.filter(pred), failure=df.filter(~pred))
 
 
 def split_valid(df: DataFrame, column: str = "value") -> RoutedFrames:

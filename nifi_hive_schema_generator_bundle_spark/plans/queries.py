@@ -132,6 +132,53 @@ def route_json_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query(
+    "route_json_validity_lax",
+    oracle="""
+    WITH c AS (SELECT props || chr(10) || '!garbage' AS content FROM events),
+    v AS (
+        SELECT
+          CASE WHEN json_valid(split_part(content, chr(10), 1))
+                AND (ltrim(split_part(content, chr(10), 1)) LIKE '{%'
+                     OR ltrim(split_part(content, chr(10), 1)) LIKE '[%')
+               THEN 1 ELSE 0 END AS lax_ok,
+          CASE WHEN json_valid(split_part(content, chr(10), 2))
+                AND (ltrim(split_part(content, chr(10), 2)) LIKE '{%'
+                     OR ltrim(split_part(content, chr(10), 2)) LIKE '[%')
+               THEN 1 ELSE 0 END AS line2_ok
+        FROM c
+    )
+    SELECT
+      CAST(sum(lax_ok) AS BIGINT) AS n_lax_valid,
+      CAST(sum(line2_ok) AS BIGINT) AS n_line2_valid
+    FROM v
+    """,
+)
+def route_json_validity_lax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The org.json whole-content compat verdict
+    (HiveSchemaGenerator.scala:77-95): every props document gets a
+    trailing garbage line appended, making it a multi-line "FlowFile" the
+    reference still calls valid (the first value parses) even though its
+    second line is garbage — the quirk the per-record router improves on.
+    n_lax_valid counts the reference's verdicts; n_line2_valid counts the
+    garbage lines that would individually pass (none). The oracle renders
+    the lax rule as a first-line check because DuckDB's json_valid is
+    whole-string-strict, whereas Spark's try_parse_json (like org.json's
+    tokener) already stops after the first complete value."""
+    from ..operators.routing import is_valid_json, is_valid_json_lax
+
+    events = load_table(spark, sf_dir, "events")
+    content = F.concat(F.col("props"), F.lit("\n!garbage"))
+    line2 = F.split_part(content, F.lit("\n"), F.lit(2))
+    return events.select(
+        is_valid_json_lax(content).cast("long").alias("lax"),
+        is_valid_json(line2).cast("long").alias("line2"),
+    ).agg(
+        F.sum("lax").alias("n_lax_valid"),
+        F.sum("line2").alias("n_line2_valid"),
+    )
+
+
 # ===========================================================================
 # Relational surface (extension categories from SURVEY §2)
 # ===========================================================================
