@@ -5,8 +5,14 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 Each query is forced end-to-end with a noop-sink write (full computation,
-no driver collect bottleneck, no result materialization cost). One warm-up
-of the flagship query amortizes session/JIT startup out of the numbers.
+no driver collect bottleneck, no result materialization cost).
+
+Protocol (noise containment — the host has ±50% ambient load, and Janino
+codegen compile adds seconds to a first run): each query runs once COLD
+(includes codegen/JIT compile for its plan shape) then $SPARK_GRAFT_BENCH_RUNS
+(default 3) times WARM; the headline per-query number and total are the
+WARM MEDIANS, with the cold pass reported separately under "queries_cold".
+Round-over-round deltas should compare warm medians only.
 """
 
 from __future__ import annotations
@@ -80,14 +86,18 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - start
 
-    # warm-up: JVM/codegen/parquet-footer caches + the Arrow/Python-worker
-    # pool used by the exact-inference path (steady-state numbers)
+    # session warm-up: JVM startup, parquet footer caches, and the
+    # Arrow/Python-worker pool used by the exact-inference path
     run("q6_revenue_delta")
     run("infer_props_schema")
 
-    times: dict[str, float] = {}
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        times[name] = round(run(name), 3)
+        cold[name] = round(run(name), 3)
+        reps = sorted(run(name) for _ in range(n_warm))
+        warm[name] = round(reps[len(reps) // 2], 3)  # median
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -98,9 +108,11 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(times.values()), 3),
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": times,
+                "queries": warm,
+                "queries_cold": cold,
+                "protocol": f"warm median of {n_warm}; cold pass separate",
                 "sf": sf_val,
             }
         )
