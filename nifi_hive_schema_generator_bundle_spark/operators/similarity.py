@@ -216,9 +216,21 @@ def ivf_topk(
     sample = np.stack([np.asarray(r["c_vec"]) for r in sampled])
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+
+    def _nearest(M: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+        # argmin over squared distance in matmul form: |x|^2 - 2 x·c + |c|^2.
+        # The broadcasting-subtraction form materializes an (n, C, dim)
+        # temp — O(n·C·dim) memory, tens of GB per Arrow batch at a
+        # realistic C=4096 — while this is an (n, C) BLAS product.
+        d2 = (
+            (M * M).sum(1)[:, None]
+            - 2.0 * (M @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        return d2.argmin(1)
+
     for _ in range(max_iter):
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        cell = d2.argmin(1)
+        cell = _nearest(sample, cents)
         for j in range(len(cents)):
             pts = sample[cell == j]
             if len(pts):
@@ -229,14 +241,15 @@ def ivf_topk(
     def assign(batches):
         import pandas as pd
 
+        c2 = (centroids * centroids).sum(1)[None, :]
         for pdf in batches:
             M = np.stack(pdf["c_vec"].to_numpy())
-            d = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+            d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ centroids.T) + c2
             yield pd.DataFrame(
                 {
                     "c_id": pdf["c_id"],
                     "c_vec": pdf["c_vec"],
-                    "cell": d.argmin(1).astype("int32"),
+                    "cell": d2.argmin(1).astype("int32"),
                 }
             )
 
