@@ -917,6 +917,46 @@ def media_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query("media_audio_features")
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing on the REAL stdlib WAV codec (rows-only: the codec
+    runs in mapInPandas): documents.text bytes → 8-bit PCM samples →
+    ``wav_encode`` → header parse + decode → loudness-envelope features,
+    all inside one Arrow stage. Exercises actual RIFF bytes end to end —
+    the audio mirror of the PNG path in media_resize."""
+    from ..operators.multimodal import decode_features
+    from ..operators.wav_codec import feature_fn, wav_encode, wav_info
+
+    wav_features = feature_fn(8)
+
+    def text_as_audio(payload: bytes) -> list[float]:
+        # deterministic synth: text bytes ARE the 8-bit PCM samples
+        samples = [(b - 128) / 128.0 for b in payload]
+        wav = wav_encode(samples, 8000, 1, 8)
+        _, _, _, n_frames, dur_ms = wav_info(wav)
+        assert n_frames == len(samples)
+        return [float(dur_ms)] + wav_features(wav)
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = decode_features(d, dim=9, decode_fn=text_as_audio)
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("long").alias("duration_ms"),
+        (F.size("features") - 1).alias("feat_dim"),
+        F.round(
+            F.aggregate(
+                F.slice("features", 2, 8),
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double"),
+            ),
+            4,
+        ).alias("loudness_sum"),
+    ).orderBy("media_id")
+
+
 @register_query("ivf_ann_topk")
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF centroid-probing ANN (rows-only: KMeans fit is iterative, not

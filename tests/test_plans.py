@@ -152,6 +152,7 @@ def test_holdout_split_no_shuffle_before_agg(spark, sf_smoke_dir):
 ARROW_BATCHED = {
     "embedding_near_dup",
     "ivf_ann_topk",
+    "media_audio_features",
     "media_features_docs",
     "media_frame_sample",
     "media_resize",
