@@ -8,6 +8,9 @@ library + CLI"):
     group   NDJSON with a routing column -> one DDL per table value
     convert data in one format -> another (schema-preserving, partitionable)
     sample  deterministic md5 train/holdout split or downsample -> output dir
+    dedup   exact or near-dup (minhash/simhash) dedup of a text column,
+            keep the min-id representative per duplicate group -> output dir
+    profile one-scan column statistics (count/null/distinct/min/max)
     stream  drain an NDJSON directory through streaming inference, print
             the DDL and any drift ALTERs
 """
@@ -130,6 +133,50 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    from .operators import dedup as dd
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    if args.method == "exact":
+        keep = dd.exact_dedup(df, args.text_col, args.key).select(args.key)
+        out = df.join(keep, args.key, "left_semi")
+    else:
+        if args.method == "minhash":
+            pairs = dd.minhash_lsh_pairs(
+                df, args.text_col, args.key, threshold=args.threshold
+            )
+        else:
+            pairs = dd.simhash_pairs(
+                df, args.text_col, args.key, max_hamming=args.max_hamming
+            )
+        out = dd.dedup_keep_min(df, pairs, args.key)
+    convert(out, args.output, args.fmt, mode="overwrite")
+    # counts AFTER the write so the job runs once; semi/anti join sides
+    # are tiny keep/drop keys, so the recount scan is cheap
+    n_in, n_out = df.count(), out.count()
+    print(f"kept {n_out}/{n_in} ({args.method})", file=sys.stderr)
+    return 0
+
+
+def cmd_profile(args) -> int:
+    from .operators.profile import profile
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    cols = args.columns.split(",") if args.columns else None
+    rows = profile(df, cols, approx=args.approx).collect()
+    w = max(len(r["column"]) for r in rows)
+    for r in rows:
+        print(
+            f"{r['column']:<{w}}  n={r['n']}  null={r['n_null']}  "
+            f"distinct={r['n_distinct']}  min={r['min_s']}  max={r['max_s']}"
+        )
+    return 0
+
+
 def cmd_stream(args) -> int:
     from .streaming.infer_stream import run_inference_stream
 
@@ -211,6 +258,28 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--sixteenths", type=int, default=2,
                     help="holdout (split) or keep (sample) fraction, n/16")
     ps.set_defaults(fn=cmd_sample)
+
+    pd_ = sub.add_parser("dedup", help="exact/near-dup text dedup, keep min-id doc")
+    pd_.add_argument("input")
+    pd_.add_argument("output")
+    pd_.add_argument("--fmt", default="parquet")
+    pd_.add_argument("--key", default="doc_id", help="stable id column")
+    pd_.add_argument("--text-col", default="text")
+    pd_.add_argument("--method", choices=["exact", "minhash", "simhash"],
+                     default="exact")
+    pd_.add_argument("--threshold", type=float, default=0.5,
+                     help="minhash: estimated-Jaccard cutoff")
+    pd_.add_argument("--max-hamming", type=int, default=3,
+                     help="simhash: Hamming radius (<=3 complete)")
+    pd_.set_defaults(fn=cmd_dedup)
+
+    pp = sub.add_parser("profile", help="one-scan column statistics")
+    pp.add_argument("input")
+    pp.add_argument("--fmt", default="parquet")
+    pp.add_argument("--columns", default=None, help="comma-separated subset")
+    pp.add_argument("--approx", action="store_true",
+                    help="approx_count_distinct (HLL) instead of exact")
+    pp.set_defaults(fn=cmd_profile)
 
     pst = sub.add_parser("stream", help="streaming inference over an NDJSON dir")
     pst.add_argument("input")

@@ -142,3 +142,44 @@ def test_cli_stream_timeout_stops_query_and_exits_nonzero(tmp_path, capsys):
     out = capsys.readouterr()
     assert "did not drain" in out.err
     assert "None" not in out.out.splitlines()
+
+
+def test_cli_dedup_exact(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "docs_out")
+    rc = main(["dedup", src, out_dir, "--method", "exact"])
+    assert rc == 0
+    assert "kept 2/3 (exact)" in capsys.readouterr().err
+    kept = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {1, 3}  # min id per duplicate group survives
+
+
+def test_cli_dedup_minhash(spark, tmp_path, capsys):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    src = str(tmp_path / "near_in")
+    spark.createDataFrame(
+        [(1, base), (2, base + "tail"), (3, "completely different words " * 10)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "near_out")
+    rc = main(["dedup", src, out_dir, "--method", "minhash", "--threshold", "0.5"])
+    assert rc == 0
+    assert "kept 2/3 (minhash)" in capsys.readouterr().err
+    kept = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {1, 3}
+
+
+def test_cli_profile(spark, tmp_path, capsys):
+    src = str(tmp_path / "prof_in")
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, v string"
+    ).write.parquet(src)
+    rc = main(["profile", src])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "id  n=3  null=0  distinct=3  min=1  max=3" in out
+    assert "v   n=3  null=1  distinct=2  min=a  max=c" in out
