@@ -1,0 +1,99 @@
+"""Sequence packing — concat-and-chunk documents into fixed token-budget
+training sequences.
+
+LLM training consumes fixed-length token sequences; the standard prep
+step concatenates documents (in a deterministic order) and slices the
+stream every ``token_budget`` tokens, letting documents straddle sequence
+boundaries. This operator computes, per document, WHERE in that stream it
+lands: which sequence it starts in, at what offset, and how many
+sequences it spans — the metadata a downstream tokenizer/writer needs to
+materialize shards without ever re-scanning the corpus order.
+
+Scale design: one global concatenation order would be a single window
+over the whole corpus — one partition, dead at 100 TB. Instead documents
+are hashed into ``n_buckets`` independent streams (deterministic md5
+prefix, the same content-hash recipe as ``functions/sampling`` — layout-
+and engine-independent), and each bucket packs its own sequence stream
+``(bucket, seq_no)``. The window is partitioned by bucket, so the sort
+parallelizes across buckets; raise ``n_buckets`` (≤ 256 here, more hex
+digits if ever needed) so each bucket's token stream fits a partition.
+Everything is JVM window arithmetic — no UDF, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textfns import whitespace_tokens
+
+__all__ = ["hex_bucket", "pack_sequences"]
+
+
+def hex_bucket(key: Column | str, n_buckets: int = 16) -> Column:
+    """0..n_buckets-1 from the first two md5 nibbles of the key's string
+    form (content hash: stable across partitioning, cluster size, and
+    engines — the duckdb oracle replays it via strpos arithmetic)."""
+    if not 1 <= n_buckets <= 256:
+        raise ValueError("n_buckets must be in [1, 256]")
+    key = F.col(key) if isinstance(key, str) else key
+    byte = F.conv(F.substring(F.md5(key.cast("string")), 1, 2), 16, 10)
+    return (byte.cast("int") % n_buckets).alias("bucket")
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    token_budget: int = 2048,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document packing coordinates in the bucketed concat stream.
+
+    Returns (id_col, bucket, n_tokens, seq_no, seq_offset, n_seqs):
+
+    * ``bucket``     — which independent stream the doc concatenates into
+    * ``n_tokens``   — whitespace token count (the packing currency)
+    * ``seq_no``     — index of the fixed-size sequence the doc starts in
+    * ``seq_offset`` — token position within that sequence
+    * ``n_seqs``     — how many sequences the doc touches (0 for empty
+      docs, ≥ 2 when it straddles a budget boundary)
+
+    Docs are ordered by id within a bucket, so the layout is reproducible
+    run-to-run and engine-to-engine given stable ids.
+    """
+    if token_budget < 1:
+        raise ValueError("token_budget must be positive")
+    toks = df.select(
+        F.col(id_col),
+        hex_bucket(F.col(id_col), n_buckets),
+        F.size(whitespace_tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(F.col("n_tokens").cast("long")).over(w), F.lit(0))
+    # integer DIV, not floor(x/y): float division drifts on 100 TB-scale
+    # cumulative offsets (> 2^53 is unreachable, but DIV is exact and
+    # matches the duckdb oracle's // by construction)
+    with_off = toks.withColumn("cum_offset", offset).withColumn(
+        "end_tok", F.col("cum_offset") + F.col("n_tokens") - 1
+    )
+    return with_off.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        F.expr(f"cum_offset DIV {token_budget}").alias("seq_no"),
+        F.expr(f"cum_offset % {token_budget}").alias("seq_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(f"end_tok DIV {token_budget}")
+            - F.expr(f"cum_offset DIV {token_budget}")
+            + 1
+        )
+        .alias("n_seqs"),
+    )

@@ -3249,3 +3249,43 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return profile(docs, ["doc_id", "lang", "source"]).orderBy("column")
+
+
+@register_query(
+    "doc_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hx,
+             CAST(len(list_filter(string_split_regex(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), off AS (
+      SELECT doc_id, hx % 16 AS bucket, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY hx % 16 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_offset
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(bucket AS INT) AS bucket,
+           CAST(n_tokens AS INT) AS n_tokens,
+           cum_offset // 256 AS seq_no,
+           cum_offset % 256 AS seq_offset,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE (cum_offset + n_tokens - 1) // 256 - cum_offset // 256 + 1
+           END AS BIGINT) AS n_seqs
+    FROM off ORDER BY doc_id
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.pack_sequences): where each
+    document lands in the bucketed concat-and-chunk token stream an LLM
+    training run consumes — start sequence, offset, sequences spanned.
+    Bucketed md5 streams keep the window parallel (no single global
+    sort); all arithmetic is exact integer DIV, replayed by the oracle
+    with // on BIGINT."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, token_budget=256, n_buckets=16).orderBy("doc_id")

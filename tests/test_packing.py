@@ -1,0 +1,82 @@
+"""Sequence packing: hand-computed layout, boundary straddle, empty
+docs, bucket determinism."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+    hex_bucket,
+    pack_sequences,
+)
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_hand_computed_single_bucket(spark):
+    # token counts: 4, 5, 3, 7, 0 — budget 10, one bucket ⇒ stream is
+    # deterministic by doc_id: offsets 0, 4, 9, 12, 19
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d"),
+            (2, "e f g h i"),
+            (3, "j k l"),
+            (4, "m n o p q r s"),
+            (5, "   "),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.seq_no, r.seq_offset, r.n_seqs)
+        for r in pack_sequences(df, token_budget=10, n_buckets=1).collect()
+    }
+    assert got[1] == (4, 0, 0, 1)
+    assert got[2] == (5, 0, 4, 1)
+    # doc 3 starts at offset 9, spans the 10-token boundary into seq 1
+    assert got[3] == (3, 0, 9, 2)
+    assert got[4] == (7, 1, 2, 1)
+    # empty doc: starts where the stream is, occupies nothing
+    assert got[5] == (0, 1, 9, 0)
+
+
+def test_pack_totals_are_budget_consistent(spark, sf_smoke_dir):
+    docs = spark.read.parquet(f"{sf_smoke_dir}/documents.parquet")
+    out = pack_sequences(docs, token_budget=64, n_buckets=16).cache()
+    # per bucket: last doc's end == total tokens in the bucket
+    per_bucket = (
+        out.groupBy("bucket")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.max(
+                F.col("seq_no") * 64 + F.col("seq_offset") + F.col("n_tokens")
+            ).alias("stream_end"),
+        )
+        .collect()
+    )
+    assert per_bucket, "expected at least one bucket"
+    for r in per_bucket:
+        assert r.total == r.stream_end
+    out.unpersist()
+
+
+def test_hex_bucket_matches_md5_and_bounds(spark):
+    df = spark.range(200).select(
+        F.col("id"), hex_bucket(F.col("id"), 7).alias("b")
+    )
+    for r in df.collect():
+        expect = int(hashlib.md5(str(r.id).encode()).hexdigest()[:2], 16) % 7
+        assert r.b == expect
+
+
+def test_pack_rejects_bad_params(spark):
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        pack_sequences(df, token_budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, n_buckets=0)
