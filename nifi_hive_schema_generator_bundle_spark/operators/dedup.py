@@ -42,6 +42,8 @@ __all__ = [
     "embedding_near_dup_pairs",
     "connected_components",
     "dedup_keep_min",
+    "contaminated_ids",
+    "decontaminate",
 ]
 
 
@@ -200,6 +202,54 @@ def minhash_lsh_pairs(
     return cand.select(
         "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
     ).filter(F.col("est_jaccard") >= threshold)
+
+
+def contaminated_ids(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """ids of corpus docs sharing any word ``k``-gram with ``eval_df`` —
+    benchmark decontamination, the overlap check every LLM training-data
+    pipeline runs before a corpus ships.
+
+    Scale shape: eval/benchmark sets are small by definition, so their
+    distinct k-gram set is broadcast and the corpus side is a single
+    narrow explode → broadcast LEFT SEMI join → distinct ids. The corpus
+    is never shuffled on document bodies; the semi join carries only
+    (id, gram). Set ``broadcast_eval=False`` for an unusually large eval
+    side and AQE picks the strategy from runtime sizes instead.
+    """
+    ev = eval_df.select(
+        F.explode(shingles(F.col(text_col), k)).alias("gram")
+    ).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("gram")
+    )
+    return grams.join(ev, "gram", "left_semi").select(id_col).distinct()
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Corpus minus every doc flagged by ``contaminated_ids`` (left-anti
+    on the id list — document bodies never shuffle)."""
+    bad = contaminated_ids(
+        df, eval_df, text_col, id_col, k=k, broadcast_eval=broadcast_eval
+    )
+    return df.join(bad, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

@@ -3289,3 +3289,41 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, token_budget=256, n_buckets=16).orderBy("doc_id")
+
+
+@register_query(
+    "doc_decontamination",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(
+                        generate_series(1, len(t) - 7),
+                        i -> array_to_string(t[i:i+7], ' '))) END AS sh
+        FROM toks
+    ), ev AS (
+        SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 41 = 0
+    ), ex AS (
+        SELECT doc_id, unnest(sh) AS gram FROM sh
+    )
+    SELECT DISTINCT doc_id FROM ex JOIN ev USING (gram) ORDER BY doc_id
+    """,
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.contaminated_ids):
+    flag every corpus doc sharing a word 8-gram with the eval set (here:
+    every 41st doc stands in for a benchmark, so the eval docs flag
+    themselves and any true 8-gram collisions). Eval grams broadcast,
+    corpus side one narrow explode + LEFT SEMI — the corpus never
+    shuffles document bodies."""
+    from ..operators.dedup import contaminated_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    return contaminated_ids(docs, ev, k=8).orderBy("doc_id")

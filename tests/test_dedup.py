@@ -149,3 +149,32 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
 def test_lsh_plans_stay_jvm_side(spark, docs):
     plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontamination_flags_overlap_and_keeps_rest(spark, docs):
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    # eval set = doc 1's text; docs 1/2/3 share all 8-grams with it, doc 4
+    # differs by one token mid-string but still shares the 8-grams at the
+    # edges; 5/6 share none
+    ev = spark.createDataFrame([(99, BASE)], "doc_id long, text string")
+    flagged = {
+        r.doc_id for r in contaminated_ids(docs, ev, k=8).collect()
+    }
+    assert {1, 2, 3, 4} <= flagged
+    assert 5 not in flagged and 6 not in flagged
+    kept = {r.doc_id for r in decontaminate(docs, ev, k=8).collect()}
+    assert kept == {5, 6}
+
+
+def test_decontamination_broadcasts_eval_grams(spark, docs):
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        contaminated_ids,
+    )
+
+    ev = spark.createDataFrame([(99, BASE)], "doc_id long, text string")
+    plan = contaminated_ids(docs, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
