@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "quantized_ann_topk",
     "q2_best_price_supplier",
     "training_prep_pipeline",
+    "doc_sequence_packing",
+    "doc_decontamination",
 ]
 
 
