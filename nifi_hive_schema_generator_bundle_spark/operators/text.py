@@ -29,6 +29,7 @@ __all__ = [
     "fingerprint",
     "STOPWORD_PROFILES",
     "tfidf_top_terms",
+    "ngram_repetition",
 ]
 
 # Tiny per-language stopword profiles for the heuristic language scorer.
@@ -135,6 +136,60 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_hash64"),
     )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals: for each n in ``ns``,
+    the occurrence count of the document's most frequent word n-gram and
+    the fraction of all its n-grams that most-frequent one accounts for.
+    High fractions flag boilerplate/looped text that per-token
+    distinct-ratio checks (``quality_score.rep_score``) miss.
+
+    Plan shape: n-grams are POSITIONAL (not distinct — frequency is the
+    signal), counted per (doc, gram) with map-side partial aggregation,
+    then folded to one row per doc. Shuffle keys are (id, narrow string)
+    — document bodies never shuffle, and both aggregations partial-fold,
+    so the shape holds at corpus scale."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    out = df.select(id_col).distinct()
+    for n in ns:
+        grams = df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(F.size(toks) < n, F.array()).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - n + 1),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    )
+                )
+            ).alias("gram"),
+        )
+        per_doc = (
+            grams.groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("cnt").alias(f"n_{n}grams"),
+                F.max("cnt").alias(f"top_{n}gram_n"),
+            )
+            .select(
+                id_col,
+                f"n_{n}grams",
+                f"top_{n}gram_n",
+                F.round(
+                    F.col(f"top_{n}gram_n") / F.col(f"n_{n}grams"), 6
+                ).alias(f"top_{n}gram_frac"),
+            )
+        )
+        # left join: docs shorter than n tokens have no n-grams -> NULLs
+        out = out.join(per_doc, id_col, "left")
+    return out
 
 
 def tfidf_top_terms(

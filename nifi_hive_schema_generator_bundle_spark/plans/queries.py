@@ -3327,3 +3327,55 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 41 == 0)
     return contaminated_ids(docs, ev, k=8).orderBy("doc_id")
+
+
+@register_query(
+    "doc_ngram_repetition",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), g2 AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                 ELSE list_transform(generate_series(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+1], ' ')) END) AS gram
+        FROM toks
+    ), a2 AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+               CAST(max(cnt) AS BIGINT) AS top_2gram_n
+        FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram)
+        GROUP BY doc_id
+    ), g3 AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                 ELSE list_transform(generate_series(1, len(t) - 2),
+                                     i -> array_to_string(t[i:i+2], ' ')) END) AS gram
+        FROM toks
+    ), a3 AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_3grams,
+               CAST(max(cnt) AS BIGINT) AS top_3gram_n
+        FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, n_2grams, top_2gram_n,
+           round(top_2gram_n::DOUBLE / n_2grams, 6) AS top_2gram_frac,
+           n_3grams, top_3gram_n,
+           round(top_3gram_n::DOUBLE / n_3grams, 6) AS top_3gram_frac
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN a2 ON d.doc_id = a2.doc_id
+    LEFT JOIN a3 ON d.doc_id = a3.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/text.
+    ngram_repetition): most-frequent word 2-/3-gram occurrence count and
+    the fraction of the doc's n-grams it accounts for — the boilerplate
+    flag distinct-token ratios miss. Positional n-grams, narrow-key
+    partial aggs; bodies never shuffle."""
+    from ..operators.text import ngram_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_repetition(docs).orderBy("doc_id")

@@ -127,3 +127,25 @@ class TestRedact:
         ).collect()[0]
         # the email pattern wins; its digits never become <NUMBER>
         assert row.red == "<EMAIL>"
+
+
+def test_ngram_repetition_flags_looped_text(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.text import (
+        ngram_repetition,
+    )
+
+    rows = [
+        (1, "spam ham " * 10),          # "spam ham"/"ham spam" dominate
+        (2, "all tokens here are fully distinct words okay"),
+        (3, "one"),                      # too short for 2-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_repetition(df).collect()}
+    # doc 1: 20 tokens -> 19 2-grams; "spam ham" x10 wins
+    assert got[1].n_2grams == 19 and got[1].top_2gram_n == 10
+    assert got[1].top_2gram_frac > 0.5
+    # doc 2: every 2-gram unique
+    assert got[2].top_2gram_n == 1
+    assert got[2].top_2gram_frac == round(1 / 7, 6)
+    # doc 3: no 2-grams -> NULLs, row still present
+    assert got[3].n_2grams is None and got[3].top_3gram_n is None
