@@ -177,6 +177,19 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    from .plans.queries import QUERIES
+
+    spark = _session(args)
+    if args.query not in QUERIES:
+        print(f"unknown query {args.query!r}; one of: "
+              f"{', '.join(sorted(QUERIES))}", file=sys.stderr)
+        return 2
+    df = QUERIES[args.query](spark, args.sf_dir)
+    df.explain(mode=args.mode)
+    return 0
+
+
 def cmd_stream(args) -> int:
     from .streaming.infer_stream import run_inference_stream
 
@@ -280,6 +293,13 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--approx", action="store_true",
                     help="approx_count_distinct (HLL) instead of exact")
     pp.set_defaults(fn=cmd_profile)
+
+    pe = sub.add_parser("explain", help="print a registered query's physical plan")
+    pe.add_argument("query", help="a queries() registry name")
+    pe.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pe.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "codegen", "cost", "formatted"])
+    pe.set_defaults(fn=cmd_explain)
 
     pst = sub.add_parser("stream", help="streaming inference over an NDJSON dir")
     pst.add_argument("input")

@@ -229,7 +229,9 @@ def contaminated_ids(
     ).distinct()
     if broadcast_eval:
         ev = F.broadcast(ev)
-    grams = df.select(
+    # the shingle transform is an interpreted HOF (no codegen) — single-
+    # split inputs must fan out or the explode serializes on one core
+    grams = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("gram")
     )
     return grams.join(ev, "gram", "left_semi").select(id_col).distinct()

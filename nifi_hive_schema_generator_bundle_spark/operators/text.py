@@ -157,6 +157,7 @@ def ngram_repetition(
     — document bodies never shuffle, and both aggregations partial-fold,
     so the shape holds at corpus scale."""
     toks = whitespace_tokens(F.lower(F.col(text_col)))
+    df = ensure_min_partitions(df)  # interpreted n-gram HOF must not serialize on one split
     out = df.select(id_col).distinct()
     for n in ns:
         grams = df.select(

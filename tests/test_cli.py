@@ -183,3 +183,16 @@ def test_cli_profile(spark, tmp_path, capsys):
     assert rc == 0
     assert "id  n=3  null=0  distinct=3  min=1  max=3" in out
     assert "v   n=3  null=1  distinct=2  min=a  max=c" in out
+
+
+def test_cli_explain_prints_formatted_plan(spark, capsys, sf_smoke_dir):
+    rc = main(["explain", "q1_pricing_summary", "--sf-dir", sf_smoke_dir])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out and "HashAggregate" in out
+
+
+def test_cli_explain_unknown_query(spark, capsys):
+    rc = main(["explain", "no_such_query"])
+    assert rc == 2
+    assert "unknown query" in capsys.readouterr().err
