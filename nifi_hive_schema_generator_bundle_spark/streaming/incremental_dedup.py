@@ -1,0 +1,123 @@
+"""Incremental cross-run dedup — new batches against a persistent
+fingerprint store.
+
+``dropDuplicatesWithinWatermark`` bounds state to the watermark horizon,
+which is right for within-stream duplicates but cannot answer "have we
+EVER ingested this document?" across runs and restarts. A 100 TB corpus
+built by continuous ingestion needs exactly that: a durable fingerprint
+index, with each micro-batch anti-joined against history and the
+survivors' fingerprints appended.
+
+Replay safety: ``foreachBatch`` may re-run a batch after a crash between
+the write and the checkpoint commit. The store is therefore partitioned
+by ``batch_id`` and each batch (a) anti-joins only against STRICTLY
+EARLIER batches — so a replay never collides with its own half-written
+fingerprints — and (b) rewrites its own ``batch_id=N`` partition and
+output partition via dynamic partition overwrite. Retries converge to
+the same bytes, same as ``sink.idempotent_partition_sink``.
+
+Scale shape: the per-batch work is one md5 projection (16-byte keys) and
+one anti-join of (batch fingerprints) against (store fingerprints) — the
+store side is a plain parquet directory of 16-byte keys, pruned and
+shuffled on the hash only; document bodies never join. Within a batch,
+first-occurrence wins via a min-id aggregate on the fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.textfns import normalize_ws
+from ..sources.formats import overwrite_partitions
+
+__all__ = ["dedup_batch_against_store", "run_incremental_dedup"]
+
+
+def _fingerprints(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn(
+        "__fp", F.md5(normalize_ws(F.lower(F.col(text_col))))
+    )
+
+
+def dedup_batch_against_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> int:
+    """One micro-batch of the incremental dedup; returns survivors kept.
+
+    Reusable from any ``foreachBatch`` (batch pipelines can drive it in a
+    loop with their own batch numbering).
+    """
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return 0
+    fps = _fingerprints(batch_df, text_col)
+    # within-batch first occurrence: min id per fingerprint
+    firsts = fps.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    batch_first = fps.join(firsts, ["__fp", id_col], "left_semi")
+    try:
+        store = spark.read.parquet(store_dir)
+        # strictly-earlier batches only: replays of THIS batch must not
+        # see their own previously-written fingerprints
+        history = store.filter(F.col("batch_id") < batch_id).select("__fp")
+        survivors = batch_first.join(history, "__fp", "left_anti")
+    except AnalysisException:  # first batch: no store yet
+        survivors = batch_first
+    survivors = survivors.persist()
+    try:
+        n = survivors.count()
+        out = survivors.drop("__fp").withColumn(
+            "ingest_batch", F.lit(batch_id)
+        )
+        overwrite_partitions(out, out_dir, ["ingest_batch"], fmt=fmt)
+        new_fps = (
+            survivors.select("__fp")
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        overwrite_partitions(new_fps, store_dir, ["batch_id"], fmt="parquet")
+    finally:
+        survivors.unpersist()
+    return n
+
+
+def run_incremental_dedup(
+    stream_df: DataFrame,
+    *,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the streaming query: each micro-batch is deduped against
+    all prior history and appended to both the corpus and the store."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_batch_against_store(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            out_dir=out_dir,
+            text_col=text_col,
+            id_col=id_col,
+            fmt=fmt,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
