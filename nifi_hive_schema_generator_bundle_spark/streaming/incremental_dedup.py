@@ -33,7 +33,11 @@ from pyspark.sql.streaming import StreamingQuery
 from ..functions.textfns import normalize_ws
 from ..sources.formats import overwrite_partitions
 
-__all__ = ["dedup_batch_against_store", "run_incremental_dedup"]
+__all__ = [
+    "dedup_batch_against_store",
+    "run_incremental_dedup",
+    "compact_fingerprint_store",
+]
 
 
 def _fingerprints(df: DataFrame, text_col: str) -> DataFrame:
@@ -87,6 +91,49 @@ def dedup_batch_against_store(
         overwrite_partitions(new_fps, store_dir, ["batch_id"], fmt="parquet")
     finally:
         survivors.unpersist()
+    return n
+
+
+def compact_fingerprint_store(
+    spark, store_dir: str, *, target_files: int = 8
+) -> int:
+    """Fold the store's accumulated per-batch partitions into one.
+
+    One tiny partition per micro-batch is the classic small-files
+    problem; run this periodically (it is NOT part of the streaming
+    query). All batches strictly below the current maximum collapse into
+    the ``max-1`` partition — safe because every future batch id is
+    > max-1 (ids are monotonic), and a replay of batch ``max`` filters
+    ``batch_id < max``, which still sees the compacted rows and never
+    its own. The live ``max`` partition is left untouched. Returns the
+    number of fingerprints compacted.
+    """
+    import shutil
+
+    store = spark.read.parquet(store_dir)
+    ids = [r[0] for r in store.select("batch_id").distinct().collect()]
+    if len(ids) < 3:  # nothing worth folding
+        return 0
+    top = max(ids)
+    folded = (
+        store.filter(F.col("batch_id") < top)
+        .select("__fp")
+        .distinct()
+        .repartition(target_files)
+        .withColumn("batch_id", F.lit(top - 1))
+        .persist()
+    )
+    n = folded.count()  # materialize BEFORE overwriting the dir it reads
+    try:
+        # dynamic mode replaces only the batch_id=top-1 partition; the
+        # other stale partitions are then dropped explicitly (local FS
+        # here; a cluster deployment would use the Hadoop FS API)
+        overwrite_partitions(folded, store_dir, ["batch_id"], fmt="parquet")
+    finally:
+        folded.unpersist()
+    for i in ids:
+        if i < top - 1:
+            shutil.rmtree(f"{store_dir}/batch_id={i}", ignore_errors=True)
     return n
 
 

@@ -74,3 +74,24 @@ def test_streaming_incremental_dedup_two_drains(spark, tmp_path):
     drain()
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {1, 2, 4}
+
+
+def test_store_compaction_preserves_dedup_semantics(spark, tmp_path):
+    from nifi_hive_schema_generator_bundle_spark.streaming.incremental_dedup import (
+        compact_fingerprint_store,
+    )
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    for i, text in enumerate(["a", "b", "c", "d"]):
+        dedup_batch_against_store(
+            _batch(spark, [(i, text)]), i, store_dir=store, out_dir=out
+        )
+    n = compact_fingerprint_store(spark, store, target_files=1)
+    assert n == 3  # batches 0-2 folded; live batch 3 untouched
+    parts = {r.batch_id for r in spark.read.parquet(store).collect()}
+    assert parts == {2, 3}
+    # dedup against the compacted store still sees all history
+    n_next = dedup_batch_against_store(
+        _batch(spark, [(10, "a"), (11, "e")]), 4, store_dir=store, out_dir=out
+    )
+    assert n_next == 1
