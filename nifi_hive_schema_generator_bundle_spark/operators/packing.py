@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from ..functions.textfns import whitespace_tokens
 
-__all__ = ["hex_bucket", "pack_sequences"]
+__all__ = ["hex_bucket", "pack_sequences", "chunk_documents"]
 
 
 def hex_bucket(key: Column | str, n_buckets: int = 16) -> Column:
@@ -96,4 +96,56 @@ def pack_sequences(
             + 1
         )
         .alias("n_seqs"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows, one row per chunk
+    — the retrieval/embedding prep step (RAG chunking), as a pure narrow
+    transform.
+
+    Returns (id_col, chunk_idx, n_chunk_tokens, chunk_text). Chunk i
+    covers tokens ``[i*step, i*step + chunk_tokens)`` with
+    ``step = chunk_tokens - overlap``; the last chunk may be short; docs
+    shorter than one chunk yield exactly one chunk; empty docs yield
+    none. All slicing is array arithmetic inside codegen'd expressions —
+    no shuffle, no UDF; the explode multiplies rows by ~n/step, which is
+    the required output size, not overhead.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    step = chunk_tokens - overlap
+    toks = whitespace_tokens(F.col(text_col))
+    n = F.size(toks)
+    # 0 tokens -> 0 chunks; n <= chunk -> 1; else ceil((n-chunk)/step)+1
+    n_chunks = (
+        F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+            F.floor((n - chunk_tokens + step - 1) / step).cast("int") + 1
+        )
+    )
+    # guard the empty case OUTSIDE sequence(): sequence(0, -1) would
+    # produce a DESCENDING [0, -1] range, not an empty one
+    chunks = F.when(n == 0, F.array().cast("array<array<string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(toks, i * step + 1, chunk_tokens),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_toks")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size("chunk_toks").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
     )

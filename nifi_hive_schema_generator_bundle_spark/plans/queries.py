@@ -3379,3 +3379,41 @@ def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_repetition(docs).orderBy("doc_id")
+
+
+@register_query(
+    "doc_chunks",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), nc AS (
+        SELECT doc_id, t,
+               CASE WHEN len(t) = 0 THEN 0
+                    WHEN len(t) <= 64 THEN 1
+                    ELSE (len(t) - 64 + 47) // 48 + 1 END AS n_chunks
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, n_chunks - 1)) AS INT) AS chunk_idx,
+           CAST(unnest(list_transform(generate_series(0, n_chunks - 1),
+                i -> len(t[i*48+1 : i*48+64]))) AS INT) AS n_chunk_tokens,
+           unnest(list_transform(generate_series(0, n_chunks - 1),
+                i -> array_to_string(t[i*48+1 : i*48+64], ' '))) AS chunk_text
+    FROM nc ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/packing.
+    chunk_documents): the RAG/embedding prep split — 64-token chunks,
+    16-token overlap, one row per chunk. Pure narrow array arithmetic
+    in codegen; the only row growth is the required output itself."""
+    from ..operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )

@@ -80,3 +80,42 @@ def test_pack_rejects_bad_params(spark):
         pack_sequences(df, token_budget=0)
     with pytest.raises(ValueError):
         pack_sequences(df, n_buckets=0)
+
+
+def test_chunk_documents_hand_computed(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    # 10 tokens, chunk 4, overlap 1 -> step 3 -> chunks at 0,3,6 cover
+    # t0..t9? ceil((10-4)/3)+1 = 3 chunks: [0:4), [3:7), [6:10)
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text) for r in rows}
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (4, "t6 t7 t8 t9")
+    # short doc: one (short) chunk; empty doc: no rows
+    assert got[(2, 0)] == (2, "a b")
+    assert {d for d, _ in got} == {1, 2}
+    # every token index is covered by at least one chunk
+    covered = set()
+    for (d, i), (nt, _) in got.items():
+        if d == 1:
+            covered |= set(range(i * 3, i * 3 + nt))
+    assert covered == set(range(10))
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
