@@ -177,6 +177,44 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    """The composed training-data prep pipeline as one command:
+    quality filter → exact dedup (keep min id) → optional benchmark
+    decontamination → deterministic train/holdout split → partitioned
+    write. Per-stage counts go to stderr."""
+    from pyspark.sql import functions as F
+
+    from .functions.sampling import hash_split
+    from .operators.dedup import decontaminate, exact_dedup
+    from .operators.text import quality_score
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    stages = [("input", df.count())]
+
+    scored = quality_score(df, args.text_col)
+    df = scored.filter(F.col("quality") >= args.quality_min).drop(
+        "len_score", "punct_score", "stop_score", "rep_score", "quality"
+    )
+    stages.append(("quality", df.count()))
+
+    keep = exact_dedup(df, args.text_col, args.key).select(args.key)
+    df = df.join(keep, args.key, "left_semi")
+    stages.append(("dedup", df.count()))
+
+    if args.eval_dir:
+        ev = read_any(spark, args.eval_dir, args.fmt)
+        df = decontaminate(df, ev, args.text_col, args.key, k=args.decontam_k)
+        stages.append(("decontam", df.count()))
+
+    out = hash_split(df, args.key, holdout_sixteenths=args.holdout_sixteenths)
+    convert(out, args.output, args.fmt, mode="overwrite", partition_by=["split"])
+    for name, n in stages:
+        print(f"{name}: {n}", file=sys.stderr)
+    return 0
+
+
 def cmd_explain(args) -> int:
     from .plans.queries import QUERIES
 
@@ -293,6 +331,19 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--approx", action="store_true",
                     help="approx_count_distinct (HLL) instead of exact")
     pp.set_defaults(fn=cmd_profile)
+
+    pq = sub.add_parser("prep", help="composed training-data prep pipeline")
+    pq.add_argument("input")
+    pq.add_argument("output")
+    pq.add_argument("--fmt", default="parquet")
+    pq.add_argument("--key", default="doc_id")
+    pq.add_argument("--text-col", default="text")
+    pq.add_argument("--quality-min", type=float, default=0.5)
+    pq.add_argument("--eval-dir", default=None,
+                    help="benchmark dir; drops docs sharing k-grams with it")
+    pq.add_argument("--decontam-k", type=int, default=8)
+    pq.add_argument("--holdout-sixteenths", type=int, default=2)
+    pq.set_defaults(fn=cmd_prep)
 
     pe = sub.add_parser("explain", help="print a registered query's physical plan")
     pe.add_argument("query", help="a queries() registry name")

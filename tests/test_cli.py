@@ -196,3 +196,36 @@ def test_cli_explain_unknown_query(spark, capsys):
     rc = main(["explain", "no_such_query"])
     assert rc == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_prep_full_pipeline(spark, tmp_path, capsys):
+    def sent(w):
+        # stopword-rich and long enough for the quality bar, with the
+        # doc's unique word in every 2nd position so no 8-gram is shared
+        # between docs built from different words
+        stops = "the and of to a in is that for it".split()
+        return (" ".join(f"{w} {s}" for s in stops) + " ") * 3
+
+    a = sent("alpha")
+    b = sent("bravo")
+    c = sent("charlie")
+    src = str(tmp_path / "prep_in")
+    ev_dir = str(tmp_path / "prep_eval")
+    spark.createDataFrame(
+        [(1, a), (2, a), (3, b), (4, "!!! ??? !!!"), (5, c)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(99, c)], "doc_id long, text string"
+    ).write.parquet(ev_dir)
+    out_dir = str(tmp_path / "prep_out")
+    rc = main([
+        "prep", src, out_dir, "--eval-dir", ev_dir, "--quality-min", "0.5",
+    ])
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "input: 5" in err and "quality: 4" in err
+    assert "dedup: 3" in err and "decontam: 2" in err
+    out = spark.read.parquet(out_dir)
+    assert {r.doc_id for r in out.collect()} == {1, 3}
+    assert set(out.columns) >= {"doc_id", "text", "split"}
