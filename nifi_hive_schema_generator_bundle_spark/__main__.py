@@ -11,6 +11,9 @@ library + CLI"):
     dedup   exact or near-dup (minhash/simhash) dedup of a text column,
             keep the min-id representative per duplicate group -> output dir
     profile one-scan column statistics (count/null/distinct/min/max)
+    prep    composed training-data pipeline: quality filter -> dedup ->
+            optional benchmark decontamination -> train/holdout split
+    explain print the physical plan of any registered query
     stream  drain an NDJSON directory through streaming inference, print
             the DDL and any drift ALTERs
 """
@@ -153,9 +156,10 @@ def cmd_dedup(args) -> int:
             )
         out = dd.dedup_keep_min(df, pairs, args.key)
     convert(out, args.output, args.fmt, mode="overwrite")
-    # counts AFTER the write so the job runs once; semi/anti join sides
-    # are tiny keep/drop keys, so the recount scan is cheap
-    n_in, n_out = df.count(), out.count()
+    # count the WRITTEN output, not the plan: out.count() would re-run
+    # the whole dedup (LSH included) a second time
+    n_in = df.count()
+    n_out = read_any(spark, args.output, args.fmt).count()
     print(f"kept {n_out}/{n_in} ({args.method})", file=sys.stderr)
     return 0
 
@@ -193,19 +197,23 @@ def cmd_prep(args) -> int:
     df = read_any(spark, args.input, args.fmt)
     stages = [("input", df.count())]
 
+    # persist each stage: the per-stage counts and the final write must
+    # not re-execute the whole upstream chain once per action
     scored = quality_score(df, args.text_col)
     df = scored.filter(F.col("quality") >= args.quality_min).drop(
         "len_score", "punct_score", "stop_score", "rep_score", "quality"
-    )
+    ).persist()
     stages.append(("quality", df.count()))
 
     keep = exact_dedup(df, args.text_col, args.key).select(args.key)
-    df = df.join(keep, args.key, "left_semi")
+    df = df.join(keep, args.key, "left_semi").persist()
     stages.append(("dedup", df.count()))
 
     if args.eval_dir:
         ev = read_any(spark, args.eval_dir, args.fmt)
-        df = decontaminate(df, ev, args.text_col, args.key, k=args.decontam_k)
+        df = decontaminate(
+            df, ev, args.text_col, args.key, k=args.decontam_k
+        ).persist()
         stages.append(("decontam", df.count()))
 
     out = hash_split(df, args.key, holdout_sixteenths=args.holdout_sixteenths)

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.partitioning import ensure_min_partitions
 from ..functions.textfns import whitespace_tokens
 
 __all__ = ["hex_bucket", "pack_sequences", "chunk_documents"]
@@ -66,6 +67,9 @@ def pack_sequences(
     """
     if token_budget < 1:
         raise ValueError("token_budget must be positive")
+    # tokenization is an interpreted HOF below the first exchange —
+    # single-split inputs must fan out or it serializes on one core
+    df = ensure_min_partitions(df)
     toks = df.select(
         F.col(id_col),
         hex_bucket(F.col(id_col), n_buckets),
@@ -123,6 +127,7 @@ def chunk_documents(
         raise ValueError("chunk_tokens must be positive")
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must be in [0, chunk_tokens)")
+    df = ensure_min_partitions(df)  # fully narrow op: fan out single splits
     step = chunk_tokens - overlap
     toks = whitespace_tokens(F.col(text_col))
     n = F.size(toks)

@@ -70,11 +70,27 @@ def dedup_batch_against_store(
     batch_first = fps.join(firsts, ["__fp", id_col], "left_semi")
     try:
         store = spark.read.parquet(store_dir)
+    except AnalysisException as e:
+        # ONLY a missing store means "first batch" — any other analysis
+        # error (wrong path, schema-less dir) must surface, not silently
+        # disable dedup
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        store = None
+    if store is not None:
+        top = store.agg(F.max("batch_id")).collect()[0][0]
+        if top is not None and batch_id < top:
+            raise ValueError(
+                f"batch_id {batch_id} is behind the store's max {top}: "
+                "the streaming checkpoint was reset against an existing "
+                "store. Resume with the original checkpoint, or point "
+                "store_dir/out_dir at fresh locations."
+            )
         # strictly-earlier batches only: replays of THIS batch must not
         # see their own previously-written fingerprints
         history = store.filter(F.col("batch_id") < batch_id).select("__fp")
         survivors = batch_first.join(history, "__fp", "left_anti")
-    except AnalysisException:  # first batch: no store yet
+    else:
         survivors = batch_first
     survivors = survivors.persist()
     try:

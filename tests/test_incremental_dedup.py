@@ -95,3 +95,16 @@ def test_store_compaction_preserves_dedup_semantics(spark, tmp_path):
         _batch(spark, [(10, "a"), (11, "e")]), 4, store_dir=store, out_dir=out
     )
     assert n_next == 1
+
+
+def test_checkpoint_reset_against_existing_store_raises(spark, tmp_path):
+    import pytest
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    dedup_batch_against_store(_batch(spark, [(1, "a")]), 5, store_dir=store, out_dir=out)
+    # fresh checkpoint would restart batch ids at 0 — must refuse, not
+    # silently skip history and overwrite old partitions
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        dedup_batch_against_store(
+            _batch(spark, [(2, "b")]), 0, store_dir=store, out_dir=out
+        )
