@@ -11,6 +11,7 @@ library + CLI"):
     dedup   exact or near-dup (minhash/simhash) dedup of a text column,
             keep the min-id representative per duplicate group -> output dir
     profile one-scan column statistics (count/null/distinct/min/max)
+    compact rewrite a small-files directory to ~target-size files
     prep    composed training-data pipeline: quality filter -> dedup ->
             optional benchmark decontamination -> train/holdout split
     explain print the physical plan of any registered query
@@ -181,6 +182,21 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .sources.formats import compact
+
+    spark = _session(args)
+    n = compact(
+        spark,
+        args.path,
+        fmt=args.fmt,
+        target_file_mb=args.target_file_mb,
+        sort_by=args.sort_by.split(",") if args.sort_by else None,
+    )
+    print(f"compacted {args.path} -> {n} file(s)", file=sys.stderr)
+    return 0
+
+
 def cmd_prep(args) -> int:
     """The composed training-data prep pipeline as one command:
     quality filter → exact dedup (keep min id) → optional benchmark
@@ -339,6 +355,14 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--approx", action="store_true",
                     help="approx_count_distinct (HLL) instead of exact")
     pp.set_defaults(fn=cmd_profile)
+
+    pk = sub.add_parser("compact", help="rewrite small files to ~target size")
+    pk.add_argument("path")
+    pk.add_argument("--fmt", default="parquet")
+    pk.add_argument("--target-file-mb", type=float, default=256)
+    pk.add_argument("--sort-by", default=None,
+                    help="comma-separated clustering columns (e.g. a z-order key)")
+    pk.set_defaults(fn=cmd_compact)
 
     pq = sub.add_parser("prep", help="composed training-data prep pipeline")
     pq.add_argument("input")

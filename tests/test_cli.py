@@ -229,3 +229,16 @@ def test_cli_prep_full_pipeline(spark, tmp_path, capsys):
     out = spark.read.parquet(out_dir)
     assert {r.doc_id for r in out.collect()} == {1, 3}
     assert set(out.columns) >= {"doc_id", "text", "split"}
+
+
+def test_cli_compact_reduces_file_count(spark, tmp_path, capsys):
+    src = str(tmp_path / "many_files")
+    spark.range(2000).selectExpr("id", "id * 2 AS v").repartition(16).write.parquet(src)
+    import glob
+    before = len(glob.glob(f"{src}/*.parquet"))
+    rc = main(["compact", src, "--target-file-mb", "64"])
+    assert rc == 0
+    assert "compacted" in capsys.readouterr().err
+    after = len(glob.glob(f"{src}/*.parquet"))
+    assert before == 16 and after < before
+    assert spark.read.parquet(src).count() == 2000
