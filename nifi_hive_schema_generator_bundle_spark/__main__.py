@@ -264,6 +264,7 @@ def cmd_stream(args) -> int:
         checkpoint_dir=args.checkpoint,
         quarantine_path=args.quarantine,
         available_now=True,
+        max_files_per_trigger=args.max_files_per_trigger,
     )
     finished = q.awaitTermination(args.timeout)
     if not finished:
@@ -391,6 +392,8 @@ def main(argv: list[str] | None = None) -> int:
     pst.add_argument("--checkpoint", required=True)
     pst.add_argument("--quarantine", default=None)
     pst.add_argument("--timeout", type=int, default=300, help="drain timeout sec")
+    pst.add_argument("--max-files-per-trigger", type=int, default=None,
+                     help="micro-batch size throttle for large backlogs")
     pst.set_defaults(fn=cmd_stream)
 
     args = p.parse_args(argv)

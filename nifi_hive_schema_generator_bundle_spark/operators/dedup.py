@@ -533,15 +533,36 @@ def connected_components(
     cluster) used to truncate lineage between rounds. Without it,
     ``localCheckpoint`` stores blocks on executors — fine single-node,
     but a lost executor on a cluster loses the (truncated) lineage.
+    Each round checkpoints into its own subdirectory and deletes the
+    previous round's once the new one is materialized (Spark never
+    cleans non-streaming checkpoints itself — 20 rounds would otherwise
+    leave 20 full label-table copies on the checkpoint filesystem); the
+    context's original checkpoint dir is restored on exit so the
+    process-global setting doesn't leak into caller code.
     """
     spark = pairs.sparkSession
+    sc = spark.sparkContext
+    round_no = 0
+    original_ckpt = None
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        opt = sc._jsc.sc().getCheckpointDir()
+        original_ckpt = opt.get() if opt.isDefined() else None
+
+    def _delete_round(i: int) -> None:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/round{i}")
+        p.getFileSystem(sc._jsc.hadoopConfiguration()).delete(p, True)
 
     def _materialize(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        nonlocal round_no
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        sc.setCheckpointDir(f"{checkpoint_dir}/round{round_no}")
+        out = df.checkpoint(eager=True)  # fully written before cleanup
+        if round_no > 0:
+            _delete_round(round_no - 1)
+        round_no += 1
+        return out
 
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -582,6 +603,10 @@ def connected_components(
         labels = updated.drop("chg")
         if not n_changed:
             break
+    # restore the caller's process-global checkpoint location (only
+    # possible if one was set; Spark has no unset)
+    if checkpoint_dir is not None and original_ckpt is not None:
+        sc.setCheckpointDir(original_ckpt)
     return labels
 
 

@@ -50,9 +50,14 @@ def png_info(payload: bytes) -> tuple[int, int, int, int, int]:
         raise ValueError("not a PNG (bad signature)")
     for typ, d in _chunks(payload):
         if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
-                ">IIBBBBB", d
-            )
+            try:
+                w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                    ">IIBBBBB", d
+                )
+            except struct.error as e:
+                # keep the module's documented error surface: truncated
+                # IHDR (cut-off upload) is invalid data, not a crash
+                raise ValueError(f"truncated IHDR chunk: {e}") from e
             return w, h, depth, ctype, inter
     raise ValueError("PNG has no IHDR chunk")
 

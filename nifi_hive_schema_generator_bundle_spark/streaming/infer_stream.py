@@ -108,6 +108,7 @@ def run_inference_stream(
     quarantine_path: str | None = None,
     on_drift: Callable[[str, DataType], None] | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """File-source NDJSON stream → per-batch inference with drift tracking.
 
@@ -121,7 +122,12 @@ def run_inference_stream(
         quarantine_path=quarantine_path,
         on_drift=on_drift,
     )
-    stream = spark.readStream.format("text").load(input_dir)
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        # micro-batch size throttle: bounds per-batch work (and memory)
+        # when draining a large backlog
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_dir)
     writer = (
         stream.writeStream.foreachBatch(state.process_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -126,10 +126,11 @@ def test_cli_stream_timeout_stops_query_and_exits_nonzero(tmp_path, capsys):
 
     src = tmp_path / "ssrc"
     src.mkdir()
-    # enough files that listing + the first microbatch cannot finish inside
-    # the 1-second timeout (stream startup alone takes longer than that);
-    # awaitTermination rejects timeout <= 0, so 1 is the floor
-    for i in range(200):
+    # deterministic, not load-dependent: one file per micro-batch forces
+    # 40 sequential foreachBatch rounds, which cannot complete inside the
+    # 1-second timeout on any machine (awaitTermination rejects <= 0, so
+    # 1 is the floor)
+    for i in range(40):
         (src / f"b{i}.json").write_text('{"a": %d}\n' % i)
     rc = main([
         "--master", "local[2]",
@@ -137,6 +138,7 @@ def test_cli_stream_timeout_stops_query_and_exits_nonzero(tmp_path, capsys):
         "--table", "st2", "--location", "/warehouse/st2",
         "--checkpoint", str(tmp_path / "ck2"),
         "--timeout", "1",
+        "--max-files-per-trigger", "1",
     ])
     assert rc == 3
     out = capsys.readouterr()

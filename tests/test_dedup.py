@@ -143,7 +143,16 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
         for r in connected_components(pairs, checkpoint_dir=ckdir).collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
-    assert os.listdir(ckdir)  # checkpoint state actually landed there
+    rounds = sorted(os.listdir(ckdir))
+    # only the LAST round's checkpoint survives — earlier rounds are
+    # deleted as the loop advances (Spark never cleans these itself;
+    # leaving one copy per round would fill the checkpoint filesystem)
+    assert len(rounds) == 1 and rounds[0].startswith("round")
+    # the process-global checkpoint dir the caller had set is restored
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "mine"))
+    connected_components(pairs, checkpoint_dir=ckdir).collect()
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert opt.isDefined() and "mine" in opt.get()
 
 
 def test_lsh_plans_stay_jvm_side(spark, docs):

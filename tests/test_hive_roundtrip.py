@@ -17,6 +17,7 @@ executable variant uses ``STORED AS TEXTFILE`` (``stored_as`` parameter)
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import textwrap
@@ -85,7 +86,14 @@ SCRIPT = textwrap.dedent(
 
 def test_hive_ddl_executes_against_derby_metastore(tmp_path):
     proc = subprocess.run(
-        [sys.executable, "-c", SCRIPT.format(repo="/root/repo"), str(tmp_path)],
+        [
+            sys.executable,
+            "-c",
+            SCRIPT.format(
+                repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            ),
+            str(tmp_path),
+        ],
         capture_output=True,
         text=True,
         timeout=600,

@@ -164,3 +164,12 @@ def test_resize_media_on_real_png(spark):
     # nearest-neighbor doubling along x: red red green green
     assert px[0:3] == px[3:6] == bytes([255, 0, 0])
     assert px[6:9] == px[9:12] == bytes([0, 255, 0])
+
+
+def test_truncated_ihdr_raises_valueerror():
+    # valid signature, IHDR chunk declaring 13 bytes but carrying 4 —
+    # a cut-off upload must surface as ValueError (the documented error
+    # surface), not struct.error
+    bad = SIG + _chunk(b"IHDR", b"\x00\x00\x00\x01")
+    with pytest.raises(ValueError):
+        png_info(bad)
