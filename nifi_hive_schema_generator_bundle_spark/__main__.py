@@ -12,6 +12,7 @@ library + CLI"):
             keep the min-id representative per duplicate group -> output dir
     profile one-scan column statistics (count/null/distinct/min/max)
     compact rewrite a small-files directory to ~target-size files
+    sql     ad-hoc SQL over a directory of parquet tables (one view per file)
     prep    composed training-data pipeline: quality filter -> dedup ->
             optional benchmark decontamination -> train/holdout split
     explain print the physical plan of any registered query
@@ -239,6 +240,34 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over a directory of parquet tables: every
+    ``<name>.parquet`` in --tables-dir is registered as a temp view
+    ``<name>``, then the statement runs and prints (or writes)."""
+    import glob
+    import os as _os
+
+    from .plans.queries import load_table
+
+    spark = _session(args)
+    names = [
+        _os.path.basename(p)[: -len(".parquet")]
+        for p in glob.glob(_os.path.join(args.tables_dir, "*.parquet"))
+    ]
+    if not names:
+        print(f"no *.parquet tables in {args.tables_dir}", file=sys.stderr)
+        return 2
+    for name in sorted(names):
+        load_table(spark, args.tables_dir, name).createOrReplaceTempView(name)
+    df = spark.sql(args.statement)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}", file=sys.stderr)
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_explain(args) -> int:
     from .plans.queries import QUERIES
 
@@ -377,6 +406,14 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--decontam-k", type=int, default=8)
     pq.add_argument("--holdout-sixteenths", type=int, default=2)
     pq.set_defaults(fn=cmd_prep)
+
+    psql = sub.add_parser("sql", help="ad-hoc SQL over a dir of parquet tables")
+    psql.add_argument("statement")
+    psql.add_argument("--tables-dir", default="/root/testdata/sf0.001",
+                      help="dir whose <name>.parquet files become views")
+    psql.add_argument("--output", default=None, help="write parquet here instead of printing")
+    psql.add_argument("--limit", type=int, default=20, help="rows to print")
+    psql.set_defaults(fn=cmd_sql)
 
     pe = sub.add_parser("explain", help="print a registered query's physical plan")
     pe.add_argument("query", help="a queries() registry name")

@@ -244,3 +244,20 @@ def test_cli_compact_reduces_file_count(spark, tmp_path, capsys):
     after = len(glob.glob(f"{src}/*.parquet"))
     assert before == 16 and after < before
     assert spark.read.parquet(src).count() == 2000
+
+
+def test_cli_sql_adhoc_over_tables(spark, sf_smoke_dir, capsys):
+    rc = main([
+        "sql",
+        "SELECT r_name, count(*) AS n FROM region GROUP BY r_name ORDER BY r_name",
+        "--tables-dir", sf_smoke_dir,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "AFRICA" in out and "n" in out
+
+
+def test_cli_sql_empty_dir_errors(spark, tmp_path, capsys):
+    rc = main(["sql", "SELECT 1", "--tables-dir", str(tmp_path)])
+    assert rc == 2
+    assert "no *.parquet" in capsys.readouterr().err
