@@ -119,3 +119,34 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+@pytest.mark.parametrize("n_tokens,chunk,overlap", [
+    (1, 4, 1), (4, 4, 1), (5, 4, 1), (9, 4, 3), (100, 16, 0), (97, 16, 5),
+])
+def test_chunk_reconstruction_property(spark, n_tokens, chunk, overlap):
+    """Dropping each chunk's first `overlap` tokens (except chunk 0) and
+    concatenating must reproduce the original token stream exactly —
+    the no-loss/no-duplication invariant for any (chunk, overlap)."""
+    from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    toks = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    step = chunk - overlap
+    rebuilt = []
+    for r in rows:
+        ctoks = r.chunk_text.split(" ") if r.chunk_text else []
+        assert len(ctoks) == r.n_chunk_tokens
+        rebuilt.extend(ctoks if r.chunk_idx == 0 else ctoks[overlap:])
+        # every chunk except possibly the last is exactly chunk_tokens
+        if r.chunk_idx < len(rows) - 1:
+            assert r.n_chunk_tokens == chunk
+        # chunks start where the step schedule says
+        assert ctoks == toks[r.chunk_idx * step : r.chunk_idx * step + chunk]
+    assert rebuilt == toks
