@@ -115,19 +115,40 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "queries_cold": cold,
-                "protocol": f"warm median of {n_warm}; cold pass separate",
-                "sf": sf_val,
-            }
+    # The driver captures only a bounded tail of stdout, so the ONE JSON
+    # line must stay short (r2 lesson: a ~2.9 KB line with cold numbers
+    # inline got clipped into unparseable fragments). Cold pass + protocol
+    # go to BENCH_DETAIL.json next to this script instead.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "queries_cold": cold,
+        "protocol": f"warm median of {n_warm}; cold pass separate",
+        "sf": sf_val,
+    }
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
-    )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": warm,
+        "sf": sf_val,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # stay inside the driver's tail buffer
+        compact["queries"] = {k: round(v, 1) for k, v in warm.items()}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

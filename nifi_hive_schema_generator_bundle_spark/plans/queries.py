@@ -786,7 +786,10 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "purchase_id",
         "user_id",
-        F.unix_micros("ts").alias("purchase_us"),
+        # ts may arrive as TIMESTAMP or TIMESTAMP_NTZ depending on the
+        # parquet writer's isAdjustedToUTC flag; unix_micros only accepts
+        # the former. Session tz is pinned UTC, so the cast is exact.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
         F.col("view_event_id").alias("last_view_id"),
     ).orderBy("purchase_id")
 
