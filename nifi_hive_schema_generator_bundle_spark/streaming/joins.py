@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._time import ensure_event_time
+
 __all__ = ["dedup_stream", "interval_join_streams"]
 
 
@@ -37,6 +39,7 @@ def dedup_stream(
     separated by more than the horizon are exact-dedup's job downstream
     (operators/dedup.py), by design: ingest dedup absorbs retry storms,
     batch dedup owns history."""
+    events = ensure_event_time(events, ts_col)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
@@ -60,8 +63,8 @@ def interval_join_streams(
     the join state on each side (late rows beyond watermark+within are
     evicted). Column names must not collide apart from ``on``; callers
     alias beforehand."""
-    lw = left.withWatermark(left_ts, left_watermark)
-    rw = right.withWatermark(right_ts, right_watermark)
+    lw = ensure_event_time(left, left_ts).withWatermark(left_ts, left_watermark)
+    rw = ensure_event_time(right, right_ts).withWatermark(right_ts, right_watermark)
     cond = (
         (lw[on] == rw[on])
         & (rw[right_ts] >= lw[left_ts])

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._time import ensure_event_time
+
 __all__ = ["windowed_event_counts", "sessionize_stream"]
 
 
@@ -27,7 +29,8 @@ def windowed_event_counts(
     Works on both batch and streaming DataFrames (same plan; streaming
     adds the state store)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
         .agg(
             F.count("*").alias("n"),
@@ -57,7 +60,8 @@ def sessionize_stream(
     ``session_window`` keeps this fully stateful-JVM-side (no
     applyInPandasWithState needed for gap semantics)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("sess"), F.col(key_col))
         .agg(F.count("*").alias("n_events"))
         .select(
