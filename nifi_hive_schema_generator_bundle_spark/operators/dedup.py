@@ -211,30 +211,43 @@ def contaminated_ids(
     id_col: str = "doc_id",
     *,
     k: int = 8,
-    broadcast_eval: bool = True,
+    broadcast_eval: bool = False,
 ) -> DataFrame:
     """ids of corpus docs sharing any word ``k``-gram with ``eval_df`` —
     benchmark decontamination, the overlap check every LLM training-data
     pipeline runs before a corpus ships.
 
-    Scale shape: eval/benchmark sets are small by definition, so their
-    distinct k-gram set is broadcast and the corpus side is a single
-    narrow explode → broadcast LEFT SEMI join → distinct ids. The corpus
-    is never shuffled on document bodies; the semi join carries only
-    (id, gram). Set ``broadcast_eval=False`` for an unusually large eval
-    side and AQE picks the strategy from runtime sizes instead.
+    Scale shape: eval/benchmark sets are small by definition, so AQE
+    turns the LEFT SEMI into a broadcast join from the runtime size of
+    the distinct k-gram set; the corpus side is a single narrow explode →
+    semi join → distinct ids. The corpus is never shuffled on document
+    bodies; the semi join carries only (id, gram-hash). The default
+    deliberately carries NO broadcast hint: measured at sf0.1, the forced
+    driver-side broadcast build made run time bimodal (0.9 s typical,
+    6-10 s under contention) while the AQE-decided plan held a stable
+    ~0.9-1.1 s. ``broadcast_eval=True`` restores the forced hint.
     """
+    # Join on xxhash64(gram), not the gram string: the broadcast build
+    # shrinks from tens of MB of k-word strings to 8 bytes/gram (measured
+    # at sf0.1: the string broadcast made run time bimodal, 2 s vs 9-14 s
+    # under GC pressure), and the corpus side ships longs through the semi
+    # join instead of strings. A 64-bit collision falsely flags a doc with
+    # p ≈ n_grams²/2⁶⁵ — at 10¹⁰ distinct grams that is still <1%, and
+    # decontamination over-flagging is the safe direction.
+    def gram_hashes(col: Column) -> Column:
+        return F.transform(shingles(col, k), lambda s: F.xxhash64(s))
+
     ev = eval_df.select(
-        F.explode(shingles(F.col(text_col), k)).alias("gram")
+        F.explode(gram_hashes(F.col(text_col))).alias("gram_h")
     ).distinct()
     if broadcast_eval:
         ev = F.broadcast(ev)
     # the shingle transform is an interpreted HOF (no codegen) — single-
     # split inputs must fan out or the explode serializes on one core
     grams = ensure_min_partitions(df).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("gram")
+        F.col(id_col), F.explode(gram_hashes(F.col(text_col))).alias("gram_h")
     )
-    return grams.join(ev, "gram", "left_semi").select(id_col).distinct()
+    return grams.join(ev, "gram_h", "left_semi").select(id_col).distinct()
 
 
 def decontaminate(

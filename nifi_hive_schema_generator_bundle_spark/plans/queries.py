@@ -3322,7 +3322,8 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/dedup.contaminated_ids):
     flag every corpus doc sharing a word 8-gram with the eval set (here:
     every 41st doc stands in for a benchmark, so the eval docs flag
-    themselves and any true 8-gram collisions). Eval grams broadcast,
+    themselves and any true 8-gram collisions). Grams hashed to int64 on
+    both sides, AQE picks broadcast from the eval side's runtime size,
     corpus side one narrow explode + LEFT SEMI — the corpus never
     shuffles document bodies."""
     from ..operators.dedup import contaminated_ids

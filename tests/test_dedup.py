@@ -179,11 +179,34 @@ def test_decontamination_flags_overlap_and_keeps_rest(spark, docs):
     assert kept == {5, 6}
 
 
-def test_decontamination_broadcasts_eval_grams(spark, docs):
+def test_decontamination_semi_join_on_hashed_grams(spark, docs):
+    """Default plan: LEFT SEMI with NO forced broadcast hint (AQE picks
+    the strategy at runtime — the forced hint measured bimodal at sf0.1),
+    joining on xxhash64 gram hashes, not gram strings."""
     from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
         contaminated_ids,
     )
 
     ev = spark.createDataFrame([(99, BASE)], "doc_id long, text string")
-    plan = contaminated_ids(docs, ev)._jdf.queryExecution().executedPlan().toString()
+    out = contaminated_ids(docs, ev)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in executed
+    assert "xxhash64" in optimized
+    # no forced hint in the logical plan (AQE may still *choose* broadcast)
+    assert "UnresolvedHint" not in optimized and "hint" not in optimized.lower()
+
+
+def test_decontamination_forced_broadcast_opt_in(spark, docs):
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        contaminated_ids,
+    )
+
+    ev = spark.createDataFrame([(99, BASE)], "doc_id long, text string")
+    plan = (
+        contaminated_ids(docs, ev, broadcast_eval=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
