@@ -66,9 +66,7 @@ DRIVER_PRIORITY = [
     "q5_region_revenue",
     "q6_revenue_delta",
     "q8_market_share",
-    "q12_late_shipment_priority",
     "q14_promo_revenue_share",
-    "q17_small_quantity_revenue",
     "q18_large_orders",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
@@ -81,14 +79,12 @@ DRIVER_PRIORITY = [
     # windows
     "events_topk_per_user",
     "events_sessionize",
-    "daily_revenue_moving_avg",
     # aggregations: rollup/cube/stats
     "events_rollup",
     "events_type_day_cube",
     "lineitem_price_stats",
     # set operations
     "sources_langs_union",
-    "doc_langs_except_all",
     # scalar functions / pivot / regex
     "events_props_extract",
     "events_daily_pivot",
@@ -112,6 +108,11 @@ DRIVER_PRIORITY = [
     "training_prep_pipeline",
     "doc_sequence_packing",
     "doc_decontamination",
+    "doc_mixture_sample",
+    "doc_token_budget_select",
+    # clustering / drift (round 3)
+    "kmeans_assign_embeddings",
+    "props_schema_drift",
     # profiling / CDC / time windows
     "documents_profile",
     "doc_snapshot_diff",

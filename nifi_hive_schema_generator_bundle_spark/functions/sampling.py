@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "hash_sample", "stratified_hash_sample"]
+__all__ = [
+    "hash_bucket",
+    "hash_fraction",
+    "hash_split",
+    "hash_sample",
+    "stratified_hash_sample",
+    "mixture_sample",
+]
 
 _NIBBLES = "0123456789abcdef"
 
@@ -30,6 +37,17 @@ def hash_bucket(key: Column | str) -> Column:
     nib = F.substring(F.md5(key.cast("string")), 1, 1)
     # position in the hex alphabet; instr is 1-based
     return F.instr(F.lit(_NIBBLES), nib) - 1
+
+
+def hash_fraction(key: Column | str) -> Column:
+    """Uniform double in [0, 1) from the first 8 md5 hex chars of the
+    key's string form — the fine-grained sibling of ``hash_bucket`` for
+    arbitrary keep rates. 2³² resolution; engine-portable (DuckDB:
+    ``CAST(concat('0x', substring(md5(k), 1, 8)) AS BIGINT) /
+    4294967296.0`` replays it bit-for-bit)."""
+    key = F.col(key) if isinstance(key, str) else key
+    v = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return v / F.lit(4294967296.0)
 
 
 def hash_split(
@@ -86,3 +104,62 @@ def stratified_hash_sample(
     for value, k in sorted(sixteenths.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(k)).otherwise(thr)
     return df.filter(hash_bucket(key) < thr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    *,
+    key: str,
+) -> DataFrame:
+    """Downsample ``df`` so the kept rows follow the ``targets`` mixture
+    proportions — the domain/language-reweighting step every LLM
+    training-data pipeline runs (e.g. cap web crawl at 60%, keep code at
+    20%...). Strata absent from ``targets`` are dropped.
+
+    The feasible total is maximized: N = min over strata of
+    (count_g / target_g), then each stratum keeps rows at rate
+    N·target_g/count_g by deterministic content hash (``hash_fraction``),
+    so the result is stable across runs, partitionings, and engines.
+    Kept counts are binomial around N·target_g (±√N-ish), not exact —
+    exactness would need a per-stratum global sort; the hash filter needs
+    none.
+
+    Scale shape: one column-pruned scan for the per-stratum counts (a
+    |strata|-row aggregate), then one narrow filtered scan joined to the
+    |strata|-row rate table (AQE broadcasts it). Document bodies never
+    shuffle; there is no window, no global sort, no driver collect.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    total_w = sum(targets.values())
+    if total_w <= 0:
+        raise ValueError("target weights must sum > 0")
+    norm = {k: v / total_w for k, v in targets.items()}
+
+    weights = F.create_map(
+        *[F.lit(x) for kv in sorted(norm.items()) for x in kv]
+    )
+    counts = (
+        df.filter(F.col(strata_col).isin(*norm))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__t", weights[F.col(strata_col)])
+    )
+    # N = floor(min(count_g / t_g)); missing strata contribute no row,
+    # which (correctly) caps nothing — their keep set is empty anyway.
+    feasible = counts.agg(
+        F.floor(F.min(F.col("__n") / F.col("__t"))).alias("__cap")
+    )
+    rates = counts.crossJoin(feasible).select(
+        strata_col,
+        F.least(
+            F.lit(1.0), F.col("__cap") * F.col("__t") / F.col("__n")
+        ).alias("__rate"),
+    )
+    return (
+        df.join(rates, strata_col)
+        .filter(hash_fraction(key) < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -1,0 +1,110 @@
+"""Embedding clustering: Lloyd's k-means on a DataFrame of vectors.
+
+Semantic organization of a corpus — topic bucketing, semantic dedup
+blocking, IVF coarse quantizers — all reduce to "assign every embedding
+to the nearest of k centroids, maybe iterate". The Spark-first shape:
+
+* **assign**: centroids are a k×d literal (a few KB — an expression-level
+  broadcast); the distance argmin is one narrow projection over the
+  vector column. No shuffle, no UDF, no collect of data rows.
+* **fit** (Lloyd iteration): re-estimating centroids is a posexplode to
+  (cluster, dim, value) + groupBy(cluster, dim) partial-agg — Spark's
+  map-side combine reduces each partition to ≤ k·d rows before the
+  shuffle, so the wire cost per iteration is executors·k·d, independent
+  of row count. The driver only ever holds k·d doubles.
+
+Determinism: init centroids are the first k vectors by id (not a random
+sample), ties in the argmin break to the lowest cluster id, so the same
+data + params give the same model on any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["assign_clusters", "kmeans_fit"]
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid, folded in index order
+    (deterministic IEEE sum — an SQL oracle summing in the same order
+    reproduces it bit-for-bit)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            lit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Tag each row with the index of its nearest centroid (squared-L2;
+    ties → lowest index via ``array_position`` first-match). Narrow
+    projection; centroid literals ride the plan."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    cols = keep_cols if keep_cols is not None else df.columns
+    return df.select(*cols, cluster.alias(out_col))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> list[list[float]]:
+    """Lloyd's k-means; returns the k×d centroid list (driver-small).
+
+    Init = the first ``k`` vectors ordered by ``id_col`` (deterministic
+    across partitionings; callers wanting k-means++ pass their own init
+    via repeated ``assign_clusters``). Each iteration is one job: assign
+    (narrow) → posexplode → (cluster, dim) partial-agg; empty clusters
+    keep their previous centroid.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    first = df.orderBy(id_col).select(vec_col).limit(k).collect()
+    if len(first) < k:
+        raise ValueError(f"need at least {k} rows to fit {k} clusters")
+    centroids = [[float(x) for x in r[0]] for r in first]
+
+    for _ in range(max_iter):
+        assigned = assign_clusters(
+            df, centroids, vec_col=vec_col, keep_cols=[vec_col]
+        )
+        rows = (
+            assigned.select(
+                "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "v")
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in rows:
+            new[r["cluster_id"]][r["dim"]] = r["s"] / r["n"]
+        shift = max(
+            abs(a - b) for row_new, row_old in zip(new, centroids)
+            for a, b in zip(row_new, row_old)
+        )
+        centroids = new
+        if shift < tol:
+            break
+    return centroids

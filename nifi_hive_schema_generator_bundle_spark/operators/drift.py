@@ -1,0 +1,98 @@
+"""Per-group schema drift reporting over a JSON column.
+
+The reference infers ONE schema per flowfile (CreateHQL.scala:12-20);
+a production pipeline wants the per-source/per-day view: which fields
+does this partition add, miss, or type-conflict relative to the corpus?
+``schema_drift_report`` reuses the engine's keyed reference-lattice
+inference (operators.infer.infer_schema_by_key — one scan, zero
+shuffle, per-partition keyed fold) and diffs every group's top-level
+fields against the merge of all groups.
+
+Type classes are the lattice universe at the top level: STRUCT (JSON
+object), ARRAY, STRING (every scalar, every conflict — the demotion rule
+of CreateHQL.scala:63-64); JSON null absorbs (an all-null field renders
+STRING). The report is driver-built from the tiny per-group schema trees
+— the data path never shuffles, bodies never leave executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import ArrayType, DataType, StructType
+
+from .infer import infer_schema_by_key
+from ..plans.lattice import merge_types
+
+__all__ = ["schema_drift_report"]
+
+
+def _type_class(t: DataType) -> str:
+    if isinstance(t, StructType):
+        return "STRUCT"
+    if isinstance(t, ArrayType):
+        return "ARRAY"
+    return "STRING"  # scalars, NullType (all-null renders STRING)
+
+
+def schema_drift_report(
+    spark: SparkSession,
+    df: DataFrame,
+    json_col: str,
+    key_col: str,
+) -> DataFrame:
+    """(group, field, group_class, global_class, drift) for every
+    top-level field in the merged schema × every group.
+
+    drift ∈ {'same', 'retyped', 'absent'}: 'absent' = no record of the
+    group has the key at all; 'retyped' = the group's lattice class
+    differs from the corpus-wide class (after conflict demotion).
+    Non-object group schemas (e.g. a group whose rows are top-level
+    arrays — the reference's "ERROR" case, CreateHQL.scala:91) report
+    every field 'absent'.
+    """
+    per_key = infer_schema_by_key(df, json_col, key_col)
+    if not per_key:
+        return spark.createDataFrame(
+            [],
+            "group_key string, field string, group_class string, "
+            "global_class string, drift string",
+        )
+    # Global view = FIELD-WISE merge over the groups whose root is an
+    # object. A strict whole-root merge would let one non-object group
+    # demote the entire corpus schema to STRING (the reference's "ERROR"
+    # case) and erase the field-level report — the report instead keeps
+    # field resolution and shows such groups as all-'absent'. Field-wise
+    # merge_types still applies the full conflict lattice per field, and
+    # matches a per-record class derivation (merge is associative).
+    merged_fields: dict[str, DataType] = {}
+    for t in per_key.values():
+        if isinstance(t, StructType):
+            for f in t.fields:
+                merged_fields[f.name] = (
+                    merge_types(merged_fields[f.name], f.dataType)
+                    if f.name in merged_fields
+                    else f.dataType
+                )
+    global_fields = {n: _type_class(t) for n, t in merged_fields.items()}
+
+    rows = []
+    for key in sorted(per_key):
+        schema = per_key[key]
+        group_fields = (
+            {f.name: _type_class(f.dataType) for f in schema.fields}
+            if isinstance(schema, StructType)
+            else {}
+        )
+        for field in sorted(global_fields):
+            gcls = global_fields[field]
+            if field not in group_fields:
+                rows.append((key, field, "ABSENT", gcls, "absent"))
+            elif group_fields[field] != gcls:
+                rows.append((key, field, group_fields[field], gcls, "retyped"))
+            else:
+                rows.append((key, field, gcls, gcls, "same"))
+    return spark.createDataFrame(
+        rows,
+        "group_key string, field string, group_class string, "
+        "global_class string, drift string",
+    )

@@ -3421,3 +3421,221 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+# ===========================================================================
+# round-3 widening: mixture reweighting, token-budget selection, k-means,
+# per-group schema drift
+# ===========================================================================
+
+@register_query(
+    "doc_mixture_sample",
+    oracle="""
+    WITH t(lang, w) AS (VALUES
+        ('en', 0.5), ('de', 0.125), ('es', 0.125), ('fr', 0.125), ('zh', 0.125)),
+    c AS (
+        SELECT d.lang, count(*) AS n
+        FROM documents d JOIN t USING (lang) GROUP BY d.lang
+    ),
+    cap AS (SELECT floor(min(n / w)) AS cap FROM c JOIN t USING (lang)),
+    r AS (
+        SELECT lang, least(1.0, cap * w / n) AS rate
+        FROM c JOIN t USING (lang) CROSS JOIN cap
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+    WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < rate
+    ORDER BY d.doc_id
+    """,
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixture reweighting (functions/sampling.
+    mixture_sample): downsample so kept rows follow target proportions
+    (50% en, 12.5% each of de/es/fr/zh), maximizing the feasible total.
+    Deterministic md5-fraction keep decisions — stable across runs,
+    partitionings, and engines (the oracle replays them bit-for-bit).
+    Two column-pruned scans, a |strata|-row rate table AQE broadcasts,
+    no shuffle of document bodies."""
+    from ..functions.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    targets = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}
+    return (
+        mixture_sample(docs, "lang", targets, key="doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register_query(
+    "doc_token_budget_select",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[\w\s]', '', 'g')) AS punct
+      FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+        round((
+          least(1.0, n_chars / 200.0)
+          + CASE WHEN n_chars > 0 THEN 1.0 - punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+          + CASE WHEN len(toks) > 0 THEN least(1.0,
+              (CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','for','it'], x))) AS DOUBLE) / len(toks)) / 0.10)
+            ELSE 0.0 END
+          + CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END
+        ) / 4.0, 6) AS quality
+      FROM t
+    ), b AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(floor(quality * 1000) AS BIGINT) AS bucket FROM s
+    ), pb AS (
+      SELECT bucket, sum(n_tokens) AS bt FROM b GROUP BY bucket
+    ), cum AS (
+      SELECT bucket, sum(bt) OVER (
+        ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM pb
+    ), thr AS (SELECT min(bucket) AS thr FROM cum WHERE cum <= 15000)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality, bucket
+    FROM b CROSS JOIN thr WHERE bucket >= thr ORDER BY doc_id
+    """,
+)
+def doc_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection under a 15k-token budget (operators/
+    selection.token_budget_select): keep the best score-buckets whose
+    cumulative whitespace-token count fits the budget. No global sort —
+    the cumulative window runs over a ≤1001-row bucket aggregate, the
+    data path is two narrow scans (SCALE.md: the 100 TB-safe version of
+    'give me the best N tokens')."""
+    from ..operators.selection import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        token_budget_select(docs, 15_000)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality",
+            "bucket",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register_query(
+    "kmeans_assign_embeddings",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+    ), d AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)))) AS dist
+        FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id
+    FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d
+    ) WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (operators/clustering.assign_clusters)
+    with deterministic centroids (the first 8 embeddings by vec_id —
+    bounded control-path collect). The distance argmin is one narrow
+    codegen projection with the k×d centroid literal riding the plan; no
+    shuffle, no UDF. The oracle replays the same index-ordered IEEE
+    distance fold via a cross join + row_number."""
+    from ..operators.clustering import assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in first]
+    return (
+        assign_clusters(emb, centroids, keep_cols=["vec_id"])
+        .orderBy("vec_id")
+    )
+
+
+@register_query(
+    "props_schema_drift",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               CASE event_type
+                 WHEN 'purchase' THEN concat('{"amount": {"v": ', CAST(event_id AS VARCHAR), '}, "eid": ', CAST(event_id AS VARCHAR), '}')
+                 WHEN 'click'    THEN concat('{"amount": [', CAST(event_id AS VARCHAR), '], "eid": ', CAST(event_id AS VARCHAR), '}')
+                 WHEN 'signup'   THEN concat('{"eid": ', CAST(event_id AS VARCHAR), '}')
+                 ELSE concat('{"amount": ', CAST(event_id AS VARCHAR), ', "eid": ', CAST(event_id AS VARCHAR), '}')
+               END AS payload
+        FROM events
+    ), cls AS (
+        SELECT p.event_type, f.field,
+               json_type(p.payload, concat('$.', f.field)) AS jt
+        FROM p CROSS JOIN (SELECT unnest(['amount', 'eid']) AS field) f
+    ), mapped AS (
+        SELECT event_type, field,
+               CASE jt WHEN 'OBJECT' THEN 'STRUCT' WHEN 'ARRAY' THEN 'ARRAY'
+                       WHEN 'NULL' THEN NULL
+                       ELSE CASE WHEN jt IS NULL THEN NULL ELSE 'STRING' END END AS c,
+               (jt IS NOT NULL) AS present
+        FROM cls
+    ), grp AS (
+        SELECT event_type, field, bool_or(present) AS has_key,
+               CASE WHEN count(DISTINCT c) > 1 THEN 'STRING'
+                    ELSE coalesce(max(c), 'STRING') END AS gc
+        FROM mapped GROUP BY event_type, field
+    ), gl AS (
+        SELECT field,
+               CASE WHEN count(DISTINCT c) > 1 THEN 'STRING'
+                    ELSE coalesce(max(c), 'STRING') END AS glc
+        FROM mapped GROUP BY field
+    )
+    SELECT g.event_type AS group_key, g.field,
+           CASE WHEN NOT g.has_key THEN 'ABSENT' ELSE g.gc END AS group_class,
+           gl.glc AS global_class,
+           CASE WHEN NOT g.has_key THEN 'absent'
+                WHEN g.gc <> gl.glc THEN 'retyped'
+                ELSE 'same' END AS drift
+    FROM grp g JOIN gl USING (field)
+    ORDER BY group_key, field
+    """,
+)
+def props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group schema drift over a JSON column (operators/drift.
+    schema_drift_report, built on the keyed reference-lattice inference
+    of operators/infer.infer_schema_by_key — one scan, zero shuffle).
+    The payload derives deterministically from events so every drift
+    class appears: purchase nests `amount` (STRUCT), click wraps it in
+    an array (ARRAY), signup omits it (absent), error/view keep it
+    scalar (STRING); the corpus-wide merge demotes the conflict to
+    STRING per CreateHQL.scala:63-64."""
+    from ..operators.drift import schema_drift_report
+
+    e = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    payload = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit('{"amount": {"v": '), eid, F.lit('}, "eid": '), eid, F.lit("}")),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.concat(F.lit('{"amount": ['), eid, F.lit('], "eid": '), eid, F.lit("}")),
+        )
+        .when(
+            F.col("event_type") == "signup",
+            F.concat(F.lit('{"eid": '), eid, F.lit("}")),
+        )
+        .otherwise(
+            F.concat(F.lit('{"amount": '), eid, F.lit(', "eid": '), eid, F.lit("}")),
+        )
+    )
+    tagged = e.select(F.col("event_type"), payload.alias("payload"))
+    return schema_drift_report(spark, tagged, "payload", "event_type").orderBy(
+        "group_key", "field"
+    )

@@ -1,0 +1,120 @@
+"""Unit tests: mixture reweighting and token-budget selection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+    hash_fraction,
+    mixture_sample,
+)
+from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+    token_budget_select,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, "en" if i % 10 < 6 else ("fr" if i % 10 < 8 else "de"))
+        for i in range(2000)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_hash_fraction_uniform_and_bounded(spark):
+    df = spark.range(4000).select(hash_fraction(F.col("id")).alias("u"))
+    stats = df.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("mu")
+    ).collect()[0]
+    assert 0.0 <= stats["lo"] and stats["hi"] < 1.0
+    assert 0.45 < stats["mu"] < 0.55
+
+
+def test_mixture_hits_target_proportions(corpus):
+    kept = mixture_sample(
+        corpus, "lang", {"en": 0.5, "fr": 0.25, "de": 0.25}, key="doc_id"
+    )
+    counts = dict(
+        kept.groupBy("lang").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    total = sum(counts.values())
+    # feasible N: de has 400 docs at target 0.25 → N=1600
+    assert total == pytest.approx(1600, rel=0.10)
+    assert counts["en"] / total == pytest.approx(0.5, abs=0.06)
+    assert counts["fr"] / total == pytest.approx(0.25, abs=0.05)
+    assert counts["de"] / total == pytest.approx(0.25, abs=0.05)
+
+
+def test_mixture_deterministic_across_layouts(corpus):
+    t = {"en": 0.4, "fr": 0.3, "de": 0.3}
+    a = set(
+        r[0]
+        for r in mixture_sample(corpus, "lang", t, key="doc_id")
+        .select("doc_id")
+        .collect()
+    )
+    b = set(
+        r[0]
+        for r in mixture_sample(corpus.repartition(13), "lang", t, key="doc_id")
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_mixture_drops_untargeted_strata(corpus):
+    kept = mixture_sample(corpus, "lang", {"en": 1.0}, key="doc_id")
+    assert kept.select("lang").distinct().collect() == [("en",)]
+
+
+def test_mixture_rejects_bad_targets(corpus):
+    with pytest.raises(ValueError):
+        mixture_sample(corpus, "lang", {}, key="doc_id")
+    with pytest.raises(ValueError):
+        mixture_sample(corpus, "lang", {"en": 0.0}, key="doc_id")
+
+
+@pytest.fixture(scope="module")
+def scored_docs(spark):
+    # quality spread via repetition: every doc is 60 tokens (length
+    # saturated), doc i uses i+1 distinct words, so rep_score = (i+1)/60
+    # and each doc lands in its own score bucket — no giant bucket that
+    # would (correctly) exceed the whole budget by itself
+    rows = [
+        (i, " ".join(f"t{i}word{j % (1 + i // 2)}" for j in range(60)))
+        for i in range(100)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_budget_never_overfilled(scored_docs):
+    kept = token_budget_select(scored_docs, 2000)
+    total = kept.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total is not None and total <= 2000
+
+
+def test_budget_prefers_higher_quality(scored_docs):
+    kept = token_budget_select(scored_docs, 2000)
+    worst_kept = kept.agg(F.min("bucket")).collect()[0][0]
+    dropped = scored_docs.join(kept.select("doc_id"), "doc_id", "left_anti")
+    best_dropped = (
+        token_budget_select(scored_docs, 10**9)  # score everything
+        .join(dropped.select("doc_id"), "doc_id")
+        .agg(F.max("bucket"))
+        .collect()[0][0]
+    )
+    if best_dropped is not None:
+        # boundary bucket may tie; nothing dropped may beat the kept floor
+        assert best_dropped <= worst_kept
+
+
+def test_budget_zero_and_huge(scored_docs):
+    assert token_budget_select(scored_docs, 0).count() == 0
+    assert token_budget_select(scored_docs, 10**9).count() == 100
+
+
+def test_budget_rejects_negative(scored_docs):
+    with pytest.raises(ValueError):
+        token_budget_select(scored_docs, -1)

@@ -188,6 +188,10 @@ BNLJ_ALLOWED = {
     "quantized_ann_topk",
     "ivf_ann_topk",
     "ngram_jaccard_docs",
+    # bounded scalar cross joins: the |strata|-row rate table × 1-row
+    # feasible cap, and the 1-row bucket-threshold broadcast
+    "doc_mixture_sample",
+    "doc_token_budget_select",
 }
 
 
