@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "training_prep_pipeline",
     "doc_sequence_packing",
     "doc_decontamination",
+    "doc_mixture_sample",
+    "doc_token_budget_select",
+    "kmeans_assign_embeddings",
 ]
 
 

@@ -166,6 +166,67 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_mixture(args) -> int:
+    from .functions.sampling import mixture_sample
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    targets = {}
+    for part in args.targets.split(","):
+        k, _, v = part.partition("=")
+        targets[k.strip()] = float(v)
+    out = mixture_sample(df, args.strata_col, targets, key=args.key)
+    convert(out, args.output, args.fmt, mode="overwrite")
+    got = dict(
+        read_any(spark, args.output, args.fmt)
+        .groupBy(args.strata_col)
+        .count()
+        .rdd.map(lambda r: (r[0], r[1]))
+        .collect()
+    )
+    total = sum(got.values()) or 1
+    mix = ", ".join(f"{k}={v} ({v / total:.1%})" for k, v in sorted(got.items()))
+    print(f"kept {total}: {mix}", file=sys.stderr)
+    return 0
+
+
+def cmd_select(args) -> int:
+    from .operators.selection import token_budget_select
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    sel = token_budget_select(
+        df, args.budget, text_col=args.text_col, id_col=args.key
+    ).select(args.key)
+    out = df.join(sel, args.key, "left_semi")
+    convert(out, args.output, args.fmt, mode="overwrite")
+    n = read_any(spark, args.output, args.fmt).count()
+    print(f"selected {n} docs within {args.budget} tokens", file=sys.stderr)
+    return 0
+
+
+def cmd_drift(args) -> int:
+    from .operators.drift import schema_drift_report
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    rows = (
+        schema_drift_report(spark, df, args.json_col, args.group_col)
+        .orderBy("group_key", "field")
+        .collect()
+    )
+    for r in rows:
+        flag = "" if r["drift"] == "same" else f"  <-- {r['drift']}"
+        print(
+            f"{r['group_key']}\t{r['field']}\t{r['group_class']}"
+            f" (global {r['global_class']}){flag}"
+        )
+    return 0
+
+
 def cmd_profile(args) -> int:
     from .operators.profile import profile
     from .sources.formats import read_any
@@ -377,6 +438,31 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--max-hamming", type=int, default=3,
                      help="simhash: Hamming radius (<=3 complete)")
     pd_.set_defaults(fn=cmd_dedup)
+
+    pm = sub.add_parser("mixture", help="reweight corpus to target strata mix")
+    pm.add_argument("input")
+    pm.add_argument("output")
+    pm.add_argument("--targets", required=True, help="e.g. en=0.6,fr=0.2,de=0.2")
+    pm.add_argument("--strata-col", default="lang")
+    pm.add_argument("--key", default="doc_id")
+    pm.add_argument("--fmt", default="parquet")
+    pm.set_defaults(fn=cmd_mixture)
+
+    pts = sub.add_parser("select", help="best docs under a token budget")
+    pts.add_argument("input")
+    pts.add_argument("output")
+    pts.add_argument("--budget", type=int, required=True)
+    pts.add_argument("--text-col", default="text")
+    pts.add_argument("--key", default="doc_id")
+    pts.add_argument("--fmt", default="parquet")
+    pts.set_defaults(fn=cmd_select)
+
+    pdr = sub.add_parser("drift", help="per-group schema drift over a JSON column")
+    pdr.add_argument("input")
+    pdr.add_argument("--json-col", required=True)
+    pdr.add_argument("--group-col", required=True)
+    pdr.add_argument("--fmt", default="parquet")
+    pdr.set_defaults(fn=cmd_drift)
 
     pp = sub.add_parser("profile", help="one-scan column statistics")
     pp.add_argument("input")

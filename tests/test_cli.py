@@ -261,3 +261,48 @@ def test_cli_sql_empty_dir_errors(spark, tmp_path, capsys):
     rc = main(["sql", "SELECT 1", "--tables-dir", str(tmp_path)])
     assert rc == 2
     assert "no *.parquet" in capsys.readouterr().err
+
+
+def test_cli_mixture(spark, tmp_path, capsys):
+    src = str(tmp_path / "mx_in")
+    dst = str(tmp_path / "mx_out")
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(400)]
+    spark.createDataFrame(rows, "doc_id long, lang string").write.parquet(src)
+    rc = main(
+        ["mixture", src, dst, "--targets", "en=0.5,fr=0.5", "--key", "doc_id"]
+    )
+    err = capsys.readouterr().err
+    assert rc == 0 and "kept" in err
+    got = spark.read.parquet(dst)
+    counts = dict(got.groupBy("lang").count().rdd.map(lambda r: (r[0], r[1])).collect())
+    assert set(counts) == {"en", "fr"}
+    assert abs(counts["en"] - counts["fr"]) < 100
+
+
+def test_cli_select_budget(spark, tmp_path, capsys):
+    src = str(tmp_path / "sel_in")
+    dst = str(tmp_path / "sel_out")
+    rows = [
+        (i, " ".join(f"t{i}w{j % (1 + i // 2)}" for j in range(60)))
+        for i in range(50)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    rc = main(["select", src, dst, "--budget", "900"])
+    err = capsys.readouterr().err
+    assert rc == 0 and "selected" in err
+    kept = spark.read.parquet(dst).count()
+    assert 0 < kept <= 15  # 60 tokens/doc, 900-token budget
+
+
+def test_cli_drift_report(spark, tmp_path, capsys):
+    src = str(tmp_path / "dr_in")
+    rows = [
+        ("a", '{"x": 1}'),
+        ("b", '{"x": [1]}'),
+        ("c", '{"y": 2}'),
+    ]
+    spark.createDataFrame(rows, "grp string, payload string").write.parquet(src)
+    rc = main(["drift", src, "--json-col", "payload", "--group-col", "grp"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "retyped" in out and "absent" in out
