@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "doc_mixture_sample",
     "doc_token_budget_select",
     "kmeans_assign_embeddings",
+    "doc_unigram_logprob",
 ]
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "STOPWORD_PROFILES",
     "tfidf_top_terms",
     "ngram_repetition",
+    "unigram_logprob_score",
 ]
 
 # Tiny per-language stopword profiles for the heuristic language scorer.
@@ -244,4 +245,49 @@ def tfidf_top_terms(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rnk")
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus' own
+    unigram distribution — the cheap distributional stand-in for
+    LM-perplexity quality filtering (docs full of corpus-rare tokens
+    score low; natural prose scores high). Real pipelines swap in a
+    trained LM via mapInPandas; this is the dependency-free default
+    with identical plumbing.
+
+    Output: (id, n_tokens, lm_score) where lm_score =
+    round(avg(ln(count(tok)/total_tokens)), 6).
+
+    Scale shape: explode → token-keyed partial-count agg (map-side
+    combine collapses each partition to its distinct tokens before the
+    shuffle — Zipf makes that tiny), then one join of the exploded
+    tokens against the vocabulary-sized frequency table. The frequency
+    join deliberately carries NO broadcast hint (same lesson as TF-IDF:
+    vocabulary size is corpus-dependent); AQE picks the strategy. The
+    1-row grand total rides the plan as a broadcast scalar.
+    """
+    df = ensure_min_partitions(df)
+    toks = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("s"))
+    return (
+        toks.join(freq, "tok")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        F.col("c").cast("double") / F.col("s").cast("double")
+                    )
+                ),
+                6,
+            ).alias("lm_score"),
+        )
     )

@@ -3639,3 +3639,34 @@ def props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_drift_report(spark, tagged, "payload", "event_type").orderBy(
         "group_key", "field"
     )
+
+
+@register_query(
+    "doc_unigram_logprob",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ), f AS (
+        SELECT tok, count(*) AS c FROM tk GROUP BY tok
+    ), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM f)
+    SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(CAST(f.c AS DOUBLE) / tot.s)), 6) AS lm_score
+    FROM tk JOIN f USING (tok) CROSS JOIN tot
+    GROUP BY tk.doc_id ORDER BY tk.doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM scoring (operators/text.unigram_logprob_score):
+    mean ln p(token) under the corpus' own unigram distribution — the
+    distributional quality filter (rare-token junk scores low). Token
+    frequency table via map-side-combined count, NO broadcast hint on
+    the vocabulary join (AQE decides; TF-IDF lesson), 1-row total as a
+    broadcast scalar."""
+    from ..operators.text import unigram_logprob_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_score(docs).orderBy("doc_id")

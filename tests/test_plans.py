@@ -228,3 +228,60 @@ def test_tfidf_term_join_has_no_forced_broadcast(spark, sf_smoke_dir):
         "expected exactly one broadcast hint (the 1-row n_docs scalar); "
         "the vocabulary-sized term join must not be force-broadcast"
     )
+
+
+def test_mixture_sample_no_body_shuffle(spark, sf_smoke_dir):
+    """Mixture reweighting may shuffle only the |strata|-row count/rate
+    tables; the documents scan that carries text must reach the filter
+    without an Exchange above it (bodies never shuffle)."""
+    df = QUERIES["doc_mixture_sample"](spark, sf_smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the rate table is tiny: its join must be broadcast, not sort-merge
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_budget_select_no_global_sort(spark, sf_smoke_dir):
+    """Budget selection must not plan a global data sort: the only Sort
+    allowed below the final presentation orderBy is the window over the
+    <=1001-row bucket aggregate (which sits above a partial agg)."""
+    from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+        token_budget_select,
+    )
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_smoke_dir, "documents.parquet"))
+    plan = (
+        token_budget_select(docs, 10_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the bucket-histogram window runs in a single tiny partition; the
+    # doc-scan side must join it broadcast, with no sort-merge anywhere
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan and "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmeans_assign_no_exchange(spark, sf_smoke_dir):
+    """Centroid assignment is a pure narrow projection — no Exchange, no
+    Python, the centroid literals ride the plan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nifi_hive_schema_generator_bundle_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_smoke_dir, "embeddings.parquet"))
+    first = emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in first]
+    plan = (
+        assign_clusters(emb, cents, keep_cols=["vec_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -149,3 +149,19 @@ def test_ngram_repetition_flags_looped_text(spark):
     assert got[2].top_2gram_frac == round(1 / 7, 6)
     # doc 3: no 2-grams -> NULLs, row still present
     assert got[3].n_2grams is None and got[3].top_3gram_n is None
+
+
+def test_unigram_logprob_ranks_rare_token_docs_lower(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.text import (
+        unigram_logprob_score,
+    )
+
+    common = "the cat sat on the mat " * 5
+    rows = [(i, common) for i in range(9)] + [(9, "zxqv wvuq qqzz xxyy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["lm_score"]
+        for r in unigram_logprob_score(df).collect()
+    }
+    assert scores[9] < scores[0]  # rare-token doc scores lower
+    assert all(v < 0 for v in scores.values())  # log-probs are negative
