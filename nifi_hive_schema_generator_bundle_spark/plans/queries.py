@@ -3670,3 +3670,102 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob_score(docs).orderBy("doc_id")
+
+
+@register_query(
+    "doc_duplicate_clusters",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' '))) END AS sh
+        FROM toks
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh)) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(n, m) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS doc_id, CAST(least(n, min(m)) AS BIGINT) AS component
+    FROM reach GROUP BY n ORDER BY doc_id
+    """,
+)
+def doc_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labeling: exact 3-gram Jaccard pairs (>= 0.5)
+    fed into iterative min-label connected components (operators/dedup.
+    connected_components — per-round equi-joins, AQE re-plans as the
+    frontier shrinks, convergence flag rides the update pass). The
+    oracle replays the same edge set and labels components with a
+    recursive transitive closure — upgrading CC from unit-only to
+    value-hash-checked."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    return (
+        connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+@register_query(
+    "brand_revenue_salted",
+    oracle="""
+    SELECT p.p_brand,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+)
+def brand_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (functions/partitioning.salted_join):
+    identical SEMANTICS to the plain equi-join — which is exactly what
+    the oracle checks — but the fact side carries a random salt and the
+    dimension side explodes across all salt values, so one hot part key
+    spreads over n_salts reducers. The aggregate is salt-invariant.
+    Use case: AQE skew-split can't help (e.g. when a downstream
+    co-partitioning pins the exchange)."""
+    from ..functions.partitioning import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, "l_partkey", n_salts=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(_DEC)
+                    * (F.lit(1) - F.col("l_discount").cast(_DEC))
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )

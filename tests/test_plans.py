@@ -192,6 +192,10 @@ BNLJ_ALLOWED = {
     # feasible cap, and the 1-row bucket-threshold broadcast
     "doc_mixture_sample",
     "doc_token_budget_select",
+    # 1-row grand-total broadcast (vocabulary join itself is equi/AQE)
+    "doc_unigram_logprob",
+    # same documented all-pairs verification kernel as ngram_jaccard_docs
+    "doc_duplicate_clusters",
 }
 
 
