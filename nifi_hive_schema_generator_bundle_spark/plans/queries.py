@@ -3769,3 +3769,23 @@ def brand_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register_query("semantic_cluster_sizes")
+def semantic_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd k-means fit over the embeddings table (k=8, 10 rounds,
+    deterministic first-k init) then cluster-size histogram — the
+    iterative-algorithm gate entry (rows-only: float partial-sum order
+    makes centroid trajectories engine-specific, so there is no SQL
+    twin; the assignment kernel itself is oracle-checked by
+    kmeans_assign_embeddings)."""
+    from ..operators.clustering import assign_clusters, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, 8, max_iter=10)
+    return (
+        assign_clusters(emb, centroids, keep_cols=["vec_id"])
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster_id")
+    )

@@ -209,3 +209,73 @@ def test_idempotent_partition_sink_replay_converges(spark, tmp_path):
     batch2 = spark.createDataFrame([(9, "2024-01-02")], schema)
     overwrite_partitions(batch2, out, ["day"])
     assert read_ids() == [1, 2, 9]
+
+
+def test_group_drift_monitor_emits_change_feed(spark, tmp_path):
+    """Streaming per-group drift: new groups, new fields, and type
+    demotions surface as events; stable batches emit nothing."""
+    import shutil
+
+    from nifi_hive_schema_generator_bundle_spark.streaming.drift_stream import (
+        GroupDriftState,
+    )
+
+    src = str(tmp_path / "drift_src")
+    state = GroupDriftState(json_col="payload", key_col="grp")
+
+    def write_batch(rows):
+        shutil.rmtree(src, ignore_errors=True)
+        spark.createDataFrame(rows, "grp string, payload string").write.parquet(src)
+        return spark.read.parquet(src)
+
+    # batch 0: two groups appear (a's x starts as an ARRAY)
+    state.process_batch(
+        write_batch([("a", '{"x": [1]}'), ("b", '{"x": "s"}')]), 0
+    )
+    assert (0, "a", "*", "new_group") in state.events
+    assert (0, "b", "*", "new_group") in state.events
+
+    # batch 1: same shapes — silent
+    n = len(state.events)
+    state.process_batch(write_batch([("a", '{"x": [9]}')]), 1)
+    assert len(state.events) == n
+
+    # batch 2: group a gains a field and demotes x (ARRAY ⊔ scalar → STRING)
+    state.process_batch(write_batch([("a", '{"x": 2, "y": 7}')]), 2)
+    changes = {(g, f): c for _, g, f, c in state.events}
+    assert changes[("a", "y")] == "new_field"
+    assert changes[("a", "x")].startswith("retyped:")
+
+    # the driver state is schema trees only
+    assert set(state.schemas) == {"a", "b"}
+    assert state.batches == 3
+
+
+def test_group_drift_monitor_in_foreachbatch(spark, tmp_path):
+    """Same state wired through a real foreachBatch stream."""
+    import os
+
+    from nifi_hive_schema_generator_bundle_spark.streaming.drift_stream import (
+        GroupDriftState,
+    )
+
+    src = str(tmp_path / "fb_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("a", '{"x": 1}'), ("b", '{"k": [2]}')],
+        "grp string, payload string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    state = GroupDriftState(json_col="payload", key_col="grp")
+    stream = (
+        spark.readStream.schema("grp string, payload string").parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(state.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {g for _, g, _, _ in state.events} == {"a", "b"}
+    assert all(c == "new_group" for _, _, _, c in state.events)
