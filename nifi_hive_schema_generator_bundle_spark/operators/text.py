@@ -261,33 +261,33 @@ def unigram_logprob_score(
     Output: (id, n_tokens, lm_score) where lm_score =
     round(avg(ln(count(tok)/total_tokens)), 6).
 
-    Scale shape: explode → token-keyed partial-count agg (map-side
-    combine collapses each partition to its distinct tokens before the
-    shuffle — Zipf makes that tiny), then one join of the exploded
-    tokens against the vocabulary-sized frequency table. The frequency
-    join deliberately carries NO broadcast hint (same lesson as TF-IDF:
-    vocabulary size is corpus-dependent); AQE picks the strategy. The
-    1-row grand total rides the plan as a broadcast scalar.
+    Scale shape: explode → (doc, token) partial-count agg, so the
+    vocabulary join sees each document's DISTINCT tokens (Zipf-head
+    tokens like 'the' collapse from one row per occurrence to one row
+    per document — the deskewed form; measured ~2× over the
+    per-occurrence join at 10× sf0.1). The per-doc mean is the
+    count-weighted sum Σ k·ln p / Σ k — identical to the
+    per-occurrence average. The frequency join deliberately carries NO
+    broadcast hint (same lesson as TF-IDF: vocabulary size is
+    corpus-dependent); AQE picks the strategy. The 1-row grand total
+    rides the plan as a broadcast scalar.
     """
     df = ensure_min_partitions(df)
     toks = df.select(
         F.col(id_col), F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok")
     )
+    doc_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("k"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("s"))
+    logp = F.log(F.col("c").cast("double") / F.col("s").cast("double"))
     return (
-        toks.join(freq, "tok")
+        doc_tok.join(freq, "tok")
         .join(F.broadcast(total))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("k").alias("n_tokens"),
             F.round(
-                F.avg(
-                    F.log(
-                        F.col("c").cast("double") / F.col("s").cast("double")
-                    )
-                ),
-                6,
+                F.sum(F.col("k") * logp) / F.sum("k"), 6
             ).alias("lm_score"),
         )
     )
