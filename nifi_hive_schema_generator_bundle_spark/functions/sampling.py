@@ -163,3 +163,39 @@ def mixture_sample(
         .filter(hash_fraction(key) < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def exact_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    *,
+    key: str,
+) -> DataFrame:
+    """Exactly ``min(n_per_stratum, stratum_size)`` rows per stratum,
+    chosen deterministically by md5 order of the key — the exact-count
+    sibling of ``mixture_sample`` (which trades exactness for a pure
+    narrow filter). Use this when the contract is "exactly N eval docs
+    per language"; use the rate-based samplers when N is large and ±√N
+    is acceptable.
+
+    Scale shape: one shuffle partitioned by stratum for the per-stratum
+    rank. Rank-within-stratum is the unavoidable cost of exactness —
+    and the skew warning is real: a stratum's rows land on one reducer,
+    so this is for strata that individually fit an executor (eval-set
+    curation, per-language caps up to ~10⁷ rows), not for ranking a
+    whole corpus. ``Window.partitionBy`` raises no error on overflow —
+    size your strata.
+    """
+    if n_per_stratum < 0:
+        raise ValueError("n_per_stratum must be >= 0")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

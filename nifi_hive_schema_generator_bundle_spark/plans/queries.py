@@ -3789,3 +3789,31 @@ def semantic_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cluster_id")
     )
+
+
+@register_query(
+    "doc_exact_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 30 ORDER BY doc_id
+    """,
+)
+def doc_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-30-per-language sample (functions/sampling.
+    exact_stratified_sample): deterministic md5-order rank within each
+    stratum — the exact-count eval-set curation primitive. One
+    stratum-partitioned shuffle (documented skew bound); the oracle
+    replays the identical md5 ordering."""
+    from ..functions.sampling import exact_stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_stratified_sample(docs, "lang", 30, key="doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

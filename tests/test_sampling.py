@@ -131,3 +131,37 @@ def test_hash_bucket_matches_python_hashlib(spark):
             assert got[k] == expect
 
     check()
+
+
+def test_exact_stratified_sample_counts_and_determinism(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+        exact_stratified_sample,
+    )
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(90)]  # a:60, b:30
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = exact_stratified_sample(df, "lang", 40, key="doc_id")
+    counts = dict(
+        out.groupBy("lang").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert counts == {"a": 40, "b": 30}  # capped at stratum size
+    a = sorted(r[0] for r in out.select("doc_id").collect())
+    b = sorted(
+        r[0]
+        for r in exact_stratified_sample(
+            df.repartition(17), "lang", 40, key="doc_id"
+        ).select("doc_id").collect()
+    )
+    assert a == b  # layout-independent
+
+
+def test_exact_stratified_sample_rejects_negative(spark):
+    import pytest as _pytest
+
+    from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+        exact_stratified_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with _pytest.raises(ValueError):
+        exact_stratified_sample(df, "lang", -1, key="doc_id")
