@@ -3817,3 +3817,60 @@ def doc_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "doc_near_dedup_exact",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' '))) END AS sh
+        FROM toks
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh)) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(n, m) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ), losers AS (
+        SELECT n FROM reach GROUP BY n HAVING least(n, min(m)) < n
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT n FROM losers)
+    ORDER BY d.doc_id
+    """,
+)
+def doc_near_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL near-dedup pipeline on deterministic edges: exact
+    3-gram Jaccard pairs (>= 0.5) → connected components → keep the
+    min-id representative per cluster (operators/dedup.dedup_keep_min).
+    With exact pairs instead of LSH candidates the whole pipeline is
+    SQL-replayable, so the end-to-end kept-set is value-hash-checked —
+    the LSH-candidate variant (near_dedup_docs) keeps its rows-only
+    check and at 100 TB supplies the candidates to this same kernel."""
+    from ..operators.dedup import dedup_keep_min, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    return (
+        dedup_keep_min(docs, pairs, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

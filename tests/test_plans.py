@@ -196,6 +196,7 @@ BNLJ_ALLOWED = {
     "doc_unigram_logprob",
     # same documented all-pairs verification kernel as ngram_jaccard_docs
     "doc_duplicate_clusters",
+    "doc_near_dedup_exact",
 }
 
 
