@@ -31,6 +31,7 @@ __all__ = [
     "tfidf_top_terms",
     "ngram_repetition",
     "unigram_logprob_score",
+    "bm25_scores",
 ]
 
 # Tiny per-language stopword profiles for the heuristic language scorer.
@@ -290,4 +291,66 @@ def unigram_logprob_score(
                 F.sum(F.col("k") * logp) / F.sum("k"), 6
             ).alias("lm_score"),
         )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a bag of query terms —
+    the lexical-retrieval ranking primitive (the exact-scoring
+    counterpart to the ANN family's vector search).
+
+    idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)); the doc score sums
+    idf(t)·tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)) over matched terms.
+    Only docs matching ≥ 1 term appear.
+
+    Scale shape: the token explode is pre-filtered to the query terms
+    (a literal array — the filter reaches the generator, so the shuffle
+    carries only query-term hits, not the corpus vocabulary), then
+    (doc, term) partial-count aggs; doc length comes from a narrow
+    projection joined by id. N/avgdl and the |q|-row df table are 1-row/
+    tiny broadcasts. No global sort, bodies never shuffle.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = F.array(*[F.lit(t.lower()) for t in query_terms])
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    lengths = ensure_min_partitions(df).select(
+        F.col(id_col), F.size(toks).alias("dl")
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = ensure_min_partitions(df).select(
+        F.col(id_col),
+        F.explode(F.filter(toks, lambda t: F.array_contains(terms, t))).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lengths, id_col)
+        .join(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("part"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
     )

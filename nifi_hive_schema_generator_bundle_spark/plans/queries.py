@@ -3874,3 +3874,53 @@ def doc_near_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "doc_bm25_scores",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x <> '') AS toks
+        FROM documents
+    ), lens AS (
+        SELECT doc_id, len(toks) AS dl FROM tk
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM lens
+    ), hits AS (
+        SELECT doc_id,
+               unnest(list_filter(toks,
+                   t -> list_contains(['data', 'model', 'learning'], t))) AS term
+        FROM tk
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM hits GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           round(sum(
+               ln(1.0 + (stats.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN lens ON tf.doc_id = lens.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
+)
+def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval scoring (operators/text.bm25_scores)
+    for the query bag {data, model, learning} — the exact-scoring
+    counterpart to the ANN vector-search family. The token explode is
+    pre-filtered to the query terms so only hits shuffle; N/avgdl and
+    the |q|-row df table broadcast; the oracle replays the identical
+    k1=1.2, b=0.75 formula."""
+    from ..operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["data", "model", "learning"]).orderBy("doc_id")

@@ -194,6 +194,8 @@ BNLJ_ALLOWED = {
     "doc_token_budget_select",
     # 1-row grand-total broadcast (vocabulary join itself is equi/AQE)
     "doc_unigram_logprob",
+    # 1-row N/avgdl stats broadcast; the term joins are equi
+    "doc_bm25_scores",
     # same documented all-pairs verification kernel as ngram_jaccard_docs
     "doc_duplicate_clusters",
     "doc_near_dedup_exact",

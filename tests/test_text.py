@@ -165,3 +165,30 @@ def test_unigram_logprob_ranks_rare_token_docs_lower(spark):
     }
     assert scores[9] < scores[0]  # rare-token doc scores lower
     assert all(v < 0 for v in scores.values())  # log-probs are negative
+
+
+def test_bm25_ranking_sanity(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.text import bm25_scores
+
+    rows = [
+        (0, "data model learning data model"),   # all terms, repeats
+        (1, "data and some other words here"),   # one common term
+        (2, "nothing relevant at all right"),    # no terms
+        (3, "learning " + "filler " * 50),       # one term, long doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["data", "model", "learning"]).collect()}
+    assert 2 not in out                  # no-match docs absent
+    assert out[0] > out[1]               # more matched terms → higher
+    assert out[0] > out[3]               # length normalization penalizes filler
+    assert all(v > 0 for v in out.values())
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest as _pytest
+
+    from nifi_hive_schema_generator_bundle_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_scores(df, [])
