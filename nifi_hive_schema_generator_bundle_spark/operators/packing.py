@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 from ..functions.partitioning import ensure_min_partitions
 from ..functions.textfns import whitespace_tokens
 
-__all__ = ["hex_bucket", "pack_sequences", "chunk_documents"]
+__all__ = ["hex_bucket", "pack_sequences", "chunk_documents", "cdc_chunk_documents"]
 
 
 def hex_bucket(key: Column | str, n_buckets: int = 16) -> Column:
@@ -153,4 +153,84 @@ def chunk_documents(
         "chunk_idx",
         F.size("chunk_toks").alias("n_chunk_tokens"),
         F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+    )
+
+
+def cdc_chunk_documents(
+    df: DataFrame,
+    *,
+    window: int = 4,
+    modulus: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    the rolling window hash of the last ``window`` tokens lands in
+    bucket 0 of ``modulus`` — so chunk boundaries follow CONTENT, not
+    offsets. Insert a paragraph at the top of a document and
+    fixed-window chunks all shift (every chunk hash changes); CDC chunks
+    downstream of the edit keep their exact spans, so chunk-hash dedup
+    still matches them — the shift-resistant dedup unit (the LBFS/
+    rsync-style boundary trick applied to token streams).
+
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text, chunk_md5).
+    Expected chunk length ≈ ``modulus`` tokens (geometric); docs shorter
+    than ``window`` tokens yield one whole-doc chunk; empty docs yield
+    none. The boundary hash is md5-based so any engine agreeing on md5
+    replays identical chunks (the DuckDB oracle does).
+
+    Plan shape: pure narrow array transforms (boundary positions,
+    spans) + one explode whose row growth IS the output — no shuffle,
+    no UDF, whole-stage codegen except the interpreted HOFs.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if modulus < 2:
+        raise ValueError("modulus must be >= 2")
+    toks = whitespace_tokens(F.col(text_col))
+    n = F.size(toks)
+
+    def bucket(i):  # md5 of the window ending at token i, as a bucket id
+        gram = F.concat_ws(" ", F.slice(toks, i - window + 1, window))
+        return (
+            F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+            % modulus
+        )
+
+    # boundary after token i (window-aligned, never inside the first
+    # window). Docs shorter than the window have no candidate positions —
+    # guard BEFORE sequence(): sequence(window, n) with n < window would
+    # descend into invalid slice starts.
+    boundaries = F.when(
+        n <= window, F.array().cast("array<int>")
+    ).otherwise(
+        F.filter(
+            F.sequence(F.lit(window), n),
+            lambda i: (bucket(i) == 0) & (i < n),  # trailing boundary is moot
+        )
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(boundaries, lambda b: b + 1))
+    ends = F.concat(boundaries, F.array(n))
+    spans = F.arrays_zip(starts.alias("s"), ends.alias("e"))
+    chunks = df.where(n > 0).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(spans).alias("chunk_idx", "span"),
+    )
+    body = F.concat_ws(
+        " ",
+        F.slice(
+            whitespace_tokens(F.col(text_col)),
+            F.col("span.s"),
+            F.col("span.e") - F.col("span.s") + F.lit(1),
+        ),
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        (F.col("span.e") - F.col("span.s") + F.lit(1)).cast("int").alias(
+            "n_chunk_tokens"
+        ),
+        body.alias("chunk_text"),
+        F.md5(body).alias("chunk_md5"),
     )

@@ -3924,3 +3924,49 @@ def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_scores(docs, ["data", "model", "learning"]).orderBy("doc_id")
+
+
+@register_query(
+    "doc_cdc_chunks",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), nz AS (
+        SELECT * FROM toks WHERE len(t) > 0
+    ), bounds AS (
+        SELECT doc_id, t,
+               CASE WHEN len(t) <= 4 THEN []::BIGINT[]
+                    ELSE list_filter(generate_series(4, len(t)),
+                        i -> i < len(t)
+                             AND (CAST(concat('0x', substring(md5(array_to_string(t[i-3:i], ' ')), 1, 8)) AS BIGINT) % 16) = 0)
+               END AS bs
+        FROM nz
+    ), spans AS (
+        SELECT doc_id, t,
+               list_prepend(CAST(1 AS BIGINT), list_transform(bs, b -> b + 1)) AS ss,
+               list_append(bs, CAST(len(t) AS BIGINT)) AS es
+        FROM bounds
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(ss))) - 1 AS INT) AS chunk_idx,
+           CAST(unnest(list_transform(generate_series(1, len(ss)), j -> es[j] - ss[j] + 1)) AS INT) AS n_chunk_tokens,
+           unnest(list_transform(generate_series(1, len(ss)), j -> array_to_string(t[ss[j]:es[j]], ' '))) AS chunk_text,
+           unnest(list_transform(generate_series(1, len(ss)), j -> md5(array_to_string(t[ss[j]:es[j]], ' ')))) AS chunk_md5
+    FROM spans ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/packing.cdc_chunk_documents):
+    rolling md5-window boundaries (window=4, modulus=16) make chunk
+    spans follow content, so an edit near a document's head leaves
+    downstream chunk hashes intact — the shift-resistant dedup unit.
+    Pure narrow array transforms + the output explode; the oracle
+    replays the identical boundary arithmetic."""
+    from ..operators.packing import cdc_chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_documents(docs).orderBy("doc_id", "chunk_idx")

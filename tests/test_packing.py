@@ -150,3 +150,49 @@ def test_chunk_reconstruction_property(spark, n_tokens, chunk, overlap):
         # chunks start where the step schedule says
         assert ctoks == toks[r.chunk_idx * step : r.chunk_idx * step + chunk]
     assert rebuilt == toks
+
+
+def test_cdc_chunks_shift_resistant_and_reconstruct(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+        cdc_chunk_documents,
+    )
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"w{i % 37}tok{i % 11}" for i in range(200))
+    shifted = "inserted prefix paragraph here . " + base
+    df = spark.createDataFrame(
+        [(0, base), (1, shifted), (2, ""), (3, "tiny doc")],
+        "doc_id long, text string",
+    )
+    out = cdc_chunk_documents(df).cache()
+    # empty docs yield nothing; short docs one whole chunk
+    by_doc = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert 2 not in by_doc and by_doc[3] == 1
+    # chunks reconstruct the normalized token stream exactly
+    rec = (
+        out.filter("doc_id=0").orderBy("chunk_idx")
+        .agg(F.concat_ws(" ", F.collect_list("chunk_text"))).collect()[0][0]
+    )
+    assert rec == base
+    # token counts partition the doc
+    assert (
+        out.filter("doc_id=0").agg(F.sum("n_chunk_tokens")).collect()[0][0] == 200
+    )
+    # the defining property: a head insertion leaves most chunk hashes intact
+    h0 = {r["chunk_md5"] for r in out.filter("doc_id=0").collect()}
+    h1 = {r["chunk_md5"] for r in out.filter("doc_id=1").collect()}
+    assert len(h0 & h1) >= len(h0) - 2
+
+
+def test_cdc_chunks_validates_params(spark):
+    import pytest as _pytest
+
+    from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+        cdc_chunk_documents,
+    )
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        cdc_chunk_documents(df, window=0)
+    with _pytest.raises(ValueError):
+        cdc_chunk_documents(df, modulus=1)
