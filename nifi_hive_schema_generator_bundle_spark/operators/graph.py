@@ -1,0 +1,89 @@
+"""Iterative graph analytics over edge-list DataFrames.
+
+``connected_components`` (operators/dedup.py) covers reachability;
+``pagerank`` here covers weighted propagation — the influence/centrality
+signal (which suppliers anchor the part market, which documents dominate
+a link graph). Both follow the same Spark-idiomatic iteration shape:
+each round is a join + partial-agg job over (node, value) pairs keyed by
+narrow ids, the driver holds only loop control, AQE re-plans every round
+from runtime sizes.
+
+At scale: per iteration the shuffle carries one (dst, double) row per
+edge — map-side combined to one row per (partition, dst). Rank vectors
+are never collected; iteration count is fixed (power iteration
+converges geometrically; 5-20 rounds is the standard operating range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank on a directed edge list.
+
+    Returns (node, rank) over every node appearing as source or target;
+    ranks sum to 1. Dangling nodes (no out-edges) redistribute their
+    mass uniformly each round — the standard stochastic-matrix fix, so
+    the result is a true probability vector regardless of graph shape.
+
+    Deterministic given the edge set and ``iters`` (modulo float
+    summation order; callers comparing across engines should round).
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError("damping must be in [0, 1]")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()  # control-path scalar (one long), not data
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        with_deg = ranks.join(deg, ranks.node == deg.src, "left").select(
+            "node", "rank", "deg"
+        )
+        # dangling mass: rank held by nodes with no out-edges (1-row agg)
+        dm = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            e.join(with_deg.filter(F.col("deg").isNotNull()), e.src == F.col("node"))
+            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .join(F.broadcast(dm))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+        )
+        # truncate lineage each round: 5+ chained joins otherwise compound
+        # the plan; localCheckpoint is the single-node form (operators/
+        # dedup.connected_components documents the reliable-dir variant)
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -3970,3 +3970,72 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunk_documents(docs).orderBy("doc_id", "chunk_idx")
+
+
+def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle (recursive CTEs with aggregation
+    on the recursive term are non-standard, so each round is its own
+    CTE — same math as operators/graph.pagerank)."""
+    head = """
+    WITH e AS (
+        SELECT DISTINCT concat('p', CAST(l_partkey AS VARCHAR)) AS src,
+                        concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+        FROM lineitem
+        UNION
+        SELECT DISTINCT concat('s', CAST(l_suppkey AS VARCHAR)),
+                        concat('p', CAST(l_partkey AS VARCHAR))
+        FROM lineitem
+    ), nodes AS (
+        SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+    pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    step = """,
+    pr{k} AS (
+        SELECT nodes.node,
+               (1.0 - {damping}) / nn.n + {damping} * (
+                   coalesce(c.s, 0.0)
+                   + (SELECT coalesce(sum(p.rank), 0.0) FROM pr{j} p
+                      LEFT JOIN deg ON p.node = deg.src
+                      WHERE deg.src IS NULL) / nn.n
+               ) AS rank
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst, sum(p.rank / deg.d) AS s
+            FROM pr{j} p JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) c ON nodes.node = c.dst
+    )"""
+    parts = [head]
+    for k in range(1, iters + 1):
+        parts.append(step.format(k=k, j=k - 1, damping=damping))
+    parts.append(
+        f"\n    SELECT node, round(rank, 6) AS rank FROM pr{iters} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+@register_query("part_supplier_pagerank", oracle=_pagerank_oracle_sql())
+def part_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part↔supplier bipartite graph from lineitem
+    (operators/graph.pagerank, 5 power iterations, damping 0.85) — the
+    weighted-propagation sibling of connected components: per round one
+    (dst, double)-keyed shuffle with map-side combine, dangling mass as
+    a 1-row broadcast, rank vectors never collected. The oracle unrolls
+    the identical iteration in SQL."""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    bwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return (
+        pagerank(fwd.union(bwd), iters=5, damping=0.85)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )

@@ -196,6 +196,8 @@ BNLJ_ALLOWED = {
     "doc_unigram_logprob",
     # 1-row N/avgdl stats broadcast; the term joins are equi
     "doc_bm25_scores",
+    # 1-row dangling-mass broadcast per power iteration
+    "part_supplier_pagerank",
     # same documented all-pairs verification kernel as ngram_jaccard_docs
     "doc_duplicate_clusters",
     "doc_near_dedup_exact",
