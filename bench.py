@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "doc_token_budget_select",
     "kmeans_assign_embeddings",
     "doc_unigram_logprob",
+    "doc_bm25_scores",
+    "doc_cdc_chunks",
+    "part_supplier_pagerank",
+    "events_funnel",
 ]
 
 

@@ -4039,3 +4039,44 @@ def part_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.round("rank", 6).alias("rank"))
         .orderBy("node")
     )
+
+
+@register_query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id AS u, min(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.u
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.u
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        GROUP BY e.user_id
+    ), steps(step, step_name) AS (
+        VALUES (1, 'view'), (2, 'click'), (3, 'purchase')
+    ), reached AS (
+        SELECT s1.u,
+               1 + CASE WHEN s2.u IS NULL THEN 0 ELSE 1 END
+                 + CASE WHEN s3.u IS NULL THEN 0 ELSE 1 END AS step_reached
+        FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+    )
+    SELECT steps.step, steps.step_name, CAST(count(*) AS BIGINT) AS n_users
+    FROM steps JOIN reached ON reached.step_reached >= steps.step
+    GROUP BY steps.step, steps.step_name ORDER BY steps.step
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel (operators/funnel):
+    MATCH_RECOGNIZE-shaped ordered-sequence counting as chained min()
+    aggregations per user — no per-user event arrays, so a whale user
+    costs the same as any other (SCALE.md). Greedy earliest-prefix
+    matching; strict timestamp order between steps."""
+    from ..operators.funnel import funnel_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_counts(e, ["view", "click", "purchase"])

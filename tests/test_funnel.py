@@ -1,0 +1,76 @@
+"""Unit tests: ordered funnel matching."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from nifi_hive_schema_generator_bundle_spark.operators.funnel import (
+    funnel_counts,
+    funnel_steps,
+)
+
+
+def _ev(spark, rows):
+    base = dt.datetime(2026, 1, 1)
+    data = [
+        (u, t, base + dt.timedelta(minutes=m)) for (u, t, m) in rows
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_order_is_enforced(spark):
+    # user 1: proper order; user 2: purchase BEFORE view+click — no conversion
+    ev = _ev(
+        spark,
+        [
+            (1, "view", 0), (1, "click", 5), (1, "purchase", 9),
+            (2, "purchase", 0), (2, "view", 5), (2, "click", 9),
+        ],
+    )
+    got = {
+        r["user_id"]: r["step_reached"]
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: 3, 2: 2}  # user 2 stalls at click (no later purchase)
+
+
+def test_counts_monotone_and_named(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "view", 0), (1, "click", 1), (1, "purchase", 2),
+            (2, "view", 0), (2, "click", 1),
+            (3, "view", 0),
+            (4, "click", 0),  # never viewed: not in the funnel at all
+        ],
+    )
+    rows = funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    assert [(r["step"], r["step_name"], r["n_users"]) for r in rows] == [
+        (1, "view", 3),
+        (2, "click", 2),
+        (3, "purchase", 1),
+    ]
+
+
+def test_strictly_after_semantics(spark):
+    # click at the SAME timestamp as view does not advance (strict >)
+    ev = _ev(spark, [(1, "view", 0), (1, "click", 0)])
+    got = funnel_steps(ev, ["view", "click"]).collect()[0]
+    assert got["step_reached"] == 1
+
+
+def test_greedy_prefix_finds_any_valid_matching(spark):
+    # early click is unusable; the later one after view must match
+    ev = _ev(spark, [(1, "click", 0), (1, "view", 1), (1, "click", 2)])
+    got = funnel_steps(ev, ["view", "click"]).collect()[0]
+    assert got["step_reached"] == 2
+
+
+def test_rejects_empty_steps(spark):
+    ev = _ev(spark, [(1, "view", 0)])
+    with pytest.raises(ValueError):
+        funnel_steps(ev, [])

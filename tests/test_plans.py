@@ -198,6 +198,8 @@ BNLJ_ALLOWED = {
     "doc_bm25_scores",
     # 1-row dangling-mass broadcast per power iteration
     "part_supplier_pagerank",
+    # bounded steps×step_reached (<= |steps|+1 rows each) non-equi resolve
+    "events_funnel",
     # same documented all-pairs verification kernel as ngram_jaccard_docs
     "doc_duplicate_clusters",
     "doc_near_dedup_exact",
