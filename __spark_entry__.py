@@ -113,10 +113,10 @@ DRIVER_PRIORITY = [
     # clustering / drift (round 3)
     "kmeans_assign_embeddings",
     "props_schema_drift",
-    # profiling / CDC / time windows
+    # profiling / CDC / funnel
     "documents_profile",
     "doc_snapshot_diff",
-    "events_hourly_windows",
+    "events_funnel",
 ]
 
 

@@ -75,10 +75,16 @@ def exact_dedup(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings. Built from the token array with
-    ``transform`` over an index sequence + ``slice`` — no explode, no UDF."""
-    toks = whitespace_tokens(F.lower(text))
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles from an ALREADY-MATERIALIZED token-array column.
+
+    The lambda below slices ``toks`` once per shingle position; if
+    ``toks`` were an inlined tokenizer expression, Spark's interpreted
+    HOF evaluation would re-split the whole document per position —
+    O(n²) per doc (measured 16.6 s → 3.1 s at sf0.1 when
+    cdc_chunk_documents hit the same trap). Callers therefore project
+    the token array into a real column first and pass ``F.col(...)``.
+    """
     n = F.size(toks)
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.array_distinct(
@@ -88,6 +94,13 @@ def shingles(text: Column, k: int = 3) -> Column:
             )
         )
     )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings from raw text — expression-context
+    convenience; hot paths materialize tokens and use
+    ``shingles_from_tokens`` (see its docstring for the O(n²) trap)."""
+    return shingles_from_tokens(whitespace_tokens(F.lower(text)), k)
 
 
 def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
@@ -140,7 +153,10 @@ def minhash_lsh_pairs(
     # interpreted — measured ~2× slower), and map-side partial mins mean
     # the shuffle carries one 64-long row per (partition, doc).
     exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
+        F.col(id_col).alias("id"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(
+        "id", F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("sh")
     )
     sig = exploded.groupBy("id").agg(
         F.array(
@@ -234,18 +250,27 @@ def contaminated_ids(
     # join instead of strings. A 64-bit collision falsely flags a doc with
     # p ≈ n_grams²/2⁶⁵ — at 10¹⁰ distinct grams that is still <1%, and
     # decontamination over-flagging is the safe direction.
-    def gram_hashes(col: Column) -> Column:
-        return F.transform(shingles(col, k), lambda s: F.xxhash64(s))
+    def gram_hashes(toks: Column) -> Column:
+        return F.transform(
+            shingles_from_tokens(toks, k), lambda s: F.xxhash64(s)
+        )
 
-    ev = eval_df.select(
-        F.explode(gram_hashes(F.col(text_col))).alias("gram_h")
-    ).distinct()
+    def tokenized(frame: DataFrame, *keep: str) -> DataFrame:
+        return frame.select(
+            *keep, whitespace_tokens(F.lower(F.col(text_col))).alias("__toks")
+        )
+
+    ev = (
+        tokenized(eval_df)
+        .select(F.explode(gram_hashes(F.col("__toks"))).alias("gram_h"))
+        .distinct()
+    )
     if broadcast_eval:
         ev = F.broadcast(ev)
     # the shingle transform is an interpreted HOF (no codegen) — single-
     # split inputs must fan out or the explode serializes on one core
-    grams = ensure_min_partitions(df).select(
-        F.col(id_col), F.explode(gram_hashes(F.col(text_col))).alias("gram_h")
+    grams = tokenized(ensure_min_partitions(df), id_col).select(
+        F.col(id_col), F.explode(gram_hashes(F.col("__toks"))).alias("gram_h")
     )
     return grams.join(ev, "gram_h", "left_semi").select(id_col).distinct()
 
@@ -282,8 +307,9 @@ def ngram_jaccard_pairs(
     """
     df = ensure_min_partitions(df)
     sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
-    )
+        F.col(id_col).alias("id"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select("id", shingles_from_tokens(F.col("__toks"), k).alias("sh"))
     if candidates is None:
         a, b = sh.alias("a"), sh.alias("b")
         cand = a.join(b, F.col("a.id") < F.col("b.id")).select(

@@ -158,11 +158,19 @@ def ngram_repetition(
     then folded to one row per doc. Shuffle keys are (id, narrow string)
     — document bodies never shuffle, and both aggregations partial-fold,
     so the shape holds at corpus scale."""
-    toks = whitespace_tokens(F.lower(F.col(text_col)))
     df = ensure_min_partitions(df)  # interpreted n-gram HOF must not serialize on one split
+    # materialize the token array as a real column: an expression
+    # referenced inside a HOF lambda re-evaluates per element, so the
+    # inlined tokenizer would re-split the document at every gram
+    # position (the O(n²) trap measured in cdc_chunk_documents)
+    tokd = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    toks = F.col("__toks")
     out = df.select(id_col).distinct()
     for n in ns:
-        grams = df.select(
+        grams = tokd.select(
             F.col(id_col),
             F.explode(
                 F.when(F.size(toks) < n, F.array()).otherwise(
