@@ -4080,3 +4080,57 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return funnel_counts(e, ["view", "click", "purchase"])
+
+
+@register_query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-event week, one
+    row per (cohort, week-offset) with the distinct users still active —
+    the classic product-analytics triangle, as two partial-agg passes
+    plus one user-keyed join (first-touch table ⋈ events; AQE sizes the
+    join). All-integer output, engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    firsts = (
+        e.select("user_id", F.date_trunc("week", ts).alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    activity = (
+        e.select("user_id", F.date_trunc("week", ts).alias("w"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.col("w"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
