@@ -1,0 +1,80 @@
+"""Time-decayed aggregation — recency-weighted scoring over event data.
+
+"Total engagement, but recent activity counts more" is the standard
+freshness-aware ranking signal (user activity scores, trending content,
+data-source liveness). The closed form Σ value·2^(−age/half_life) needs
+no window, no sort, and no state: it is one narrow projection (age →
+weight) plus an ordinary partial-aggregated sum, so it scales exactly
+like a plain groupBy-sum at 100 TB.
+
+Determinism note: with integer age units the weight is 2^(−k) — exactly
+representable in binary — so every IEEE-754 engine computes the same
+per-row weight and cross-engine comparison reduces to float-sum
+rounding (handled by round(), like every other float oracle here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["time_decay_sum"]
+
+
+def time_decay_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    half_life_days: int = 7,
+    out_col: str = "decayed_value",
+) -> DataFrame:
+    """Per-group Σ value · 0.5^(age_periods) where age is measured in
+    whole ``half_life_days`` periods before the dataset's max timestamp
+    (a 1-row broadcast scalar — the deterministic in-data "now").
+
+    Returns group_cols + (n_events, ``out_col``). Whole-period decay
+    keeps the weight an exact power of two (see module docstring);
+    callers wanting continuous decay can pass fractional ages at the
+    cost of engine-exactness.
+    """
+    if half_life_days < 1:
+        raise ValueError("half_life_days must be >= 1")
+    ts = F.col(ts_col).cast("timestamp")
+    ref = df.agg(F.max(ts).alias("__ref"))
+    periods = (
+        F.datediff(F.to_date(F.col("__ref")), F.to_date(ts))
+        / F.lit(half_life_days)
+    ).cast("long")
+    # Exact-decimal accumulation (the same recipe as every money
+    # aggregate here): cap the exponent at 12 half-lives so
+    # 0.5^k is an exact 12-digit decimal, quantize the value to 6
+    # decimals, and sum in DECIMAL — order-independent, so partial
+    # aggregation and any SQL oracle agree bit-for-bit. A plain double
+    # sum differed from DuckDB in the 4th decimal on 2/150 groups
+    # (sum-order rounding on a round boundary). Ages ≥ 12 half-lives
+    # keep the 2^-12 floor weight (≤ 0.025 % of the value — the decay's
+    # own statement that such events no longer matter).
+    weight = F.pow(F.lit(0.5), F.least(periods, F.lit(12))).cast(
+        "decimal(16,12)"
+    )
+    val = F.col(value_col).cast("decimal(18,6)")
+    # quantize the EXACT decimal sum to 4 decimals with floor(), then
+    # cast: round-after-double-cast diverges across engines when the
+    # exact sum lands on a half (Spark rounds the shortest decimal
+    # rendering, DuckDB the binary value — observed ±1 ulp on 4/150
+    # groups), and decimal-cast rounding modes differ too (Spark
+    # HALF_UP, DuckDB truncates). floor on the exact decimal is the
+    # same integer everywhere.
+    quantized = (
+        F.floor(F.sum(val * weight) * 10000).cast("long") / F.lit(10000.0)
+    )
+    return (
+        df.join(F.broadcast(ref))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            quantized.alias(out_col),
+        )
+    )

@@ -4134,3 +4134,31 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register_query(
+    "user_decayed_value",
+    oracle="""
+    WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events),
+    w AS (
+        SELECT e.user_id,
+               CAST(e.value AS DECIMAL(18,6)) AS v,
+               CAST(power(0.5, least(CAST(date_diff('day', CAST(e.ts AS DATE), ref.r) // 7 AS BIGINT), 12)) AS DECIMAL(16,12)) AS wt
+        FROM events e CROSS JOIN ref
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(sum(v * wt) * 10000) AS BIGINT) / 10000.0 AS decayed_value
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user engagement (functions/timeseries.
+    time_decay_sum, half-life 7 days): one narrow weight projection + a
+    partial-aggregated sum — the freshness-aware ranking signal with
+    the exact cost profile of a plain groupBy-sum. Whole-period decay
+    keeps weights exact powers of two, so both engines compute
+    identical per-row weights."""
+    from ..functions.timeseries import time_decay_sum
+
+    e = load_table(spark, sf_dir, "events")
+    return time_decay_sum(e, ["user_id"], half_life_days=7).orderBy("user_id")

@@ -74,3 +74,31 @@ def test_rejects_empty_steps(spark):
     ev = _ev(spark, [(1, "view", 0)])
     with pytest.raises(ValueError):
         funnel_steps(ev, [])
+
+
+def test_time_decay_recent_outweighs_old(spark):
+    import datetime as _dt
+
+    from nifi_hive_schema_generator_bundle_spark.functions.timeseries import (
+        time_decay_sum,
+    )
+
+    base = _dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: 100 units today; user 2: 100 units 10 half-lives ago
+        (1, 100.0, base),
+        (2, 100.0, base - _dt.timedelta(days=70)),
+        (9, 0.0, base),  # pins the reference date for both
+    ]
+    df = spark.createDataFrame(rows, "user_id long, value double, ts timestamp")
+    got = {
+        r["user_id"]: r["decayed_value"]
+        for r in time_decay_sum(df, ["user_id"], half_life_days=7).collect()
+    }
+    assert got[1] == 100.0
+    # floor-quantized to 4 decimals by design (engine-exact output)
+    assert got[2] == int(100.0 * 0.5**10 * 10000) / 10000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        time_decay_sum(df, ["user_id"], half_life_days=0)
