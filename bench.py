@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "doc_cdc_chunks",
     "part_supplier_pagerank",
     "events_funnel",
+    "events_cohort_retention",
+    "user_decayed_value",
 ]
 
 

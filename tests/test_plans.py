@@ -200,6 +200,8 @@ BNLJ_ALLOWED = {
     "part_supplier_pagerank",
     # bounded steps×step_reached (<= |steps|+1 rows each) non-equi resolve
     "events_funnel",
+    # 1-row reference-timestamp broadcast (the in-data "now")
+    "user_decayed_value",
     # same documented all-pairs verification kernel as ngram_jaccard_docs
     "doc_duplicate_clusters",
     "doc_near_dedup_exact",
