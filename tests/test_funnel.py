@@ -102,3 +102,19 @@ def test_time_decay_recent_outweighs_old(spark):
 
     with _pytest.raises(ValueError):
         time_decay_sum(df, ["user_id"], half_life_days=0)
+
+
+def test_cohort_retention_shape(spark, sf_correct_dir):
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import QUERIES
+
+    rows = QUERIES["events_cohort_retention"](spark, sf_correct_dir).collect()
+    assert rows, "retention matrix must be non-empty"
+    # every cohort has a week-0 row, offsets are non-negative, and no
+    # later week exceeds its cohort's week-0 population
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_users"]
+    for cohort, weeks in by_cohort.items():
+        assert 0 in weeks, f"cohort {cohort} missing week-0"
+        assert all(off >= 0 for off in weeks)
+        assert all(n <= weeks[0] for n in weeks.values())
