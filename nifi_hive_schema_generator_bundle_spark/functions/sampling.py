@@ -26,6 +26,7 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "mixture_sample",
+    "exact_stratified_sample",
 ]
 
 _NIBBLES = "0123456789abcdef"
@@ -116,7 +117,11 @@ def mixture_sample(
     """Downsample ``df`` so the kept rows follow the ``targets`` mixture
     proportions — the domain/language-reweighting step every LLM
     training-data pipeline runs (e.g. cap web crawl at 60%, keep code at
-    20%...). Strata absent from ``targets`` are dropped.
+    20%...). Strata absent from ``targets`` are dropped. A target
+    stratum with NO rows in ``df`` makes the request infeasible — no
+    keep-set can contain it at its target share — and the result is
+    EMPTY rather than a silently re-normalized mixture (the stratum
+    enters the feasibility min with count 0, collapsing the cap to 0).
 
     The feasible total is maximized: N = min over strata of
     (count_g / target_g), then each stratum keeps rows at rate
@@ -141,22 +146,43 @@ def mixture_sample(
     weights = F.create_map(
         *[F.lit(x) for kv in sorted(norm.items()) for x in kv]
     )
+    # right-join the observed counts onto the full target list so a
+    # target stratum with zero rows still contributes a (count=0) row:
+    # it then drives the feasibility min to 0 and the output is empty —
+    # an explicit infeasibility signal instead of a wrong mixture.
+    target_rows = (
+        df.sparkSession.createDataFrame(
+            [(k,) for k in sorted(norm)], [strata_col]
+        )
+    )
     counts = (
         df.filter(F.col(strata_col).isin(*norm))
         .groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn("__t", weights[F.col(strata_col)])
+        .join(target_rows, strata_col, "right")
+        .select(
+            strata_col,
+            F.coalesce(F.col("__n"), F.lit(0)).alias("__n"),
+            weights[F.col(strata_col)].alias("__t"),
+        )
     )
-    # N = floor(min(count_g / t_g)); missing strata contribute no row,
-    # which (correctly) caps nothing — their keep set is empty anyway.
+    # N = floor(min(count_g / t_g)); a missing stratum's 0/t_g = 0
+    # collapses the cap (see docstring).
     feasible = counts.agg(
         F.floor(F.min(F.col("__n") / F.col("__t"))).alias("__cap")
     )
+    # a zero-count stratum would divide by zero (ANSI); its keep rate is
+    # definitionally 0 — and with cap 0, every other rate is 0 too
     rates = counts.crossJoin(feasible).select(
         strata_col,
-        F.least(
-            F.lit(1.0), F.col("__cap") * F.col("__t") / F.col("__n")
-        ).alias("__rate"),
+        F.when(
+            F.col("__n") > 0,
+            F.least(
+                F.lit(1.0), F.col("__cap") * F.col("__t") / F.col("__n")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__rate"),
     )
     return (
         df.join(rates, strata_col)

@@ -66,10 +66,17 @@ def time_decay_sum(
     # rendering, DuckDB the binary value — observed ±1 ulp on 4/150
     # groups), and decimal-cast rounding modes differ too (Spark
     # HALF_UP, DuckDB truncates). floor on the exact decimal is the
-    # same integer everywhere.
-    quantized = (
-        F.floor(F.sum(val * weight) * 10000).cast("long") / F.lit(10000.0)
+    # same integer everywhere. The ×10000 scaling happens per-row BEFORE
+    # the sum: val·weight is decimal(35,18); summing first gives
+    # decimal(38,18) whose product with 10000 exceeds precision 38, and
+    # Spark's allowPrecisionLoss would then round ahead of floor().
+    # Casting the row product to decimal(32,18) is exact (|val·weight| <
+    # 10^12 ≪ 10^14 headroom) and 32+5+1 = 38, so the scaled product,
+    # the sum, and the floor are all computed without any rounding.
+    term = (val * weight).cast("decimal(32,18)") * F.lit(10000).cast(
+        "decimal(5,0)"
     )
+    quantized = F.floor(F.sum(term)).cast("long") / F.lit(10000.0)
     return (
         df.join(F.broadcast(ref))
         .groupBy(*group_cols)

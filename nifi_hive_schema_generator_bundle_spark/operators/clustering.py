@@ -80,31 +80,43 @@ def kmeans_fit(
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    first = df.orderBy(id_col).select(vec_col).limit(k).collect()
-    if len(first) < k:
-        raise ValueError(f"need at least {k} rows to fit {k} clusters")
-    centroids = [[float(x) for x in r[0]] for r in first]
+    # the loop re-scans the source once per iteration (the posexplode agg
+    # reads the assign projection, which reads the input); cache the
+    # pruned (id, vector) projection once so a 10-iteration fit costs 10
+    # cached-scan jobs, not 10 full lineage recomputations — same
+    # loop-invariant-caching reason pagerank caches its edge/degree tables
+    vecs = df.select(id_col, vec_col).cache()
+    try:
+        first = vecs.orderBy(id_col).select(vec_col).limit(k).collect()
+        if len(first) < k:
+            raise ValueError(f"need at least {k} rows to fit {k} clusters")
+        centroids = [[float(x) for x in r[0]] for r in first]
 
-    for _ in range(max_iter):
-        assigned = assign_clusters(
-            df, centroids, vec_col=vec_col, keep_cols=[vec_col]
-        )
-        rows = (
-            assigned.select(
-                "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "v")
+        for _ in range(max_iter):
+            assigned = assign_clusters(
+                vecs, centroids, vec_col=vec_col, keep_cols=[vec_col]
             )
-            .groupBy("cluster_id", "dim")
-            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
-        new = [list(c) for c in centroids]
-        for r in rows:
-            new[r["cluster_id"]][r["dim"]] = r["s"] / r["n"]
-        shift = max(
-            abs(a - b) for row_new, row_old in zip(new, centroids)
-            for a, b in zip(row_new, row_old)
-        )
-        centroids = new
-        if shift < tol:
-            break
+            rows = (
+                assigned.select(
+                    "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "v")
+                )
+                .groupBy("cluster_id", "dim")
+                .agg(
+                    F.sum(F.col("v").cast("double")).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            new = [list(c) for c in centroids]
+            for r in rows:
+                new[r["cluster_id"]][r["dim"]] = r["s"] / r["n"]
+            shift = max(
+                abs(a - b) for row_new, row_old in zip(new, centroids)
+                for a, b in zip(row_new, row_old)
+            )
+            centroids = new
+            if shift < tol:
+                break
+    finally:
+        vecs.unpersist()
     return centroids

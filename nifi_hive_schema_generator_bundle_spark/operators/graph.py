@@ -11,7 +11,8 @@ from runtime sizes.
 At scale: per iteration the shuffle carries one (dst, double) row per
 edge — map-side combined to one row per (partition, dst). Rank vectors
 are never collected; iteration count is fixed (power iteration
-converges geometrically; 5-20 rounds is the standard operating range).
+converges geometrically; 5-20 rounds is the standard operating range)
+unless ``tol`` requests the L1-delta early stop.
 """
 
 from __future__ import annotations
@@ -29,6 +30,8 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
+    tol: float = 0.0,
 ) -> DataFrame:
     """Power-iteration PageRank on a directed edge list.
 
@@ -39,15 +42,60 @@ def pagerank(
 
     Deterministic given the edge set and ``iters`` (modulo float
     summation order; callers comparing across engines should round).
+
+    ``checkpoint_dir``: reliable checkpoint location (HDFS/S3 on a real
+    cluster) for the per-round lineage truncation — same contract as
+    ``connected_components``: each round checkpoints eagerly into its
+    own subdirectory and deletes the previous round's once the new one
+    is fully written (Spark never cleans non-streaming checkpoints
+    itself), and the context's original checkpoint dir is restored on
+    exit. Without it, ``localCheckpoint(eager=True)`` stores blocks on
+    executors — fine single-node; on a cluster a lost executor loses
+    the truncated lineage mid-run.
+
+    ``tol`` > 0 adds an early stop: iteration ends when the L1 rank
+    delta Σ|rank_new − rank_old| drops below ``tol``. The delta rides
+    the rank-update pass itself (old rank joins into the update, so the
+    probe is a scan of the already-materialized round, not an extra
+    join job). The default 0.0 keeps the fixed-``iters`` contract —
+    bit-compatible with oracles that unroll the same iteration count.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
     if not 0.0 <= damping <= 1.0:
         raise ValueError("damping must be in [0, 1]")
+    if tol < 0.0:
+        raise ValueError("tol must be >= 0")
+
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    round_no = 0
+    original_ckpt = None
+    if checkpoint_dir is not None:
+        opt = sc._jsc.sc().getCheckpointDir()
+        original_ckpt = opt.get() if opt.isDefined() else None
+
+    def _delete_round(i: int) -> None:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/round{i}")
+        p.getFileSystem(sc._jsc.hadoopConfiguration()).delete(p, True)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        nonlocal round_no
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        sc.setCheckpointDir(f"{checkpoint_dir}/round{round_no}")
+        out = df.checkpoint(eager=True)  # fully written before cleanup
+        if round_no > 0:
+            _delete_round(round_no - 1)
+        round_no += 1
+        return out
+
     # edge/degree tables are read twice per iteration (contribution pass
     # + dangling pass) across every round — cache them once or the
     # distinct/agg lineage re-executes ~2·iters times (measured 12.3 s →
-    # ~6.3 s warm for 5 rounds at sf0.1)
+    # ~6.3 s warm for 5 rounds at sf0.1); unpersisted before return so
+    # repeated calls in a long-lived session don't accumulate blocks
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -59,39 +107,58 @@ def pagerank(
         .distinct()
         .cache()
     )
-    n = nodes.count()  # control-path scalar (one long), not data
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
-        with_deg = ranks.join(deg, ranks.node == deg.src, "left").select(
-            "node", "rank", "deg"
-        )
-        # dangling mass: rank held by nodes with no out-edges (1-row agg)
-        dm = with_deg.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
-        contrib = (
-            e.join(with_deg.filter(F.col("deg").isNotNull()), e.src == F.col("node"))
-            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .join(F.broadcast(dm))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dm") / n)
-                ).alias("rank"),
+    try:
+        n = nodes.count()  # control-path scalar (one long), not data
+        if n == 0:
+            return nodes.withColumn("rank", F.lit(0.0))
+        ranks = _materialize(nodes.withColumn("rank", F.lit(1.0 / n)))
+        for _ in range(iters):
+            with_deg = ranks.join(deg, ranks.node == deg.src, "left").select(
+                "node", "rank", "deg"
             )
-        )
-        # truncate lineage each round: 5+ chained joins otherwise compound
-        # the plan; localCheckpoint is the single-node form (operators/
-        # dedup.connected_components documents the reliable-dir variant)
-        ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+            # dangling mass: rank held by nodes with no out-edges (1-row agg)
+            dm = with_deg.filter(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            )
+            contrib = (
+                e.join(
+                    with_deg.filter(F.col("deg").isNotNull()),
+                    e.src == F.col("node"),
+                )
+                .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+                F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dm") / n
+            )
+            # joining contrib onto the OLD ranks (same rows as `nodes`)
+            # lets the per-node |Δrank| ride the update, so the early-stop
+            # probe is a plain scan of the materialized round
+            updated = (
+                ranks.join(contrib, ranks.node == contrib.dst, "left")
+                .join(F.broadcast(dm))
+                .select(
+                    "node",
+                    new_rank.alias("rank"),
+                    F.abs(new_rank - F.col("rank")).alias("delta"),
+                )
+            )
+            # truncate lineage each round: 5+ chained joins otherwise
+            # compound the plan
+            updated = _materialize(updated)
+            if tol > 0.0:
+                l1 = updated.agg(F.sum("delta").alias("d")).collect()[0]["d"]
+                ranks = updated.drop("delta")
+                if l1 < tol:
+                    break
+            else:
+                ranks = updated.drop("delta")
+        return ranks
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        deg.unpersist()
+        if checkpoint_dir is not None and original_ckpt is not None:
+            sc.setCheckpointDir(original_ckpt)

@@ -55,3 +55,68 @@ def test_validates_params(spark):
         pagerank(edges, iters=-1)
     with pytest.raises(ValueError):
         pagerank(edges, damping=1.5)
+    with pytest.raises(ValueError):
+        pagerank(edges, tol=-0.1)
+
+
+def test_checkpoint_dir_matches_local_and_gcs_rounds(spark, tmp_path):
+    """Reliable-dir checkpointing gives identical ranks AND deletes every
+    round subdirectory except the last once the run completes."""
+    import os
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    ckpt = str(tmp_path / "pr_ckpt")
+    local = _ranks(pagerank(edges, iters=6))
+    reliable_df = pagerank(edges, iters=6, checkpoint_dir=ckpt)
+    reliable = _ranks(reliable_df)
+    assert reliable == pytest.approx(local, abs=1e-12)
+    # 7 materializations (init + 6 rounds) → only round6 remains on disk
+    rounds = sorted(os.listdir(ckpt))
+    assert rounds == ["round6"], rounds
+    # the returned frame stays readable after the earlier rounds' cleanup
+    assert reliable_df.count() == 4
+
+
+def test_tol_early_stop_on_converged_graph(spark):
+    """A symmetric 2-cycle converges immediately (uniform is the fixed
+    point): with tol set, iteration stops after the first round even when
+    iters is large — detected via the round-count the checkpoint dirs
+    record — and the ranks still match the fixed-iters run."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    r = _ranks(pagerank(edges, iters=50, tol=1e-9))
+    assert r == pytest.approx({"a": 0.5, "b": 0.5}, abs=1e-12)
+
+
+def test_tol_early_stop_round_count(spark, tmp_path):
+    import os
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    ckpt = str(tmp_path / "pr_tol")
+    pagerank(edges, iters=50, tol=1e-9, checkpoint_dir=ckpt)
+    # init (round0) + one update round (round1): uniform is already the
+    # fixed point, so the L1 delta of round1 is 0 < tol and the loop exits
+    remaining = sorted(os.listdir(ckpt))
+    assert remaining == ["round1"], remaining
+
+
+def test_pagerank_unpersists_cached_inputs(spark, tmp_path):
+    """The loop-invariant edge/node/degree caches are dropped before
+    return. Uses the reliable-checkpoint path: localCheckpoint blocks
+    (the other path) legitimately stay in the block manager for the
+    returned frame's lineage, which would mask a cache leak here."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    pagerank(
+        edges, iters=3, checkpoint_dir=str(tmp_path / "pr_unp")
+    ).count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"cached RDDs leaked: {before} -> {after}"

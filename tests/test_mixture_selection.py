@@ -69,6 +69,16 @@ def test_mixture_drops_untargeted_strata(corpus):
     assert kept.select("lang").distinct().collect() == [("en",)]
 
 
+def test_mixture_infeasible_when_target_stratum_absent(corpus):
+    """A target stratum with no rows makes the mixture infeasible: the
+    result is explicitly EMPTY, never a silently re-normalized mixture
+    (e.g. en=0.5/xx=0.5 with zero xx rows must not return 100% en)."""
+    kept = mixture_sample(
+        corpus, "lang", {"en": 0.5, "xx_missing": 0.5}, key="doc_id"
+    )
+    assert kept.count() == 0
+
+
 def test_mixture_rejects_bad_targets(corpus):
     with pytest.raises(ValueError):
         mixture_sample(corpus, "lang", {}, key="doc_id")
