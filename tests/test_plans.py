@@ -50,6 +50,26 @@ def test_pricing_summary_partial_agg(spark, sf_smoke_dir):
     assert "PushedFilters" in plan
 
 
+def test_q2_part_filter_below_aggregate(spark, sf_smoke_dir):
+    """The size-10 semi-join must run BELOW the (partkey, suppkey)
+    aggregate — lineitem rows for unselected parts never enter the
+    aggregate's shuffle. In formatted explain the tree lists operators
+    leaves-first, so the broadcast semi-join on p_size must appear
+    before the first HashAggregate."""
+    import re
+
+    plan = plan_of(spark, sf_smoke_dir, "q2_best_price_supplier")
+    assert "EqualTo(p_size,10)" in plan  # dim filter pushed to the scan
+    # formatted explain numbers operators leaves-first: a lower id is
+    # deeper in the plan, so the semi-join id must be below every
+    # aggregate id
+    semi = re.search(r"BroadcastHashJoin LeftSemi \w+ \((\d+)\)", plan)
+    assert semi, "no broadcast semi-join in the plan"
+    aggs = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    assert aggs, "no hash aggregate in the plan"
+    assert int(semi.group(1)) < min(aggs), "semi-join sits above the aggregate"
+
+
 def test_asof_is_single_shuffle_no_join(spark, sf_smoke_dir):
     plan = plan_of(spark, sf_smoke_dir, "purchase_attribution_asof")
     # union + window implementation: no join operator at all
