@@ -891,18 +891,31 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_query("media_features_docs")
 def media_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end (rows-only: mapInPandas decode is
-    not SQL-expressible): documents.text bytes stand in for media
-    payloads → metadata struct (JVM-side sha/length) → Arrow-batched
-    fake-decode to a 16-dim feature vector → summary projection."""
+    """Multimodal plumbing end-to-end on the REAL stdlib PNG codec
+    (rows-only: mapInPandas decode is not SQL-expressible): documents
+    .text bytes → deterministic 24×16 RGB pixels → ``png_encode`` →
+    ``png_codec.feature_fn`` decode + mean-pool to a 16-dim visual
+    signature, all inside one Arrow stage — the image mirror of the WAV
+    path in media_audio_features. Metadata struct stays JVM-side."""
     from ..operators.multimodal import attach_media_metadata, decode_features
+    from ..operators.png_codec import feature_fn, png_encode
+
+    png_features = feature_fn(16)
+    w_px, h_px = 24, 16
+
+    def text_as_image(payload: bytes) -> list[float]:
+        # deterministic synth: text bytes tile the RGB pixel buffer
+        need = w_px * h_px * 3
+        reps = need // max(1, len(payload)) + 1
+        pixels = (payload * reps)[:need] if payload else bytes(need)
+        return png_features(png_encode(pixels, w_px, h_px, 3))
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
     with_meta = attach_media_metadata(d, mime="text/plain")
-    feats = decode_features(with_meta, dim=16)
+    feats = decode_features(with_meta, dim=16, decode_fn=text_as_image)
     return (
         with_meta.select("media_id", F.col("meta.n_bytes").alias("n_bytes"),
                          F.col("meta.sha256").alias("sha256"))
@@ -1229,22 +1242,32 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_query("media_frame_sample")
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling plumbing (rows-only: the extractor is a
-    deterministic stub; the Arrow/mapInPandas shape is the real artifact):
-    documents.text bytes as payloads → 4 evenly-spaced 32-byte frames per
-    doc, exploded one row per frame with a stable frame hash."""
+    """Clip sampling plumbing (operators/multimodal.frame_sample) on the
+    REAL stdlib WAV codec: text bytes → 8-bit PCM ``wav_encode`` →
+    ``wav_codec.clip_fn`` extracts 4 evenly-spaced 64-frame clips, each a
+    standalone valid WAV, exploded one row per clip. The projection
+    verifies JVM-side that every clip starts with a genuine RIFF header.
+    Rows-only (binary payloads aren't SQL-comparable)."""
     from ..operators.multimodal import frame_sample
+    from ..operators.wav_codec import clip_fn, wav_encode
+
+    clips = clip_fn(clip_frames=64)
+
+    def text_wav_clips(payload: bytes, n: int) -> list[bytes]:
+        samples = [(b - 128) / 128.0 for b in payload]
+        return clips(wav_encode(samples, 8000, 1, 8), n)
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    frames = frame_sample(d, n_frames=4, frame_bytes=32)
+    frames = frame_sample(d, n_frames=4, extract_fn=text_wav_clips)
     return frames.select(
         "media_id",
         "frame_idx",
         F.length("frame").alias("frame_len"),
         F.sha2("frame", 256).alias("frame_sha"),
+        (F.hex(F.substring("frame", 1, 4)) == "52494646").alias("is_riff"),
     ).orderBy("media_id", "frame_idx")
 
 
@@ -3066,22 +3089,37 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_query("media_resize")
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing (operators/multimodal.resize_media): Arrow-batched
-    payload→payload transform with an exact w·h size contract; codec
-    stubbed per the brief, PIL drops in as ``resize_fn``. Rows-only
-    (binary payloads aren't SQL-comparable)."""
+    """Resize plumbing (operators/multimodal.resize_media) on the REAL
+    stdlib PNG codec: text bytes → 24×16 RGB ``png_encode`` →
+    ``png_codec.resize`` (nearest-neighbor decode/re-encode) to 16×8,
+    inside the Arrow hook. The output projection verifies JVM-side that
+    each resized payload is a genuine PNG (8-byte signature check on the
+    binary column). Rows-only (binary payloads aren't SQL-comparable)."""
     from ..operators.multimodal import resize_media
+    from ..operators.png_codec import png_encode
+    from ..operators.png_codec import resize as png_resize
+
+    w_px, h_px = 24, 16
+
+    def text_png_resize(payload: bytes, w: int, h: int) -> bytes:
+        need = w_px * h_px * 3
+        reps = need // max(1, len(payload)) + 1
+        pixels = (payload * reps)[:need] if payload else bytes(need)
+        return png_resize(png_encode(pixels, w_px, h_px, 3), w, h)
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    out = resize_media(d, width=16, height=8)
+    out = resize_media(d, width=16, height=8, resize_fn=text_png_resize)
     return out.select(
         "media_id",
         F.length("payload").alias("n_bytes"),
         "width",
         "height",
+        (
+            F.hex(F.substring("payload", 1, 8)) == "89504E470D0A1A0A"
+        ).alias("is_png"),
     ).orderBy("media_id")
 
 
