@@ -83,6 +83,7 @@ DRIVER_PRIORITY = [
     "part_name_edit_pairs",
     "brand_revenue_salted",
     # --- never driver-verified: text / dedup / prep ---
+    "doc_paragraph_dedup",
     "doc_word_counts",
     "doc_token_positions",
     "doc_chunks",
@@ -110,7 +111,6 @@ DRIVER_PRIORITY = [
     "lineitem_price_quantiles",
     "events_hourly_windows",
     "doc_char_entropy",
-    "events_user_reach",
 ]
 
 

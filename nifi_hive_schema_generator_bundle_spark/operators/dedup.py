@@ -42,6 +42,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "connected_components",
     "dedup_keep_min",
+    "paragraph_dedup",
     "contaminated_ids",
     "decontaminate",
 ]
@@ -659,3 +660,76 @@ def dedup_keep_min(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# paragraph-level (inner-document) dedup
+# --------------------------------------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup — the C4/RefinedWeb
+    inner-document pass (the dedup granularity between whole-document
+    ``exact_dedup`` and MinHash near-dup): repeated boilerplate
+    (headers, footers, licence blocks) is removed from every document
+    except its first occurrence, while the rest of each document
+    survives.
+
+    Each document is split on ``sep`` (a Java regex, like ``F.split``
+    itself — escape metacharacters in literal separators); a paragraph
+    is dropped when its
+    normalized form (lowercased, whitespace-collapsed) already occurred
+    at a smaller (``id_col``, position); survivors are reassembled with
+    ``sep`` in their original order. Returns (id_col, text_col,
+    n_paras, n_kept) for every input document — a fully-boilerplate
+    document keeps its row with empty text (n_kept = 0), so corpus row
+    counts are stable through the pass.
+
+    Scale shape: the keep/drop decision shuffles only (16-byte md5
+    fingerprint, id, position) — paragraph BODIES stay out of the
+    winner election entirely (a ``row_number`` over the fingerprint
+    partition, first occurrence wins; same 16-byte-key discipline as
+    ``exact_dedup``). Bodies then move twice: the winner join on
+    (id, position) and the per-document reassembly groupBy — the same
+    cost as any explode-and-regroup pass; pre-bucketing the corpus by
+    ``id_col`` removes the second exchange. ``collect_list`` holds one
+    document's paragraphs per group — bounded by document size, the
+    same envelope every per-document operator here assumes.
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias(
+            "__para_idx", "__para"
+        ),
+    ).filter(F.trim(F.col("__para")) != "")
+    fp = F.md5(normalize_ws(F.lower(F.col("__para"))))
+    keys = paras.select(id_col, "__para_idx", fp.alias("__fp"))
+    w = Window.partitionBy("__fp").orderBy(id_col, "__para_idx")
+    winners = (
+        keys.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__para_idx", F.lit(1).alias("__keep"))
+    )
+    flagged = paras.join(winners, [id_col, "__para_idx"], "left")
+    kept_struct = F.when(
+        F.col("__keep").isNotNull(),
+        F.struct(F.col("__para_idx"), F.col("__para")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["__para"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.coalesce(F.sum("__keep"), F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -549,6 +549,60 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_paragraph_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, CAST(g.i AS INT) AS idx,
+               array_to_string(t[(CAST(g.i AS INT)*10+1):(CAST(g.i AS INT)*10+10)], ' ') AS para
+        FROM toks
+        CROSS JOIN LATERAL unnest(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS g(i)
+    ),
+    ranked AS (
+        SELECT doc_id, idx, para,
+               row_number() OVER (
+                   PARTITION BY md5(regexp_replace(trim(lower(para)), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id, idx) AS rn
+        FROM paras WHERE trim(para) <> ''
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                               chr(10) || chr(10) ORDER BY idx), '') AS text,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level (inner-document) exact dedup — the C4/RefinedWeb
+    boilerplate pass (operators/dedup.paragraph_dedup). The synthetic
+    corpus has no newlines, so the query first synthesizes paragraph
+    structure JVM-side (10-token chunks joined by blank lines — the
+    token array is materialized first, dodging the O(len²) HOF-inlining
+    trap), then removes every corpus-wide repeated paragraph except its
+    first (doc_id, position) occurrence and reassembles the survivors.
+    The winner election shuffles 16-byte fingerprints only — paragraph
+    bodies never enter that exchange."""
+    from ..operators.dedup import paragraph_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    para_text = F.concat_ws(
+        "\n\n",
+        F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size("t") / F.lit(10.0)).cast("int") - 1
+            ),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i * 10 + 1, 10)),
+        ),
+    )
+    docs = toks.select("doc_id", para_text.alias("text"))
+    return paragraph_dedup(docs, sep="\n\n").orderBy("doc_id")
+
+
+@register_query(
     "token_stats_docs",
     oracle="""
     SELECT doc_id,

@@ -210,3 +210,76 @@ def test_decontamination_forced_broadcast_opt_in(spark, docs):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# --------------------------------------------------------------------------
+# paragraph-level dedup
+# --------------------------------------------------------------------------
+
+def test_paragraph_dedup_removes_repeated_boilerplate(spark):
+    """The C4-style planted case: a licence header repeated across every
+    doc survives only at its first (doc_id, position) occurrence; unique
+    body paragraphs are untouched; order inside each doc is preserved."""
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    boiler = "copyright notice all rights reserved"
+    rows = [
+        (1, f"{boiler}\n\nunique body one\n\n{boiler}"),
+        (2, f"{boiler}\n\nunique body two"),
+        (3, "unique body three"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    # doc 1 keeps its first boiler copy, drops the inner repeat
+    assert out[1]["text"] == f"{boiler}\n\nunique body one"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 2)
+    # doc 2's boiler already occurred in doc 1
+    assert out[2]["text"] == "unique body two"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+    # doc 3 untouched
+    assert out[3]["text"] == "unique body three"
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (1, 1)
+
+
+def test_paragraph_dedup_normalizes_and_keeps_empty_docs(spark):
+    """Matching is on the normalized form (case/whitespace-insensitive)
+    but the KEPT text is verbatim; a fully-boilerplate doc keeps its row
+    with empty text so corpus row counts are stable."""
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    rows = [
+        (1, "Hello   World"),
+        (2, "hello world"),  # same normalized paragraph -> fully dropped
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["text"] == "Hello   World"  # verbatim, not normalized
+    assert out[2]["text"] == "" and out[2]["n_kept"] == 0
+    assert set(out) == {1, 2}
+
+
+def test_paragraph_dedup_winner_election_shuffles_keys_only(spark):
+    """Scale contract: the row_number winner election must partition on
+    the md5 fingerprint with no paragraph body in its exchange. The body
+    column reaches only the post-election join/groupBy exchanges."""
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "b\n\nc")], "doc_id long, text string"
+    )
+    plan = paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "md5" in plan and "row_number" in plan
