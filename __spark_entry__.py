@@ -84,6 +84,7 @@ DRIVER_PRIORITY = [
     "brand_revenue_salted",
     # --- never driver-verified: text / dedup / prep ---
     "doc_paragraph_dedup",
+    "doc_bpe_token_count",
     "doc_word_counts",
     "doc_token_positions",
     "doc_chunks",
@@ -110,7 +111,6 @@ DRIVER_PRIORITY = [
     "part_brand_pricing",
     "lineitem_price_quantiles",
     "events_hourly_windows",
-    "doc_char_entropy",
 ]
 
 

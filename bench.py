@@ -10,9 +10,12 @@ no driver collect bottleneck, no result materialization cost).
 Protocol (noise containment — the host has ±50% ambient load, and Janino
 codegen compile adds seconds to a first run): each query runs once COLD
 (includes codegen/JIT compile for its plan shape) then $SPARK_GRAFT_BENCH_RUNS
-(default 3) times WARM; the headline per-query number and total are the
-WARM MEDIANS, with the cold pass reported separately under "queries_cold".
-Round-over-round deltas should compare warm medians only.
+(default 5) times WARM; the headline per-query number and total are the
+WARM MEDIANS, with the cold pass, per-query min/median/max spread, and
+os.getloadavg() at start/end reported in BENCH_DETAIL.json so a loaded
+capture is distinguishable from a code regression. Round-over-round
+deltas should compare warm medians only, sanity-checked against spread
+and loadavg.
 """
 
 from __future__ import annotations
@@ -74,6 +77,8 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_cohort_retention",
     "user_decayed_value",
+    "doc_paragraph_dedup",
+    "doc_bpe_token_count",
 ]
 
 
@@ -112,13 +117,21 @@ def main() -> None:
         lambda it: it, "x long"
     ).write.format("noop").mode("overwrite").save()
 
-    n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
+    load_start = os.getloadavg()
     for name in BENCH_QUERIES:
         cold[name] = round(run(name), 3)
         reps = sorted(run(name) for _ in range(n_warm))
         warm[name] = round(reps[len(reps) // 2], 3)  # median
+        spread[name] = {
+            "min": round(reps[0], 3),
+            "median": warm[name],
+            "max": round(reps[-1], 3),
+        }
+    load_end = os.getloadavg()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -135,6 +148,12 @@ def main() -> None:
         "unit": "sec",
         "queries": warm,
         "queries_cold": cold,
+        "queries_spread": spread,
+        # adjudication context: a median far above its min, or loadavg
+        # well above the 32 cores, marks an ambient-contention capture
+        # (the r3 lesson: two "regressions" were load artifacts)
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
         "protocol": f"warm median of {n_warm}; cold pass separate",
         "sf": sf_val,
     }

@@ -603,6 +603,46 @@ def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_bpe_token_count",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w
+        FROM documents,
+        LATERAL unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS t(w)
+    )
+    SELECT doc_id,
+           count(*) AS n_pretokens,
+           CAST(sum(CASE WHEN w IN ('agg','batch','column','customer','filter',
+                                    'group','hash','join','merge','query','small',
+                                    'spark','the','value','vector','window')
+                         THEN 1 ELSE length(w) END) AS BIGINT) AS n_bpe_tokens
+    FROM words GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real greedy-merge BPE tokenization (functions/bpe) under the
+    bundled fixture vocabulary — one Arrow-batched mapInPandas stage,
+    merge table on a SparkContext broadcast. The fixture's prefix
+    chains fully merge 16 corpus words and provably leave every other
+    corpus word merge-free (unit-pinned), so DuckDB replays the counts
+    exactly: 1 token per vocab word, char count otherwise. Partial-merge
+    behavior (the part SQL can't express) is pinned by planted unit
+    tests on the same encoder."""
+    import importlib.resources as res
+
+    from ..functions.bpe import bpe_token_stats, load_merges
+
+    with res.as_file(
+        res.files("nifi_hive_schema_generator_bundle_spark").joinpath(
+            "data/bpe_merges_fixture.txt"
+        )
+    ) as p:
+        merges = load_merges(str(p))  # driver-side; ranks then broadcast
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_token_stats(d, merges).orderBy("doc_id")
+
+
+@register_query(
     "token_stats_docs",
     oracle="""
     SELECT doc_id,

@@ -176,6 +176,9 @@ ARROW_BATCHED = {
     "media_features_docs",
     "media_frame_sample",
     "media_resize",
+    # greedy-merge BPE: data-dependent iteration per pre-token, broadcast
+    # merge table, one mapInPandas stage (functions/bpe.py)
+    "doc_bpe_token_count",
 }
 
 PY_NODES = (
