@@ -83,7 +83,14 @@ def pagerank(
     def _materialize(df: DataFrame) -> DataFrame:
         nonlocal round_no
         if checkpoint_dir is None:
-            return df.localCheckpoint(eager=True)
+            # lazy on the local path: the rounds all materialize inside
+            # the ONE job the caller's action runs, and the truncation
+            # still applies — an eager localCheckpoint here costs a
+            # scheduled job per round (measured 6.8 s -> 11.6 s for 5
+            # rounds at sf0.1) for no reliability gain (executor-stored
+            # blocks either way). The tol probe's per-round action makes
+            # eager equivalent when early-stop is on.
+            return df.localCheckpoint(eager=tol > 0.0)
         sc.setCheckpointDir(f"{checkpoint_dir}/round{round_no}")
         out = df.checkpoint(eager=True)  # fully written before cleanup
         if round_no > 0:
@@ -155,6 +162,13 @@ def pagerank(
                     break
             else:
                 ranks = updated.drop("delta")
+        if checkpoint_dir is None and tol == 0.0:
+            # the lazy rounds haven't run yet — run them ONCE here (all
+            # marked localCheckpoints materialize inside this single
+            # job) so the returned frame reads stored blocks and the
+            # finally-block can drop the loop-invariant caches without
+            # forcing the caller's action to recompute their lineage
+            ranks.count()
         return ranks
     finally:
         e.unpersist()
