@@ -97,6 +97,11 @@ DRIVER_PRIORITY = [
     "doc_exact_stratified_sample",
     # --- never driver-verified: graph ---
     "part_supplier_pagerank",
+    # --- round-4 additions (never driver-verified) ---
+    "doc_duplicate_spans",
+    "doc_weighted_sample",
+    "part_supplier_triangles",
+    "doc_bigram_logprob",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",
@@ -104,13 +109,9 @@ DRIVER_PRIORITY = [
     "doc_decontamination",
     "kmeans_assign_embeddings",
     # --- last driver hash predates round-3 code (r01/r02 only) ---
-    "q4_priority_late_ship",
     "q10_returned_revenue",
     "q13_order_count_distribution",
     "q19_disjunctive_revenue",
-    "part_brand_pricing",
-    "lineitem_price_quantiles",
-    "events_hourly_windows",
 ]
 
 

@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "user_decayed_value",
     "doc_paragraph_dedup",
     "doc_bpe_token_count",
+    "doc_duplicate_spans",
+    "doc_weighted_sample",
+    "part_supplier_triangles",
+    "doc_bigram_logprob",
 ]
 
 

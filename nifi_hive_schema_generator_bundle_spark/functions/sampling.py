@@ -27,6 +27,7 @@ __all__ = [
     "stratified_hash_sample",
     "mixture_sample",
     "exact_stratified_sample",
+    "weighted_sample",
 ]
 
 _NIBBLES = "0123456789abcdef"
@@ -225,3 +226,55 @@ def exact_stratified_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    *,
+    weight_col: str,
+    key: str,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — exactly
+    ``min(n, eligible_rows)`` rows, where a row's inclusion probability
+    is proportional to its weight (Efraimidis & Spirakis 2006: draw
+    u ~ Uniform(0,1), keep the top-n by u^(1/w)). The standard
+    quality-weighted selection step: "sample 10 M training docs,
+    preferring high quality-score ones" — smoother than a hard
+    ``token_budget_select`` threshold, exact-count unlike
+    ``mixture_sample``'s rate filter.
+
+    Determinism: u is the content hash ``hash_fraction(key)`` (md5, as
+    everywhere in this module), so the sample is stable across runs,
+    partitionings, and engines — DuckDB replays it bit-for-bit with
+    ``pow(CAST(concat('0x', substring(md5(k),1,8)) AS BIGINT) /
+    4294967296.0, 1.0/w)``. Rows with NULL or non-positive weight are
+    excluded (they'd have inclusion probability 0). Ties (identical
+    (es_key, key) pairs) break on the key's md5, making the cut
+    deterministic even for duplicate keys.
+
+    Scale shape: the selection key is one narrow projection; the top-n
+    is ``orderBy(...).limit(n)``, which Spark plans as
+    TakeOrderedAndProject — a per-partition top-n heap followed by an
+    n-row merge on the driver side of the exchange, NOT a global sort.
+    Cost is one pass over the data + n rows moved; fine for the n up to
+    ~10⁷ this is meant for. No window, no skew surface (nothing groups).
+    """
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    u = hash_fraction(F.col(key))
+    w = F.col(weight_col).cast("double")
+    es_key = F.when(w > 0, F.pow(u, F.lit(1.0) / w))
+    out = (
+        df.withColumn("__es", es_key)
+        .filter(F.col("__es").isNotNull())
+        .orderBy(
+            F.col("__es").desc(),
+            F.md5(F.col(key).cast("string")),
+        )
+        .limit(n)
+    )
+    if score_col is None:
+        return out.drop("__es")
+    return out.withColumnRenamed("__es", score_col)

@@ -43,6 +43,8 @@ __all__ = [
     "connected_components",
     "dedup_keep_min",
     "paragraph_dedup",
+    "duplicate_span_stats",
+    "remove_duplicate_spans",
     "contaminated_ids",
     "decontaminate",
 ]
@@ -732,4 +734,179 @@ def paragraph_dedup(
         ).alias(text_col),
         F.count(F.lit(1)).alias("n_paras"),
         F.coalesce(F.sum("__keep"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span coverage — the exact-substring dedup
+    statistic (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): what fraction of each document's tokens
+    sits inside a token ``k``-gram that occurs at least ``min_count``
+    times corpus-wide. The span granularity between paragraph dedup
+    (fixed separator-delimited units) and near-dup (whole-document
+    similarity) — it catches templated sentences, quoted boilerplate,
+    and self-repetition that neither of those sees.
+
+    Output, one row per input document: (id_col, n_tokens,
+    n_dup_grams, dup_tokens, dup_fraction) where dup_tokens is the
+    EXACT size of the union of all duplicated k-gram intervals
+    (overlapping spans are not double-counted) and dup_fraction =
+    round(dup_tokens / n_tokens, 6). Documents shorter than ``k``
+    tokens report zero coverage. A training pipeline filters or
+    re-weights on dup_fraction, or feeds the flagged docs to a span
+    remover.
+
+    Scale shape (the suffix-array construction of the paper is replaced
+    by hashed k-gram counting, the shuffle-friendly equivalent for
+    fixed k): tokens are materialized once per document (HOF-inlining
+    trap avoided), each position's k-gram is folded to an 8-byte
+    ``xxhash64`` BEFORE the explode, so the corpus-wide count
+    aggregation shuffles (8-byte key, count) with map-side partials —
+    gram TEXT never shuffles. Duplicated positions come back via an
+    AQE-decided semi-join on the same 8-byte key (no broadcast hint:
+    the duplicated-gram table is corpus-dependent, the TF-IDF lesson).
+    Interval-union coverage is one window pass per document —
+    ``least(k, next_pos - pos)`` over positions sorted within the doc —
+    exact for fixed-length intervals with no per-token explode. 64-bit
+    hash collisions would need ~2³² distinct grams (birthday bound) to
+    appear at all and only ever OVER-count by one gram; acceptable for
+    a filter statistic and standard for this operator family.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    df = ensure_min_partitions(df)
+    toks = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(id_col, "__toks", F.size("__toks").alias("n_tokens"))
+    lengths = toks.select(id_col, "n_tokens")
+    gram_hashes = F.when(
+        F.col("n_tokens") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - k + 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = toks.select(
+        F.col(id_col), F.posexplode(gram_hashes).alias("pos", "gh")
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gh")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    covered = F.least(
+        F.lit(k), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k))
+    )
+    per_doc = (
+        grams.join(dup, "gh", "semi")
+        .select(F.col(id_col), covered.alias("cov"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("cov").alias("dup_tokens"),
+        )
+    )
+    return lengths.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias(
+            "n_dup_grams"
+        ),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+            "dup_tokens"
+        ),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring span REMOVAL: drop every token covered by a
+    corpus-duplicated k-gram occurrence, except inside the gram's
+    globally-first occurrence (min (id, position) — the same
+    first-wins rule as ``paragraph_dedup``), then reassemble the
+    surviving tokens in order. Returns (id_col, text_col, n_tokens,
+    n_kept) for every input row.
+
+    A token survives if NO duplicated non-first gram occurrence covers
+    it. Coverage is decided per token index via a bounded k-way explode
+    of only the duplicated, non-first occurrences (each contributes k
+    (doc, index) rows — fanout is k × dup-gram count, not k × corpus),
+    anti-joined against the token positions. First-occurrence election
+    shuffles (8-byte hash, id, pos) triples only.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    df = ensure_min_partitions(df)
+    toks = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(id_col, "__toks", F.size("__toks").alias("n_tokens"))
+    gram_hashes = F.when(
+        F.col("n_tokens") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - k + 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = toks.select(
+        F.col(id_col), F.posexplode(gram_hashes).alias("pos", "gh")
+    )
+    w = Window.partitionBy("gh").orderBy(id_col, "pos")
+    flagged = grams.withColumn("__n", F.count(F.lit(1)).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    ))).withColumn("__rn", F.row_number().over(w))
+    # duplicated gram occurrences that are NOT the global first
+    removals = flagged.filter(
+        (F.col("__n") >= min_count) & (F.col("__rn") > 1)
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("tok_idx"),
+    ).distinct()
+    positions = toks.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.posexplode_outer("__toks").alias("tok_idx", "tok"),
+    )
+    kept = positions.join(removals, [id_col, "tok_idx"], "anti")
+    agg_tok = F.when(
+        F.col("tok").isNotNull(), F.struct(F.col("tok_idx"), F.col("tok"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(agg_tok)), lambda s: s["tok"]
+            ),
+        ).alias(text_col),
+        F.first("n_tokens").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("tok").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_kept"),
     )

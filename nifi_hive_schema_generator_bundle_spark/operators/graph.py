@@ -20,7 +20,97 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
+
+
+def triangle_count(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts on an undirected graph given as an edge
+    list (self-loops dropped, direction and multiplicity ignored) — the
+    local-clustering signal that complements ``pagerank`` (centrality)
+    and ``connected_components`` (reachability): nodes embedded in
+    tightly-knit groups vs. pure hubs.
+
+    Returns (node, n_triangles) for EVERY node of the graph, zeros
+    included; Σ n_triangles = 3 × the global triangle count.
+
+    Scale shape — the compact-forward / degree-orientation algorithm,
+    not the naive three-way self-join: every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, making the oriented
+    out-degree of any node O(√m) on skewed (power-law) graphs. Wedges
+    are then one self-join of the oriented list (a→b ⋈ b→c), closed by
+    a SEMI join against the same list on (a, c) — total work O(m^1.5)
+    worst case instead of Σ deg² for the unoriented wedge join, which
+    is the difference between hours and forever on a hub-heavy 100 TB
+    edge set. All joins are on narrow id pairs; AQE picks broadcast vs
+    shuffle per stage from runtime sizes (no hints — graph shape is
+    data-dependent). The closure cannot use a bare 3-column groupBy
+    count because each triangle appears exactly once after orientation;
+    the per-node fan-out is the 3-row explode of the triangle row,
+    bounded by the triangle count itself.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .na.drop()
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed(
+                "deg", "dv"
+            ),
+            "v",
+        )
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e2 = oriented.select(
+        F.col("a").alias("b2"), F.col("b").alias("c")
+    )
+    wedges = oriented.join(e2, oriented.b == e2.b2).select(
+        "a", "b", "c"
+    )
+    closer = oriented.select(
+        F.col("a").alias("ca"), F.col("b").alias("cc")
+    )
+    tri = wedges.join(
+        closer,
+        (wedges.a == closer.ca) & (wedges.c == closer.cc),
+        "semi",
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.select("node").join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )
 
 
 def pagerank(

@@ -31,6 +31,7 @@ __all__ = [
     "tfidf_top_terms",
     "ngram_repetition",
     "unigram_logprob_score",
+    "bigram_logprob_score",
     "bm25_scores",
 ]
 
@@ -361,4 +362,99 @@ def bm25_scores(
         )
         .groupBy(id_col)
         .agg(F.round(F.sum("part"), 6).alias("bm25"))
+    )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    *,
+    lam: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc mean INTERPOLATED bigram log-probability under the
+    corpus' own n-gram statistics — the next step up from
+    ``unigram_logprob_score`` toward real LM-perplexity filtering:
+    word-salad documents whose tokens are individually common but never
+    co-occur (the spam pattern unigram scoring is blind to) score low.
+
+    p(cur | prev) = lam · c2(prev,cur)/c1(prev) + (1-lam) · c(cur)/T
+    where c2 is the corpus bigram count, c1(prev) = Σ_cur c2(prev,cur)
+    (the bigram-prev marginal, so the conditional sums to exactly 1),
+    c(cur) the corpus unigram count, T total tokens. Every observed
+    bigram has c2 ≥ 1, so the MLE term is never 0 and lam = 1.0
+    degenerates to pure bigram MLE; the unigram backoff keeps scores
+    finite under future/held-out vocabularies.
+
+    Output: (id_col, n_bigrams, lm2_score = round(mean ln p, 6)), one
+    row per input document; documents with < 2 tokens report
+    n_bigrams = 0 and NULL score.
+
+    Scale shape (same deskew discipline as the unigram scorer): the
+    explode feeds a (doc, prev, cur) partial-count aggregation, so
+    Zipf-head bigrams collapse to one row per document before any join;
+    the corpus bigram table, its prev-marginal, and the unigram table
+    derive from that same aggregate or a token count — all joins are
+    AQE-decided (no hints; vocabulary sizes are corpus-dependent), the
+    1-row total rides as a broadcast scalar. The per-doc mean is the
+    count-weighted sum Σ k·ln p / Σ k. Document bodies never shuffle.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    df = ensure_min_partitions(df)
+    toks = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    n = F.size("__toks")
+    pair_structs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("__toks"), i).alias("prev"),
+                F.element_at(F.col("__toks"), i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = toks.select(
+        F.col(id_col), F.explode(pair_structs).alias("p")
+    ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    doc_pair = pairs.groupBy(id_col, "prev", "cur").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    big = doc_pair.groupBy("prev", "cur").agg(F.sum("k").alias("c2"))
+    prev_marg = big.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    unig = toks.select(F.explode("__toks").alias("cur")).groupBy("cur").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    total = unig.agg(F.sum("cu").alias("t"))
+    p = F.lit(lam) * F.col("c2").cast("double") / F.col("c1").cast(
+        "double"
+    ) + F.lit(1.0 - lam) * F.col("cu").cast("double") / F.col("t").cast(
+        "double"
+    )
+    scored = (
+        doc_pair.join(big, ["prev", "cur"])
+        .join(prev_marg, "prev")
+        .join(unig, "cur")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * F.log(p)) / F.sum("k"), 6).alias(
+                "lm2_score"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.col("lm2_score"),
+        )
     )

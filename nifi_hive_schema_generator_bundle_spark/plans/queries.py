@@ -4304,3 +4304,197 @@ def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return time_decay_sum(e, ["user_id"], half_life_days=7).orderBy("user_id")
+
+
+# ===========================================================================
+# Round 4 additions: span-level dedup, weighted sampling, triangles,
+# bigram LM
+# ===========================================================================
+
+@register_query(
+    "doc_duplicate_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), lens AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+    ), grams AS (
+        SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+               array_to_string(t[CAST(g.i AS INT)+1:CAST(g.i AS INT)+5], ' ') AS gram
+        FROM toks CROSS JOIN LATERAL unnest(range(0, len(t) - 4)) AS g(i)
+        WHERE len(t) >= 5
+    ), dup AS (
+        SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+    ), hits AS (
+        SELECT doc_id, pos,
+               least(5, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 5)) AS cov
+        FROM grams WHERE gram IN (SELECT gram FROM dup)
+    ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+               CAST(sum(cov) AS BIGINT) AS dup_tokens
+        FROM hits GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_tokens,
+           coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(a.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(a.dup_tokens, 0) / greatest(l.n_tokens, 1), 6) AS dup_fraction
+    FROM lens l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id
+    """,
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup statistics (operators/dedup.
+    duplicate_span_stats): per-doc fraction of tokens inside a token
+    5-gram repeated ≥2 times corpus-wide — the Lee-et-al span
+    granularity between paragraph dedup and MinHash near-dup. Spark
+    folds each gram to an 8-byte xxhash64 BEFORE the count shuffle and
+    closes coverage with one per-doc window; the oracle groups the gram
+    STRINGS (DuckDB has no xxhash64) — identical answers barring a
+    64-bit collision, which at 2³² grams is birthday-bound negligible."""
+    from ..operators.dedup import duplicate_span_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, k=5, min_count=2).orderBy("doc_id")
+
+
+@register_query(
+    "doc_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, source, n_chars,
+               pow(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+                   1.0 / CAST(n_chars AS DOUBLE)) AS es
+        FROM documents WHERE n_chars > 0
+    ), top AS (
+        SELECT doc_id, lang, source, n_chars
+        FROM keyed
+        ORDER BY es DESC, md5(CAST(doc_id AS VARCHAR))
+        LIMIT 50
+    )
+    SELECT * FROM top ORDER BY doc_id
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (functions/sampling.weighted_sample, Efraimidis–Spirakis keys over
+    the md5 content hash): exactly 50 docs with inclusion probability
+    ∝ n_chars — the quality-weighted selection step. Top-n plans as
+    TakeOrderedAndProject (per-partition heap), not a global sort; the
+    oracle replays the u = md5-fraction and u^(1/w) key bit-for-bit."""
+    from ..functions.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return weighted_sample(
+        d, 50, weight_col="n_chars", key="doc_id"
+    ).orderBy("doc_id")
+
+
+@register_query(
+    "part_supplier_triangles",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), e AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    ), oriented AS (
+        SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS a,
+               CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS b
+        FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+        SELECT w1.a AS x, w1.b AS y, w2.b AS z
+        FROM oriented w1 JOIN oriented w2 ON w1.b = w2.a
+        WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.a = w1.a AND o.b = w2.b)
+    ), per_node AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node, coalesce(p.n_triangles, 0) AS n_triangles
+    FROM deg d LEFT JOIN per_node p USING (node) ORDER BY d.node
+    """,
+)
+def part_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts on the co-supply graph (suppliers
+    linked when they ship the same part; operators/graph.
+    triangle_count) — local clustering, the third graph primitive next
+    to pagerank and connected components. Degree-oriented
+    compact-forward join keeps wedge fan-out O(√m) per node; the
+    oracle replays the identical orientation and closure in SQL."""
+    from ..operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    b = ps.select(F.col("p"), F.col("s").alias("s2"))
+    edges = (
+        ps.join(b, "p")
+        .filter(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges).orderBy("node")
+
+
+@register_query(
+    "doc_bigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), pairs AS (
+        SELECT doc_id, t[CAST(g.i AS INT)] AS prev, t[CAST(g.i AS INT)+1] AS cur
+        FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) AS g(i)
+        WHERE len(t) >= 2
+    ), doc_pair AS (
+        SELECT doc_id, prev, cur, count(*) AS k FROM pairs GROUP BY ALL
+    ), big AS (
+        SELECT prev, cur, sum(k) AS c2 FROM doc_pair GROUP BY ALL
+    ), marg AS (
+        SELECT prev, sum(c2) AS c1 FROM big GROUP BY prev
+    ), unig AS (
+        SELECT u.tok AS cur, count(*) AS cu FROM (
+            SELECT unnest(t) AS tok FROM toks
+        ) u GROUP BY u.tok
+    ), tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS t FROM unig),
+    scored AS (
+        SELECT dp.doc_id, CAST(sum(dp.k) AS BIGINT) AS n_bigrams,
+               round(sum(dp.k * ln(0.9 * CAST(b.c2 AS DOUBLE) / CAST(m.c1 AS DOUBLE)
+                                   + 0.1 * CAST(u.cu AS DOUBLE) / tot.t)) / sum(dp.k), 6) AS lm2_score
+        FROM doc_pair dp
+        JOIN big b USING (prev, cur)
+        JOIN marg m USING (prev)
+        JOIN unig u ON u.cur = dp.cur
+        CROSS JOIN tot
+        GROUP BY dp.doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.lm2_score
+    FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated corpus-bigram LM scoring (operators/text.
+    bigram_logprob_score, λ=0.9): catches word-salad docs whose tokens
+    are individually common but never co-occur — the co-occurrence
+    quality filter unigram scoring is blind to. Deskewed (doc, prev,
+    cur) partial counts feed every corpus table; AQE decides all
+    vocabulary joins."""
+    from ..operators.text import bigram_logprob_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_score(d, lam=0.9).orderBy("doc_id")

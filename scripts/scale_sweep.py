@@ -14,9 +14,11 @@ Replica construction, per copy i in 0..9 (copy 0 = the original rows):
   order) are preserved exactly
 - events: event_id/user_id shifted — same sessions-per-user shape, 10x
   users over the same time range
-- documents: doc_id shifted; copies > 0 get a per-copy suffix token so
-  exact/near-dup structure is preserved per copy instead of creating
-  corpus-wide 10-way duplicates
+- documents: doc_id shifted; copies > 0 get a per-copy salt token
+  interleaved before every 2nd word so exact AND near-dup structure is
+  preserved per copy instead of creating corpus-wide 10-way (near-)
+  duplicate clusters (salted copies add ~50% tokens — doc-table ratios
+  up to ~15x are still data-linear)
 - embeddings: vec_id shifted; copies > 0 rotate the vector by i
   positions — distinct, norm-preserving, uncorrelated directions
 
@@ -72,7 +74,22 @@ def build(con) -> None:
                 if c in keys:
                     sel.append(f"{c} + {i * OFFSET} AS {c}")
                 elif t == "documents" and c == "text" and i > 0:
-                    sel.append(f"text || ' xcopy{i}' AS text")
+                    # interleave a per-copy salt token before every 2nd
+                    # word: every 3-token window of the salted stream
+                    # contains the salt, so cross-copy shingle overlap
+                    # (and thus MinHash/SimHash similarity) is ZERO while
+                    # within-copy dup structure is preserved. A plain
+                    # appended suffix makes all 10 copies of a doc
+                    # genuine near-duplicates — the near-dup pair count
+                    # then grows quadratically BY CONSTRUCTION and the
+                    # sweep misreads output growth as operator blowup
+                    # (first run measured minhash 45x at 10x from this).
+                    sel.append(
+                        "array_to_string(list_transform("
+                        "string_split(text, ' '), "
+                        f"(x, j) -> CASE WHEN j % 2 = 0 THEN 'xc{i} ' || x "
+                        "ELSE x END), ' ') AS text"
+                    )
                 elif t == "embeddings" and c == "embedding" and i > 0:
                     sel.append(
                         f"embedding[{i + 1}:] || embedding[1:{i}] AS embedding"

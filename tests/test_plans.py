@@ -217,6 +217,8 @@ BNLJ_ALLOWED = {
     "doc_token_budget_select",
     # 1-row grand-total broadcast (vocabulary join itself is equi/AQE)
     "doc_unigram_logprob",
+    # same 1-row grand-total broadcast; bigram/marginal joins are equi/AQE
+    "doc_bigram_logprob",
     # 1-row N/avgdl stats broadcast; the term joins are equi
     "doc_bm25_scores",
     # 1-row dangling-mass broadcast per power iteration
