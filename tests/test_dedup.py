@@ -70,13 +70,59 @@ def test_ngram_jaccard_full_selfjoin(spark, docs):
     assert got == {(1, 2), (1, 3), (2, 3)}
 
 
-def test_simhash_near_dup(spark, docs):
-    pairs = simhash_pairs(docs, max_hamming=10).collect()
+def test_simhash_near_dup(spark):
+    # simhash needs realistic feature counts: on a 200-distinct-token doc
+    # a one-token flip is 1% feature churn (Hamming 3, inside the 4-chunk
+    # pigeonhole guarantee); on the 19-token fixture above it is 10%
+    # churn (Hamming 7 — correctly NOT a simhash near-dup)
+    base = [f"tok{i}" for i in range(200)]
+    near = list(base)
+    near[100] = "flipped"
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(base)),                     # exact dup
+        (3, "  " + " ".join(base).upper() + " "),  # normalized dup
+        (4, " ".join(near)),                     # one token flipped
+        (5, " ".join(f"other{i}" for i in range(200))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(df, max_hamming=3).collect()
     got = {(r.id_a, r.id_b): r.hamming for r in pairs}
     assert got[(1, 2)] == 0       # identical text → identical simhash
     assert got[(1, 3)] == 0       # case/ws-normalized
-    assert (1, 4) in got          # one token flip → few bits
+    assert got[(1, 4)] == 3       # one token flip → few bits
     assert (1, 5) not in got
+
+
+def test_simhash_immune_to_token_frequency_bias(spark):
+    # a boilerplate token interleaved at 33% frequency must not drag
+    # unrelated documents' signatures together (the occurrence-voting
+    # failure mode: measured 65x blowup on a salted 10x corpus)
+    import itertools
+
+    def salt(words):
+        out = []
+        for j, w in enumerate(words):
+            if j % 2 == 0:
+                out.append("salttok")
+            out.append(w)
+        return " ".join(out)
+
+    a = [f"alpha{i}" for i in range(200)]
+    b = [f"beta{i}" for i in range(200)]
+    df = spark.createDataFrame(
+        [(1, salt(a)), (2, salt(b))], "doc_id long, text string"
+    )
+    assert simhash_pairs(df, max_hamming=10).count() == 0
+
+
+def test_simhash_degenerate_bucket_cap(spark):
+    # 60 identical docs: bucket cap 10 drops the degenerate buckets
+    # entirely instead of emitting C(60,2) pairs
+    rows = [(i, " ".join(f"tok{j}" for j in range(50))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert simhash_pairs(df, max_bucket=10).count() == 0
+    assert simhash_pairs(df, max_bucket=1000).count() == 60 * 59 // 2
 
 
 def test_embedding_near_dup(spark):

@@ -210,6 +210,9 @@ BNLJ_ALLOWED = {
     "ann_cosine_topk",
     "quantized_ann_topk",
     "ivf_ann_topk",
+    # same bounded broadcast-anchor scans as ann_cosine_topk
+    "embedding_hard_negatives",
+    "doc_hybrid_rrf",
     "ngram_jaccard_docs",
     # bounded scalar cross joins: the |strata|-row rate table × 1-row
     # feasible cap, and the 1-row bucket-threshold broadcast

@@ -261,3 +261,71 @@ def test_bigram_logprob_pure_mle_when_lam_1(spark):
     )
     out = bigram_logprob_score(df, lam=1.0).collect()
     assert all(r["lm2_score"] == 0.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives / reciprocal_rank_fusion
+# ---------------------------------------------------------------------------
+
+def test_hard_negatives_planted(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # anchor [1,0]: nearest other-label vectors are [0.9,0.1] (label 1)
+    # then [0,1] (label 1); same-label [1,0.01] must NOT appear
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.01], 0),
+        (2, [0.9, 0.1], 1),
+        (3, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negatives(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    got = [(r["vec_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(2, 1), (3, 2)]
+    assert all(r["label"] == 1 for r in out)
+
+
+def test_hard_negatives_excludes_self_even_if_label_differs(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [(0, [1.0, 0.0], 0), (1, [0.5, 0.5], 1)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negatives(df, df, k=5).collect()
+    assert all(r["anchor_id"] != r["vec_id"] for r in out)
+    assert len(out) == 2  # each anchor mines exactly the other vector
+
+
+def test_rrf_fusion_math(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        reciprocal_rank_fusion,
+    )
+
+    r1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], ["query_id", "vec_id", "rank"]
+    )
+    r2 = spark.createDataFrame(
+        [(0, 12, 1), (0, 11, 2), (0, 13, 3)], ["query_id", "vec_id", "rank"]
+    )
+    out = {
+        r["vec_id"]: r["fused_rank"]
+        for r in reciprocal_rank_fusion([r1, r2], k=4).collect()
+    }
+    # 11: 1/62+1/62 ; 12: 1/63+1/61 ; 10: 1/61 ; 13: 1/63
+    # 1/62+1/62 = .032258; 1/63+1/61 = .032266 -> 12 beats 11
+    assert out == {12: 1, 11: 2, 10: 3, 13: 4}
+
+
+def test_rrf_requires_two_rankings(spark):
+    import pytest as _pytest
+
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        reciprocal_rank_fusion,
+    )
+
+    r1 = spark.createDataFrame([(0, 1, 1)], ["query_id", "vec_id", "rank"])
+    with _pytest.raises(ValueError):
+        reciprocal_rank_fusion([r1])
