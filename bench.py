@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "doc_weighted_sample",
     "part_copurchase_triangles",
     "doc_bigram_logprob",
+    "embedding_hard_negatives",
+    "doc_hybrid_rrf",
 ]
 
 

@@ -928,15 +928,24 @@ def remove_duplicate_spans(
     agg_tok = F.when(
         F.col("tok").isNotNull(), F.struct(F.col("tok_idx"), F.col("tok"))
     )
-    return kept.groupBy(id_col).agg(
+    agg = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",
             F.transform(
                 F.array_sort(F.collect_list(agg_tok)), lambda s: s["tok"]
             ),
         ).alias(text_col),
-        F.first("n_tokens").alias("n_tokens"),
         F.sum(
             F.when(F.col("tok").isNotNull(), F.lit(1)).otherwise(F.lit(0))
         ).cast("long").alias("n_kept"),
+    )
+    # left-join back onto the full id set: a document whose EVERY token
+    # sits in removed spans loses all its position rows in the anti-join
+    # and would otherwise vanish — row counts stay stable through the
+    # pass (same contract as paragraph_dedup / duplicate_span_stats)
+    return toks.select(id_col, "n_tokens").join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.col("n_tokens"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )

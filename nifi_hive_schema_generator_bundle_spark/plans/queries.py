@@ -4634,3 +4634,61 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocal_rank_fusion(
         [r1, r2], k=10, id_col="doc_id"
     ).orderBy("query_id", "fused_rank")
+
+
+@register_query(
+    "doc_remove_duplicate_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+               array_to_string(t[CAST(g.i AS INT)+1:CAST(g.i AS INT)+5], ' ') AS gram
+        FROM toks CROSS JOIN LATERAL unnest(range(0, len(t) - 4)) AS g(i)
+        WHERE len(t) >= 5
+    ), flagged AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY gram) AS n,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM grams
+    ), removals AS (
+        SELECT DISTINCT doc_id, pos + u.i AS tok_idx
+        FROM flagged CROSS JOIN LATERAL unnest(range(0, 5)) AS u(i)
+        WHERE n >= 2 AND rn > 1
+    ), positions AS (
+        SELECT doc_id, CAST(p.i AS BIGINT) AS tok_idx,
+               t[CAST(p.i AS INT)+1] AS tok
+        FROM toks CROSS JOIN LATERAL unnest(range(0, len(t))) AS p(i)
+    ), kept AS (
+        SELECT p.* FROM positions p
+        ANTI JOIN removals r USING (doc_id, tok_idx)
+    ), agg AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY tok_idx) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.text, '') AS text,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           coalesce(a.n_kept, 0) AS n_kept
+    FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+    """,
+)
+def doc_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (operators/dedup.
+    remove_duplicate_spans): every token covered by a corpus-duplicated
+    5-gram occurrence is excised except inside the gram's globally-first
+    occurrence — the action step over `doc_duplicate_spans`' statistics.
+    First-occurrence election shuffles (8-byte hash, id, pos) triples;
+    the k-way removal explode fans out only duplicated non-first
+    occurrences. Row counts are stable through the pass (fully-excised
+    docs keep an empty-text row)."""
+    from ..operators.dedup import remove_duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, k=5, min_count=2).orderBy("doc_id")

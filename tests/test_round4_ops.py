@@ -329,3 +329,20 @@ def test_rrf_requires_two_rankings(spark):
     r1 = spark.createDataFrame([(0, 1, 1)], ["query_id", "vec_id", "rank"])
     with _pytest.raises(ValueError):
         reciprocal_rank_fusion([r1])
+
+
+def test_remove_duplicate_spans_keeps_fully_excised_docs(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    # doc 2 is an exact copy of doc 1: every token of doc 2 is inside a
+    # duplicated non-first 5-gram occurrence, so its whole text is
+    # excised — the row must survive with empty text, not vanish
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, k=5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["text"] == text and out[1]["n_kept"] == 6
+    assert out[2]["text"] == "" and out[2]["n_kept"] == 0
+    assert out[2]["n_tokens"] == 6
