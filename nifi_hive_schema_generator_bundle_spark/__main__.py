@@ -207,6 +207,66 @@ def cmd_select(args) -> int:
     return 0
 
 
+def cmd_spans(args) -> int:
+    from .operators.dedup import duplicate_span_stats, remove_duplicate_spans
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    if args.remove:
+        out = remove_duplicate_spans(
+            df, k=args.k, min_count=args.min_count,
+            text_col=args.text_col, id_col=args.key,
+        )
+        convert(out, args.output, args.fmt, mode="overwrite")
+        import pyspark.sql.functions as F
+
+        row = (
+            read_any(spark, args.output, args.fmt)
+            .agg(F.sum("n_tokens").alias("t"), F.sum("n_kept").alias("k"))
+            .collect()[0]
+        )
+        print(
+            f"kept {row['k']}/{row['t']} tokens after span removal",
+            file=sys.stderr,
+        )
+    else:
+        out = duplicate_span_stats(
+            df, k=args.k, min_count=args.min_count,
+            text_col=args.text_col, id_col=args.key,
+        )
+        convert(out, args.output, args.fmt, mode="overwrite")
+        import pyspark.sql.functions as F
+
+        row = (
+            read_any(spark, args.output, args.fmt)
+            .agg(
+                F.sum("dup_tokens").alias("d"),
+                F.sum("n_tokens").alias("t"),
+            )
+            .collect()[0]
+        )
+        frac = (row["d"] or 0) / (row["t"] or 1)
+        print(
+            f"duplicated-span coverage: {row['d']}/{row['t']} tokens ({frac:.1%})",
+            file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_wsample(args) -> int:
+    from .functions.sampling import weighted_sample
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    out = weighted_sample(df, args.n, weight_col=args.weight_col, key=args.key)
+    convert(out, args.output, args.fmt, mode="overwrite")
+    n = read_any(spark, args.output, args.fmt).count()
+    print(f"sampled {n} rows (weight: {args.weight_col})", file=sys.stderr)
+    return 0
+
+
 def cmd_drift(args) -> int:
     from .operators.drift import schema_drift_report
     from .sources.formats import read_any
@@ -456,6 +516,28 @@ def main(argv: list[str] | None = None) -> int:
     pts.add_argument("--key", default="doc_id")
     pts.add_argument("--fmt", default="parquet")
     pts.set_defaults(fn=cmd_select)
+
+    psp = sub.add_parser("spans", help="exact-substring duplicated-span stats/removal")
+    psp.add_argument("input")
+    psp.add_argument("output")
+    psp.add_argument("--fmt", default="parquet")
+    psp.add_argument("--key", default="doc_id")
+    psp.add_argument("--text-col", default="text")
+    psp.add_argument("--k", type=int, default=5, help="token k-gram span length")
+    psp.add_argument("--min-count", type=int, default=2,
+                     help="corpus occurrences for a gram to count as duplicated")
+    psp.add_argument("--remove", action="store_true",
+                     help="excise all-but-first occurrences instead of reporting stats")
+    psp.set_defaults(fn=cmd_spans)
+
+    pws = sub.add_parser("wsample", help="weighted sample without replacement (ES keys)")
+    pws.add_argument("input")
+    pws.add_argument("output")
+    pws.add_argument("--n", type=int, required=True)
+    pws.add_argument("--weight-col", required=True)
+    pws.add_argument("--key", default="doc_id")
+    pws.add_argument("--fmt", default="parquet")
+    pws.set_defaults(fn=cmd_wsample)
 
     pdr = sub.add_parser("drift", help="per-group schema drift over a JSON column")
     pdr.add_argument("input")

@@ -306,3 +306,41 @@ def test_cli_drift_report(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "retyped" in out and "absent" in out
+
+
+def test_cli_spans_stats_and_remove(spark, tmp_path, capsys):
+    shared = "the quick brown fox jumps over"
+    src = str(tmp_path / "spans_in")
+    spark.createDataFrame(
+        [(1, shared + " alpha beta gamma delta epsilon"),
+         (2, "zeta eta theta iota kappa " + shared)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out_stats = str(tmp_path / "spans_stats")
+    rc = main(["spans", src, out_stats])
+    assert rc == 0
+    assert "duplicated-span coverage: 12/22 tokens" in capsys.readouterr().err
+    stats = {r.doc_id: r.dup_tokens for r in spark.read.parquet(out_stats).collect()}
+    assert stats == {1: 6, 2: 6}
+
+    out_rm = str(tmp_path / "spans_rm")
+    rc = main(["spans", src, out_rm, "--remove"])
+    assert rc == 0
+    assert "kept 16/22 tokens" in capsys.readouterr().err
+    rows = {r.doc_id: r.text for r in spark.read.parquet(out_rm).collect()}
+    assert rows[1].startswith(shared)          # first occurrence intact
+    assert shared not in rows[2]               # second occurrence excised
+
+
+def test_cli_wsample(spark, tmp_path, capsys):
+    src = str(tmp_path / "ws_in")
+    spark.createDataFrame(
+        [(i, float(1 + i % 3)) for i in range(30)],
+        "doc_id long, quality double",
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "ws_out")
+    rc = main(["wsample", src, out_dir, "--n", "5", "--weight-col", "quality"])
+    assert rc == 0
+    assert "sampled 5 rows (weight: quality)" in capsys.readouterr().err
+    assert spark.read.parquet(out_dir).count() == 5
