@@ -47,6 +47,9 @@ __all__ = [
     "paragraph_dedup",
     "duplicate_span_stats",
     "remove_duplicate_spans",
+    "minhash_signatures",
+    "band_keys",
+    "signature_agreement",
     "contaminated_ids",
     "decontaminate",
 ]
@@ -132,6 +135,75 @@ def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """(id, sig) — the ``num_perm``-wide MinHash signature per document,
+    as one narrow projection + one partial-aggregated groupBy.
+
+    The hash/min hot loop stays in whole-stage codegen (explode + 64
+    codegen'd min-aggregates; higher-order-function folds are
+    interpreted — measured ~2× slower), and map-side partial mins mean
+    the shuffle carries one 64-long row per (partition, doc). Shared by
+    ``minhash_lsh_pairs`` and the incremental (cross-run) near-dedup
+    store, which must agree bit-for-bit on signatures."""
+    df = ensure_min_partitions(df)  # small-split inputs must not serialize the hash loop
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(
+        "id", F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("sh")
+    )
+    return exploded.groupBy("id").agg(
+        F.array(
+            *[F.min(F.xxhash64("sh", F.lit(i))) for i in range(num_perm)]
+        ).alias("sig")
+    )
+
+
+def band_keys(
+    sig: DataFrame, *, bands: int = 16, num_perm: int = 64
+) -> DataFrame:
+    """(id, sig, band, bucket) — LSH banding over a signature frame:
+    each doc explodes to ``bands`` rows keyed by an 8-byte hash of its
+    signature slice. ``xxhash64`` hashes the long-array slice directly —
+    no string materialization per band."""
+    rows = num_perm // bands
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * rows + 1, rows), b).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def signature_agreement(a: Column | str, b: Column | str) -> Column:
+    """Fraction of matching MinHash components — the unbiased estimator
+    of set Jaccard two stores can compute without ever re-reading text."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.size(
+        F.filter(
+            F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.size(a).cast("double")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -151,42 +223,11 @@ def minhash_lsh_pairs(
     shuffle on (band, bandhash) → within-bucket self-join → distinct pair
     verification on full signatures.
     """
-    rows = num_perm // bands
-    df = ensure_min_partitions(df)  # small-split inputs must not serialize the hash loop
-    # signature via explode + 64 codegen'd min-aggregates: the hash/min hot
-    # loop stays in whole-stage codegen (higher-order-function folds are
-    # interpreted — measured ~2× slower), and map-side partial mins mean
-    # the shuffle carries one 64-long row per (partition, doc).
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
-    ).select(
-        "id", F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("sh")
-    )
-    sig = exploded.groupBy("id").agg(
-        F.array(
-            *[F.min(F.xxhash64("sh", F.lit(i))) for i in range(num_perm)]
-        ).alias("sig")
-    )
     # computed once, read by both self-join sides + the bucket-size guard
-    sig = sig.persist()
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    # xxhash64 hashes the long-array slice directly — no
-                    # string materialization per band
-                    F.xxhash64(F.slice("sig", b * rows + 1, rows), b).alias(
-                        "bucket"
-                    ),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    sig = minhash_signatures(
+        df, text_col, id_col, k=k, num_perm=num_perm
+    ).persist()
+    banded = band_keys(sig, bands=bands, num_perm=num_perm)
 
     # degenerate-bucket guard: identical-corpus buckets would be quadratic
     bucket_sizes = banded.groupBy("band", "bucket").count()

@@ -1,0 +1,215 @@
+"""Incremental cross-run NEAR-dedup — new batches against a persistent
+MinHash signature store.
+
+The exact-fingerprint sibling (``incremental_dedup``) answers "have we
+EVER ingested these bytes?"; this module answers the question continuous
+crawl pipelines actually need: "have we ever ingested something ~this
+document?" — without re-reading any historical text. Two durable parquet
+stores carry everything history contributes:
+
+* ``<store>/bands`` — (band, bucket, id), the LSH band keys: the
+  candidate-generation index. 8-byte buckets, ``bands`` rows per doc.
+* ``<store>/sigs``  — (id, sig), the 64-long MinHash signature: the
+  verification side. ~512 B per doc regardless of document size.
+
+Per micro-batch: (1) within-batch near-dedup (``minhash_lsh_pairs`` +
+keep-min — first occurrence inside the batch wins), (2) the survivors'
+band keys join the band store (strictly earlier batches only) to form
+candidates, (3) candidates verify on signature agreement — the unbiased
+Jaccard estimator — against the signature store, (4) docs whose best
+historical match ≥ threshold are dropped, (5) true survivors append to
+the corpus and BOTH stores, partitioned by ``batch_id``.
+
+Replay safety is inherited wholesale from ``incremental_dedup``: a
+replayed batch filters history to ``batch_id < N`` (never sees its own
+half-written rows) and rewrites its own partitions via dynamic partition
+overwrite, so retries converge to the same bytes.
+
+Scale shape: history never rescans text — the band join shuffles
+(band, bucket, id) triples and the verify join ships one 512 B signature
+per CANDIDATE, not per document. The degenerate-bucket cap drops
+hot band buckets (> ``max_bucket`` historical members) from candidate
+generation, the same explicit trade as the batch LSH operator. Store
+growth is linear in survivors; fold small per-batch partitions with
+``compact_store`` periodically.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import (
+    band_keys,
+    dedup_keep_min,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    signature_agreement,
+)
+from ..sources.formats import overwrite_partitions
+
+__all__ = [
+    "near_dedup_batch_against_store",
+    "run_incremental_near_dedup",
+]
+
+
+def _read_store(spark, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        # ONLY a missing store means "first batch" — any other analysis
+        # error (wrong path, schema-less dir) must surface
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return None
+
+
+def near_dedup_batch_against_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    fmt: str = "parquet",
+) -> int:
+    """One micro-batch of the incremental near-dedup; returns survivors
+    kept. Reusable from any ``foreachBatch`` or a batch loop with its
+    own monotonic batch numbering."""
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return 0
+
+    bands_dir = f"{store_dir}/bands"
+    sigs_dir = f"{store_dir}/sigs"
+    sig_store = _read_store(spark, sigs_dir)
+    if sig_store is not None:
+        top = sig_store.agg(F.max("batch_id")).collect()[0][0]
+        if top is not None and batch_id < top:
+            raise ValueError(
+                f"batch_id {batch_id} is behind the store's max {top}: "
+                "the streaming checkpoint was reset against an existing "
+                "store. Resume with the original checkpoint, or point "
+                "store_dir/out_dir at fresh locations."
+            )
+
+    # (1) within-batch near-dedup, first (min-id) occurrence wins
+    pairs = minhash_lsh_pairs(
+        batch_df,
+        text_col,
+        id_col,
+        k=k,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    batch_kept = dedup_keep_min(batch_df, pairs, id_col)
+
+    # (2)+(3) candidates vs strictly-earlier history, verified on
+    # signature agreement — no text ever leaves the batch
+    sig = minhash_signatures(
+        batch_kept, text_col, id_col, k=k, num_perm=num_perm
+    ).persist()
+    my_bands = band_keys(sig, bands=bands, num_perm=num_perm).select(
+        "id", "band", "bucket"
+    )
+    survivors_ids = sig.select("id")
+    band_store = _read_store(spark, bands_dir)
+    if band_store is not None and sig_store is not None:
+        hist_bands = band_store.filter(F.col("batch_id") < batch_id).select(
+            "band", "bucket", F.col("id").alias("hist_id")
+        )
+        hot = (
+            hist_bands.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "bucket")
+        )
+        hist_bands = hist_bands.join(hot, ["band", "bucket"], "anti")
+        cand = (
+            my_bands.join(hist_bands, ["band", "bucket"])
+            .select("id", "hist_id")
+            .distinct()
+        )
+        hist_sigs = sig_store.filter(F.col("batch_id") < batch_id).select(
+            F.col("id").alias("hist_id"), F.col("sig").alias("hist_sig")
+        )
+        dup_ids = (
+            cand.join(sig, "id")
+            .join(hist_sigs, "hist_id")
+            .filter(
+                signature_agreement("sig", "hist_sig") >= F.lit(threshold)
+            )
+            .select("id")
+            .distinct()
+        )
+        survivors_ids = survivors_ids.join(dup_ids, "id", "anti")
+
+    survivors_ids = survivors_ids.persist()
+    try:
+        # (4)+(5) corpus append + both stores, all partition-overwritten
+        out = batch_kept.join(
+            survivors_ids.withColumnRenamed("id", id_col), id_col, "semi"
+        ).withColumn("ingest_batch", F.lit(batch_id))
+        overwrite_partitions(out, out_dir, ["ingest_batch"], fmt=fmt)
+
+        kept_sigs = sig.join(survivors_ids, "id", "semi").persist()
+        n = kept_sigs.count()
+        new_bands = (
+            band_keys(kept_sigs, bands=bands, num_perm=num_perm)
+            .select("id", "band", "bucket")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        overwrite_partitions(new_bands, bands_dir, ["batch_id"], fmt="parquet")
+        new_sigs = kept_sigs.withColumn("batch_id", F.lit(batch_id))
+        overwrite_partitions(new_sigs, sigs_dir, ["batch_id"], fmt="parquet")
+        kept_sigs.unpersist()
+    finally:
+        sig.unpersist()
+        survivors_ids.unpersist()
+    return n
+
+
+def run_incremental_near_dedup(
+    stream_df: DataFrame,
+    *,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    fmt: str = "parquet",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the streaming query: each micro-batch is near-deduped
+    against all prior history and appended to the corpus + stores."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        near_dedup_batch_against_store(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            out_dir=out_dir,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            fmt=fmt,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
