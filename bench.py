@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "doc_bigram_logprob",
     "embedding_hard_negatives",
     "doc_hybrid_rrf",
+    "doc_semantic_dedup",
 ]
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["assign_clusters", "kmeans_fit"]
+__all__ = ["assign_clusters", "kmeans_fit", "semantic_dedup"]
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
@@ -120,3 +120,73 @@ def kmeans_fit(
     finally:
         vecs.unpersist()
     return centroids
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cluster: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup: drop every row whose cluster holds a LOWER-id row with
+    cosine ≥ ``threshold``; returns survivors with a ``cluster_id``
+    column appended.
+
+    The cluster assignment is the blocking step that makes semantic
+    dedup sub-quadratic: pairwise cosine runs only WITHIN a centroid
+    cell, so total comparison work is Σ|cell|² instead of N² — the
+    caller sizes k so cells stay small (the paper's design point:
+    k grows with N, cell size stays ~constant). Plan shape: narrow
+    centroid-literal assign (no shuffle) → self-equi-join on
+    ``cluster_id`` (one hash shuffle, exchange reused by both sides) →
+    16-byte id anti-join. Vectors cross the wire once per side; no UDF.
+
+    ``max_cluster`` guards the degenerate case (a collapsed centroid
+    owning a huge cell would make one straggler task do |cell|² work):
+    cells larger than the cap are excluded from pair generation — ALL
+    their rows survive — the same explicit recall-for-boundedness trade
+    as ``minhash_lsh_pairs``'s ``max_bucket``. The cap comparison rides
+    a ≤k-row broadcast. Cosine is rounded to 6 decimals before the
+    threshold test so replaying engines agree at the boundary.
+
+    Keep-lowest-id (not transitive closure): a surviving doc is one with
+    no smaller-id near-twin in its cell — deterministic on any
+    partitioning, and exactly replayable in SQL via EXISTS.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    assigned = assign_clusters(
+        df, centroids, vec_col=vec_col, out_col="cluster_id"
+    )
+    slim = assigned.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cluster_id"
+    )
+    pair_base = slim
+    if max_cluster is not None:
+        ok = (
+            slim.groupBy("cluster_id")
+            .count()
+            .filter(F.col("count") <= max_cluster)
+            .select("cluster_id")
+        )
+        pair_base = slim.join(F.broadcast(ok), "cluster_id")
+    a, b = pair_base.alias("a"), pair_base.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return assigned.join(
+        dup_ids.withColumnRenamed("id", id_col), id_col, "anti"
+    )

@@ -3704,6 +3704,60 @@ def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_semantic_dedup",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings WHERE vec_id < 8
+    ), n AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), d AS (
+        SELECT n.vec_id, c.cid,
+               list_sum(list_transform(generate_series(1, len(n.e)),
+                 i -> (n.e[i] - c.ce[i]) * (n.e[i] - c.ce[i]))) AS dist
+        FROM n CROSS JOIN c
+    ), asg AS (
+        SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id
+        FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ), j AS (
+        SELECT asg.vec_id, asg.cluster_id, n.e FROM asg JOIN n USING (vec_id)
+    ), dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM j a JOIN j b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
+    )
+    SELECT vec_id, cluster_id FROM asg
+    WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    ORDER BY vec_id
+    """,
+)
+def doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/clustering.semantic_dedup): centroid cells as
+    dedup blocks, within-cell cosine ≥ 0.4 drops all but the lowest id.
+    Deterministic centroids = the first 8 embeddings by vec_id (same
+    bounded control-path collect as kmeans_assign_embeddings). The
+    oracle replays assign + within-cell EXISTS with the identical
+    index-ordered IEEE folds and 6-decimal cosine rounding."""
+    from ..operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in first]
+    return (
+        semantic_dedup(emb, centroids, threshold=0.4)
+        .select("vec_id", "cluster_id")
+        .orderBy("vec_id")
+    )
+
+
+@register_query(
     "props_schema_drift",
     oracle="""
     WITH p AS (

@@ -87,3 +87,68 @@ def test_kmeans_validates_inputs(blobs):
         kmeans_fit(blobs.limit(2), 5)
     with pytest.raises(ValueError):
         assign_clusters(blobs, [])
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sem_docs(spark):
+    # two well-separated cells; ids chosen so keep-lowest is observable
+    rows = [
+        (0, [1.0, 0.0, 0.0]),      # cell A representative
+        (1, [0.999, 0.01, 0.0]),   # near-twin of 0 -> dropped
+        (2, [0.8, 0.6, 0.0]),      # cell A but cosine(0,2)=0.8 < 0.95 -> kept
+        (10, [0.0, 0.0, 1.0]),     # cell B representative
+        (11, [0.0, 0.01, 0.999]),  # near-twin of 10 -> dropped
+        (12, [0.0, 1.0, 0.0]),     # equidistant tie -> cell A, no near-twin -> kept
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+SEM_CENTROIDS = [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+
+
+def test_semantic_dedup_keeps_lowest_per_near_group(sem_docs):
+    from nifi_hive_schema_generator_bundle_spark.operators.clustering import semantic_dedup
+
+    # doc 12 lands in cell B (closer to [0,0,1]? no: [1,0,0.05] is closer
+    # to [1,0,0]) — compute expectation from the operator's own assign
+    out = semantic_dedup(sem_docs, SEM_CENTROIDS, threshold=0.95)
+    kept = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert set(kept) == {0, 2, 10, 12}
+    assert kept[0] == kept[2] == kept[12] == 0 and kept[10] == 1
+
+
+def test_semantic_dedup_blocking_spares_cross_cell_twins(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.clustering import semantic_dedup
+
+    # identical vectors equidistant? place twins in DIFFERENT cells by
+    # construction: near-identical but assigned apart never compare
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.01, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], threshold=0.9)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 1]
+
+
+def test_semantic_dedup_max_cluster_cap_spares_hot_cell(sem_docs):
+    from nifi_hive_schema_generator_bundle_spark.operators.clustering import semantic_dedup
+
+    # cap below cell-A size (4 members incl. 12): pair generation skips
+    # cell A entirely -> all its rows survive; cell B (2) still dedups
+    out = semantic_dedup(sem_docs, SEM_CENTROIDS, threshold=0.95, max_cluster=3)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 1, 2, 10, 12]
+
+
+def test_semantic_dedup_threshold_boundary_rounds_to_6(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.clustering import semantic_dedup
+
+    # cosine(a,b) just UNDER the threshold at full precision but equal
+    # after 6-decimal rounding -> counts as a duplicate (oracle parity)
+    import math
+    theta = math.acos(0.95 - 2e-8)
+    rows = [(0, [1.0, 0.0]), (1, [math.cos(theta), math.sin(theta)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, [[1.0, 0.0]], threshold=0.95)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0]
