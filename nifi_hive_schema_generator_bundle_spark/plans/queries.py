@@ -3723,15 +3723,18 @@ def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
             FROM d
         ) WHERE rn = 1
+    ), nv AS (
+        SELECT vec_id,
+               list_transform(e, x -> x / sqrt(list_sum(
+                   list_transform(e, y -> y * y)))) AS e
+        FROM n
     ), j AS (
-        SELECT asg.vec_id, asg.cluster_id, n.e FROM asg JOIN n USING (vec_id)
+        SELECT asg.vec_id, asg.cluster_id, nv.e FROM asg JOIN nv USING (vec_id)
     ), dups AS (
         SELECT DISTINCT b.vec_id
         FROM j a JOIN j b
           ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.e, b.e)
-                    / (sqrt(list_dot_product(a.e, a.e))
-                       * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
+        WHERE round(list_dot_product(a.e, b.e), 6) >= 0.4
     )
     SELECT vec_id, cluster_id FROM asg
     WHERE vec_id NOT IN (SELECT vec_id FROM dups)
@@ -3743,8 +3746,8 @@ def doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup blocks, within-cell cosine ≥ 0.4 drops all but the lowest id.
     Deterministic centroids = the first 8 embeddings by vec_id (same
     bounded control-path collect as kmeans_assign_embeddings). The
-    oracle replays assign + within-cell EXISTS with the identical
-    index-ordered IEEE folds and 6-decimal cosine rounding."""
+    oracle replays assign + normalize-then-dot within-cell EXISTS with
+    the identical index-ordered IEEE folds and 6-decimal rounding."""
     from ..operators.clustering import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
