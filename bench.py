@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     "embedding_hard_negatives",
     "doc_hybrid_rrf",
     "doc_semantic_dedup",
+    "doc_quality_classifier",
+    "doc_ngram_novelty",
+    "events_rolling_wau",
+    "user_scd2_history",
 ]
 
 

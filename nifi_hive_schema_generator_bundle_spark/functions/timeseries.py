@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_decay_sum"]
+__all__ = ["time_decay_sum", "rolling_distinct_count"]
 
 
 def time_decay_sum(
@@ -84,4 +84,53 @@ def time_decay_sum(
             F.count(F.lit(1)).alias("n_events"),
             quantized.alias(out_col),
         )
+    )
+
+
+def rolling_distinct_count(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+    out_col: str = "rolling_distinct",
+) -> DataFrame:
+    """Trailing-window distinct-key count per day — the WAU/MAU
+    family: for every day present in the data, how many distinct keys
+    were active in the ``window_days`` days ending on it (inclusive).
+
+    COUNT(DISTINCT) cannot ride a sliding window frame (distinct
+    aggregation needs the raw values, not a running total), so the
+    textbook plan is a day×day range self-join — quadratic in the
+    window. This instead EXPLODES each (day, key) activity fact onto
+    the ``window_days`` report days it covers, then distinct-counts per
+    report day:
+
+    1. distinct (day, key) — one partial-agg shuffle, collapses any
+       number of events per key-day to one row;
+    2. explode to (report_day, key) for report days day..day+W-1,
+       semi-joined to the days actually present — ×W row growth on the
+       collapsed pairs, narrow columns;
+    3. distinct count per report day (two-phase distinct aggregate).
+
+    At 100 TB of events the expensive step is (1), which is the minimal
+    pass any WAU definition needs; W is a small constant multiplier on
+    the collapsed pair table, never on raw events.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    pairs = df.select(day.alias("__day"), F.col(key_col).alias("__key")).distinct()
+    days = pairs.select(F.col("__day").alias("__report_day")).distinct()
+    covered = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("__day"),
+                F.date_add(F.col("__day"), window_days - 1),
+            )
+        ).alias("__report_day"),
+        "__key",
+    ).join(days, "__report_day", "left_semi")
+    return (
+        covered.groupBy("__report_day")
+        .agg(F.count_distinct("__key").alias(out_col))
+        .select(F.col("__report_day").alias("day"), out_col)
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff", "merge_upsert"]
+__all__ = ["snapshot_diff", "merge_upsert", "scd2_build"]
 
 # distinct from any real value, incl. empty string, so NULL != ''
 _NULL_SENTINEL = "\x00<null>\x00"
@@ -80,3 +80,54 @@ def merge_upsert(
         return updates
     kept = base.join(updates.select(*key_cols), on=key_cols, how="left_anti")
     return kept.unionByName(updates)
+
+
+def scd2_build(
+    df: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+    *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    feed: one versioned row per (key, attribute-state) run, with
+    ``valid_from`` / ``valid_to`` half-open validity and an
+    ``is_current`` flag on the open row — the warehouse primitive for
+    "what did this dimension look like at time T".
+
+    Consecutive feed rows with identical attributes collapse into one
+    version (null-safe comparison via the same sentinel hash as
+    ``snapshot_diff``); a version's ``valid_to`` is the next version's
+    ``valid_from`` (NULL for the current one). ``tiebreak_col`` orders
+    same-timestamp rows deterministically (later tiebreak wins the
+    instant).
+
+    Plan shape: two windows over the SAME (key, ts, tiebreak)
+    partitioning — Catalyst plans one Exchange + one Sort and reuses
+    them for both the change detection and the valid_to lead. Rows
+    carry (key, attrs, ts): no document-scale payloads, so the single
+    shuffle is keyed on the dimension key and the shape holds at any
+    fact-table scale.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    h = _row_hash(attr_cols)
+    changed = (
+        df.select(key_col, *attr_cols, ts_col, *( [tiebreak_col] if tiebreak_col else [] ))
+        .withColumn("__h", h)
+        .withColumn("__prev", F.lag("__h").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("__h")))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return changed.select(
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

@@ -44,6 +44,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "connected_components",
     "dedup_keep_min",
+    "dedup_keep_best",
     "paragraph_dedup",
     "duplicate_span_stats",
     "remove_duplicate_spans",
@@ -731,6 +732,43 @@ def dedup_keep_min(
     comp = connected_components(pairs)
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    quality_col: str,
+) -> DataFrame:
+    """Drop every doc in a near-dup component except its BEST
+    representative: highest ``quality_col``, minimum ``id_col`` on
+    ties. Production near-dedup keeps the longest / highest-scoring
+    copy of a duplicated page, not the accidental minimum id —
+    ``dedup_keep_min`` is the id-deterministic sibling.
+
+    Scale shape: the winner election runs on the component table
+    (id, component, quality) — one row per clustered doc, never
+    document bodies — with a row_number window partitioned by
+    component; losers anti-join back on the id. Identical shuffle
+    discipline to ``dedup_keep_min`` plus one narrow quality column.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q")),
+        "id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc(), F.col("id").asc()
+    )
+    losers = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
 

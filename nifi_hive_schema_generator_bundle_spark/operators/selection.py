@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from .text import quality_score
 from ..functions.textfns import whitespace_tokens
 
-__all__ = ["token_budget_select"]
+__all__ = ["token_budget_select", "per_group_cap"]
 
 
 def token_budget_select(
@@ -70,4 +70,40 @@ def token_budget_select(
         scored.join(F.broadcast(threshold))
         .filter(F.col("bucket") >= F.col("__thr"))
         .drop("__thr")
+    )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    cap: int,
+    *,
+    rank_col: str = "group_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, best-first — the per-domain
+    document cap every web-corpus pipeline applies (Common-Crawl-style
+    source balancing: no single site may contribute more than N pages,
+    and the N kept are the best by the ordering, e.g. quality desc with
+    an id tiebreak).
+
+    ``order_cols`` are Column expressions (or names) defining
+    best-first order within the group; make them total (append the id)
+    for deterministic output. Returns the surviving rows plus
+    ``rank_col`` (1-based rank within the group).
+
+    Plan shape: one window (rank + filter) partitioned by the group
+    key — a single shuffle on the group key with the filter applied
+    stream-side during the sorted scan, no join, no second pass.
+    Group skew = key skew: a whale domain sorts within one partition;
+    AQE skew handling and the salting tools in
+    ``functions/partitioning`` apply when a single domain outweighs an
+    executor.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order_cols]
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= cap)
     )

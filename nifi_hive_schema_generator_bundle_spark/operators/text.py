@@ -33,6 +33,7 @@ __all__ = [
     "unigram_logprob_score",
     "bigram_logprob_score",
     "bm25_scores",
+    "ngram_novelty",
 ]
 
 # Tiny per-language stopword profiles for the heuristic language scorer.
@@ -456,5 +457,75 @@ def bigram_logprob_score(
                 "n_bigrams"
             ),
             F.col("lm2_score"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty vs the rest of the corpus: the
+    fraction of a document's DISTINCT word n-grams whose first corpus
+    occurrence (minimum ``id_col``) is this document.  Low novelty =
+    the document is mostly restatements of earlier content — the
+    incremental-information filter that sits between exact dedup
+    (identical docs) and span dedup (identical passages): it catches
+    documents assembled from already-seen pieces that no whole-doc or
+    single-span test flags.
+
+    Plan shape: grams are hashed to 16-byte md5 BEFORE leaving the row
+    (gram text never shuffles), then two narrow-key partial
+    aggregations — (gram → min id) and (min id → count) — plus a
+    per-doc distinct-gram count.  No gram-keyed join: a gram is novel
+    for exactly the doc that is its minimum id, so the novel counts
+    come straight off the first-occurrence table.  Output: (id,
+    n_distinct_grams, n_novel_grams, novelty) for every input doc;
+    docs with fewer than ``n`` tokens have 0 grams and NULL novelty.
+    """
+    df = ensure_min_partitions(df)
+    tokd = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    grams = tokd.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - n + 1),
+                        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+                    )
+                )
+            )
+        ).alias("__gram"),
+    )
+    per_doc = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_distinct_grams")
+    )
+    novel = (
+        grams.groupBy("__gram")
+        .agg(F.min(id_col).alias("__first"))
+        .groupBy(F.col("__first").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_novel_grams"))
+    )
+    cnt = F.coalesce(F.col("n_distinct_grams"), F.lit(0)).cast("long")
+    nov = F.coalesce(F.col("n_novel_grams"), F.lit(0)).cast("long")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(novel, id_col, "left")
+        .select(
+            F.col(id_col),
+            cnt.alias("n_distinct_grams"),
+            nov.alias("n_novel_grams"),
+            F.when(
+                cnt > 0, F.round(nov.cast("double") / cnt, 6)
+            ).alias("novelty"),
         )
     )

@@ -4749,3 +4749,302 @@ def doc_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return remove_duplicate_spans(d, k=5, min_count=2).orderBy("doc_id")
+
+
+# ===========================================================================
+# Round-4 additions: classifier scoring, novelty, domain caps, SCD2,
+# keep-best near-dedup, rolling distinct users
+# ===========================================================================
+
+# Fixture model for the linear classifier gate entry: weights over the
+# synthetic corpus vocabulary, quantized to quarter steps (exact in
+# DECIMAL on both engines). A real pipeline loads these from an
+# offline-trained fastText / logistic-regression model file.
+_CLASSIFIER_WEIGHTS: dict[str, float] = {
+    "spark": 1.5,
+    "fast": 1.0,
+    "model": 1.25,
+    "learning": 1.0,
+    "merge": 0.75,
+    "data": 0.75,
+    "window": 0.5,
+    "hash": 0.25,
+    "the": -0.25,
+    "a": -0.5,
+    "slow": -1.0,
+    "error": -0.75,
+    "row": -0.25,
+}
+_CLASSIFIER_BIAS = -0.5
+
+
+def _classifier_weights_values_sql() -> str:
+    rows = ", ".join(
+        f"('{t}', CAST({w!r} AS DECIMAL(10,4)))"
+        for t, w in sorted(_CLASSIFIER_WEIGHTS.items())
+    )
+    return f"(VALUES {rows}) AS w(token, wt)"
+
+
+@register_query(
+    "doc_quality_classifier",
+    oracle=rf"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x <> '') AS toks
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, unnest(toks) AS token FROM tk
+    ), s AS (
+        SELECT doc_id, sum(wt) AS ws
+        FROM hits JOIN {_classifier_weights_values_sql()} USING (token)
+        GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.toks) AS INT) AS n_tokens,
+           CAST(coalesce(s.ws, 0) AS DECIMAL(28,4)) AS weight_sum,
+           round(1.0 / (1.0 + exp(-({_CLASSIFIER_BIAS}
+               + CASE WHEN len(tk.toks) > 0
+                      THEN CAST(coalesce(s.ws, 0) AS DOUBLE) / len(tk.toks)
+                      ELSE 0.0 END))), 6) AS quality_prob
+    FROM tk LEFT JOIN s USING (doc_id) ORDER BY tk.doc_id
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/CCNet-style model-based quality gate (operators/
+    classify.linear_text_score): broadcast linear bag-of-words model,
+    mean pooling, sigmoid. The gate entry runs the zero-shuffle map
+    strategy (literal MAP fold, one codegen'd projection); the join
+    strategy (broadcast weight table, real-vocabulary scale) is
+    unit-tested equivalent. DECIMAL accumulation makes the score
+    partitioning-independent; the oracle replays the identical model."""
+    from ..operators.classify import linear_text_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        linear_text_score(
+            docs, _CLASSIFIER_WEIGHTS, bias=_CLASSIFIER_BIAS, how="map"
+        )
+        .select("doc_id", "n_tokens", "weight_sum", "quality_prob")
+        .orderBy("doc_id")
+    )
+
+
+@register_query(
+    "doc_ngram_novelty",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(
+                          generate_series(1, len(t) - 2),
+                          i -> md5(array_to_string(t[i:i+2], ' ')))) END) AS gm
+        FROM tk
+    ), per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id
+    ), fo AS (
+        SELECT gm, min(doc_id) AS fd FROM g GROUP BY gm
+    ), nv AS (
+        SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nn FROM fo GROUP BY fd
+    )
+    SELECT tk.doc_id,
+           coalesce(per.n, 0) AS n_distinct_grams,
+           coalesce(nv.nn, 0) AS n_novel_grams,
+           CASE WHEN coalesce(per.n, 0) > 0
+                THEN round(CAST(coalesce(nv.nn, 0) AS DOUBLE) / per.n, 6)
+           END AS novelty
+    FROM tk LEFT JOIN per USING (doc_id) LEFT JOIN nv USING (doc_id)
+    ORDER BY tk.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty vs lower-id corpus (operators/text.
+    ngram_novelty): the incremental-information filter between exact
+    dedup and span dedup. Grams hash to md5 before leaving the row;
+    novelty counts come off the (gram → min id) table directly — no
+    gram-keyed join; the oracle replays the identical gram hashing."""
+    from ..operators.text import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3).orderBy("doc_id")
+
+
+@register_query(
+    "doc_domain_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars, group_rank FROM (
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS INT) AS group_rank
+        FROM documents
+    ) WHERE group_rank <= 10 ORDER BY doc_id
+    """,
+)
+def doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/selection.per_group_cap):
+    each source contributes at most its 10 best documents (longest
+    first, id tiebreak) — Common-Crawl-style source balancing. One
+    window shuffle on the domain key, filter applied during the sorted
+    scan."""
+    from ..operators.selection import per_group_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        per_group_cap(
+            docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], 10
+        )
+        .select("doc_id", "source", "n_chars", "group_rank")
+        .orderBy("doc_id")
+    )
+
+
+@register_query(
+    "user_scd2_history",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ), ch AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        FROM o WHERE prev IS NULL OR prev <> o_orderstatus
+    )
+    SELECT o_custkey, o_orderstatus,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           lead(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+    FROM ch ORDER BY o_custkey, valid_from
+    """,
+)
+def user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history (operators/cdc.scd2_build) over the
+    order-status change feed: one versioned row per (customer,
+    status) run with half-open validity and an is_current flag — the
+    warehouse "as-of T" primitive. Both windows share one Exchange+Sort
+    on (custkey, orderdate, orderkey); the oracle replays the identical
+    run-collapse and lead."""
+    from ..operators.cdc import scd2_build
+
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_build(
+        orders,
+        "o_custkey",
+        ["o_orderstatus"],
+        "o_orderdate",
+        tiebreak_col="o_orderkey",
+    ).orderBy("o_custkey", "valid_from")
+
+
+@register_query(
+    "doc_near_dedup_best",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' '))) END AS sh
+        FROM toks
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh)) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(n, m) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ), comp AS (
+        SELECT n AS id, least(n, min(m)) AS component FROM reach GROUP BY n
+    ), winners AS (
+        SELECT id FROM (
+            SELECT c.id,
+                   row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.id) AS rn
+            FROM comp c JOIN documents d ON d.doc_id = c.id
+        ) WHERE rn = 1
+    ), losers AS (
+        SELECT id FROM comp WHERE id NOT IN (SELECT id FROM winners)
+    )
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM losers)
+    ORDER BY d.doc_id
+    """,
+)
+def doc_near_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup keeping the BEST representative per cluster
+    (operators/dedup.dedup_keep_best): exact 3-gram Jaccard pairs →
+    connected components → keep the longest doc (n_chars desc, id
+    tiebreak) — production pipelines keep the best copy of a duplicated
+    page, not the minimum id. Winner election runs on the (id,
+    component, quality) table, never bodies; the oracle replays the
+    closure and the same argmax."""
+    from ..operators.dedup import dedup_keep_best, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    return (
+        dedup_keep_best(docs, pairs, "doc_id", quality_col="n_chars")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register_query(
+    "events_rolling_wau",
+    oracle="""
+    WITH de AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events
+    ), days AS (
+        SELECT DISTINCT d FROM de
+    )
+    SELECT days.d AS day, CAST(count(DISTINCT de.user_id) AS BIGINT) AS wau_7d
+    FROM days JOIN de ON de.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d ORDER BY day
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (functions/
+    timeseries.rolling_distinct_count) — the WAU curve. COUNT(DISTINCT)
+    can't ride a sliding frame, so the plan explodes each collapsed
+    (day, user) fact onto the 7 report days it covers instead of the
+    quadratic day-range self-join the oracle is allowed to use at
+    sf0.01."""
+    from ..functions.timeseries import rolling_distinct_count
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        rolling_distinct_count(
+            events, ts_col="ts", key_col="user_id", window_days=7,
+            out_col="wau_7d",
+        )
+        .orderBy("day")
+    )

@@ -1,0 +1,276 @@
+"""Unit tests for the round-4b operators: linear classifier scoring,
+SCD2 history, keep-best near-dedup, per-group caps, rolling distinct
+counts, n-gram novelty."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+
+def sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))
+
+
+# ---------------------------------------------------------------------------
+# linear_text_score
+# ---------------------------------------------------------------------------
+
+def test_linear_score_hand_computed(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.classify import (
+        linear_text_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark spark slow"), (2, ""), (3, "unknown words here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in linear_text_score(
+            df, {"spark": 1.0, "slow": -1.0}, bias=0.0
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 3
+    assert float(out[1]["weight_sum"]) == 1.0
+    assert out[1]["quality_prob"] == round(sigmoid(1.0 / 3.0), 6)
+    # no tokens → sigmoid(bias)
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["quality_prob"] == 0.5
+    # all-unknown tokens weigh zero
+    assert float(out[3]["weight_sum"]) == 0.0
+    assert out[3]["quality_prob"] == 0.5
+
+
+def test_linear_score_bias_shifts(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.classify import (
+        linear_text_score,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    out = linear_text_score(df, {}, bias=-2.0).collect()[0]
+    assert out["quality_prob"] == round(sigmoid(-2.0), 6)
+
+
+def test_linear_score_map_join_equivalent(spark, sf_smoke_dir):
+    from nifi_hive_schema_generator_bundle_spark.operators.classify import (
+        linear_text_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke_dir}/documents.parquet")
+    weights = {"the": -0.25, "spark": 1.5, "fast": 1.0, "slow": -1.0}
+    cols = ["doc_id", "n_tokens", "weight_sum", "quality_prob"]
+    a = sorted(
+        linear_text_score(docs, weights, bias=0.25, how="map")
+        .select(*cols)
+        .collect()
+    )
+    b = sorted(
+        linear_text_score(docs, weights, bias=0.25, how="join")
+        .select(*cols)
+        .collect()
+    )
+    assert a == b
+
+
+def test_linear_score_rejects_bad_strategy(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.classify import (
+        linear_text_score,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    try:
+        linear_text_score(df, {}, how="magic")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# scd2_build
+# ---------------------------------------------------------------------------
+
+def _ts(day: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day)
+
+
+def test_scd2_collapses_runs_and_chains_validity(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.cdc import scd2_build
+
+    feed = spark.createDataFrame(
+        [
+            ("u1", "x", _ts(1), 1),
+            ("u1", "x", _ts(2), 2),   # same state → collapsed
+            ("u1", "y", _ts(3), 3),
+            ("u1", "x", _ts(4), 4),   # state can recur → new version
+            ("u2", "z", _ts(1), 5),
+        ],
+        "k string, attr string, ts timestamp, id long",
+    )
+    hist = scd2_build(feed, "k", ["attr"], "ts", tiebreak_col="id")
+    rows = sorted(
+        hist.collect(), key=lambda r: (r["k"], r["valid_from"])
+    )
+    u1 = [r for r in rows if r["k"] == "u1"]
+    assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in u1] == [
+        ("x", _ts(1), _ts(3)),
+        ("y", _ts(3), _ts(4)),
+        ("x", _ts(4), None),
+    ]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    u2 = [r for r in rows if r["k"] == "u2"]
+    assert len(u2) == 1 and u2[0]["is_current"]
+
+
+def test_scd2_same_ts_ordered_by_tiebreak(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.cdc import scd2_build
+
+    feed = spark.createDataFrame(
+        [("u", "a", _ts(1), 2), ("u", "b", _ts(1), 1)],
+        "k string, attr string, ts timestamp, id long",
+    )
+    hist = sorted(
+        scd2_build(feed, "k", ["attr"], "ts", tiebreak_col="id").collect(),
+        key=lambda r: (r["valid_from"], r["is_current"]),
+    )
+    # id=1 ('b') comes first, id=2 ('a') is current
+    assert [r["attr"] for r in hist] == ["b", "a"]
+    assert [r["is_current"] for r in hist] == [False, True]
+
+
+def test_scd2_null_attr_is_a_state(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.cdc import scd2_build
+
+    feed = spark.createDataFrame(
+        [("u", None, _ts(1), 1), ("u", "x", _ts(2), 2), ("u", None, _ts(3), 3)],
+        "k string, attr string, ts timestamp, id long",
+    )
+    hist = scd2_build(feed, "k", ["attr"], "ts", tiebreak_col="id")
+    assert hist.count() == 3  # null → x → null are three versions
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best
+# ---------------------------------------------------------------------------
+
+def test_keep_best_prefers_quality_then_min_id(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 7), (4, 3), (5, 6), (6, 6)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(df, pairs, "doc_id", quality_col="n_chars")
+        .collect()
+    )
+    # cluster {1,2,3}: 2 wins (n_chars 10); {5,6}: tie → min id 5;
+    # 4 untouched (no pairs)
+    assert kept == [2, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# per_group_cap
+# ---------------------------------------------------------------------------
+
+def test_per_group_cap_keeps_best_n(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+        per_group_cap,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, 100 - i) for i in range(10)]
+        + [("b", 100, 1), ("b", 101, 2)],
+        "source string, doc_id long, n_chars long",
+    )
+    out = per_group_cap(
+        df, "source", [F.col("n_chars").desc(), F.col("doc_id")], 3
+    )
+    rows = sorted(out.collect(), key=lambda r: (r["source"], r["group_rank"]))
+    a = [r for r in rows if r["source"] == "a"]
+    assert [r["doc_id"] for r in a] == [0, 1, 2]  # highest n_chars
+    assert [r["group_rank"] for r in a] == [1, 2, 3]
+    b = [r for r in rows if r["source"] == "b"]
+    assert [r["doc_id"] for r in b] == [101, 100]  # under cap: all kept
+
+
+# ---------------------------------------------------------------------------
+# rolling_distinct_count
+# ---------------------------------------------------------------------------
+
+def test_rolling_wau_hand_computed(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.timeseries import (
+        rolling_distinct_count,
+    )
+
+    rows = [
+        # day 1: users 1,2; day 3: user 2; day 10: user 3
+        (1, _ts(1)), (2, _ts(1)), (2, _ts(1)),  # dup event same day
+        (2, _ts(3)),
+        (3, _ts(10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r["day"]: r["wau_7d"]
+        for r in rolling_distinct_count(df, out_col="wau_7d").collect()
+    }
+    assert out == {
+        datetime.date(2024, 1, 1): 2,   # users 1,2
+        datetime.date(2024, 1, 3): 2,   # users 1,2 within [Dec 28, Jan 3]
+        datetime.date(2024, 1, 10): 1,  # day-3 activity expired (7-day window)
+    }
+    # only days present in the data are reported
+    assert len(out) == 3
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_copy_scores_zero(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # verbatim copy
+            (3, "zeta eta theta iota"),
+            (4, "one two"),  # < 3 tokens → no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0  # every gram first seen in doc 1
+    assert out[3]["novelty"] == 1.0
+    assert out[4]["n_distinct_grams"] == 0
+    assert out[4]["novelty"] is None
+
+
+def test_ngram_novelty_partial_overlap(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams: abc, bcd
+            (2, "a b c x y"),        # grams: abc (seen), bcx, cxy → 2/3 novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[1]["n_distinct_grams"] == 2 and out[1]["novelty"] == 1.0
+    assert out[2]["n_distinct_grams"] == 3
+    assert out[2]["n_novel_grams"] == 2
+    assert out[2]["novelty"] == round(2 / 3, 6)
