@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "doc_ngram_novelty",
     "events_rolling_wau",
     "user_scd2_history",
+    "events_daily_anomaly",
+    "embedding_outlier_scores",
 ]
 
 

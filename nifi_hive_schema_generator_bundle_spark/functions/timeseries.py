@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_decay_sum", "rolling_distinct_count"]
+__all__ = ["time_decay_sum", "rolling_distinct_count", "trailing_zscore"]
 
 
 def time_decay_sum(
@@ -133,4 +133,60 @@ def rolling_distinct_count(
         covered.groupBy("__report_day")
         .agg(F.count_distinct("__key").alias(out_col))
         .select(F.col("__report_day").alias("day"), out_col)
+    )
+
+
+def trailing_zscore(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    lookback: int = 7,
+    min_history: int = 3,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Daily-count anomaly detection: each day's event count z-scored
+    against the trailing ``lookback`` days (exclusive of the day
+    itself — the day under test must not contaminate its own
+    baseline). |z| > ``threshold`` flags traffic spikes/drops; days
+    with fewer than ``min_history`` trailing days get NULL z (no
+    baseline, not an anomaly).
+
+    Determinism: the window sums are integer counts (exact); mean/std
+    derive from (n, Σx, Σx²) with the explicit sample-variance formula
+    so every engine computes identical doubles — built-in stddev
+    implementations differ in both formula and accumulation order.
+
+    Scale shape: the raw scan collapses to ONE ROW PER DAY before the
+    analytic window, so the unpartitioned ORDER BY day window runs
+    over a bounded table (years → thousands of rows), the same
+    contract as ``daily_revenue_moving_avg``. Per-key variants should
+    add the key to partitionBy and keep the same frame.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.groupBy(
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy("day").rowsBetween(-lookback, -1)
+    hist_n = F.count(F.lit(1)).over(w)
+    s = F.sum("n_events").over(w)
+    ss = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    mean = s.cast("double") / hist_n
+    var = (ss.cast("double") - s.cast("double") * s.cast("double") / hist_n) / (
+        hist_n - 1
+    )
+    std = F.sqrt(var)
+    z = F.when(
+        (hist_n >= min_history) & (std > 0),
+        F.round((F.col("n_events") - mean) / std, 6),
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        hist_n.cast("int").alias("n_history"),
+        z.alias("z_score"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
     )

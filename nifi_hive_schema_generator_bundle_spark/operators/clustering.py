@@ -23,7 +23,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["assign_clusters", "kmeans_fit", "semantic_dedup"]
+__all__ = ["assign_clusters", "kmeans_fit", "semantic_dedup",
+    "centroid_outlier_scores",
+]
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
@@ -194,4 +196,93 @@ def semantic_dedup(
     )
     return assigned.join(
         dup_ids.withColumnRenamed("id", id_col), id_col, "anti"
+    )
+
+
+def centroid_outlier_scores(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space outlier scoring: each vector's L2 distance to
+    the corpus centroid, z-scored against the corpus distance
+    distribution — the cheap "is this embedding off-manifold" signal
+    (corrupt inputs, wrong-language text, encoder failures) that runs
+    before any clustering.
+
+    Determinism discipline (cross-engine hash gate): the centroid is a
+    per-dimension DECIMAL-exact sum (order-independent) divided once;
+    per-row distances are a single left-fold over the literal centroid;
+    the distance distribution's mean/std come from DECIMAL moment sums
+    of the quantized distances (the ``lineitem_price_stats`` recipe) so
+    every engine computes identical scalars.
+
+    Scale shape: one posexplode pass for the centroid (narrow (dim,
+    decimal) partial agg, dim-count rows out), a bounded driver collect
+    of the dim-count centroid (same contract as the k-means centroid
+    literals), then one narrow scan computing distances + a 1-row
+    moment aggregate broadcast back. Bodies/vectors never shuffle.
+    Output: (id, centroid_dist, z_score, is_outlier at |z| > 2).
+    """
+    n_total = df.count()
+    if n_total < 2:
+        raise ValueError("centroid_outlier_scores needs >= 2 vectors")
+    sums = (
+        df.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("x").cast("double").cast("decimal(20,12)")).alias("s")
+        )
+        .collect()
+    )
+    mu = [0.0] * (max(r["dim"] for r in sums) + 1)
+    for r in sums:
+        mu[r["dim"]] = float(r["s"]) / n_total
+    mu_lit = F.array(*[F.lit(v) for v in mu])
+
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    diff2 = F.zip_with(F.col("__v"), mu_lit, lambda x, m: (x - m) * (x - m))
+    # quantize ONCE at the cross-engine comparison grain (6 decimals)
+    # and feed the SAME quantized value to both the output and the
+    # moment sums: per-row double folds differ across engines below
+    # ~1e-8, and unquantized moments leak that noise into the z-score
+    # (measured: 9e-5 z drift at sf0.001)
+    dist = F.round(
+        F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda a, b: a + b)), 6
+    )
+    with_d = vecs.select(F.col(id_col), dist.alias("__d"))
+    ddec = F.col("__d").cast("decimal(18,6)")
+    m = with_d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ddec).alias("s"),
+        F.sum(ddec * ddec).alias("ss"),
+    )
+    stats = m.select(
+        F.col("n"),
+        (F.col("s").cast("double") / F.col("n")).alias("__mean"),
+        F.sqrt(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("__std"),
+    )
+    # z at 4 decimals: a 1e-6 flip in one row's quantized distance moves
+    # its own z by ~3e-5 — invisible at this grain, visible at 6
+    z = F.when(
+        F.col("__std") > 0, F.round((F.col("__d") - F.col("__mean")) / F.col("__std"), 4)
+    )
+    return (
+        with_d.join(F.broadcast(stats.select("__mean", "__std")))
+        .select(
+            F.col(id_col),
+            F.col("__d").alias("centroid_dist"),
+            z.alias("z_score"),
+            F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_outlier"),
+        )
     )

@@ -33,6 +33,7 @@ __all__ = [
     "random_hyperplane_bucket",
     "hard_negatives",
     "reciprocal_rank_fusion",
+    "ann_recall",
 ]
 
 
@@ -510,4 +511,49 @@ def reciprocal_rank_fusion(
         fused.withColumn("fused_rank", F.row_number().over(w))
         .filter(F.col("fused_rank") <= k)
         .select(query_id_col, id_col, "fused_rank")
+    )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k evaluation of an approximate top-k result set against
+    the exact one — the index-quality metric every ANN deployment
+    monitors (an IVF/LSH index silently degrades as data drifts; this
+    is the probe that catches it).
+
+    Inputs are two (query, id) result tables (extra columns ignored).
+    Output: one row per query in ``exact`` — n_exact, n_hit, recall —
+    computed as |approx ∩ exact| / |exact|. Queries missing entirely
+    from ``approx`` score 0, not NULL.
+
+    Scale shape: one semi-style inner join on the narrow (query, id)
+    pair plus two per-query counts — cost follows k × queries, never
+    corpus size. Evaluate on a sampled query set; the metric is a
+    mean over queries either way.
+    """
+    e = exact.select(F.col(query_col), F.col(id_col)).distinct()
+    a = approx.select(F.col(query_col), F.col(id_col)).distinct()
+    n_exact = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = (
+        e.join(a, [query_col, id_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_hit, query_col, "left")
+        .select(
+            F.col(query_col),
+            F.col("n_exact"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
     )

@@ -5048,3 +5048,139 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register_query(
+    "embedding_outlier_scores",
+    oracle=r"""
+    WITH n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+    ), dims AS (
+        SELECT p.i,
+               sum(CAST(CAST(embedding[p.i] AS DOUBLE) AS DECIMAL(20,12))) AS s
+        FROM embeddings
+        CROSS JOIN LATERAL unnest(generate_series(1, len(embedding))) AS p(i)
+        GROUP BY p.i
+    ), mu AS (
+        SELECT list(CAST(s AS DOUBLE) / n.n ORDER BY i) AS ml FROM dims, n
+    ), d AS (
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(
+                   generate_series(1, len(embedding)),
+                   j -> (CAST(embedding[j] AS DOUBLE) - ml[j])
+                        * (CAST(embedding[j] AS DOUBLE) - ml[j])))), 6) AS dd
+        FROM embeddings, mu
+    ), m AS (
+        SELECT count(*) AS n2,
+               sum(CAST(dd AS DECIMAL(18,6))) AS s,
+               sum(CAST(dd AS DECIMAL(18,6)) * CAST(dd AS DECIMAL(18,6))) AS ss
+        FROM d
+    ), ms AS (
+        SELECT CAST(s AS DOUBLE) / n2 AS mean,
+               sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n2)
+                    / (n2 - 1)) AS std
+        FROM m
+    ), z AS (
+        SELECT vec_id, dd AS centroid_dist,
+               CASE WHEN std > 0 THEN round((dd - mean) / std, 4) END AS z_score
+        FROM d, ms
+    )
+    SELECT vec_id, centroid_dist, z_score,
+           coalesce(abs(z_score) > 2.0, false) AS is_outlier
+    FROM z ORDER BY vec_id
+    """,
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring (operators/clustering.
+    centroid_outlier_scores): distance to the corpus centroid,
+    z-scored — the off-manifold detector (corrupt inputs, encoder
+    failures) that runs before clustering. Centroid and distance
+    moments use DECIMAL-exact sums (the lineitem_price_stats recipe)
+    so both engines derive identical scalars; vectors never shuffle."""
+    from ..operators.clustering import centroid_outlier_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outlier_scores(emb).orderBy("vec_id")
+
+
+@register_query(
+    "events_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT day, n_events,
+               count(*) OVER win AS hn,
+               sum(n_events) OVER win AS s,
+               sum(n_events * n_events) OVER win AS ss
+        FROM daily
+        WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ), ms AS (
+        SELECT day, n_events, hn,
+               CASE WHEN hn >= 2 THEN CAST(s AS DOUBLE) / hn END AS mean,
+               CASE WHEN hn >= 2 THEN
+                   sqrt((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / hn)
+                        / (hn - 1)) END AS std
+        FROM w
+    ), z AS (
+        SELECT day, n_events, CAST(hn AS INT) AS n_history,
+               CASE WHEN hn >= 3 AND std > 0
+                    THEN round((n_events - mean) / std, 6) END AS z_score
+        FROM ms
+    )
+    SELECT day, n_events, n_history, z_score,
+           coalesce(abs(z_score) > 2.0, false) AS is_anomaly
+    FROM z ORDER BY day
+    """,
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count anomaly detection (functions/timeseries.
+    trailing_zscore): each day z-scored against its trailing 7 days
+    (exclusive). The analytic window runs over the one-row-per-day
+    table, not raw events; explicit moment formulas keep the doubles
+    engine-identical."""
+    from ..functions.timeseries import trailing_zscore
+
+    events = load_table(spark, sf_dir, "events")
+    return trailing_zscore(events, lookback=7).orderBy("day")
+
+
+@register_query("ann_recall_eval")
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every approximate index — hyperplane LSH, IVF,
+    int8-rerank — against the brute-force exact top-k
+    (operators/similarity.ann_recall) for 5 probe queries, one row per
+    (index, query): the index-quality monitor an ANN deployment runs
+    as data drifts. Deterministic (seeded planes/quantizer) but the
+    bucket arithmetic is not SQL-replayable: rows-only; the
+    full-probe==brute-force and recall-bound properties are
+    unit-tested."""
+    from ..operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+        quantized_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, q, k=10)
+    indexes = {
+        "lsh": lsh_topk(emb, q, k=10),
+        "ivf": ivf_topk(emb, q, k=10),
+        "int8_rerank": quantized_rerank_topk(emb, q, k=10),
+    }
+    out = None
+    for name, approx in sorted(indexes.items()):
+        r = ann_recall(exact, approx).select(
+            F.lit(name).alias("index"), "query_id", "n_exact", "n_hit", "recall"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("index", "query_id")

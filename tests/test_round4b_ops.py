@@ -274,3 +274,142 @@ def test_ngram_novelty_partial_overlap(spark):
     assert out[2]["n_distinct_grams"] == 3
     assert out[2]["n_novel_grams"] == 2
     assert out[2]["novelty"] == round(2 / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# centroid_outlier_scores
+# ---------------------------------------------------------------------------
+
+def test_outlier_scores_flag_planted_outlier(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.clustering import (
+        centroid_outlier_scores,
+    )
+
+    rows = [(i, [float(i % 3) * 0.01, 1.0]) for i in range(20)]
+    rows.append((99, [50.0, -50.0]))  # far off-manifold
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in centroid_outlier_scores(df).collect()}
+    assert out[99]["is_outlier"]
+    assert out[99]["z_score"] > 2.0
+    # inliers: none flagged (the planted point owns the variance)
+    assert not any(out[i]["is_outlier"] for i in range(20))
+
+
+def test_outlier_scores_requires_two_vectors(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.clustering import (
+        centroid_outlier_scores,
+    )
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    try:
+        centroid_outlier_scores(df)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# trailing_zscore
+# ---------------------------------------------------------------------------
+
+def test_trailing_zscore_flags_spike(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.timeseries import (
+        trailing_zscore,
+    )
+
+    rows = []
+    # 7 quiet days of 10 events, then a 100-event spike
+    for d in range(1, 8):
+        rows += [(i, _ts(d)) for i in range(10)]
+    rows += [(i, _ts(8)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r["day"]: r for r in trailing_zscore(df).collect()}
+    spike = out[datetime.date(2024, 1, 8)]
+    # zero-variance baseline → std 0 → no z, no flag (NULL-safe)
+    assert spike["z_score"] is None and not spike["is_anomaly"]
+
+
+def test_trailing_zscore_hand_computed(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.timeseries import (
+        trailing_zscore,
+    )
+
+    counts = {1: 10, 2: 12, 3: 8, 4: 11, 5: 60}
+    rows = [(d * 1000 + i, _ts(d)) for d, c in counts.items() for i in range(c)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r["day"]: r for r in trailing_zscore(df).collect()}
+    d5 = out[datetime.date(2024, 1, 5)]
+    hist = [10, 12, 8, 11]
+    mean = sum(hist) / 4
+    var = sum((x - mean) ** 2 for x in hist) / 3
+    assert d5["n_history"] == 4
+    assert d5["z_score"] == round((60 - mean) / math.sqrt(var), 6)
+    assert d5["is_anomaly"]
+    # first day has no history
+    assert out[datetime.date(2024, 1, 1)]["z_score"] is None
+    assert not out[datetime.date(2024, 1, 1)]["is_anomaly"]
+
+
+# ---------------------------------------------------------------------------
+# ann_recall
+# ---------------------------------------------------------------------------
+
+def test_ann_recall_hand_computed(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        ann_recall,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 11), (1, 99), (1, 12)],  # query 2 entirely missing
+        "query_id long, vec_id long",
+    )
+    out = {r["query_id"]: r for r in ann_recall(exact, approx).collect()}
+    assert out[1]["n_exact"] == 3 and out[1]["n_hit"] == 2
+    assert out[1]["recall"] == round(2 / 3, 6)
+    assert out[2]["n_hit"] == 0 and out[2]["recall"] == 0.0
+
+
+def test_ann_recall_full_probe_ivf_is_one(spark, sf_smoke_dir):
+    from pyspark.sql import functions as F
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, q, k=5)
+    full = ivf_topk(emb, q, k=5, n_centroids=4, nprobe=4)  # probe everything
+    rows = ann_recall(exact, full).collect()
+    assert all(r["recall"] == 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# sliding windows (batch mode)
+# ---------------------------------------------------------------------------
+
+def test_sliding_window_counts_overlap(spark):
+    from nifi_hive_schema_generator_bundle_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 7), "a", 1.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    tumbling = windowed_event_counts(df, window="10 minutes")
+    sliding = windowed_event_counts(df, window="10 minutes", slide="5 minutes")
+    assert tumbling.count() == 1
+    # 00:07 lands in [00:00,00:10) and [00:05,00:15)
+    starts = sorted(r["window_start"] for r in sliding.collect())
+    assert starts == [
+        datetime.datetime(2024, 1, 1, 0, 0),
+        datetime.datetime(2024, 1, 1, 0, 5),
+    ]
