@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile"]
+__all__ = ["profile", "value_histogram"]
 
 
 def profile(
@@ -55,4 +55,57 @@ def profile(
         out,
         "column string, n bigint, n_null bigint, n_distinct bigint, "
         "min_s string, max_s string",
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column — the profiling
+    primitive behind data-quality dashboards and drift monitors
+    (compare this week's histogram to last week's): one 1-row min/max
+    aggregate (skipped when ``lo``/``hi`` are pinned, which drift
+    comparisons should do so bucket edges stay fixed), then one
+    narrow bucket projection + count — two scans, no sort, no sampling,
+    exact counts at any scale.
+
+    NULLs are excluded; values outside a pinned range clamp into the
+    first/last bucket (so a pinned range still covers strays). Returns
+    (bucket, bucket_lo, n) for non-empty buckets.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    c = F.col(col)
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(c.cast("double")).alias("lo"), F.max(c.cast("double")).alias("hi")
+        ).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+    if lo is None or hi is None or not (hi > lo):
+        raise ValueError(f"need a non-degenerate range, got [{lo}, {hi}]")
+    w = (float(hi) - float(lo)) / bins
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((c.cast("double") - F.lit(float(lo))) / F.lit(w)).cast("int"),
+        ),
+    )
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.lit(float(lo)) + F.col("bucket") * F.lit(w), 6).alias(
+                "bucket_lo"
+            ),
+            "n",
+        )
     )

@@ -5184,3 +5184,56 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out.orderBy("index", "query_id")
+
+
+@register_query(
+    "events_value_histogram",
+    oracle="""
+    WITH r AS (
+        SELECT min(CAST(value AS DOUBLE)) AS lo,
+               max(CAST(value AS DOUBLE)) AS hi
+        FROM events
+    ), b AS (
+        SELECT least(19, greatest(0,
+                   CAST(floor((CAST(value AS DOUBLE) - r.lo)
+                              / ((r.hi - r.lo) / 20)) AS INT))) AS bucket
+        FROM events, r WHERE value IS NOT NULL
+    )
+    SELECT bucket,
+           round(r.lo + bucket * ((r.hi - r.lo) / 20), 6) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b, r GROUP BY bucket, r.lo, r.hi ORDER BY bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values (operators/profile.
+    value_histogram) — the exact-count profiling primitive behind
+    drift dashboards: a 1-row min/max aggregate then one narrow bucket
+    projection + count; no sort, no sampling. The oracle replays the
+    identical double bucket arithmetic."""
+    from ..operators.profile import value_histogram
+
+    events = load_table(spark, sf_dir, "events")
+    return value_histogram(events, "value", bins=20).orderBy("bucket")
+
+
+@register_query("events_rolling_wau_sketch")
+def events_rolling_wau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate trailing-7-day WAU via mergeable HLL sketches
+    (functions/timeseries.rolling_distinct_count_approx) — the 100 TB
+    twin of the exact `events_rolling_wau`: raw events collapse to one
+    ~4 KB sketch per day (map-side combinable), every report day is a
+    union of ≤ 7 sketches, and a persisted sketch store answers any
+    window without rescanning events. Sketch binaries are
+    engine-specific → rows-only; the ≤5%-vs-exact accuracy bound is
+    unit-tested."""
+    from ..functions.timeseries import rolling_distinct_count_approx
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        rolling_distinct_count_approx(
+            events, ts_col="ts", key_col="user_id", window_days=7,
+            out_col="wau_7d_approx",
+        )
+        .orderBy("day")
+    )

@@ -413,3 +413,93 @@ def test_sliding_window_counts_overlap(spark):
         datetime.datetime(2024, 1, 1, 0, 0),
         datetime.datetime(2024, 1, 1, 0, 5),
     ]
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch rolling distinct
+# ---------------------------------------------------------------------------
+
+def test_rolling_wau_sketch_tracks_exact(spark, sf_smoke_dir):
+    from nifi_hive_schema_generator_bundle_spark.functions.timeseries import (
+        rolling_distinct_count,
+        rolling_distinct_count_approx,
+    )
+
+    ev = spark.read.parquet(f"{sf_smoke_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":  # raw nanos fallback
+        ev = ev.selectExpr("user_id", "cast(ts div 1000 as timestamp) as ts")
+    exact = {r["day"]: r["n"] for r in rolling_distinct_count(ev, out_col="n").collect()}
+    approx = {
+        r["day"]: r["n"]
+        for r in rolling_distinct_count_approx(ev, out_col="n").collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, n, approx[day])
+
+
+def test_daily_sketches_merge_across_partitions(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.timeseries import (
+        daily_distinct_sketches,
+    )
+
+    rows = [(i % 50, _ts(1 + (i % 3))) for i in range(500)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = daily_distinct_sketches(df).collect()
+    assert len(out) == 3
+    assert all(r["sketch"] is not None for r in out)
+    # estimate on a re-union of the stored sketches matches re-aggregation
+    est = (
+        daily_distinct_sketches(df)
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert abs(est - 50) <= 3
+
+
+# ---------------------------------------------------------------------------
+# value_histogram
+# ---------------------------------------------------------------------------
+
+def test_value_histogram_exact_counts(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + [(None,)],
+        "value double",
+    )
+    out = {r["bucket"]: r for r in value_histogram(df, "value", bins=5).collect()}
+    # range [0,10], w=2: buckets 0..4; 10 clamps into bucket 4; NULL dropped
+    assert sum(r["n"] for r in out.values()) == 11
+    assert out[0]["n"] == 2 and out[4]["n"] == 3  # {8,9,10} in the last
+    assert out[0]["bucket_lo"] == 0.0 and out[4]["bucket_lo"] == 8.0
+
+
+def test_value_histogram_pinned_range_clamps_strays(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (1.5,), (99.0,)], "value double"
+    )
+    out = {
+        r["bucket"]: r["n"]
+        for r in value_histogram(df, "value", bins=2, lo=0.0, hi=2.0).collect()
+    }
+    assert out == {0: 2, 1: 2}  # -5 clamps low, 99 clamps high
+
+
+def test_value_histogram_rejects_degenerate_range(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame([(1.0,), (1.0,)], "value double")
+    try:
+        value_histogram(df, "value", bins=4)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
