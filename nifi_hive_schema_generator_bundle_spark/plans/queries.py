@@ -5237,3 +5237,57 @@ def events_rolling_wau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register_query(
+    "doc_score_calibration",
+    oracle=rf"""
+    WITH tk AS (
+        SELECT doc_id, lang,
+               list_filter(
+                   string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x <> '') AS toks
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, unnest(toks) AS token FROM tk
+    ), s AS (
+        SELECT doc_id, sum(wt) AS ws
+        FROM hits JOIN {_classifier_weights_values_sql()} USING (token)
+        GROUP BY doc_id
+    ), scored AS (
+        SELECT tk.doc_id, tk.lang,
+               round(1.0 / (1.0 + exp(-({_CLASSIFIER_BIAS}
+                   + CASE WHEN len(tk.toks) > 0
+                          THEN CAST(coalesce(s.ws, 0) AS DOUBLE) / len(tk.toks)
+                          ELSE 0.0 END))), 6) AS quality_prob
+        FROM tk LEFT JOIN s USING (doc_id)
+    )
+    SELECT doc_id, lang, quality_prob,
+           round(percent_rank() OVER (
+               PARTITION BY lang ORDER BY quality_prob, doc_id), 6)
+               AS calibrated
+    FROM scored ORDER BY doc_id
+    """,
+)
+def doc_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile calibration of the classifier score —
+    raw linear-classifier probabilities are not comparable across
+    languages (vocabulary coverage differs), so production thresholds
+    are set on the WITHIN-LANGUAGE percentile, not the raw score
+    (CCNet's per-language quality buckets). One window per language
+    partition on top of the zero-shuffle scoring pass; doc_id tiebreak
+    makes the rank total and the hash deterministic."""
+    from ..operators.classify import linear_text_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = linear_text_score(
+        docs, _CLASSIFIER_WEIGHTS, bias=_CLASSIFIER_BIAS, how="map"
+    )
+    w = Window.partitionBy("lang").orderBy("quality_prob", "doc_id")
+    return (
+        scored.select(
+            "doc_id", "lang", "quality_prob",
+            F.round(F.percent_rank().over(w), 6).alias("calibrated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ._time import ensure_event_time
 
-__all__ = ["dedup_stream", "interval_join_streams"]
+__all__ = ["dedup_stream", "interval_join_streams", "enrich_stream"]
 
 
 def dedup_stream(
@@ -71,3 +71,36 @@ def interval_join_streams(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, how).drop(rw[on])
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    *,
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — attach dimension attributes
+    (user profile, experiment arm, domain metadata) to a stream as it
+    flows. The static side is re-evaluated every micro-batch, so a
+    file/table-backed dimension picks up out-of-band updates without
+    restarting the query — the standard slowly-changing-dim serving
+    pattern (pair with ``operators/cdc.scd2_build`` upstream to
+    maintain the dimension itself).
+
+    Stateless (no watermark, no state store): each batch is one
+    ordinary join, broadcast by default because enrichment dims are
+    the textbook small side — at 100 TB of stream the dim broadcast
+    happens once per executor per batch, never a shuffle of the
+    stream. Set ``broadcast=False`` for dims too big to broadcast
+    (Spark then plans a shuffled join per batch; pre-bucket the dim
+    on the key to keep that exchange one-sided).
+
+    ``how`` is restricted to the stream-static-legal inner/left (the
+    stream side must be preserved or Spark rejects the plan).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"stream-static enrichment must be inner/left, got {how!r}")
+    d = F.broadcast(dim) if broadcast else dim
+    return events.join(d, on, how)

@@ -164,3 +164,57 @@ def test_interval_join_batch_mode_same_semantics(spark, tmp_path):
         imps, clks, "user_id", left_ts="imp_ts", right_ts="clk_ts", within="1 hour"
     ).collect()
     assert [(r.imp_id, r.clk_id) for r in rows] == [(10, 20)]
+
+
+def test_enrich_stream_attaches_dim_and_sees_dim_updates(spark, tmp_path):
+    from nifi_hive_schema_generator_bundle_spark.streaming.joins import (
+        enrich_stream,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "bronze"), (2, "silver")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    src = tmp_path / "esrc"
+    _write_batch(src / "b1.json", [(1, "2024-01-01T00:00:00", 1, "view")])
+
+    stream = (
+        spark.readStream.format("json").schema(SCHEMA).load(str(src))
+    )
+    dim = spark.read.parquet(dim_path)
+    enriched = enrich_stream(stream, dim, "user_id")
+    rows = _drain(spark, enriched, "enrich_sink", str(tmp_path / "eckpt1"))
+    assert [r["tier"] for r in rows] == ["bronze"]
+
+    # out-of-band dim update + a second batch: the static side is read
+    # at batch time, so a re-drained query sees the NEW tier for the
+    # same user without any dim-reload plumbing
+    spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+    _write_batch(src / "b2.json", [(2, "2024-01-01T00:01:00", 2, "click")])
+    rows2 = _drain(
+        spark,
+        enrich_stream(
+            spark.readStream.format("json").schema(SCHEMA).load(str(src)),
+            spark.read.parquet(dim_path),
+            "user_id",
+        ),
+        "enrich_sink2",
+        str(tmp_path / "eckpt2"),
+    )
+    tiers = {r["user_id"]: r["tier"] for r in rows2}
+    assert tiers == {1: "gold", 2: "silver"}
+
+
+def test_enrich_stream_rejects_right_join(spark):
+    from nifi_hive_schema_generator_bundle_spark.streaming.joins import (
+        enrich_stream,
+    )
+
+    try:
+        enrich_stream(None, None, "k", how="right")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
