@@ -179,6 +179,9 @@ ARROW_BATCHED = {
     # greedy-merge BPE: data-dependent iteration per pre-token, broadcast
     # merge table, one mapInPandas stage (functions/bpe.py)
     "doc_bpe_token_count",
+    # composes ivf_ann_topk (Arrow centroid assignment, above) to
+    # score its recall
+    "ann_recall_eval",
 }
 
 PY_NODES = (
@@ -213,6 +216,13 @@ BNLJ_ALLOWED = {
     # same bounded broadcast-anchor scans as ann_cosine_topk
     "embedding_hard_negatives",
     "doc_hybrid_rrf",
+    # composes brute-force + LSH + IVF + int8 (each individually
+    # allowlisted above) to score their recall — inherits their
+    # bounded broadcast-anchor BNLJs
+    "ann_recall_eval",
+    # 1-row scalar broadcast: the distance distribution's (mean, std)
+    # joins every row, same class as q22's avg-balance scalar
+    "embedding_outlier_scores",
     "ngram_jaccard_docs",
     # bounded scalar cross joins: the |strata|-row rate table × 1-row
     # feasible cap, and the 1-row bucket-threshold broadcast
