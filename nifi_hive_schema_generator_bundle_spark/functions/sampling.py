@@ -28,6 +28,7 @@ __all__ = [
     "mixture_sample",
     "exact_stratified_sample",
     "weighted_sample",
+    "shuffle_shards",
 ]
 
 _NIBBLES = "0123456789abcdef"
@@ -278,3 +279,45 @@ def weighted_sample(
     if score_col is None:
         return out.drop("__es")
     return out.withColumnRenamed("__es", score_col)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: str,
+    *,
+    n_shards: int,
+    seed: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the last step before
+    training: assign every row to one of ``n_shards`` shards and give
+    it a position within the shard, both derived from the md5 of
+    (seed, key) so the "random" order is reproducible, resumable, and
+    independent of partition layout (the property a dataloader needs;
+    ``rand()`` reshuffles on every retry/backfill). Different ``seed``
+    values give independent epoch orders over the same corpus.
+
+    Plan shape: shard = hash bucket (narrow), position = row_number
+    within the shard partition ordered by the hash — one shuffle on
+    the shard key, each shard sorts independently; NO global sort.
+    Writers then ``partitionBy(shard_col)`` (or repartition on it) so
+    each output file is one shard in final order. Shard sizes are
+    hash-uniform (±O(√(n/shards)) skew).
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    k = F.concat(F.lit(seed), F.col(key).cast("string"))
+    h = F.md5(k)
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(key))
+    return (
+        df.withColumn("__h", h)
+        .withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w))
+        .drop("__h")
+    )

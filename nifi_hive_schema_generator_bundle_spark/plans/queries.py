@@ -5291,3 +5291,33 @@ def doc_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "doc_shuffle_shards",
+    oracle="""
+    SELECT doc_id, shard, shard_pos FROM (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substring(md5(concat('ep0', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY CAST(concat('0x', substring(md5(concat('ep0', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8
+                   ORDER BY md5(concat('ep0', CAST(doc_id AS VARCHAR))), doc_id
+               ) AS INT) AS shard_pos
+        FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding (functions/sampling.
+    shuffle_shards): every doc gets a reproducible (shard, position)
+    from md5(seed, id) — the dataloader handoff. One shard-keyed
+    shuffle, per-shard sort, no global sort; the oracle replays the
+    identical hash arithmetic."""
+    from ..functions.sampling import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shuffle_shards(docs, "doc_id", n_shards=8, seed="ep0")
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("doc_id")
+    )

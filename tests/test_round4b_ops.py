@@ -503,3 +503,45 @@ def test_value_histogram_rejects_degenerate_range(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# shuffle_shards
+# ---------------------------------------------------------------------------
+
+def test_shuffle_shards_deterministic_and_partition_invariant(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = sorted(map(tuple, shuffle_shards(df, "doc_id", n_shards=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            shuffle_shards(df.repartition(13), "doc_id", n_shards=4).collect(),
+        )
+    )
+    assert a == b  # layout-independent
+    rows = shuffle_shards(df, "doc_id", n_shards=4).collect()
+    # positions within each shard are 1..|shard| with no gaps
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_shuffle_shards_seed_changes_order(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    e0 = {r["doc_id"]: (r["shard"], r["shard_pos"])
+          for r in shuffle_shards(df, "doc_id", n_shards=4, seed="e0").collect()}
+    e1 = {r["doc_id"]: (r["shard"], r["shard_pos"])
+          for r in shuffle_shards(df, "doc_id", n_shards=4, seed="e1").collect()}
+    assert e0 != e1  # a new epoch seed is a new order
+    assert set(e0) == set(e1)  # over the same corpus
