@@ -4804,7 +4804,7 @@ def _classifier_weights_values_sql() -> str:
     )
     SELECT tk.doc_id,
            CAST(len(tk.toks) AS INT) AS n_tokens,
-           CAST(coalesce(s.ws, 0) AS DECIMAL(28,4)) AS weight_sum,
+           CAST(coalesce(s.ws, 0) * 10000 AS BIGINT) AS weight_sum_1e4,
            round(1.0 / (1.0 + exp(-({_CLASSIFIER_BIAS}
                + CASE WHEN len(tk.toks) > 0
                       THEN CAST(coalesce(s.ws, 0) AS DOUBLE) / len(tk.toks)
@@ -4827,7 +4827,15 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         linear_text_score(
             docs, _CLASSIFIER_WEIGHTS, bias=_CLASSIFIER_BIAS, how="map"
         )
-        .select("doc_id", "n_tokens", "weight_sum", "quality_prob")
+        .select(
+            "doc_id",
+            "n_tokens",
+            # DECIMAL outputs are driver-hash-unsafe (r1 HUGEINT class,
+            # tests/test_oracle_types.py): emit the exact sum as an
+            # integer at the weight quantum (1e-4)
+            (F.col("weight_sum") * 10000).cast("long").alias("weight_sum_1e4"),
+            "quality_prob",
+        )
         .orderBy("doc_id")
     )
 
