@@ -5329,3 +5329,82 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "shard_pos")
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "curation_pipeline_v2",
+    oracle=rf"""
+    WITH tk AS (
+        SELECT doc_id, lang, source,
+               list_filter(
+                   string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x <> '') AS toks
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, unnest(toks) AS token FROM tk
+    ), s AS (
+        SELECT doc_id, sum(wt) AS ws
+        FROM hits JOIN {_classifier_weights_values_sql()} USING (token)
+        GROUP BY doc_id
+    ), scored AS (
+        SELECT tk.doc_id, tk.lang, tk.source,
+               round(1.0 / (1.0 + exp(-({_CLASSIFIER_BIAS}
+                   + CASE WHEN len(tk.toks) > 0
+                          THEN CAST(coalesce(s.ws, 0) AS DOUBLE) / len(tk.toks)
+                          ELSE 0.0 END))), 6) AS quality_prob
+        FROM tk LEFT JOIN s USING (doc_id)
+    ), calibrated AS (
+        SELECT doc_id, lang, source,
+               round(percent_rank() OVER (
+                   PARTITION BY lang ORDER BY quality_prob, doc_id), 6)
+                   AS calibrated
+        FROM scored
+    ), filtered AS (
+        SELECT * FROM calibrated WHERE calibrated >= 0.2
+    ), capped AS (
+        SELECT doc_id, lang, source FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY calibrated DESC, doc_id) AS rnk
+            FROM filtered
+        ) WHERE rnk <= 15
+    )
+    SELECT doc_id, lang, source,
+           CAST(CAST(concat('0x', substring(md5(concat('ep0', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4 AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY CAST(concat('0x', substring(md5(concat('ep0', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4
+               ORDER BY md5(concat('ep0', CAST(doc_id AS VARCHAR))), doc_id
+           ) AS INT) AS shard_pos
+    FROM capped ORDER BY doc_id
+    """,
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation with the round-4 operator set — classifier
+    scoring → per-language calibration → drop the worst quintile per
+    language → per-source cap (best 15 by calibrated score) →
+    deterministic shuffle-sharding for the dataloader. The whole chain
+    is oracle-replayed; every stage is the shuffle-lean operator it
+    composes (zero-shuffle scoring, one window per calibration/cap,
+    per-shard sort — no global sort anywhere). Sibling of
+    `training_prep_pipeline` (the dedup-centric v1)."""
+    from ..functions.sampling import shuffle_shards
+    from ..operators.classify import linear_text_score
+    from ..operators.selection import per_group_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = linear_text_score(
+        docs, _CLASSIFIER_WEIGHTS, bias=_CLASSIFIER_BIAS, how="map"
+    )
+    w = Window.partitionBy("lang").orderBy("quality_prob", "doc_id")
+    calibrated = scored.select(
+        "doc_id", "lang", "source",
+        F.round(F.percent_rank().over(w), 6).alias("calibrated"),
+    ).filter(F.col("calibrated") >= 0.2)
+    capped = per_group_cap(
+        calibrated, "source", [F.col("calibrated").desc(), F.col("doc_id")], 15
+    ).select("doc_id", "lang", "source")
+    return (
+        shuffle_shards(capped, "doc_id", n_shards=4, seed="ep0")
+        .select("doc_id", "lang", "source", "shard", "shard_pos")
+        .orderBy("doc_id")
+    )
