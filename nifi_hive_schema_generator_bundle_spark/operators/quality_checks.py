@@ -1,0 +1,128 @@
+"""Data-quality constraint checking — the Deequ/dbt-tests layer: declare
+expectations (not-null, uniqueness, accepted values, ranges, referential
+integrity), get a per-rule pass/fail report with the violation metric.
+
+Production pipelines gate every table promotion on a report like this;
+at 100 TB the design constraint is that the WHOLE rule suite costs one
+scan: every column rule compiles to a conditional aggregate over the
+same pass (sum of CASEs — map-side combinable), uniqueness rides the
+same aggregate as exact count-distincts, and only referential integrity
+needs a second input (a key-projected anti-join count, never wide rows).
+
+The report is a tiny (one row per rule) DataFrame — union it across
+tables, write it next to the data, alert on ``passed = false``.
+
+Reference scope: the NiFi bundle's only validation is JSON
+well-formedness routing (`HiveSchemaGenerator.scala:77-95`); this is
+the table-level generalization the SURVEY §2 extension mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quality_report", "ref_integrity_violations"]
+
+
+def quality_report(
+    df: DataFrame,
+    *,
+    not_null: list[str] | None = None,
+    unique: list[str] | None = None,
+    accepted_values: dict[str, list] | None = None,
+    ranges: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Evaluate declarative column constraints in ONE aggregate pass.
+
+    Returns (rule, column, violations, n_rows, passed) — one row per
+    declared rule, ``violations`` the exact offending-row count
+    (``unique``: rows beyond the first per duplicated value; NULLs are
+    exempt from accepted_values/range checks — declare ``not_null``
+    separately, like SQL constraints compose).
+    """
+    not_null = not_null or []
+    unique = unique or []
+    accepted_values = accepted_values or {}
+    ranges = ranges or {}
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    rules: list[tuple[str, str, str]] = []  # (rule, column, agg alias)
+    for c in not_null:
+        a = f"__nn_{c}"
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(a))
+        rules.append(("not_null", c, a))
+    for c in unique:
+        a = f"__uq_{c}"
+        # duplicates = non-null rows beyond the first per value
+        aggs.append(
+            (
+                F.sum(F.col(c).isNotNull().cast("long"))
+                - F.count_distinct(F.col(c))
+            ).alias(a)
+        )
+        rules.append(("unique", c, a))
+    for c, vals in accepted_values.items():
+        a = f"__av_{c}"
+        arr = F.array(*[F.lit(v) for v in vals])
+        aggs.append(
+            F.sum(
+                (F.col(c).isNotNull() & ~F.array_contains(arr, F.col(c))).cast(
+                    "long"
+                )
+            ).alias(a)
+        )
+        rules.append(("accepted_values", c, a))
+    for c, (lo, hi) in ranges.items():
+        a = f"__rg_{c}"
+        aggs.append(
+            F.sum(
+                (
+                    F.col(c).isNotNull()
+                    & ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)))
+                ).cast("long")
+            ).alias(a)
+        )
+        rules.append(("range", c, a))
+    if not rules:
+        raise ValueError("declare at least one constraint")
+
+    row = df.agg(*aggs)
+    out = None
+    for rule, col, alias in rules:
+        r = row.select(
+            F.lit(rule).alias("rule"),
+            F.lit(col).alias("column"),
+            F.col(alias).cast("long").alias("violations"),
+            F.col("__n").cast("long").alias("n_rows"),
+            (F.col(alias) == 0).alias("passed"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def ref_integrity_violations(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity rule: count child rows whose non-null key
+    has no match in the parent. Key-projected LEFT ANTI join — only
+    the two key columns move, the parent side deduplicates to distinct
+    keys first (broadcast-eligible for dimension-sized parents).
+    Same (rule, column, violations, n_rows, passed) contract as
+    ``quality_report`` so reports union cleanly.
+    """
+    keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    n = child.count()
+    bad = (
+        child.select(child_key)
+        .filter(F.col(child_key).isNotNull())
+        .join(keys, child_key, "left_anti")
+        .count()
+    )
+    return child.sparkSession.createDataFrame(
+        [("ref_integrity", child_key, bad, n, bad == 0)],
+        "rule string, column string, violations long, n_rows long, passed boolean",
+    )

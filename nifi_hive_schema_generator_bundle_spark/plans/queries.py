@@ -5408,3 +5408,61 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "shard", "shard_pos")
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "orders_quality_report",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+               CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                    - count(DISTINCT o_orderkey) AS BIGINT) AS uq,
+               CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS av,
+               CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS rg
+        FROM orders
+    ), ri AS (
+        SELECT CAST(count(*) AS BIGINT) AS bad FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+           nn AS violations, n AS n_rows, nn = 0 AS passed FROM base
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', uq, n, uq = 0 FROM base
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus', av, n, av = 0 FROM base
+    UNION ALL
+    SELECT 'range', 'o_totalprice', rg, n, rg = 0 FROM base
+    UNION ALL
+    SELECT 'ref_integrity', 'o_custkey', ri.bad, base.n, ri.bad = 0
+    FROM ri, base
+    ORDER BY rule, "column"
+    """,
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/quality_checks):
+    not-null, uniqueness, accepted values, and range rules over orders
+    in ONE aggregate pass, plus referential integrity to customer via
+    a key-projected anti-join — the Deequ/dbt-tests layer a table
+    promotion gates on. The oracle replays every violation count."""
+    from ..operators.quality_checks import (
+        quality_report,
+        ref_integrity_violations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rep = quality_report(
+        orders,
+        not_null=["o_custkey"],
+        unique=["o_orderkey"],
+        accepted_values={"o_orderstatus": ["O", "F", "P"]},
+        ranges={"o_totalprice": (0, 1_000_000)},
+    )
+    ri = ref_integrity_violations(orders, "o_custkey", customer, "c_custkey")
+    return rep.unionByName(ri).orderBy("rule", "column")

@@ -545,3 +545,76 @@ def test_shuffle_shards_seed_changes_order(spark):
           for r in shuffle_shards(df, "doc_id", n_shards=4, seed="e1").collect()}
     assert e0 != e1  # a new epoch seed is a new order
     assert set(e0) == set(e1)  # over the same corpus
+
+
+# ---------------------------------------------------------------------------
+# quality checks
+# ---------------------------------------------------------------------------
+
+def test_quality_report_counts_violations(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+        quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0),
+            (1, "b", -1.0),     # dup id, range violation
+            (None, "z", 50.0),  # null id, bad status, range violation
+            (3, "a", 2.0),
+        ],
+        "id long, status string, v double",
+    )
+    rep = {
+        (r["rule"], r["column"]): r
+        for r in quality_report(
+            df,
+            not_null=["id"],
+            unique=["id"],
+            accepted_values={"status": ["a", "b"]},
+            ranges={"v": (0.0, 10.0)},
+        ).collect()
+    }
+    assert rep[("not_null", "id")]["violations"] == 1
+    assert not rep[("not_null", "id")]["passed"]
+    assert rep[("unique", "id")]["violations"] == 1  # two 1s → one extra
+    assert rep[("accepted_values", "status")]["violations"] == 1  # 'z'
+    assert rep[("range", "v")]["violations"] == 2  # -1 and 50
+    assert all(r["n_rows"] == 4 for r in rep.values())
+
+
+def test_quality_report_all_pass(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+        quality_report,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    rep = quality_report(df, not_null=["id"], unique=["id"]).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in rep)
+
+
+def test_quality_report_requires_rules(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+        quality_report,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    try:
+        quality_report(df)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_ref_integrity_counts_orphans(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+        ref_integrity_violations,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = ref_integrity_violations(child, "fk", parent, "pk").collect()[0]
+    assert r["violations"] == 1  # 9 is the only orphan; NULL exempt
+    assert r["n_rows"] == 4 and not r["passed"]
