@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quality_report", "ref_integrity_violations"]
+__all__ = [
+    "quality_report",
+    "ref_integrity_violations",
+    "partition_completeness",
+    "schema_contract_violations",
+]
 
 
 def quality_report(
@@ -126,3 +131,75 @@ def ref_integrity_violations(
         [("ref_integrity", child_key, bad, n, bad == 0)],
         "rule string, column string, violations long, n_rows long, passed boolean",
     )
+
+
+def partition_completeness(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Completeness/freshness rule for time-partitioned data: find
+    calendar days with NO rows between the table's min and max day —
+    the "did yesterday's load actually land" monitor. One collapse to
+    distinct days, one 2-row min/max, one anti-join of the generated
+    calendar against the observed days — never touches row bodies.
+
+    Returns (missing_day, prev_present_day) ordered — empty means
+    complete. Gaps at the edges are invisible by construction (the
+    range is defined by the data); pair with an external expected
+    watermark for end-of-range freshness.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    days = df.select(day.alias("day")).distinct()
+    rng = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    calendar = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    missing = calendar.join(days, "day", "left_anti")
+    from pyspark.sql import Window
+
+    # previous present day for each gap: a small join against the
+    # observed-days table (both sides are day-counts, not data)
+    w = Window.orderBy("day")
+    prev = days.select(
+        "day", F.lead("day").over(w).alias("next_day")
+    ).filter(F.col("next_day").isNotNull())
+    return (
+        missing.alias("m")
+        .join(
+            prev.alias("p"),
+            (F.col("m.day") > F.col("p.day"))
+            & (F.col("m.day") < F.col("p.next_day")),
+        )
+        .select(
+            F.col("m.day").alias("missing_day"),
+            F.col("p.day").alias("prev_present_day"),
+        )
+        .orderBy("missing_day")
+    )
+
+
+def schema_contract_violations(
+    df: DataFrame,
+    expected: dict[str, str],
+    *,
+    allow_extra: bool = True,
+) -> list[str]:
+    """Driver-side schema contract: verify the DataFrame carries every
+    expected column with the expected Spark simpleString type. Returns
+    a list of human-readable violations (empty = contract holds) —
+    the promotion gate calls this before any data-level rule runs,
+    because a silently retyped column invalidates every downstream
+    assumption. ``allow_extra=False`` also rejects unexpected columns
+    (strict producer contracts)."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for name, typ in expected.items():
+        if name not in actual:
+            problems.append(f"missing column {name} ({typ})")
+        elif actual[name] != typ:
+            problems.append(f"column {name}: expected {typ}, got {actual[name]}")
+    if not allow_extra:
+        for name in actual:
+            if name not in expected:
+                problems.append(f"unexpected column {name} ({actual[name]})")
+    return problems

@@ -5466,3 +5466,37 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ri = ref_integrity_violations(orders, "o_custkey", customer, "c_custkey")
     return rep.unionByName(ri).orderBy("rule", "column")
+
+
+@register_query(
+    "events_partition_completeness",
+    oracle="""
+    WITH de AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ), rng AS (
+        SELECT min(d) AS lo, max(d) AS hi FROM de
+    ), cal AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM rng
+    ), miss AS (
+        SELECT day FROM cal WHERE day NOT IN (SELECT d FROM de)
+    ), prev AS (
+        SELECT d AS day, lead(d) OVER (ORDER BY d) AS next_day FROM de
+        QUALIFY next_day IS NOT NULL
+    )
+    SELECT m.day AS missing_day, p.day AS prev_present_day
+    FROM miss m JOIN prev p ON m.day > p.day AND m.day < p.next_day
+    ORDER BY missing_day
+    """,
+)
+def events_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gap monitor (operators/quality_checks.
+    partition_completeness): calendar days with no rows between the
+    table's min and max day, each tagged with the last present day
+    before the gap. The synthetic events table is gap-free, so the
+    healthy report is EMPTY — the unit test plants gaps and checks
+    they surface. Everything runs on day-count tables, never rows."""
+    from ..operators.quality_checks import partition_completeness
+
+    events = load_table(spark, sf_dir, "events")
+    return partition_completeness(events)

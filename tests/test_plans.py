@@ -223,6 +223,9 @@ BNLJ_ALLOWED = {
     # 1-row scalar broadcast: the distance distribution's (mean, std)
     # joins every row, same class as q22's avg-balance scalar
     "embedding_outlier_scores",
+    # gap-interval join between two DAY-COUNT tables (calendar anti-join
+    # output x observed days) — bounded by calendar length, never rows
+    "events_partition_completeness",
     "ngram_jaccard_docs",
     # bounded scalar cross joins: the |strata|-row rate table × 1-row
     # feasible cap, and the 1-row bucket-threshold broadcast

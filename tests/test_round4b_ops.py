@@ -618,3 +618,39 @@ def test_ref_integrity_counts_orphans(spark):
     r = ref_integrity_violations(child, "fk", parent, "pk").collect()[0]
     assert r["violations"] == 1  # 9 is the only orphan; NULL exempt
     assert r["n_rows"] == 4 and not r["passed"]
+
+
+def test_partition_completeness_finds_gaps(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+        partition_completeness,
+    )
+
+    # days 1,2,5,6 present → 3,4 missing, both after day 2
+    rows = [(i, _ts(d)) for i, d in enumerate([1, 2, 5, 6])]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = partition_completeness(df).collect()
+    assert [(str(r["missing_day"]), str(r["prev_present_day"])) for r in out] == [
+        ("2024-01-03", "2024-01-02"),
+        ("2024-01-04", "2024-01-02"),
+    ]
+    # complete range → empty report
+    full = spark.createDataFrame(
+        [(i, _ts(d)) for i, d in enumerate([1, 2, 3])], "id long, ts timestamp"
+    )
+    assert partition_completeness(full).count() == 0
+
+
+def test_schema_contract(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+        schema_contract_violations,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    assert schema_contract_violations(df, {"id": "bigint", "name": "string"}) == []
+    probs = schema_contract_violations(
+        df, {"id": "int", "missing": "string"}
+    )
+    assert any("expected int" in p for p in probs)
+    assert any("missing column missing" in p for p in probs)
+    strict = schema_contract_violations(df, {"id": "bigint"}, allow_extra=False)
+    assert any("unexpected column name" in p for p in strict)
