@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "label_propagation"]
 
 
 def triangle_count(
@@ -266,3 +266,71 @@ def pagerank(
         deg.unpersist()
         if checkpoint_dir is not None and original_ckpt is not None:
             sc.setCheckpointDir(original_ckpt)
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA) — the
+    fourth graph primitive next to pagerank (centrality),
+    connected_components (reachability) and triangle_count (local
+    clustering): nodes adopt the most common label among their
+    neighbors, so densely connected groups converge onto one label
+    while bridges stay unstable. Deterministic variant: every node
+    starts labeled with its own id, updates are synchronous, and votes
+    tie-break to the SMALLEST label — no randomness, so results are
+    reproducible and oracle-replayable (classic async LPA is
+    run-dependent by design).
+
+    Returns (id, label) for every node after ``iterations`` rounds.
+
+    Scale shape: per round, one equi-join of the (symmetrized,
+    deduplicated) edge list against the nodes-sized label table, a
+    map-side-combinable (node, label) count, and a per-node argmax
+    window — all keyed on node ids, nothing wider than (id, id, count)
+    ever shuffles. The edge table is cached across rounds
+    (loop-invariant, like pagerank's); labels are materialized
+    per round so the plan DAG stays one-round deep. Community counts
+    are typically wanted for a handful of rounds (LPA converges in
+    ~5); for long runs add the same ``checkpoint_dir`` treatment
+    pagerank has.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__c").desc(), F.col("label").asc())
+    for _ in range(iterations):
+        votes = (
+            und.join(labels.withColumnRenamed("id", "b"), "b")
+            .select(F.col("a").alias("id"), "label")
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "label")
+        )
+        # one-round-deep lineage: LPA's label table is nodes-sized, so
+        # an eager local materialization per round is cheap and keeps
+        # the replanned DAG from nesting (same reasoning as pagerank's
+        # per-round truncation)
+        labels = labels.localCheckpoint(eager=True)
+    und.unpersist()
+    return labels

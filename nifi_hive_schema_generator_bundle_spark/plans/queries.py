@@ -5500,3 +5500,72 @@ def events_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame
 
     events = load_table(spark, sf_dir, "events")
     return partition_completeness(events)
+
+
+@register_query(
+    "part_communities",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 40
+    ), e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p
+    ), und AS (
+        SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e
+    ), l0 AS (
+        SELECT DISTINCT a AS id, a AS lab FROM und
+    ), v1 AS (
+        SELECT u.a AS id, l.lab, count(*) AS c
+        FROM und u JOIN l0 l ON l.id = u.b GROUP BY u.a, l.lab
+    ), l1 AS (
+        SELECT id, lab FROM (
+            SELECT id, lab, row_number() OVER (
+                PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v1
+        ) WHERE rn = 1
+    ), v2 AS (
+        SELECT u.a AS id, l.lab, count(*) AS c
+        FROM und u JOIN l1 l ON l.id = u.b GROUP BY u.a, l.lab
+    ), l2 AS (
+        SELECT id, lab FROM (
+            SELECT id, lab, row_number() OVER (
+                PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v2
+        ) WHERE rn = 1
+    ), v3 AS (
+        SELECT u.a AS id, l.lab, count(*) AS c
+        FROM und u JOIN l2 l ON l.id = u.b GROUP BY u.a, l.lab
+    ), l3 AS (
+        SELECT id, lab FROM (
+            SELECT id, lab, row_number() OVER (
+                PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v3
+        ) WHERE rn = 1
+    )
+    SELECT id AS part, CAST(lab AS BIGINT) AS community
+    FROM l3 ORDER BY part
+    """,
+)
+def part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities on the part co-purchase graph
+    (operators/graph.label_propagation, 3 synchronous rounds,
+    min-label tiebreak — the deterministic LPA variant): market-basket
+    segments, the community-structure complement to triangle counts on
+    the same graph. The oracle unrolls the identical three rounds."""
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") >= 40)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        ps.alias("x")
+        .join(ps.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return (
+        label_propagation(edges, iterations=3)
+        .select(F.col("id").alias("part"), F.col("label").cast("long").alias("community"))
+        .orderBy("part")
+    )

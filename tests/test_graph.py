@@ -120,3 +120,37 @@ def test_pagerank_unpersists_cached_inputs(spark, tmp_path):
     ).count()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before, f"cached RDDs leaked: {before} -> {after}"
+
+
+def test_label_propagation_two_cliques(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two disjoint triangles: each clique converges onto its min id.
+    # (A bridge edge would leak the smaller label across — the
+    # deterministic min-tiebreak variant trades that bias for
+    # reproducibility, which is what the oracle twin needs.)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    out = {r["id"]: r["label"] for r in label_propagation(edges, iterations=4).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12] == 10
+
+
+def test_label_propagation_deterministic_across_layouts(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(20) if i != (i * 7) % 20],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, label_propagation(edges, iterations=3).collect()))
+    b = sorted(
+        map(tuple, label_propagation(edges.repartition(7), iterations=3).collect())
+    )
+    assert a == b
