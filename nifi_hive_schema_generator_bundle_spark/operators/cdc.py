@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff", "merge_upsert", "scd2_build"]
+__all__ = [
+    "snapshot_diff",
+    "merge_upsert",
+    "scd2_build",
+    "incremental_agg",
+    "merge_incremental_aggs",
+]
 
 # distinct from any real value, incl. empty string, so NULL != ''
 _NULL_SENTINEL = "\x00<null>\x00"
@@ -130,4 +136,44 @@ def scd2_build(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def incremental_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    *,
+    dec: str = "decimal(18,2)",
+) -> DataFrame:
+    """Build the mergeable partial-aggregate shape for a keyed rollup:
+    (keys..., n_rows, sum_<c>...) with sums in DECIMAL so merging is
+    exact and order-independent. This is the unit a materialized
+    rollup stores per batch/partition."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(F.col(c).cast(dec)).alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def merge_incremental_aggs(parts: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge partial aggregates produced by ``incremental_agg`` — the
+    materialized-view refresh primitive: yesterday's rollup + today's
+    delta rollup = today's full rollup, WITHOUT rescanning history.
+    Count/sum (and any algebraic aggregate stored as its partials)
+    merge by key-wise summation; the whole refresh costs one shuffle
+    of rollup-sized tables, never the base data. Averages derive as
+    sum/count downstream; non-algebraic aggregates (exact distinct,
+    median) need their own mergeable representations (see
+    ``functions/timeseries.daily_distinct_sketches`` for the distinct
+    case).
+    """
+    if not parts:
+        raise ValueError("nothing to merge")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    val_cols = [c for c in u.columns if c not in keys]
+    return u.groupBy(*keys).agg(
+        *[F.sum(F.col(c)).alias(c) for c in val_cols]
     )

@@ -5569,3 +5569,39 @@ def part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("part"), F.col("label").cast("long").alias("community"))
         .orderBy("part")
     )
+
+
+@register_query(
+    "orders_incremental_rollup",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup refresh (operators/cdc.incremental_agg +
+    merge_incremental_aggs): history (orders before 1997) and the
+    delta (1997 onward) are aggregated INDEPENDENTLY and merged by
+    key-wise summation — the oracle aggregates the full table
+    directly, so the hash match proves refresh == recompute. DECIMAL
+    partials make the merge exact and order-independent; the refresh
+    shuffles rollup-sized tables only, never the base data."""
+    from ..operators.cdc import incremental_agg, merge_incremental_aggs
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    base = incremental_agg(
+        orders.filter(F.col("o_orderdate") < cutoff), ["o_custkey"], ["o_totalprice"]
+    )
+    delta = incremental_agg(
+        orders.filter(F.col("o_orderdate") >= cutoff), ["o_custkey"], ["o_totalprice"]
+    )
+    merged = merge_incremental_aggs([base, delta], ["o_custkey"])
+    return merged.select(
+        "o_custkey",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("sum_o_totalprice") * 100).cast("long").alias("total_cents"),
+    ).orderBy("o_custkey")

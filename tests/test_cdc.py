@@ -71,3 +71,36 @@ def test_diff_then_upsert_consistency(spark, frames):
     merged = merge_upsert(old, new, ["id"])
     re_diff = {r.id: r.change for r in snapshot_diff(merged, new, ["id"]).collect()}
     assert re_diff == {1: "removed"}
+
+
+def test_incremental_agg_merge_equals_full(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.cdc import (
+        incremental_agg,
+        merge_incremental_aggs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 2.5), (2, 7.0), (3, 1.0), (3, 1.0)],
+        "k long, v double",
+    )
+    full = incremental_agg(df, ["k"], ["v"])
+    merged = merge_incremental_aggs(
+        [
+            incremental_agg(df.filter("v > 2"), ["k"], ["v"]),
+            incremental_agg(df.filter("v <= 2"), ["k"], ["v"]),
+        ],
+        ["k"],
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_merge_incremental_aggs_requires_parts(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.cdc import (
+        merge_incremental_aggs,
+    )
+
+    try:
+        merge_incremental_aggs([], ["k"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
