@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "user_scd2_history",
     "events_daily_anomaly",
     "embedding_outlier_scores",
+    "orders_quality_report",
+    "curation_pipeline_v2",
+    "part_communities",
+    "doc_shuffle_shards",
 ]
 
 
