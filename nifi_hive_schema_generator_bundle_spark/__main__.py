@@ -304,6 +304,101 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """Data-quality gate: evaluate declarative constraints and exit
+    non-zero if any rule fails — the promotion-gate contract (wire it
+    into the job that publishes a table)."""
+    from .operators.quality_checks import (
+        partition_completeness,
+        quality_report,
+        ref_integrity_violations,
+    )
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    ranges = {}
+    for spec in args.range or []:
+        col, lo, hi = spec.split(":")
+        ranges[col] = (float(lo), float(hi))
+    accepted = {}
+    for spec in args.accepted or []:
+        col, vals = spec.split(":", 1)
+        accepted[col] = vals.split("|")
+    report = None
+    if args.not_null or args.unique or ranges or accepted:
+        report = quality_report(
+            df,
+            not_null=args.not_null.split(",") if args.not_null else None,
+            unique=args.unique.split(",") if args.unique else None,
+            accepted_values=accepted or None,
+            ranges=ranges or None,
+        )
+    if args.ref:
+        child_key, parent_path, parent_key = args.ref.split(":")
+        ri = ref_integrity_violations(
+            df, child_key, read_any(spark, parent_path, args.fmt), parent_key
+        )
+        report = ri if report is None else report.unionByName(ri)
+    if report is None:
+        print("declare at least one rule", file=sys.stderr)
+        return 2
+    rows = report.orderBy("rule", "column").collect()
+    failed = 0
+    for r in rows:
+        mark = "PASS" if r["passed"] else "FAIL"
+        failed += 0 if r["passed"] else 1
+        print(
+            f"{mark}  {r['rule']:<16} {r['column']:<20} "
+            f"violations={r['violations']}/{r['n_rows']}"
+        )
+    if args.completeness:
+        gaps = partition_completeness(df, args.completeness).collect()
+        for g in gaps:
+            print(f"FAIL  completeness      {args.completeness:<20} "
+                  f"missing={g['missing_day']}")
+        failed += len(gaps)
+        if not gaps:
+            print(f"PASS  completeness      {args.completeness:<20} no gaps")
+    return 1 if failed else 0
+
+
+def cmd_classify(args) -> int:
+    """Score documents with a linear bag-of-words model (JSON file:
+    {"bias": float, "weights": {token: weight}}) and write the scored
+    table; prints the score distribution to stderr."""
+    import json as _json
+
+    from .operators.classify import linear_text_score
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    model = _json.loads(open(args.model).read())
+    df = read_any(spark, args.input, args.fmt)
+    scored = linear_text_score(
+        df,
+        model["weights"],
+        bias=float(model.get("bias", 0.0)),
+        text_col=args.text_col,
+        how=args.how,
+    )
+    scored.write.mode("overwrite").parquet(args.output)
+    from pyspark.sql import functions as F
+
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("quality_prob"), 4).alias("mean"),
+        F.round(F.min("quality_prob"), 4).alias("min"),
+        F.round(F.max("quality_prob"), 4).alias("max"),
+    ).collect()[0]
+    print(
+        f"scored {stats['n']} docs -> {args.output} "
+        f"(mean={stats['mean']} min={stats['min']} max={stats['max']})",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_compact(args) -> int:
     from .sources.formats import compact
 
@@ -553,6 +648,31 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--approx", action="store_true",
                     help="approx_count_distinct (HLL) instead of exact")
     pp.set_defaults(fn=cmd_profile)
+
+    pck = sub.add_parser("check", help="data-quality gate (non-zero exit on failure)")
+    pck.add_argument("input")
+    pck.add_argument("--fmt", default="parquet")
+    pck.add_argument("--not-null", default=None, help="comma-separated columns")
+    pck.add_argument("--unique", default=None, help="comma-separated columns")
+    pck.add_argument("--range", action="append", default=None,
+                     metavar="COL:LO:HI", help="repeatable numeric range rule")
+    pck.add_argument("--accepted", action="append", default=None,
+                     metavar="COL:V1|V2", help="repeatable accepted-values rule")
+    pck.add_argument("--ref", default=None, metavar="KEY:PARENT_PATH:PARENT_KEY",
+                     help="referential-integrity rule against a parent table")
+    pck.add_argument("--completeness", default=None, metavar="TS_COL",
+                     help="flag calendar-day gaps in this timestamp column")
+    pck.set_defaults(fn=cmd_check)
+
+    pcl = sub.add_parser("classify", help="linear bag-of-words quality scoring")
+    pcl.add_argument("input")
+    pcl.add_argument("output")
+    pcl.add_argument("--model", required=True,
+                     help='JSON file: {"bias": b, "weights": {token: w}}')
+    pcl.add_argument("--fmt", default="parquet")
+    pcl.add_argument("--text-col", default="text")
+    pcl.add_argument("--how", default="map", choices=["map", "join"])
+    pcl.set_defaults(fn=cmd_classify)
 
     pk = sub.add_parser("compact", help="rewrite small files to ~target size")
     pk.add_argument("path")

@@ -344,3 +344,69 @@ def test_cli_wsample(spark, tmp_path, capsys):
     assert rc == 0
     assert "sampled 5 rows (weight: quality)" in capsys.readouterr().err
     assert spark.read.parquet(out_dir).count() == 5
+
+
+def test_cli_check_gate_semantics(spark, tmp_path, capsys):
+    import json as _json
+
+    data = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", -2.0), (3, "a", 1.0)],
+        "id long, status string, v double",
+    ).write.parquet(data)
+    rc = main([
+        "check", data,
+        "--not-null", "id",
+        "--unique", "id",
+        "--range", "v:0:10",
+        "--accepted", "status:a|b",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1  # unique + range fail → gate exit code
+    assert "FAIL  unique" in out and "FAIL  range" in out
+    assert "PASS  not_null" in out and "PASS  accepted_values" in out
+
+    clean = str(tmp_path / "clean.parquet")
+    spark.createDataFrame([(1,), (2,)], "id long").write.parquet(clean)
+    rc2 = main(["check", clean, "--not-null", "id", "--unique", "id"])
+    assert rc2 == 0
+
+
+def test_cli_check_ref_and_completeness(spark, tmp_path, capsys):
+    import datetime
+
+    child = str(tmp_path / "child.parquet")
+    parent = str(tmp_path / "parent.parquet")
+    spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1)), (9, datetime.datetime(2024, 1, 3))],
+        "fk long, ts timestamp",
+    ).write.parquet(child)
+    spark.createDataFrame([(1,), (2,)], "fk long").write.parquet(parent)
+    rc = main([
+        "check", child,
+        "--ref", f"fk:{parent}:fk",
+        "--completeness", "ts",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL  ref_integrity" in out
+    assert "missing=2024-01-02" in out
+
+
+def test_cli_classify_writes_scores(spark, tmp_path, capsys):
+    import json as _json
+
+    data = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "good fast text"), (2, "bad slow text")],
+        "doc_id long, text string",
+    ).write.parquet(data)
+    model = tmp_path / "model.json"
+    model.write_text(_json.dumps(
+        {"bias": 0.0, "weights": {"fast": 1.0, "slow": -1.0}}
+    ))
+    out_path = str(tmp_path / "scored")
+    rc = main(["classify", data, out_path, "--model", str(model)])
+    assert rc == 0
+    scored = {r["doc_id"]: r["quality_prob"] for r in spark.read.parquet(out_path).collect()}
+    assert scored[1] > 0.5 > scored[2]
