@@ -132,6 +132,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     max_cluster: int | None = 100_000,
+    n_blocks: int = 4,
 ) -> DataFrame:
     """SemDeDup: drop every row whose cluster holds a LOWER-id row with
     cosine ≥ ``threshold``; returns survivors with a ``cluster_id``
@@ -142,9 +143,14 @@ def semantic_dedup(
     cell, so total comparison work is Σ|cell|² instead of N² — the
     caller sizes k so cells stay small (the paper's design point:
     k grows with N, cell size stays ~constant). Plan shape: narrow
-    centroid-literal assign (no shuffle) → self-equi-join on
-    ``cluster_id`` (one hash shuffle, exchange reused by both sides) →
-    16-byte id anti-join. Vectors cross the wire once per side; no UDF.
+    centroid-literal assign (no shuffle) → per-cell task-gridded GEMM
+    (``_blocked_cosine_pairs`` with ``cell_col``: each cell fans out to
+    ``n_blocks·(n_blocks+1)/2`` Arrow tasks whose n² work is one dense
+    ``A @ B.T`` BLAS kernel, not per-pair expression trees) → 16-byte
+    id anti-join. The earlier self-equi-join + interpreted HOF dot fold
+    measured 7.3 s warm at sf0.1 (2 K × 64-dim, 8 cells) because AQE
+    coalesces the byte-small/compute-heavy pair stage to ONE task; the
+    gridded GEMM keeps every core busy and the kernel vectorized.
 
     ``max_cluster`` guards the degenerate case (a collapsed centroid
     owning a huge cell would make one straggler task do |cell|² work):
@@ -158,15 +164,14 @@ def semantic_dedup(
     no smaller-id near-twin in its cell — deterministic on any
     partitioning, and exactly replayable in SQL via EXISTS.
     """
-    from ..functions.vectors import dot, l2_normalize
+    from ..functions.vectors import l2_normalize
+    from .dedup import _blocked_cosine_pairs
 
     assigned = assign_clusters(
         df, centroids, vec_col=vec_col, out_col="cluster_id"
     )
-    # normalize ONCE per row (O(N·d)) so the per-pair test is a single
-    # dot fold instead of dot + two norms — higher-order-function folds
-    # are interpreted, so the per-pair expression count dominates;
-    # measured 7.7 s → 3.4 s warm at sf0.1 (5 K × 64-dim, 8 cells)
+    # normalize ONCE per row (O(N·d), JVM-side — same index-ordered fold
+    # the oracle replays) so the GEMM is a plain matmul of unit vectors
     slim = assigned.select(
         F.col(id_col).alias("id"),
         l2_normalize(F.col(vec_col)).alias("v"),
@@ -181,17 +186,14 @@ def semantic_dedup(
             .select("cluster_id")
         )
         pair_base = slim.join(F.broadcast(ok), "cluster_id")
-    a, b = pair_base.alias("a"), pair_base.alias("b")
     dup_ids = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.id") < F.col("b.id")),
+        _blocked_cosine_pairs(
+            pair_base,
+            threshold=threshold,
+            n_blocks=n_blocks,
+            cell_col="cluster_id",
         )
-        .filter(
-            F.round(dot(F.col("a.v"), F.col("b.v")), 6) >= F.lit(threshold)
-        )
-        .select(F.col("b.id").alias("id"))
+        .select(F.col("id_b").alias("id"))
         .distinct()
     )
     return assigned.join(

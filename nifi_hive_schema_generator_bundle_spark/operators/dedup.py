@@ -552,7 +552,8 @@ def embedding_near_dup_pairs(
 
 
 def _blocked_cosine_pairs(
-    base: DataFrame, *, threshold: float, n_blocks: int
+    base: DataFrame, *, threshold: float, n_blocks: int,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold over (id, normalized v) rows.
 
@@ -562,6 +563,12 @@ def _blocked_cosine_pairs(
     One ``applyInPandas`` task per unordered block pair computes the
     dense similarity matrix and keeps ``id_a < id_b`` hits, so each pair
     is produced exactly once.
+
+    ``cell_col``: optional blocking column — pairs form only WITHIN a
+    cell (``semantic_dedup``'s centroid cells), and the block grid runs
+    per cell, so one giant cell still fans out to ``n_blocks·(n_blocks
+    +1)/2`` tasks instead of one straggler. Without it the whole input
+    is a single implicit cell (exact all-pairs).
     """
     import numpy as np  # imported here so the closure ships cleanly
     import pandas as pd
@@ -572,7 +579,9 @@ def _blocked_cosine_pairs(
     blocked = base.filter(F.col("v").isNotNull()).withColumn(
         "blk", F.pmod(F.hash("id"), F.lit(B))
     )
+    cell_keys = [cell_col] if cell_col is not None else []
     sides = blocked.select(
+        *cell_keys,
         "id",
         F.col("v").cast("array<double>").alias("v"),
         F.explode(
@@ -585,7 +594,7 @@ def _blocked_cosine_pairs(
                 ),
             )
         ).alias("g"),
-    ).select("id", "v", "g.ga", "g.gb", "g.side")
+    ).select(*cell_keys, "id", "v", "g.ga", "g.gb", "g.side")
     # diagonal groups need the row on BOTH sides (emitted once by the
     # transform above with side=0); add the side-1 copy
     diag = sides.filter((F.col("ga") == F.col("gb")) & (F.col("side") == 0))
@@ -619,7 +628,7 @@ def _blocked_cosine_pairs(
         )
 
     return (
-        sides.groupBy("ga", "gb")
+        sides.groupBy(*cell_keys, "ga", "gb")
         # id columns keep the caller's id type (string doc ids work too)
         .applyInPandas(
             gemm, schema=f"id_a {id_sql_type}, id_b {id_sql_type}, cosine double"

@@ -182,6 +182,9 @@ ARROW_BATCHED = {
     # composes ivf_ann_topk (Arrow centroid assignment, above) to
     # score its recall
     "ann_recall_eval",
+    # SemDeDup's within-cell pairs run the same blocked-matmul kernel
+    # as embedding_near_dup (per-cell task grid, one GEMM per task)
+    "doc_semantic_dedup",
 }
 
 PY_NODES = (
