@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "lineitem_price_stats",
     "redact_numbers_events",
+    "customers_pii_scrub",
     "quantized_ann_topk",
     "q2_best_price_supplier",
     "training_prep_pipeline",

@@ -43,10 +43,16 @@ def bpe_ish_tokens(c: Column | str) -> Column:
 
 # Scrub patterns for training-data cleaning. Kept to syntax shared by
 # Java regex and RE2 (the duckdb oracle replays them verbatim): no
-# backrefs, no lookaround.
+# backrefs, no lookaround. Order matters and is most-specific-first:
+# email/url eat their own digits, phone/ipv4 must run before the bare
+# number fallback or their digit groups get eaten out from under them.
 REDACT_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "url": r"https?://[^\s]+",
+    # NN-NNN-NNN-NNNN (the TPC-H phone shape; real pipelines add locale
+    # variants — each stays one linear-scan RE2/Java alternation)
+    "phone": r"\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+    "ip": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
     "number": r"[0-9]+",
 }
 

@@ -2679,6 +2679,101 @@ def redact_numbers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "customers_pii_scrub",
+    oracle="""
+    WITH blob AS (
+        SELECT c_mktsegment,
+               c_name || ' call ' ||
+               CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' ||
+               lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+               lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+               lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') || ' from ' ||
+               CAST(c_custkey % 224 + 10 AS VARCHAR) || '.' ||
+               CAST(c_custkey % 256 AS VARCHAR) || '.1.' ||
+               CAST(c_custkey % 100 AS VARCHAR) || ' mail user' ||
+               CAST(c_custkey AS VARCHAR) || '@example.com balance ' ||
+               CAST(c_acctbal AS VARCHAR) AS contact
+        FROM customer
+    ), red AS (
+        SELECT c_mktsegment,
+               len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(contact, '\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phone,
+               regexp_replace(
+                 regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS s1
+        FROM blob
+    ), red2 AS (
+        SELECT c_mktsegment, n_email, n_phone,
+               len(regexp_extract_all(s1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ip,
+               regexp_replace(
+                 regexp_replace(s1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+                 '[0-9]+', '<NUMBER>', 'g') AS scrubbed
+        FROM red
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(n_email) AS BIGINT) AS n_emails,
+           CAST(sum(n_phone) AS BIGINT) AS n_phones,
+           CAST(sum(n_ip) AS BIGINT) AS n_ips,
+           CAST(sum(length(scrubbed)) AS BIGINT) AS scrubbed_chars
+    FROM red2
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def customers_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (functions/textfns.redact, email/phone/ipv4
+    patterns): scrub a per-customer contact blob and report match counts
+    per market segment — the standard pre-training privacy pass. Same
+    100 TB shape as redact_numbers_events: one narrow JVM-regex
+    projection per pattern (most-specific-first so phone/ip digit groups
+    aren't eaten by the number fallback), aggregation only on tiny audit
+    columns; bodies never shuffle. The blob is synthesized from customer
+    columns because the corpus ships no real PII — the phone uses the
+    TPC-H NN-NNN-NNN-NNNN shape. Counts ride the ORIGINAL text; ip
+    counting runs post email/phone scrub exactly as the redact() chain
+    applies patterns, and the oracle replays that order."""
+    from ..functions.textfns import REDACT_PATTERNS, pattern_count, redact
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.concat(
+        (k % 90 + 10).cast("string"), F.lit("-"),
+        F.lpad((k % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((k * 7 % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((k * 13 % 10000).cast("string"), 4, "0"),
+    )
+    contact = F.concat(
+        F.col("c_name"), F.lit(" call "), phone, F.lit(" from "),
+        (k % 224 + 10).cast("string"), F.lit("."),
+        (k % 256).cast("string"), F.lit(".1."),
+        (k % 100).cast("string"), F.lit(" mail user"),
+        k.cast("string"), F.lit("@example.com balance "),
+        F.col("c_acctbal").cast("string"),
+    )
+    blob = cust.select("c_mktsegment", contact.alias("contact"))
+    s1 = redact(F.col("contact"), ["email", "phone"])
+    audited = blob.select(
+        "c_mktsegment",
+        pattern_count("contact", "email").alias("n_email"),
+        pattern_count("contact", "phone").alias("n_phone"),
+        F.regexp_count(s1, F.lit(REDACT_PATTERNS["ip"])).alias("n_ip"),
+        F.length(redact(F.col("contact"), ["email", "phone", "ip", "number"]))
+        .alias("scrubbed_len"),
+    )
+    return (
+        audited.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum("n_ip").alias("n_ips"),
+            F.sum("scrubbed_len").alias("scrubbed_chars"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register_query(
     "props_map_stats",
     oracle="""
     WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events),

@@ -128,6 +128,34 @@ class TestRedact:
         # the email pattern wins; its digits never become <NUMBER>
         assert row.red == "<EMAIL>"
 
+    def test_phone_and_ipv4_win_over_number_fallback(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.textfns import (
+            pattern_count,
+            redact,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("call 25-989-741-2988 from 192.168.0.1 re 42", 1, 1),
+                # 5-digit group breaks the phone shape; ip needs 4 octets
+                ("call 25-989-741-29881 from 192.168.0 re 42", 0, 0),
+            ],
+            "t string, n_phone int, n_ip int",
+        )
+        got = df.select(
+            redact("t").alias("red"),
+            pattern_count("t", "phone").alias("p"),
+            pattern_count("t", "ip").alias("i"),
+            "n_phone", "n_ip",
+        ).collect()
+        assert (got[0].p, got[0].i) == (1, 1)
+        assert got[0].red == "call <PHONE> from <IP> re <NUMBER>"
+        assert (got[1].p, got[1].i) == (0, 0)
+        # the fallback still scrubs every digit of the near-misses
+        import re as _re
+
+        assert not _re.search(r"[0-9]", got[1].red)
+
 
 def test_ngram_repetition_flags_looped_text(spark):
     from nifi_hive_schema_generator_bundle_spark.operators.text import (
