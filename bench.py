@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "user_decayed_value",
     "doc_paragraph_dedup",
     "doc_bpe_token_count",
+    "doc_bpe_train",
     "doc_duplicate_spans",
     "doc_weighted_sample",
     "part_copurchase_triangles",

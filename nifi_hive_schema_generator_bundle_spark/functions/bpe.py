@@ -36,6 +36,7 @@ __all__ = [
     "bpe_encode_word",
     "bpe_encode",
     "bpe_token_stats",
+    "bpe_train",
 ]
 
 # letter runs | digit runs | punctuation runs — the same pre-token
@@ -106,6 +107,107 @@ def bpe_encode(text: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     for pre in PRETOKEN_RE.findall(text):
         out.extend(bpe_encode_word(pre, ranks))
     return out
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_freq: int = 1,
+) -> list[tuple[str, str, int]]:
+    """Learn a BPE merge table from a corpus (Sennrich 2016 training
+    loop): repeatedly find the most frequent adjacent symbol pair and
+    merge it. Returns ``[(left, right, pair_count), …]`` in rank order
+    — feed the ``(left, right)`` pairs straight into ``bpe_encode`` /
+    ``bpe_token_stats``.
+
+    Deterministic: ties break by (count DESC, left ASC, right ASC), so
+    the learned table is reproducible across partitionings and runs.
+    Pair statistics count every adjacent position (overlaps included),
+    merge application is left-to-right non-overlapping — both exactly
+    as the reference algorithm defines them.
+
+    Scale shape — the corpus is touched ONCE: documents collapse to the
+    (pretoken, freq) vocabulary table (regexp explode + count, the same
+    map-side-combinable shape as a word count), which is bounded by
+    distinct-pretoken count, not corpus size. Every training round then
+    runs over that vocab table only: pair stats are a (left, right,
+    Σfreq) partial agg with a 1-row argmax TakeOrdered collect (the
+    loop-control scalar), and the merge applies as a JVM array fold —
+    no Python touches the data path. The vocab table re-materializes
+    per round (eager localCheckpoint, table is vocab-sized) so lineage
+    stays one round deep. ``n_merges`` rounds ⇒ 2·n_merges vocab-sized
+    jobs after the single corpus pass.
+    """
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    w = F.col("w")
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(text_col, F.lit(PRETOKEN_RE.pattern), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+        .select(
+            "freq",
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: w.substr(i, F.lit(1)),
+            ).alias("sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        sym = F.col("sym")
+        pairs = words.filter(F.size(sym) >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(sym) - 1),
+                    lambda i: F.struct(
+                        F.element_at(sym, i).alias("l"),
+                        F.element_at(sym, i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((left, right, cnt))
+        # left-to-right non-overlapping merge: the fold's accumulator
+        # tail tells whether the previous symbol is an UNCONSUMED left —
+        # a just-merged pair ends in left+right, which only re-matches
+        # if it literally equals `left` again (correct: "abab"+(ab,ab))
+        merged = F.aggregate(
+            sym,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select("freq", merged.alias("sym")).localCheckpoint(
+            eager=True
+        )
+    return merges
 
 
 def bpe_token_stats(

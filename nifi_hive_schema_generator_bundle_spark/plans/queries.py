@@ -642,6 +642,27 @@ def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(d, merges).orderBy("doc_id")
 
 
+@register_query("doc_bpe_train")
+def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary TRAINING (functions/bpe.bpe_train —
+    Sennrich 2016): the corpus collapses once to the (pretoken, freq)
+    vocab table, then each round is a vocab-sized pair-stats aggregate
+    + 1-row argmax + a JVM merge fold. Returns the learned merge table
+    (rank, left, right, pair_count). Rows-only by declared design —
+    the loop is iterative with a per-round data-dependent argmax, not
+    SQL-expressible; correctness is pinned by a differential unit test
+    against the pure-Python reference trainer (tests/test_bpe.py) and
+    the deterministic tie-break makes every run identical."""
+    from ..functions.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=12, min_freq=2)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count bigint",
+    )
+
+
 @register_query(
     "token_stats_docs",
     oracle="""

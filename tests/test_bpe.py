@@ -156,3 +156,89 @@ def test_bpe_token_stats_is_single_arrow_stage(spark):
     )
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan  # narrow: no shuffle anywhere
+
+
+# ---------------------------------------------------------------------------
+# trainer (differential vs the pure-Python Sennrich reference)
+# ---------------------------------------------------------------------------
+
+def _ref_train(texts, n_merges, min_freq=1):
+    """Reference BPE trainer (Sennrich 2016 get_stats/merge_vocab):
+    overlap-counted pair stats, (count DESC, left, right) tie-break,
+    left-to-right non-overlapping merge application."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for pre in PRETOKEN_RE.findall(t):
+            vocab[pre] += 1
+    words = {w: list(w) for w in vocab if vocab[w] >= min_freq}
+    freqs = {w: vocab[w] for w in words}
+    merges = []
+    for _ in range(n_merges):
+        stats = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += freqs[w]
+        if not stats:
+            break
+        (left, right), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+class TestTrainer:
+    def test_differential_vs_reference(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.bpe import bpe_train
+
+        texts = [
+            "the cat sat on the mat",
+            "the batch query ran the spark batch",
+            "aaa abab banana bandana",
+            "lower lowest newer newest wider widest",
+            "x",
+            "",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = bpe_train(df, n_merges=15)
+        want = _ref_train(texts, 15)
+        assert got == want
+
+    def test_consecutive_pairs_merge_left_to_right(self, spark):
+        # "aaaa" must tokenize [aa, aa] after merge (a,a), not [aa, a, a]
+        from nifi_hive_schema_generator_bundle_spark.functions.bpe import bpe_train
+
+        df = spark.createDataFrame([("aaaa",)], "text string")
+        got = bpe_train(df, n_merges=2)
+        # round 1: (a,a) with 3 overlapping positions; round 2: (aa,aa)
+        assert got == [("a", "a", 3), ("aa", "aa", 1)]
+
+    def test_trained_table_drives_the_encoder(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.bpe import bpe_train
+
+        texts = ["merge the spark batch " * 3]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        merges = [(l, r) for l, r, _ in bpe_train(df, n_merges=30)]
+        # every repeated word collapses to one token under its own table
+        for w in ("merge", "the", "spark", "batch"):
+            assert bpe_encode_word(w, ranks_of(merges)) == [w]
+
+    def test_min_freq_prunes_rare_pretokens(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.bpe import bpe_train
+
+        texts = ["zz " + "qq " * 5]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = bpe_train(df, n_merges=1, min_freq=2)
+        assert got == [("q", "q", 5)]  # zz (freq 1) never enters training
