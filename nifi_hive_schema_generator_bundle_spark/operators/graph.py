@@ -192,7 +192,13 @@ def pagerank(
     # + dangling pass) across every round — cache them once or the
     # distinct/agg lineage re-executes ~2·iters times (measured 12.3 s →
     # ~6.3 s warm for 5 rounds at sf0.1); unpersisted before return so
-    # repeated calls in a long-lived session don't accumulate blocks
+    # repeated calls in a long-lived session don't accumulate blocks.
+    # NOTE: the per-round ranks⋈deg join below is NOT duplicated work
+    # even though two branches (dangling mass + contributions) consume
+    # it — Catalyst's ReuseExchange dedups the shared subplan. A rework
+    # to static cached (src,dst,deg) + dangling-set tables measured
+    # SLOWER (8.4 → 10.4 s median warm, sf0.1×5 rounds): it trades the
+    # reused exchange for an extra per-round semi-join.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
