@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "events_topk_per_user",
     "events_sessionize",
     "exact_dedup_docs",
+    "doc_bloom_incremental",
     "minhash_near_dup",
     "simhash_near_dup",
     "ann_cosine_topk",

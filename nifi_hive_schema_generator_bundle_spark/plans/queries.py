@@ -549,6 +549,40 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_bloom_incremental",
+    oracle="""
+    WITH old AS (
+        SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 4 <> 0
+    ), batch AS (
+        SELECT doc_id, md5(text) AS key FROM documents
+    )
+    SELECT b.doc_id, b.key
+    FROM batch b ANTI JOIN old o ON b.key = o.key
+    ORDER BY b.doc_id
+    """,
+)
+def doc_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (functions/bloom): an
+    existing corpus (doc_id % 4 <> 0) summarizes its content keys into
+    a broadcast Bloom filter; an incoming batch (here: the full table)
+    probes it with a per-row JVM fold, and only the "maybe" sliver pays
+    the exact anti-join shuffle — rows the filter rejects are CERTAINLY
+    new (no false negatives) and bypass the join on the narrow path.
+    Output is exactly the anti-join, so the oracle replays it as plain
+    SQL with no hash dependence; the filter only routes rows between
+    the cheap and expensive paths (equivalence + FPR bound are pinned
+    in tests/test_bloom.py)."""
+    from ..functions.bloom import bloom_prefiltered_anti_join
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 4 != 0).select(
+        F.md5(F.col("text")).alias("key")
+    )
+    batch = d.select("doc_id", F.md5(F.col("text")).alias("key"))
+    return bloom_prefiltered_anti_join(batch, old, "key").orderBy("doc_id")
+
+
+@register_query(
     "doc_paragraph_dedup",
     oracle="""
     WITH toks AS (

@@ -242,6 +242,8 @@ BNLJ_ALLOWED = {
     "doc_bm25_scores",
     # 1-row dangling-mass broadcast per power iteration
     "part_supplier_pagerank",
+    # 1-row Bloom-filter broadcast (the array<long> row every probe reads)
+    "doc_bloom_incremental",
     # bounded steps×step_reached (<= |steps|+1 rows each) non-equi resolve
     "events_funnel",
     # 1-row reference-timestamp broadcast (the in-data "now")
