@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "doc_sequence_packing",
     "doc_decontamination",
     "doc_mixture_sample",
+    "doc_epoch_upsample",
     "doc_token_budget_select",
     "kmeans_assign_embeddings",
     "doc_unigram_logprob",

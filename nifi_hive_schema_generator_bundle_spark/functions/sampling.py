@@ -29,6 +29,7 @@ __all__ = [
     "exact_stratified_sample",
     "weighted_sample",
     "shuffle_shards",
+    "epoch_upsample",
 ]
 
 _NIBBLES = "0123456789abcdef"
@@ -107,6 +108,55 @@ def stratified_hash_sample(
     for value, k in sorted(sixteenths.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(k)).otherwise(thr)
     return df.filter(hash_bucket(key) < thr)
+
+
+def epoch_upsample(
+    df: DataFrame,
+    strata_col: str,
+    factors: dict[str, float],
+    *,
+    key: str,
+    copy_col: str = "copy_no",
+) -> DataFrame:
+    """Fractional repeat-factor sampling — the UPsampling complement to
+    ``mixture_sample``'s downsampling: every row of stratum ``g`` is
+    emitted ``floor(f_g)`` times plus one extra copy with probability
+    ``frac(f_g)``, so a factor of 2.3 averages 2.3 epochs of that
+    stratum (the standard high-quality-source repeat knob: "3.5 epochs
+    of wikipedia, 0.4 of crawl"). Factors < 1 degenerate to plain
+    hash-rate downsampling; strata absent from ``factors`` get factor 0
+    (dropped). Output repeats the input row with ``copy_col`` =
+    0..n_copies-1 so downstream shuffling/packing can treat copies as
+    distinct documents.
+
+    The extra-copy coin is the deterministic content hash
+    (``hash_fraction`` over key + a fixed salt), so results are stable
+    across runs, partitionings, and engines; expected totals are exact,
+    realized counts binomial (same contract as ``mixture_sample``).
+
+    Scale shape: one narrow projection computing n_copies, one explode
+    whose row growth IS the requested output volume — no shuffle, no
+    window, no driver collect; the |strata|-row factor table rides a
+    map literal.
+    """
+    if any(f < 0 for f in factors.values()):
+        raise ValueError("factors must be >= 0")
+    fmap = F.create_map(
+        *[F.lit(x) for kv in sorted(factors.items()) for x in kv]
+    )
+    f = F.coalesce(
+        fmap[F.col(strata_col).cast("string")].cast("double"), F.lit(0.0)
+    )
+    base = F.floor(f).cast("int")
+    extra = (
+        hash_fraction(F.concat(F.col(key).cast("string"), F.lit(":epoch")))
+        < (f - F.floor(f))
+    ).cast("int")
+    n_copies = base + extra
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))
 
 
 def mixture_sample(

@@ -2734,6 +2734,45 @@ def redact_numbers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_epoch_upsample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'de' THEN 2.5 WHEN 'en' THEN 1.0
+                         WHEN 'fr' THEN 0.4 WHEN 'zh' THEN 3.0
+                         ELSE 0.0 END AS fac,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 8)) AS BIGINT)
+                 / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(g.c AS INT) AS copy_no
+    FROM f CROSS JOIN LATERAL unnest(range(
+        CAST(floor(fac) AS BIGINT)
+        + CASE WHEN u < fac - floor(fac) THEN 1 ELSE 0 END)) AS g(c)
+    ORDER BY doc_id, copy_no
+    """,
+)
+def doc_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional epoch upsampling (functions/sampling.epoch_upsample):
+    per-language repeat factors — 2.5 epochs of de, 3 of zh, 1 of en,
+    0.4 of fr, es dropped — emitted as repeated rows with a copy index,
+    the standard quality-source repeat knob in pretraining mixes. The
+    extra-copy coin is the md5 fraction over doc_id+salt, so DuckDB
+    replays every copy exactly; row growth is the requested output
+    volume, nothing shuffles."""
+    from ..functions.sampling import epoch_upsample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = epoch_upsample(
+        d.select("doc_id", "lang"),
+        "lang",
+        {"de": 2.5, "en": 1.0, "fr": 0.4, "zh": 3.0},
+        key="doc_id",
+    )
+    return out.orderBy("doc_id", "copy_no")
+
+
+@register_query(
     "customers_pii_scrub",
     oracle="""
     WITH blob AS (

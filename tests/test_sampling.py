@@ -165,3 +165,63 @@ def test_exact_stratified_sample_rejects_negative(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
     with _pytest.raises(ValueError):
         exact_stratified_sample(df, "lang", -1, key="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# epoch_upsample (fractional repeat factors)
+# ---------------------------------------------------------------------------
+
+def test_epoch_upsample_copy_counts_and_determinism(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+        epoch_upsample,
+    )
+
+    rows = [(i, "hi" if i % 2 else "lo") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = epoch_upsample(df, "lang", {"hi": 2.5, "lo": 0.25}, key="doc_id")
+    per = {
+        (r["doc_id"]): r["n"]
+        for r in out.groupBy("doc_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()
+    }
+    # hi rows appear 2 or 3 times; lo rows 0 (absent) or 1
+    hi_counts = [per.get(i, 0) for i in range(1, 400, 2)]
+    lo_counts = [per.get(i, 0) for i in range(0, 400, 2)]
+    assert set(hi_counts) <= {2, 3} and 2 in hi_counts and 3 in hi_counts
+    assert set(lo_counts) <= {0, 1} and 0 in lo_counts and 1 in lo_counts
+    # expected totals: 200*2.5 = 500, 200*0.25 = 50 (binomial tolerance)
+    assert abs(sum(hi_counts) - 500) < 40
+    assert abs(sum(lo_counts) - 50) < 25
+    # copy index is dense 0..n-1 per doc
+    from pyspark.sql import functions as F
+    bad = (
+        out.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.max("copy_no").alias("m"),
+             F.min("copy_no").alias("lo"))
+        .filter((F.col("m") != F.col("n") - 1) | (F.col("lo") != 0))
+        .count()
+    )
+    assert bad == 0
+    # partition-layout independence
+    again = epoch_upsample(
+        df.repartition(13), "lang", {"hi": 2.5, "lo": 0.25}, key="doc_id"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_epoch_upsample_drops_unlisted_strata_and_validates(spark):
+    import pytest as _pytest
+
+    from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+        epoch_upsample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "drop")], "doc_id long, lang string"
+    )
+    out = epoch_upsample(df, "lang", {"keep": 2.0}, key="doc_id")
+    got = [(r["doc_id"], r["copy_no"]) for r in out.collect()]
+    assert sorted(got) == [(1, 0), (1, 1)]
+    with _pytest.raises(ValueError):
+        epoch_upsample(df, "lang", {"keep": -0.5}, key="doc_id")
