@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "media_features_docs",
     "ivf_ann_topk",
+    "ivf_index_search",
     "tfidf_top_terms_docs",
     "q4_priority_late_ship",
     "q10_returned_revenue",
@@ -63,6 +64,7 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "lineitem_price_stats",
     "redact_numbers_events",
+    "events_variant_extract",
     "customers_pii_scrub",
     "quantized_ann_topk",
     "q2_best_price_supplier",

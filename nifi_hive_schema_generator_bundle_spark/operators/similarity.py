@@ -29,6 +29,8 @@ __all__ = [
     "brute_force_topk",
     "lsh_topk",
     "ivf_topk",
+    "build_ivf_index",
+    "ivf_search",
     "quantized_rerank_topk",
     "random_hyperplane_bucket",
     "hard_negatives",
@@ -168,6 +170,200 @@ def lsh_topk(
     )
 
 
+def _ivf_fit(
+    c: DataFrame,
+    *,
+    n_centroids: int,
+    max_iter: int,
+    fit_sample: int,
+    seed: int,
+):
+    """Lloyd-iterate the coarse quantizer on a driver-bounded sample of
+    ≤ ``fit_sample`` (c_id, c_vec) rows; returns the (C, dim) numpy
+    centroid matrix, or None for an empty corpus."""
+    import numpy as np
+
+    n = c.count()
+    frac = min(1.0, fit_sample / max(n, 1))
+    sampled = c.sample(frac, seed=seed).limit(fit_sample).collect()
+    if not sampled:
+        return None
+    sample = np.stack([np.asarray(r["c_vec"]) for r in sampled])
+    rng = np.random.default_rng(seed)
+    cents = sample[
+        rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    ]
+
+    def _nearest(M: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+        # argmin over squared distance in matmul form: |x|^2 - 2 x·c + |c|^2.
+        # The broadcasting-subtraction form materializes an (n, C, dim)
+        # temp — O(n·C·dim) memory, tens of GB per Arrow batch at a
+        # realistic C=4096 — while this is an (n, C) BLAS product.
+        d2 = (
+            (M * M).sum(1)[:, None]
+            - 2.0 * (M @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        return d2.argmin(1)
+
+    for _ in range(max_iter):
+        cell = _nearest(sample, cents)
+        for j in range(len(cents)):
+            pts = sample[cell == j]
+            if len(pts):
+                cents[j] = pts.mean(0)
+    return cents
+
+
+def _ivf_assign(c: DataFrame, centroids) -> DataFrame:
+    """Assign every (c_id, c_vec) row to its nearest centroid with one
+    Arrow-batched argmax pass; the centroid matrix rides the closure."""
+    import numpy as np
+
+    def assign(batches):
+        import pandas as pd
+
+        c2 = (centroids * centroids).sum(1)[None, :]
+        for pdf in batches:
+            M = np.stack(pdf["c_vec"].to_numpy())
+            d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ centroids.T) + c2
+            yield pd.DataFrame(
+                {
+                    "c_id": pdf["c_id"],
+                    "c_vec": pdf["c_vec"],
+                    "cell": d2.argmin(1).astype("int32"),
+                }
+            )
+
+    return c.mapInPandas(
+        assign, schema="c_id long, c_vec array<double>, cell int"
+    )
+
+
+def _ivf_probe_cells(
+    queries: DataFrame,
+    cent_df: DataFrame,
+    *,
+    nprobe: int,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """(query_id, q_vec, cell) — each query's ``nprobe`` nearest cells,
+    scored against the broadcast centroid table with a JVM distance fold."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    dist_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cdist").asc(), F.col("cell").asc()
+    )
+    return (
+        q.join(F.broadcast(cent_df))
+        .select(
+            query_id_col,
+            "q_vec",
+            "cell",
+            F.aggregate(
+                F.zip_with("q_vec", "centroid", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cdist"),
+        )
+        .withColumn("crank", F.row_number().over(dist_w))
+        .filter(F.col("crank") <= nprobe)
+        .select(query_id_col, "q_vec", "cell")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    max_iter: int = 8,
+    fit_sample: int = 100_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize an IVF index on disk: ``{path}/centroids`` (tiny
+    parquet) + ``{path}/postings`` parquet PARTITIONED BY cell — the
+    literal on-disk inverted file. Build once, probe many: searches
+    read only the probed cells' partitions (static partition pruning),
+    so per-query scan volume is ~``nprobe/n_centroids`` of the corpus
+    without recomputing the quantizer or the assignment.
+
+    The fit is the same bounded-sample Lloyd as ``ivf_topk``; the
+    assignment is the same single Arrow-batched pass, written instead
+    of consumed. Deterministic given (corpus, params): rebuilding
+    yields the identical index."""
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    centroids = _ivf_fit(
+        c, n_centroids=n_centroids, max_iter=max_iter,
+        fit_sample=fit_sample, seed=seed,
+    )
+    if centroids is None:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        _ivf_assign(c, centroids)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/postings")
+    )
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a ``build_ivf_index`` index: probe each query's ``nprobe``
+    nearest cells, exact cosine + rank within those cells only.
+
+    The probed cell set is collected (bounded: |queries| × nprobe ints —
+    the query set is broadcast-small by the ANN contract) and pushed as
+    a STATIC ``cell IN (…)`` partition filter, so the postings scan
+    reads only the probed directories — at 100 TB the index read is
+    ``nprobe/n_centroids`` of the corpus, enforced by partition pruning
+    rather than hoped for from a join. Same output contract as
+    ``ivf_topk``; with the same params/seed it returns the same rows."""
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    probes = _ivf_probe_cells(
+        queries, cent_df, nprobe=nprobe, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("cell").isin(cells)
+    )
+    scored = postings.join(F.broadcast(probes), "cell").select(
+        query_id_col,
+        F.col("c_id").alias(id_col),
+        F.round(cosine_similarity("c_vec", "q_vec"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -196,15 +392,17 @@ def ivf_topk(
     ``nprobe == n_centroids`` degrades gracefully to exact brute force
     (tested equal to ``brute_force_topk``).
     """
-    import numpy as np
-
     c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
     )
-    n = c.count()
-    frac = min(1.0, fit_sample / max(n, 1))
-    sampled = c.sample(frac, seed=seed).limit(fit_sample).collect()
-    if not sampled:
+    centroids = _ivf_fit(
+        c,
+        n_centroids=n_centroids,
+        max_iter=max_iter,
+        fit_sample=fit_sample,
+        seed=seed,
+    )
+    if centroids is None:
         # empty corpus -> empty result with the contract schema, matching
         # brute_force_topk's behavior instead of a numpy stack error
         spark = corpus.sparkSession
@@ -216,49 +414,7 @@ def ivf_topk(
             [],
             f"{query_id_col} {q_schema}, {id_col} {id_t}, cosine double, rank int",
         )
-    sample = np.stack([np.asarray(r["c_vec"]) for r in sampled])
-    rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
-
-    def _nearest(M: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
-        # argmin over squared distance in matmul form: |x|^2 - 2 x·c + |c|^2.
-        # The broadcasting-subtraction form materializes an (n, C, dim)
-        # temp — O(n·C·dim) memory, tens of GB per Arrow batch at a
-        # realistic C=4096 — while this is an (n, C) BLAS product.
-        d2 = (
-            (M * M).sum(1)[:, None]
-            - 2.0 * (M @ C.T)
-            + (C * C).sum(1)[None, :]
-        )
-        return d2.argmin(1)
-
-    for _ in range(max_iter):
-        cell = _nearest(sample, cents)
-        for j in range(len(cents)):
-            pts = sample[cell == j]
-            if len(pts):
-                cents[j] = pts.mean(0)
-
-    centroids = cents  # (C, dim) — ships in the task closure
-
-    def assign(batches):
-        import pandas as pd
-
-        c2 = (centroids * centroids).sum(1)[None, :]
-        for pdf in batches:
-            M = np.stack(pdf["c_vec"].to_numpy())
-            d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ centroids.T) + c2
-            yield pd.DataFrame(
-                {
-                    "c_id": pdf["c_id"],
-                    "c_vec": pdf["c_vec"],
-                    "cell": d2.argmin(1).astype("int32"),
-                }
-            )
-
-    assigned = c.mapInPandas(
-        assign, schema="c_id long, c_vec array<double>, cell int"
-    )
+    assigned = _ivf_assign(c, centroids)
 
     # each query scores the tiny centroid table driver-side is wasteful in
     # a distributed plan; do it with the same broadcast-join pattern the
@@ -268,27 +424,9 @@ def ivf_topk(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centroids)],
         "cell int, centroid array<double>",
     )
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("q_vec")
-    )
-    dist_w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cdist").asc(), F.col("cell").asc()
-    )
-    probes = (
-        q.join(F.broadcast(cent_df))
-        .select(
-            query_id_col,
-            "q_vec",
-            "cell",
-            F.aggregate(
-                F.zip_with("q_vec", "centroid", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("cdist"),
-        )
-        .withColumn("crank", F.row_number().over(dist_w))
-        .filter(F.col("crank") <= nprobe)
-        .select(query_id_col, "q_vec", "cell")
+    probes = _ivf_probe_cells(
+        queries, cent_df, nprobe=nprobe, vec_col=vec_col,
+        query_id_col=query_id_col,
     )
     scored = assigned.join(F.broadcast(probes), "cell").select(
         query_id_col,

@@ -1139,6 +1139,32 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query("ivf_index_search")
+def ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index (operators/similarity.build_ivf_index /
+    ivf_search): the inverted file lives on disk as cell-PARTITIONED
+    parquet, and each search pushes its probed cells as a STATIC
+    partition filter — the scan reads only nprobe/n_centroids of the
+    corpus, enforced by pruning (plan-tested). Rows-only (KMeans fit is
+    iterative); equality with the inline ivf_topk under identical
+    params/seed is unit-pinned."""
+    import tempfile
+
+    from ..operators.similarity import build_ivf_index, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="ivf_gate_")
+    build_ivf_index(emb, path, n_centroids=16)
+    return (
+        ivf_search(spark, path, q, k=10, nprobe=4)
+        .select("query_id", "vec_id", F.col("rank").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )
+
+
 @register_query(
     "events_user_reach",
     oracle="""
@@ -2864,6 +2890,82 @@ def customers_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("scrubbed_len").alias("scrubbed_chars"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@register_query(
+    "events_variant_extract",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               CASE event_type
+                 WHEN 'purchase' THEN concat('{"amt": {"v": ', CAST(event_id % 97 AS VARCHAR), '}, "tags": ["hot", "new"]}')
+                 WHEN 'click'    THEN concat('{"amt": ', CAST(event_id % 97 AS VARCHAR), ', "tags": []}')
+                 WHEN 'signup'   THEN '{"amt": null}'
+                 ELSE concat('{"amt": "s', CAST(event_id % 97 AS VARCHAR), '"}')
+               END AS payload
+        FROM events
+    ), x AS (
+        SELECT event_type,
+               TRY_CAST(json_extract_string(payload, '$.amt') AS BIGINT) AS amt_num,
+               TRY_CAST(json_extract_string(payload, '$.amt.v') AS BIGINT) AS amt_nested,
+               json_extract_string(payload, '$.tags[0]') AS first_tag
+        FROM p
+    )
+    SELECT event_type,
+           count(amt_num) AS n_plain,
+           CAST(coalesce(sum(amt_num), 0) AS BIGINT) AS sum_plain,
+           count(amt_nested) AS n_nested,
+           CAST(coalesce(sum(amt_nested), 0) AS BIGINT) AS sum_nested,
+           count(first_tag) AS n_tagged
+    FROM x GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4 ``parse_json`` /
+    ``try_variant_get``): one binary-encoded variant column serves
+    shape-shifting payloads — plain number, nested object, JSON null,
+    string — without a schema declaration, the modern engine answer to
+    schema-on-read event props. ``try_variant_get`` with a target type
+    nulls shape mismatches exactly like DuckDB's
+    json_extract + TRY_CAST twins (strict ``variant_get`` would throw
+    under ANSI, same trade as events_props_extract). The payloads are
+    synthesized per event_type so every shape is exercised; parse cost
+    is one narrow codegen'd projection, aggregation only on the tiny
+    extracted columns."""
+    e = load_table(spark, sf_dir, "events")
+    amt = (F.col("event_id") % 97).cast("string")
+    payload = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit('{"amt": {"v": '), amt, F.lit('}, "tags": ["hot", "new"]}')
+            ),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.concat(F.lit('{"amt": '), amt, F.lit(', "tags": []}')),
+        )
+        .when(F.col("event_type") == "signup", F.lit('{"amt": null}'))
+        .otherwise(F.concat(F.lit('{"amt": "s'), amt, F.lit('"}')))
+    )
+    v = F.parse_json(payload)
+    x = e.select(
+        "event_type",
+        F.try_variant_get(v, "$.amt", "long").alias("amt_num"),
+        F.try_variant_get(v, "$.amt.v", "long").alias("amt_nested"),
+        F.try_variant_get(v, "$.tags[0]", "string").alias("first_tag"),
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count("amt_num").alias("n_plain"),
+            F.coalesce(F.sum("amt_num"), F.lit(0)).alias("sum_plain"),
+            F.count("amt_nested").alias("n_nested"),
+            F.coalesce(F.sum("amt_nested"), F.lit(0)).alias("sum_nested"),
+            F.count("first_tag").alias("n_tagged"),
+        )
+        .orderBy("event_type")
     )
 
 

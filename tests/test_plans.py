@@ -244,6 +244,9 @@ BNLJ_ALLOWED = {
     "part_supplier_pagerank",
     # 1-row Bloom-filter broadcast (the array<long> row every probe reads)
     "doc_bloom_incremental",
+    # queries × centroid-table quantizer scoring, same bounded class as
+    # ivf_ann_topk (the postings join itself is equi + partition-pruned)
+    "ivf_index_search",
     # bounded steps×step_reached (<= |steps|+1 rows each) non-equi resolve
     "events_funnel",
     # 1-row reference-timestamp broadcast (the in-data "now")

@@ -251,3 +251,69 @@ class TestQuantizedRerank:
         # int8 on normalized vectors loses <1% cosine resolution; with a
         # 4k candidate margin recall should be near-perfect
         assert recall >= 0.9, recall
+
+
+def test_ivf_index_roundtrip_matches_inline(spark, sf_smoke_dir, tmp_path):
+    """build_ivf_index + ivf_search == ivf_topk with the same params/seed
+    (same fit sample, same Lloyd iterations, same probes)."""
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in ivf_search(spark, path, q, k=5, nprobe=2).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2).collect()
+    }
+    assert got == want
+
+
+def test_ivf_search_prunes_partitions(spark, sf_smoke_dir, tmp_path):
+    """The postings scan must carry a static cell IN (...) partition
+    filter — the probed-cells-only read is the whole point of the
+    on-disk inverted file."""
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    plan = (
+        ivf_search(spark, path, q, k=3, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+
+    # FileScan over postings must carry the static cell IN (...) filter
+    # (plan prints attributes with an id suffix: "cell#33 IN (0,5)")
+    assert _re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan[:2000]
+
+
+def test_ivf_index_build_rejects_empty_corpus(spark, tmp_path):
+    import pytest as _pytest
+
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        build_ivf_index(empty, str(tmp_path / "ivf"))
