@@ -57,3 +57,45 @@ def test_oracle_output_types_are_hash_safe(ddb, name):
         f"{name}: oracle emits driver-hash-unsafe types {offending}; "
         f"wrap integer aggregates in CAST(... AS BIGINT)"
     )
+
+
+def _kind(t: str) -> str:
+    t = str(t).lower()
+    if "decimal" in t:
+        return "decimal"
+    if any(x in t for x in ("tinyint", "smallint", "integer", "bigint",
+                            "hugeint", "int", "long", "short", "byte",
+                            "ubigint", "uinteger")):
+        return "int"
+    if any(x in t for x in ("double", "float", "real")):
+        return "float"
+    if any(x in t for x in ("varchar", "string", "char")):
+        return "str"
+    if "bool" in t:
+        return "bool"
+    if "timestamp" in t:
+        return "ts"
+    if "date" in t:
+        return "date"
+    if any(x in t for x in ("array", "list", "[]")):
+        return "list"
+    return t
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+def test_spark_and_duckdb_column_kinds_agree(spark, ddb, name):
+    """Cross-engine type-KIND audit: a Spark int vs DuckDB double (or
+    decimal vs float, ts vs date) hashes differently even when values
+    are equal — the r1 HUGEINT episode generalized. The DuckDB-side
+    allowlist above can't see this; comparing both engines' schemas
+    kind-for-kind can."""
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    stypes = {f.name: _kind(f.dataType.simpleString()) for f in sdf.schema}
+    rel = ddb.sql(entry_mod.oracle_sql()[name])
+    dtypes = dict(zip(rel.columns, [_kind(t) for t in rel.types]))
+    mismatched = {
+        c: (stypes[c], dtypes[c])
+        for c in stypes
+        if c in dtypes and stypes[c] != dtypes[c]
+    }
+    assert not mismatched, f"{name}: column kind mismatch {mismatched}"
