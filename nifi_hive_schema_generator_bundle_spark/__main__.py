@@ -267,6 +267,87 @@ def cmd_wsample(args) -> int:
     return 0
 
 
+def cmd_scrub(args) -> int:
+    from .functions.textfns import REDACT_PATTERNS, pattern_count, redact
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    kinds = [k.strip() for k in args.kinds.split(",") if k.strip()]
+    unknown = [k for k in kinds if k not in REDACT_PATTERNS]
+    if unknown:
+        print(f"unknown pattern kinds: {unknown}", file=sys.stderr)
+        return 2
+    from pyspark.sql import functions as F
+
+    out = df.withColumn(args.text_col, redact(args.text_col, kinds))
+    convert(out, args.output, args.fmt, mode="overwrite")
+    counts = df.agg(
+        *[F.sum(pattern_count(args.text_col, k)).alias(k) for k in kinds]
+    ).collect()[0]
+    stats = ", ".join(f"{k}={counts[k] or 0}" for k in kinds)
+    print(f"scrubbed {args.output} ({stats})", file=sys.stderr)
+    return 0
+
+
+def cmd_bpe_train(args) -> int:
+    from .functions.bpe import bpe_train
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    merges = bpe_train(
+        df, n_merges=args.n_merges, text_col=args.text_col,
+        min_freq=args.min_freq,
+    )
+    with open(args.output, "w", encoding="utf-8") as fh:
+        fh.write("# learned by bpe-train; rank = line order\n")
+        for left, right, _ in merges:
+            fh.write(f"{left} {right}\n")
+    print(f"wrote {len(merges)} merges to {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_bloomdedup(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .functions.bloom import bloom_prefiltered_anti_join
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    new = read_any(spark, args.input, args.fmt)
+    old = read_any(spark, args.reference, args.fmt)
+    key = "__key"
+    new_k = new.withColumn(key, F.md5(F.col(args.text_col)))
+    old_k = old.select(F.md5(F.col(args.text_col)).alias(key))
+    out = bloom_prefiltered_anti_join(
+        new_k, old_k, key, n_bits=args.n_bits
+    ).drop(key)
+    convert(out, args.output, args.fmt, mode="overwrite")
+    n_in = new.count()
+    n_out = read_any(spark, args.output, args.fmt).count()
+    print(f"kept {n_out}/{n_in} not in reference", file=sys.stderr)
+    return 0
+
+
+def cmd_upsample(args) -> int:
+    from .functions.sampling import epoch_upsample
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    factors = {}
+    for spec in args.factor:
+        name, _, val = spec.partition(":")
+        factors[name] = float(val)
+    out = epoch_upsample(df, args.strata_col, factors, key=args.key)
+    convert(out, args.output, args.fmt, mode="overwrite")
+    n_in = df.count()
+    n_out = read_any(spark, args.output, args.fmt).count()
+    print(f"emitted {n_out} rows from {n_in} ({factors})", file=sys.stderr)
+    return 0
+
+
 def cmd_drift(args) -> int:
     from .operators.drift import schema_drift_report
     from .sources.formats import read_any
@@ -633,6 +714,44 @@ def main(argv: list[str] | None = None) -> int:
     pws.add_argument("--key", default="doc_id")
     pws.add_argument("--fmt", default="parquet")
     pws.set_defaults(fn=cmd_wsample)
+
+    psc = sub.add_parser("scrub", help="PII/pattern redaction (email/url/phone/ip/number)")
+    psc.add_argument("input")
+    psc.add_argument("output")
+    psc.add_argument("--fmt", default="parquet")
+    psc.add_argument("--text-col", default="text")
+    psc.add_argument("--kinds", default="email,url,phone,ip",
+                     help="comma-separated pattern kinds, applied in order")
+    psc.set_defaults(fn=cmd_scrub)
+
+    pbt = sub.add_parser("bpe-train", help="learn a BPE merge table from a corpus")
+    pbt.add_argument("input")
+    pbt.add_argument("output", help="merges file (one 'left right' pair per line)")
+    pbt.add_argument("--fmt", default="parquet")
+    pbt.add_argument("--text-col", default="text")
+    pbt.add_argument("--n-merges", type=int, default=50)
+    pbt.add_argument("--min-freq", type=int, default=1)
+    pbt.set_defaults(fn=cmd_bpe_train)
+
+    pbd = sub.add_parser("bloomdedup",
+                         help="keep rows whose text is absent from a reference corpus")
+    pbd.add_argument("input")
+    pbd.add_argument("reference")
+    pbd.add_argument("output")
+    pbd.add_argument("--fmt", default="parquet")
+    pbd.add_argument("--text-col", default="text")
+    pbd.add_argument("--n-bits", type=int, default=1 << 20)
+    pbd.set_defaults(fn=cmd_bloomdedup)
+
+    pup = sub.add_parser("upsample", help="fractional epoch repeat factors per stratum")
+    pup.add_argument("input")
+    pup.add_argument("output")
+    pup.add_argument("--fmt", default="parquet")
+    pup.add_argument("--strata-col", default="lang")
+    pup.add_argument("--key", default="doc_id")
+    pup.add_argument("--factor", action="append", required=True,
+                     metavar="STRATUM:F", help="repeatable, e.g. --factor en:1.0")
+    pup.set_defaults(fn=cmd_upsample)
 
     pdr = sub.add_parser("drift", help="per-group schema drift over a JSON column")
     pdr.add_argument("input")
