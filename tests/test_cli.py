@@ -410,3 +410,73 @@ def test_cli_classify_writes_scores(spark, tmp_path, capsys):
     assert rc == 0
     scored = {r["doc_id"]: r["quality_prob"] for r in spark.read.parquet(out_path).collect()}
     assert scored[1] > 0.5 > scored[2]
+
+
+def test_cli_scrub_redacts_and_reports(spark, tmp_path, capsys):
+    data = str(tmp_path / "pii.parquet")
+    spark.createDataFrame(
+        [(1, "mail a@b.co call 25-989-741-2988"), (2, "clean")],
+        "doc_id long, text string",
+    ).write.parquet(data)
+    out_path = str(tmp_path / "scrubbed")
+    rc = main(["scrub", data, out_path, "--kinds", "email,phone"])
+    assert rc == 0
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_path).collect()}
+    assert rows[1] == "mail <EMAIL> call <PHONE>"
+    assert rows[2] == "clean"
+    err = capsys.readouterr().err
+    assert "email=1" in err and "phone=1" in err
+
+
+def test_cli_scrub_rejects_unknown_kind(spark, tmp_path):
+    data = str(tmp_path / "d.parquet")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string").write.parquet(data)
+    assert main(["scrub", data, str(tmp_path / "o"), "--kinds", "ssn"]) == 2
+
+
+def test_cli_bpe_train_writes_loadable_merges(spark, tmp_path, capsys):
+    from nifi_hive_schema_generator_bundle_spark.functions.bpe import load_merges
+
+    data = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark batch")],
+        "doc_id long, text string",
+    ).write.parquet(data)
+    out = tmp_path / "merges.txt"
+    rc = main(["bpe-train", data, str(out), "--n-merges", "4"])
+    assert rc == 0
+    merges = load_merges(str(out))
+    assert len(merges) == 4
+    # every 'spark' pair counts 4; the (count DESC, left, right) tie-break
+    # picks the lexicographically smallest — (a,r)
+    assert merges[0] == ("a", "r")
+
+
+def test_cli_bloomdedup_keeps_only_new(spark, tmp_path, capsys):
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    spark.createDataFrame(
+        [(1, "shared"), (2, "old only")], "doc_id long, text string"
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(10, "shared"), (11, "brand new")], "doc_id long, text string"
+    ).write.parquet(new)
+    out_path = str(tmp_path / "kept")
+    rc = main(["bloomdedup", new, old, out_path])
+    assert rc == 0
+    kept = [r["doc_id"] for r in spark.read.parquet(out_path).collect()]
+    assert kept == [11]
+    assert "kept 1/2" in capsys.readouterr().err
+
+
+def test_cli_upsample_repeats_rows(spark, tmp_path, capsys):
+    data = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "en") for i in range(10)], "doc_id long, lang string"
+    ).write.parquet(data)
+    out_path = str(tmp_path / "up")
+    rc = main(["upsample", data, out_path, "--factor", "en:2.0"])
+    assert rc == 0
+    out = spark.read.parquet(out_path)
+    assert out.count() == 20
+    assert sorted(r["copy_no"] for r in out.filter("doc_id = 3").collect()) == [0, 1]
