@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "ivf_index_search",
     "tfidf_top_terms_docs",
+    "doc_hashed_tf_vectors",
     "q4_priority_late_ship",
     "q10_returned_revenue",
     "q18_large_orders",

@@ -29,6 +29,7 @@ __all__ = [
     "fingerprint",
     "STOPWORD_PROFILES",
     "tfidf_top_terms",
+    "hashed_tf_vectors",
     "ngram_repetition",
     "unigram_logprob_score",
     "bigram_logprob_score",
@@ -203,6 +204,75 @@ def ngram_repetition(
         # left join: docs shorter than n tokens have no n-grams -> NULLs
         out = out.join(per_doc, id_col, "left")
     return out
+
+
+def hashed_tf_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashed (hashing-trick) term-frequency vectors: each token
+    lands in bucket ``md5(token) mod dim``; the vector is the bucket
+    count profile, optionally L2-normalized — a model-free text
+    embedding that feeds the ANN / clustering / semantic-dedup
+    operators directly when no learned encoder is available, and the
+    standard fixed-width featurization for linear classifiers at scale
+    (no vocabulary table to build, ship, or look up).
+
+    md5-bucketed (not Spark ``hash``) so the mapping is engine-portable
+    — a DuckDB oracle replays every bucket exactly; determinism does
+    not depend on partitioning. Empty/token-free docs yield the zero
+    vector (normalize leaves it zero rather than dividing by 0).
+
+    Scale shape: explode → (doc, bucket) count partial agg → one
+    ``map_from_entries`` densify per doc — the shuffle carries (id,
+    int, count) triples capped at ``dim`` per doc, never text. The
+    dense array materializes once per document row.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    d = ensure_min_partitions(df)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("long") % dim
+    ).cast("int")
+    counts = (
+        d.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("int")), F.lit(0)
+        ).cast("double"),
+    )
+    vecs = d.select(F.col(id_col).alias("doc_id")).join(
+        counts, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(
+            dense, F.array_repeat(F.lit(0.0), dim)
+        ).alias("tf_vec"),
+    )
+    if not normalize:
+        return vecs
+    norm = F.sqrt(
+        F.aggregate("tf_vec", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    unit = F.when(
+        norm > 0.0, F.transform("tf_vec", lambda x: F.round(x / norm, 6))
+    ).otherwise(F.col("tf_vec"))
+    return vecs.select("doc_id", unit.alias("tf_vec"))
 
 
 def tfidf_top_terms(

@@ -1532,6 +1532,55 @@ def infer_roundtrip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_hashed_tf_vectors",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), b AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substring(md5(u.tok), 1, 8)) AS BIGINT) % 32 AS INT) AS bkt
+        FROM toks, LATERAL unnest(t) AS u(tok)
+    ), cnt AS (
+        SELECT doc_id, bkt, CAST(count(*) AS DOUBLE) AS c
+        FROM b GROUP BY doc_id, bkt
+    ), packed AS (
+        SELECT doc_id,
+               list(bkt ORDER BY bkt) AS ks,
+               list(c ORDER BY bkt) AS cs
+        FROM cnt GROUP BY doc_id
+    ), vec AS (
+        SELECT d.doc_id,
+               list_transform(generate_series(0, 31),
+                   i -> coalesce(cs[list_position(ks, CAST(i AS INT))], 0.0)) AS v
+        FROM documents d LEFT JOIN packed USING (doc_id)
+    )
+    SELECT doc_id,
+           CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) > 0
+                THEN list_transform(v,
+                     x -> round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6))
+                ELSE v END AS tf_vec
+    FROM vec ORDER BY doc_id
+    """,
+)
+def doc_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed TF vectors (operators/text.hashed_tf_vectors):
+    the hashing-trick text featurization — md5(token) mod 32 buckets,
+    L2-normalized counts — a model-free embedding that feeds ANN /
+    k-means / SemDeDup directly and needs no vocabulary table. The md5
+    bucketing (not engine-native hash) makes every coordinate
+    DuckDB-replayable; empty docs keep the zero vector. Shuffle carries
+    (id, bucket, count) triples only."""
+    from ..operators.text import hashed_tf_vectors
+
+    d = load_table(spark, sf_dir, "documents")
+    return hashed_tf_vectors(d, dim=32).orderBy("doc_id")
+
+
+@register_query(
     "tfidf_top_terms_docs",
     oracle=r"""
     WITH toks AS (

@@ -220,3 +220,57 @@ def test_bm25_rejects_empty_query(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bm25_scores(df, [])
+
+
+def test_hashed_tf_vectors_buckets_and_norm(spark):
+    import hashlib
+    import math
+
+    from nifi_hive_schema_generator_bundle_spark.operators.text import (
+        hashed_tf_vectors,
+    )
+
+    rows = [(1, "spark spark batch"), (2, ""), (3, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["tf_vec"] for r in hashed_tf_vectors(df, dim=16).collect()}
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 16
+
+    want = [0.0] * 16
+    want[bucket("spark")] += 2
+    want[bucket("batch")] += 1
+    n = math.sqrt(sum(x * x for x in want))
+    want = [round(x / n, 6) for x in want]
+    assert got[1] == want
+    assert abs(sum(x * x for x in got[1]) - 1.0) < 1e-6  # unit norm
+    # token-free docs keep the zero vector (no divide-by-zero)
+    assert got[2] == [0.0] * 16 and got[3] == [0.0] * 16
+
+
+def test_hashed_tf_vectors_feed_ann(spark):
+    """The hashed vectors plug straight into the ANN operators."""
+    from pyspark.sql import functions as F
+
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from nifi_hive_schema_generator_bundle_spark.operators.text import (
+        hashed_tf_vectors,
+    )
+
+    rows = [
+        (1, "spark batch query"),
+        (2, "spark batch query engine"),
+        (3, "totally unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashed_tf_vectors(df, dim=32).withColumnRenamed("tf_vec", "embedding")
+    q = vecs.filter("doc_id = 1").select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(
+        vecs, q, k=2, vec_col="embedding", id_col="doc_id"
+    ).collect()
+    ordered = [r["doc_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert ordered == [1, 2]  # self first, near-paraphrase second
