@@ -136,6 +136,18 @@ def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
     )
 
 
+def _md5_long(s: Column, i: int) -> Column:
+    """Engine-portable seeded hash: first 8 md5 hex chars of
+    ``s + ':' + i`` as a long — the ``hash_fraction`` recipe, replayable
+    in DuckDB as ``CAST(concat('0x', substring(md5(s || ':' || i), 1,
+    8)) AS BIGINT)``. Slower than the xxhash64 intrinsic (string
+    md5 per (shingle, seed)); use only where cross-engine verification
+    is worth the cycles."""
+    return F.conv(
+        F.substring(F.md5(F.concat(s, F.lit(f":{i}"))), 1, 8), 16, 10
+    ).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -143,6 +155,7 @@ def minhash_signatures(
     *,
     k: int = 3,
     num_perm: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig) — the ``num_perm``-wide MinHash signature per document,
     as one narrow projection + one partial-aggregated groupBy.
@@ -152,7 +165,13 @@ def minhash_signatures(
     interpreted — measured ~2× slower), and map-side partial mins mean
     the shuffle carries one 64-long row per (partition, doc). Shared by
     ``minhash_lsh_pairs`` and the incremental (cross-run) near-dedup
-    store, which must agree bit-for-bit on signatures."""
+    store, which must agree bit-for-bit on signatures.
+
+    ``hash_fn``: ``"xxhash64"`` (default, JVM intrinsic — the fast
+    production path) or ``"md5"`` (portable: a DuckDB oracle replays
+    every signature component exactly; same statistical quality)."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     df = ensure_min_partitions(df)  # small-split inputs must not serialize the hash loop
     exploded = df.select(
         F.col(id_col).alias("id"),
@@ -160,21 +179,34 @@ def minhash_signatures(
     ).select(
         "id", F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("sh")
     )
-    return exploded.groupBy("id").agg(
-        F.array(
-            *[F.min(F.xxhash64("sh", F.lit(i))) for i in range(num_perm)]
-        ).alias("sig")
-    )
+    if hash_fn == "md5":
+        hashes = [F.min(_md5_long(F.col("sh"), i)) for i in range(num_perm)]
+    else:
+        hashes = [F.min(F.xxhash64("sh", F.lit(i))) for i in range(num_perm)]
+    return exploded.groupBy("id").agg(F.array(*hashes).alias("sig"))
 
 
 def band_keys(
-    sig: DataFrame, *, bands: int = 16, num_perm: int = 64
+    sig: DataFrame, *, bands: int = 16, num_perm: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig, band, bucket) — LSH banding over a signature frame:
     each doc explodes to ``bands`` rows keyed by an 8-byte hash of its
     signature slice. ``xxhash64`` hashes the long-array slice directly —
-    no string materialization per band."""
+    no string materialization per band.
+
+    ``portable``: key each band by the EXACT ':'-joined slice string
+    instead of its xxhash64 — collision-free band equality an external
+    SQL engine can reproduce verbatim (wider shuffle key; the oracle
+    path's trade)."""
     rows = num_perm // bands
+
+    def bucket_of(b: Column) -> Column:
+        sl = F.slice("sig", b * rows + 1, rows)
+        if portable:
+            return F.concat_ws(":", F.transform(sl, lambda x: x.cast("string")))
+        return F.xxhash64(sl, b)  # stays an 8-byte shuffle key
+
     return sig.select(
         "id",
         "sig",
@@ -182,10 +214,7 @@ def band_keys(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice("sig", b * rows + 1, rows), b).alias(
-                        "bucket"
-                    ),
+                    b.alias("band"), bucket_of(b).alias("bucket")
                 ),
             )
         ).alias("bb"),
@@ -215,6 +244,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) with estimated Jaccard ≥
     threshold. Estimate = fraction of matching minhash components
@@ -223,12 +253,19 @@ def minhash_lsh_pairs(
     Plan: narrow signature projection → explode to ``bands`` rows/doc →
     shuffle on (band, bandhash) → within-bucket self-join → distinct pair
     verification on full signatures.
+
+    ``hash_fn="md5"`` switches signatures AND band keys to the
+    engine-portable forms (``minhash_signatures``/``band_keys``
+    docstrings) so the whole LSH pipeline — candidate generation
+    included — is replayable by a DuckDB oracle.
     """
     # computed once, read by both self-join sides + the bucket-size guard
     sig = minhash_signatures(
-        df, text_col, id_col, k=k, num_perm=num_perm
+        df, text_col, id_col, k=k, num_perm=num_perm, hash_fn=hash_fn
     ).persist()
-    banded = band_keys(sig, bands=bands, num_perm=num_perm)
+    banded = band_keys(
+        sig, bands=bands, num_perm=num_perm, portable=hash_fn == "md5"
+    )
 
     # degenerate-bucket guard: identical-corpus buckets would be quadratic
     bucket_sizes = banded.groupBy("band", "bucket").count()

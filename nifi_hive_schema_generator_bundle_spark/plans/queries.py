@@ -845,6 +845,73 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
 
 
+@register_query(
+    "minhash_near_dup_portable",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' ')))
+               END AS shingles
+        FROM toks
+    ), mh AS (
+        SELECT doc_id, r.i AS i,
+               min(CAST(concat('0x', substring(md5(u.sh || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT)) AS h
+        FROM sh, LATERAL unnest(shingles) AS u(sh)
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS i) r
+        GROUP BY doc_id, r.i
+    ), sigs AS (
+        SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id
+    ), bandx AS (
+        SELECT doc_id, b.b AS band,
+               array_to_string(sig[CAST(b.b*4+1 AS INT):CAST(b.b*4+4 AS INT)], ':') AS bucket
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bandx x JOIN bandx y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_filter(
+               list_transform(generate_series(1, 16),
+                   i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END),
+               v -> v = 1)) / 16.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE len(list_filter(
+               list_transform(generate_series(1, 16),
+                   i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END),
+               v -> v = 1)) / 16.0 >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def minhash_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME MinHash-LSH pipeline as minhash_near_dup but with the
+    engine-portable md5 hash family and exact-slice band keys
+    (hash_fn='md5'), so the ENTIRE near-dup path — shingling, seeded
+    min-hashing, banding, candidate generation, signature-agreement
+    verification — is hash-verified against a DuckDB replay. This is
+    the oracle twin the xxhash64 production path (kept for speed, same
+    code shape) cannot have; 16 perms × 4 bands keeps the SQL replay
+    tractable while exercising every moving part."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, num_perm=16, bands=4, threshold=0.5,
+        max_bucket=10**9, hash_fn="md5",
+    ).orderBy("id_a", "id_b")
+
+
 @register_query("simhash_near_dup")
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming ≤ 3."""
