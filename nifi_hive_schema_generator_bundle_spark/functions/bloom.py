@@ -90,8 +90,11 @@ def bloom_might_contain(
     key: Column, bloom: Column, *, n_bits: int, n_hashes: int
 ) -> Column:
     """True iff every probe bit of ``key`` is set in ``bloom`` — false
-    means DEFINITELY absent from the built key set. A per-row JVM fold;
-    NULL keys probe to NULL."""
+    means DEFINITELY absent from the built key set. A per-row JVM fold.
+    NULL keys still produce a boolean (``xxhash64`` skips null inputs
+    and hashes the seed alone), so callers with SQL-null join semantics
+    must guard nulls themselves — ``bloom_prefiltered_anti_join`` routes
+    them to the certain-new side explicitly."""
     return F.forall(
         _coords(key, n_hashes, n_bits),
         lambda c: (

@@ -1624,13 +1624,17 @@ def infer_roundtrip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(generate_series(0, 31),
                    i -> coalesce(cs[list_position(ks, CAST(i AS INT))], 0.0)) AS v
         FROM documents d LEFT JOIN packed USING (doc_id)
+    ), unit AS (
+        SELECT doc_id,
+               CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) > 0
+                    THEN list_transform(v,
+                         x -> round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6))
+                    ELSE v END AS tf_vec
+        FROM vec
     )
-    SELECT doc_id,
-           CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) > 0
-                THEN list_transform(v,
-                     x -> round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6))
-                ELSE v END AS tf_vec
-    FROM vec ORDER BY doc_id
+    SELECT doc_id, CAST(g.i - 1 AS INT) AS dim_idx, tf_vec[CAST(g.i AS INT)] AS weight
+    FROM unit CROSS JOIN LATERAL unnest(generate_series(1, 32)) AS g(i)
+    ORDER BY doc_id, dim_idx
     """,
 )
 def doc_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1640,11 +1644,18 @@ def doc_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means / SemDeDup directly and needs no vocabulary table. The md5
     bucketing (not engine-native hash) makes every coordinate
     DuckDB-replayable; empty docs keep the zero vector. Shuffle carries
-    (id, bucket, count) triples only."""
+    (id, bucket, count) triples only. The gate emits the posexploded
+    (doc_id, dim_idx, weight) view so every hashed value is a scalar
+    DOUBLE (array-typed outputs are outside the pinned driver-hash-safe
+    type set); the array form is what the operator returns."""
     from ..operators.text import hashed_tf_vectors
 
     d = load_table(spark, sf_dir, "documents")
-    return hashed_tf_vectors(d, dim=32).orderBy("doc_id")
+    return (
+        hashed_tf_vectors(d, dim=32)
+        .select("doc_id", F.posexplode("tf_vec").alias("dim_idx", "weight"))
+        .orderBy("doc_id", "dim_idx")
+    )
 
 
 @register_query(
