@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "embedding_outlier_scores",
     "orders_quality_report",
     "curation_pipeline_v2",
+    "curation_pipeline_v3",
     "part_communities",
     "doc_shuffle_shards",
 ]

@@ -5750,6 +5750,99 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "curation_pipeline_v3",
+    oracle=r"""
+    WITH scrub AS (
+        SELECT doc_id, lang,
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]+', '<NUMBER>', 'g') AS text
+        FROM documents
+    ), ref AS (
+        SELECT DISTINCT md5(text) AS key FROM scrub WHERE doc_id % 5 = 0
+    ), kept AS (
+        SELECT b.doc_id, b.lang, b.text
+        FROM (SELECT *, md5(text) AS key FROM scrub) b
+        ANTI JOIN ref r ON b.key = r.key
+    ), long_docs AS (
+        SELECT doc_id, lang FROM kept
+        WHERE len(list_filter(
+                string_split_regex(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+                x -> x <> '')) >= 20
+    ), up AS (
+        SELECT doc_id, lang, CAST(g.c AS INT) AS copy_no
+        FROM (
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 2.0
+                             WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 1.5
+                             ELSE 0.0 END AS fac,
+                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 8)) AS BIGINT)
+                     / 4294967296.0 AS u
+            FROM long_docs
+        ) f CROSS JOIN LATERAL unnest(range(
+            CAST(floor(fac) AS BIGINT)
+            + CASE WHEN u < fac - floor(fac) THEN 1 ELSE 0 END)) AS g(c)
+    ), keyed AS (
+        SELECT doc_id, lang, copy_no,
+               CAST(doc_id AS VARCHAR) || '#' || CAST(copy_no AS VARCHAR) AS ck
+        FROM up
+    )
+    SELECT doc_id, lang, copy_no,
+           CAST(CAST(concat('0x', substring(md5('ep1' || ck), 1, 8)) AS BIGINT) % 4 AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY CAST(concat('0x', substring(md5('ep1' || ck), 1, 8)) AS BIGINT) % 4
+               ORDER BY md5('ep1' || ck), ck
+           ) AS INT) AS shard_pos
+    FROM keyed ORDER BY doc_id, copy_no
+    """,
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation with the round-4c operator set — PII scrub
+    (email + number presets) → Bloom-prefiltered incremental dedup
+    against the already-ingested slice (doc_id % 5 = 0 plays the
+    reference corpus; definitely-new rows bypass the anti-join) →
+    min-length gate (≥ 20 ws tokens) → fractional epoch upsampling per
+    language (en 1.0 / de 2.0 / fr 0.5 / zh 1.5, es dropped) →
+    deterministic shuffle-sharding of the (doc, copy) stream for the
+    dataloader. The whole chain is oracle-replayed exactly — including
+    the bloom stage, whose OUTPUT is pure anti-join semantics however
+    the filter routes rows. Sibling of `training_prep_pipeline` (v1,
+    dedup-centric) and `curation_pipeline_v2` (classifier-centric)."""
+    from ..functions.bloom import bloom_prefiltered_anti_join
+    from ..functions.sampling import epoch_upsample, shuffle_shards
+    from ..functions.textfns import redact, whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrub = docs.select(
+        "doc_id", "lang", redact(F.col("text"), ["email", "number"]).alias("text")
+    )
+    ref = scrub.filter(F.col("doc_id") % 5 == 0).select(
+        F.md5("text").alias("key")
+    )
+    batch = scrub.withColumn("key", F.md5("text"))
+    kept = bloom_prefiltered_anti_join(batch, ref, "key")
+    long_docs = kept.filter(
+        F.size(whitespace_tokens(F.col("text"))) >= 20
+    ).select("doc_id", "lang")
+    up = epoch_upsample(
+        long_docs, "lang",
+        {"en": 1.0, "de": 2.0, "fr": 0.5, "zh": 1.5},
+        key="doc_id",
+    )
+    keyed = up.withColumn(
+        "ck",
+        F.concat(F.col("doc_id").cast("string"), F.lit("#"),
+                 F.col("copy_no").cast("string")),
+    )
+    return (
+        shuffle_shards(keyed, "ck", n_shards=4, seed="ep1")
+        .select("doc_id", "lang", "copy_no", "shard", "shard_pos")
+        .orderBy("doc_id", "copy_no")
+    )
+
+
+@register_query(
     "curation_pipeline_v2",
     oracle=rf"""
     WITH tk AS (

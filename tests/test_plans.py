@@ -244,6 +244,8 @@ BNLJ_ALLOWED = {
     "part_supplier_pagerank",
     # 1-row Bloom-filter broadcast (the array<long> row every probe reads)
     "doc_bloom_incremental",
+    # composes the bloom stage above — same 1-row filter broadcast
+    "curation_pipeline_v3",
     # queries × centroid-table quantizer scoring, same bounded class as
     # ivf_ann_topk (the postings join itself is equi + partition-pruned)
     "ivf_index_search",
