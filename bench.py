@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "doc_bloom_incremental",
     "minhash_near_dup",
     "minhash_near_dup_portable",
+    "simhash_near_dup_portable",
     "simhash_near_dup",
     "ann_cosine_topk",
     "token_stats_docs",

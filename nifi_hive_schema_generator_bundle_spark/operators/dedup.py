@@ -41,6 +41,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_pairs",
+    "simhash_bits_portable",
+    "simhash_pairs_portable",
     "embedding_near_dup_pairs",
     "connected_components",
     "dedup_keep_min",
@@ -466,6 +468,111 @@ def simhash(text: Column) -> Column:
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_bits_portable(text: Column) -> Column:
+    """64 SimHash sign bits as ``array<int>`` using md5-derived feature
+    hashes — the engine-portable twin of ``simhash``: one md5 per
+    DISTINCT token (materialized first, so the fold never recomputes
+    it per bit — the HOF-inlining trap), bit b of a token = bit (b%4)
+    of hex digit (b/4), votes summed across the token set, sign bits
+    kept as a list instead of packed into a long (bit 63 would need
+    Long.MIN gymnastics in a SQL replay; slices of a bit list band
+    directly)."""
+    hashes = F.transform(
+        F.array_distinct(whitespace_tokens(F.lower(text))), F.md5
+    )
+    seq = F.sequence(F.lit(0), F.lit(63))
+
+    def vote(h: Column, b: Column) -> Column:
+        digit = F.conv(
+            F.substring(h, ((b - F.pmod(b, 4)) / 4).cast("int") + 1, 1), 16, 10
+        ).cast("int")
+        bit = F.call_function(
+            "shiftright", digit, F.pmod(b, 4).cast("int")
+        ).bitwiseAND(F.lit(1))
+        return bit * 2 - 1
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc, F.transform(seq, lambda b: vote(h, b)), lambda a, v: a + v
+        ),
+    )
+    return F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """``simhash_pairs`` on the portable bit-list signature: same
+    4-chunk pigeonhole banding (complete for Hamming ≤ 3), buckets
+    keyed by the literal 16-bit slice string, Hamming distance = count
+    of differing list positions — every stage replayable by a DuckDB
+    oracle (the gate's ``simhash_near_dup_portable``). The packed-long
+    xxhash64 path stays the production default."""
+    df = ensure_min_partitions(df)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash_bits_portable(F.col(text_col)).alias("bits"),
+    )
+    chunked = sh.select(
+        "id",
+        "bits",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.slice("bits", c * 16 + 1, 16),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("val"),
+                ),
+            )
+        ).alias("cc"),
+    ).select("id", "bits", "cc.chunk", "cc.val")
+    bucket_sizes = chunked.groupBy("chunk", "val").count()
+    chunked = chunked.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
+        ["chunk", "val"],
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.bits").alias("bits_a"),
+            F.col("b.bits").alias("bits_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                "bits_a", "bits_b", lambda x, y: (x != y).cast("int")
+            ),
+            lambda v: v == 1,
+        )
+    )
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )
 
 

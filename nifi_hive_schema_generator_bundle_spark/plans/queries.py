@@ -921,6 +921,64 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
 
 
+@register_query(
+    "simhash_near_dup_portable",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '')) AS t
+        FROM documents
+    ), votes AS (
+        SELECT doc_id, r.b AS b,
+               sum(2 * ((CAST(concat('0x', substring(md5(u.tok), CAST((r.b - r.b % 4) / 4 AS INT) + 1, 1)) AS INT)
+                         >> CAST(r.b % 4 AS INT)) & 1) - 1) AS v
+        FROM toks, LATERAL unnest(t) AS u(tok)
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
+        GROUP BY doc_id, r.b
+    ), sigs AS (
+        SELECT doc_id,
+               list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+        FROM votes GROUP BY doc_id
+    ), chunked AS (
+        SELECT doc_id, bits, c.c AS chunk,
+               array_to_string(bits[CAST(c.c*16+1 AS INT):CAST(c.c*16+16 AS INT)], '') AS val
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM chunked x JOIN chunked y
+          ON x.chunk = y.chunk AND x.val = y.val AND x.doc_id < y.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_filter(
+               list_transform(generate_series(1, 64),
+                   i -> CASE WHEN sa.bits[CAST(i AS INT)] <> sb.bits[CAST(i AS INT)] THEN 1 ELSE 0 END),
+               v -> v = 1)) AS INT) AS hamming
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE len(list_filter(
+               list_transform(generate_series(1, 64),
+                   i -> CASE WHEN sa.bits[CAST(i AS INT)] <> sb.bits[CAST(i AS INT)] THEN 1 ELSE 0 END),
+               v -> v = 1)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def simhash_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME SimHash pipeline as simhash_near_dup but on the
+    md5-derived bit-list signature (operators/dedup.simhash_pairs_
+    portable), so distinct-token voting, sign bits, 4-chunk pigeonhole
+    banding, candidate generation, and Hamming verification are ALL
+    hash-verified against a DuckDB replay — completing the near-dup
+    family's oracle story next to minhash_near_dup_portable. The
+    packed-long xxhash64 path stays the production default."""
+    from ..operators.dedup import simhash_pairs_portable
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs_portable(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
 @register_query("near_dedup_docs")
 def near_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dedup pipeline: LSH candidates → Jaccard verify ≥ 0.8 →

@@ -329,3 +329,52 @@ def test_paragraph_dedup_winner_election_shuffles_keys_only(spark):
     )
     plan = paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "md5" in plan and "row_number" in plan
+
+
+def test_simhash_portable_planted_dups_and_model(spark):
+    """The md5 bit-list variant: planted dups found, and the signature
+    matches a pure-Python model of the same bit derivation."""
+    import hashlib
+
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        simhash_bits_portable,
+        simhash_pairs_portable,
+    )
+    from pyspark.sql import functions as F
+
+    base = [f"tok{i}" for i in range(200)]
+    near = list(base)
+    near[100] = "flipped"
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(base)),
+        (3, "  " + " ".join(base).upper() + " "),
+        (4, " ".join(near)),
+        (5, " ".join(f"other{i}" for i in range(200))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs_portable(df, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 0
+    assert got[(1, 4)] <= 3 and (1, 4) in got
+    assert (1, 5) not in got
+
+    def model_bits(text):
+        toks = sorted(set(text.lower().split()))
+        votes = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for b in range(64):
+                bit = (int(h[b // 4], 16) >> (b % 4)) & 1
+                votes[b] += 2 * bit - 1
+        return [1 if v > 0 else 0 for v in votes]
+
+    spark_bits = (
+        df.filter("doc_id = 1")
+        .select(simhash_bits_portable(F.col("text")).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert spark_bits == model_bits(rows[0][1])
