@@ -939,44 +939,51 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, r.b
     ), sigs AS (
         SELECT doc_id,
-               list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+               CAST(sum(CASE WHEN v > 0 AND b < 32  THEN 1::BIGINT << CAST(b AS INT)        ELSE 0 END) AS BIGINT) AS lo,
+               CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN 1::BIGINT << CAST(b - 32 AS INT)   ELSE 0 END) AS BIGINT) AS hi
         FROM votes GROUP BY doc_id
     ), chunked AS (
-        SELECT doc_id, bits, c.c AS chunk,
-               array_to_string(bits[CAST(c.c*16+1 AS INT):CAST(c.c*16+16 AS INT)], '') AS val
+        SELECT doc_id, lo, hi, c.c AS chunk,
+               CASE c.c WHEN 0 THEN lo & 65535
+                        WHEN 1 THEN (lo >> 16) & 65535
+                        WHEN 2 THEN hi & 65535
+                        ELSE (hi >> 16) & 65535 END AS val
         FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c
+    ), sized AS (
+        SELECT chunk, val FROM chunked
+        GROUP BY chunk, val HAVING count(*) <= 1000
     ), cand AS (
         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM chunked x JOIN chunked y
+        FROM (SELECT c.* FROM chunked c JOIN sized USING (chunk, val)) x
+        JOIN (SELECT c.* FROM chunked c JOIN sized USING (chunk, val)) y
           ON x.chunk = y.chunk AND x.val = y.val AND x.doc_id < y.doc_id
     )
     SELECT c.id_a, c.id_b,
-           CAST(len(list_filter(
-               list_transform(generate_series(1, 64),
-                   i -> CASE WHEN sa.bits[CAST(i AS INT)] <> sb.bits[CAST(i AS INT)] THEN 1 ELSE 0 END),
-               v -> v = 1)) AS INT) AS hamming
+           CAST(bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) AS INT) AS hamming
     FROM cand c
     JOIN sigs sa ON sa.doc_id = c.id_a
     JOIN sigs sb ON sb.doc_id = c.id_b
-    WHERE len(list_filter(
-               list_transform(generate_series(1, 64),
-                   i -> CASE WHEN sa.bits[CAST(i AS INT)] <> sb.bits[CAST(i AS INT)] THEN 1 ELSE 0 END),
-               v -> v = 1)) <= 3
+    WHERE bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) <= 3
     ORDER BY id_a, id_b
     """,
 )
 def simhash_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME SimHash pipeline as simhash_near_dup but on the
-    md5-derived bit-list signature (operators/dedup.simhash_pairs_
-    portable), so distinct-token voting, sign bits, 4-chunk pigeonhole
-    banding, candidate generation, and Hamming verification are ALL
-    hash-verified against a DuckDB replay — completing the near-dup
-    family's oracle story next to minhash_near_dup_portable. The
-    packed-long xxhash64 path stays the production default."""
+    md5-derived two-int-packed signature (operators/dedup.
+    simhash_pairs_portable), so distinct-token voting, sign bits,
+    4-chunk pigeonhole banding, the degenerate-bucket cap, candidate
+    generation, and Hamming verification are ALL hash-verified against
+    a DuckDB replay — completing the near-dup family's oracle story
+    next to minhash_near_dup_portable. The xxhash64 packed-long path
+    stays the production default. Unlike the portable minhash gate,
+    the oracle DOES model the max_bucket=1000 cap (a plain HAVING), so
+    the production guard stays on."""
     from ..operators.dedup import simhash_pairs_portable
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs_portable(d, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_pairs_portable(
+        d, max_hamming=3, max_bucket=1000
+    ).orderBy("id_a", "id_b")
 
 
 @register_query("near_dedup_docs")
