@@ -54,28 +54,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # code. Rows-only entries (no SQL oracle) sort last; everything stays in the
 # registry and the local sf0.01 oracle gate still runs all of it.
 DRIVER_PRIORITY = [
-    # 47 never-driver-verified entries (absent from CORRECTNESS_r01-r03) +
-    # 3 canaries. The 62-entry never-verified pool exceeds the 50-slot cap;
-    # the 15 omitted are the ones with a structurally identical already-
-    # verified sibling (e.g. doc_chunks ~ doc_cdc_chunks, spend_deciles ~
-    # balance_percentiles, grouping_sets ~ verified rollup/cube).
+    # 48 never-driver-verified entries (absent from CORRECTNESS_r01-r03) +
+    # 2 canaries. The 70-entry never-verified pool exceeds the 50-slot cap;
+    # the omissions are the ones with a structurally identical sibling either
+    # already verified or still in this list (e.g. doc_chunks ~ doc_cdc_chunks,
+    # spend_deciles ~ balance_percentiles ~ verified topk windows,
+    # q12/q15 ~ verified q4/q14/q11, langs_except_all ~ langs_intersect_all,
+    # moving_avg frame ~ verified lag/sessionize, exact_stratified ~ verified
+    # holdout/mixture + weighted_sample here, partition_completeness ~
+    # orders_quality_report here).
     # --- never driver-verified: TPC-H remainder ---
     "q7_nation_volume",
     "q9_profit_by_nation_year",
     "q11_top_value_parts",
-    "q12_late_shipment_priority",
-    "q15_top_supplier",
     "q16_supplier_counts",
     "q17_small_quantity_revenue",
     "q20_heavy_suppliers",
     # --- never driver-verified: windows / time series ---
-    "daily_revenue_moving_avg",
-    "customer_balance_percentiles",
     "returnflag_quantity_median",
     "events_cohort_retention",
     "user_decayed_value",
-    # --- never driver-verified: set ops ---
-    "doc_langs_except_all",
     # --- never driver-verified: text / dedup / prep ---
     "doc_paragraph_dedup",
     "doc_bpe_token_count",
@@ -84,7 +82,6 @@ DRIVER_PRIORITY = [
     "doc_bm25_scores",
     "doc_duplicate_clusters",
     "doc_near_dedup_exact",
-    "doc_exact_stratified_sample",
     "doc_semantic_dedup",
     # --- never driver-verified: graph ---
     "part_supplier_pagerank",
@@ -111,12 +108,19 @@ DRIVER_PRIORITY = [
     "doc_shuffle_shards",
     "curation_pipeline_v2",
     "orders_quality_report",
-    "events_partition_completeness",
     "orders_incremental_rollup",
+    # --- round-4c additions (never driver-verified, newest code = top risk) ---
+    "customers_pii_scrub",
+    "doc_bloom_incremental",
+    "doc_epoch_upsample",
+    "doc_hashed_tf_vectors",
+    "events_variant_extract",
+    "minhash_near_dup_portable",
+    "simhash_near_dup_portable",
+    "curation_pipeline_v3",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",
-    "doc_decontamination",
 ]
 
 
