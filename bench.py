@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "curation_pipeline_v3",
     "part_communities",
     "doc_shuffle_shards",
+    "doc_clean_text",
+    "events_daily_gap_fill",
 ]
 
 

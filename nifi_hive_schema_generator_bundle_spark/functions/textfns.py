@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "normalize_ws",
+    "clean_text",
+    "CLEAN_CHARS_RE",
     "whitespace_tokens",
     "bpe_ish_tokens",
     "BPE_ISH_TOKEN_RE",
@@ -28,6 +30,29 @@ def normalize_ws(c: Column | str) -> Column:
     """Trim + collapse internal whitespace to single spaces."""
     c = F.col(c) if isinstance(c, str) else c
     return F.regexp_replace(F.trim(c), r"\s+", " ")
+
+
+# The C4/CCNet-style cleanup class: C0 controls (minus \t\n\r, which are
+# whitespace and belong to the collapse step), DEL, and the zero-width
+# family (ZWSP/ZWNJ/ZWJ/word-joiner/BOM) that survives naive scraping.
+# Spelled with \x{...} escapes — the one hex-class syntax Java regex and
+# RE2 share — so the duckdb oracle replays the pattern verbatim.
+CLEAN_CHARS_RE = (
+    r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}"
+    r"\x{200B}-\x{200D}\x{2060}\x{FEFF}]"
+)
+
+
+def clean_text(c: Column | str) -> Column:
+    """Scraped-text cleanup: strip control + zero-width characters,
+    collapse whitespace runs to single spaces, then trim. Collapse runs
+    BEFORE trim (unlike ``normalize_ws``) so leading/trailing tabs and
+    newlines — which trim() alone leaves behind — reduce to one space
+    and then vanish. One narrow projection — two regexp_replace passes,
+    no shuffle, codegen'd."""
+    c = F.col(c) if isinstance(c, str) else c
+    stripped = F.regexp_replace(c, CLEAN_CHARS_RE, "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
 
 
 def whitespace_tokens(c: Column | str) -> Column:

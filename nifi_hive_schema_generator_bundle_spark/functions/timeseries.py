@@ -15,7 +15,7 @@ rounding (handled by round(), like every other float oracle here).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -24,6 +24,8 @@ __all__ = [
     "trailing_zscore",
     "daily_distinct_sketches",
     "rolling_distinct_count_approx",
+    "forward_fill",
+    "daily_spine_fill",
 ]
 
 
@@ -140,6 +142,73 @@ def rolling_distinct_count(
         .agg(F.count_distinct("__key").alias(out_col))
         .select(F.col("__report_day").alias("day"), out_col)
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    key_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Last-observation-carried-forward per key: every null in ``cols``
+    takes the latest non-null value at or before this row's
+    ``order_col`` within its key group (leading nulls stay null).
+
+    One window = one shuffle on the key; all fills ride the same
+    Exchange+Sort. Keys are the partition unit, so this scales to any
+    number of series; a single series with billions of rows is the
+    degenerate case (same as any per-key window — split such series
+    upstream).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def daily_spine_fill(
+    df: DataFrame,
+    *,
+    key_col: str,
+    day_col: str,
+    count_cols: list[str] | None = None,
+    ffill_cols: list[str] | None = None,
+) -> DataFrame:
+    """Regularize a sparse per-(key, day) table onto a dense daily spine:
+    each key gets one row for EVERY calendar day between its own first
+    and last observed day. ``count_cols`` gap-fill with 0 (additive
+    measures), ``ffill_cols`` carry the last observed value forward
+    (state-like measures). The standard pre-step for window features,
+    anomaly baselines, and chart-ready exports, where "no row" must
+    become an explicit zero/carried value instead of a silent hole.
+
+    Plan: one per-key min/max aggregate (partial-agg shuffle on the
+    key), spine = ``sequence(first, last)`` exploded — row growth is
+    exactly the output size — then a (key, day) left join back and one
+    per-key window for the forward-fill. Input rows are assumed already
+    collapsed to one per (key, day) (it composes after a daily rollup);
+    nothing here scans raw events.
+    """
+    spans = df.groupBy(key_col).agg(
+        F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1")
+    )
+    spine = spans.select(
+        key_col, F.explode(F.sequence("__d0", "__d1")).alias(day_col)
+    )
+    out = spine.join(df, [key_col, day_col], "left")
+    for c in count_cols or []:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    if ffill_cols:
+        out = forward_fill(
+            out, list(ffill_cols), key_cols=[key_col], order_col=day_col
+        )
+    return out
 
 
 def trailing_zscore(

@@ -6181,3 +6181,110 @@ def orders_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         (F.col("sum_o_totalprice") * 100).cast("long").alias("total_cents"),
     ).orderBy("o_custkey")
+
+
+@register_query(
+    "doc_clean_text",
+    oracle=r"""
+    WITH dirty AS (
+        SELECT doc_id,
+               ' ' || chr(9) || text || chr(8203) || chr(7) || '  ' AS raw
+        FROM documents
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(raw,
+                       '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}\x{200B}-\x{200D}\x{2060}\x{FEFF}]',
+                       '', 'g'),
+                   '\s+', ' ', 'g')) AS clean
+        FROM dirty
+    )
+    SELECT doc_id, length(clean) AS n_chars, md5(clean) AS content_md5
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def doc_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scraped-text cleanup (functions/textfns.clean_text): strip C0
+    controls + DEL + zero-width characters, trim, collapse whitespace —
+    the C4/CCNet normalization pass that precedes tokenization and
+    fingerprinting. The gate injects deterministic junk (tab/ZWSP/BEL
+    padding, replayed verbatim by the oracle via chr()) around the real
+    corpus text so the cleanup provably fires on every row. One narrow
+    codegen'd projection — two regexp passes, no shuffle, no UDF; at
+    100 TB this is scan-bound, exactly like the quality-score pass."""
+    from ..functions.textfns import clean_text
+
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit(" \t"), F.col("text"), F.lit("\u200b\u0007  "))
+    return d.select(
+        "doc_id",
+        F.length(clean_text(dirty)).alias("n_chars"),
+        F.md5(clean_text(dirty)).alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+@register_query(
+    "events_daily_gap_fill",
+    oracle="""
+    WITH f AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, value
+        FROM events WHERE value >= 200
+    ),
+    d AS (
+        SELECT event_type, day, count(*) AS n, max(value) AS peak
+        FROM f GROUP BY event_type, day
+    ),
+    s AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM d GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM s
+    ),
+    j AS (
+        SELECT sp.event_type, sp.day, coalesce(d.n, 0) AS n, d.peak
+        FROM spine sp LEFT JOIN d USING (event_type, day)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           round(LAST_VALUE(peak IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2
+           ) AS last_peak
+    FROM j ORDER BY event_type, day
+    """,
+)
+def events_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-spine regularization + forward fill
+    (functions/timeseries.daily_spine_fill): rare high-value events are
+    rolled up per (type, day), then every type gets one row per calendar
+    day between its own first and last observation — missing days become
+    an explicit count 0, and the daily peak value is carried forward
+    (LOCF). The standard pre-step before window features / anomaly
+    baselines, where "no row" must not silently mean "no day". Plan: one
+    per-key min/max partial agg, sequence() explode sized exactly to the
+    output, (key, day) left join, one per-key window — all shuffles on
+    the series key, raw events scanned once."""
+    from ..functions.timeseries import daily_spine_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value") >= 200)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"), F.max("value").alias("peak"))
+    )
+    filled = daily_spine_fill(
+        daily,
+        key_col="event_type",
+        day_col="day",
+        count_cols=["n"],
+        ffill_cols=["peak"],
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round("peak", 2).alias("last_peak"),
+    ).orderBy("event_type", "day")
