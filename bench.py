@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "doc_shuffle_shards",
     "doc_clean_text",
     "events_daily_gap_fill",
+    "customer_balance_imputed",
 ]
 
 

@@ -6288,3 +6288,61 @@ def events_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("peak", 2).alias("last_peak"),
     ).orderBy("event_type", "day")
+
+
+@register_query(
+    "customer_balance_imputed",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN CAST(concat('0x', substring(
+                        md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                        / 4294967296.0 < 0.25
+                    THEN NULL ELSE c_acctbal END AS bal
+        FROM customer
+    ),
+    s AS (
+        SELECT c_nationkey,
+               sum(CAST(bal AS DECIMAL(30,6))) AS sm, count(bal) AS n
+        FROM base GROUP BY c_nationkey
+    ),
+    g AS (
+        SELECT sum(CAST(bal AS DECIMAL(30,6))) AS sm, count(bal) AS n
+        FROM base
+    )
+    SELECT b.c_custkey,
+           (b.bal IS NULL) AS was_null,
+           round(coalesce(b.bal,
+               CASE WHEN s.n > 0 THEN round(CAST(s.sm AS DOUBLE) / s.n, 6)
+                    ELSE round(CAST(g.sm AS DOUBLE) / g.n, 6) END), 6
+           ) AS bal_filled
+    FROM base b LEFT JOIN s USING (c_nationkey) CROSS JOIN g
+    ORDER BY b.c_custkey
+    """,
+)
+def customer_balance_imputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean imputation (operators/impute.impute_mean): account
+    balances are deterministically nulled for ~25% of customers (md5
+    keep-fraction, replayed verbatim by the oracle) and refilled with
+    their nation's mean balance — DECIMAL-exact accumulation, one float
+    division + round at the end, so the fill is bit-for-bit
+    cross-engine. The was_null flag preserves the missingness signal.
+    Plan: one group-sized aggregate broadcast back onto the facts — the
+    fact table never shuffles (the floor for any group-keyed fill)."""
+    from ..functions.sampling import hash_fraction
+    from ..operators.impute import impute_mean
+
+    c = load_table(spark, sf_dir, "customer")
+    holed = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(hash_fraction("c_custkey") < 0.25, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    filled = impute_mean(holed, ["bal"], group_cols=["c_nationkey"])
+    return filled.select(
+        "c_custkey",
+        F.col("bal_was_null").alias("was_null"),
+        F.round("bal", 6).alias("bal_filled"),
+    ).orderBy("c_custkey")

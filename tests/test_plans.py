@@ -226,6 +226,9 @@ BNLJ_ALLOWED = {
     # 1-row scalar broadcast: the distance distribution's (mean, std)
     # joins every row, same class as q22's avg-balance scalar
     "embedding_outlier_scores",
+    # 1-row scalar broadcast: the GLOBAL mean fallback (for groups that
+    # are entirely null) rides the plan as one row, same class as q22
+    "customer_balance_imputed",
     # gap-interval join between two DAY-COUNT tables (calendar anti-join
     # output x observed days) — bounded by calendar length, never rows
     "events_partition_completeness",
