@@ -290,6 +290,57 @@ def cmd_scrub(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .functions.textfns import clean_text
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    out = df.withColumn(args.text_col, clean_text(args.text_col))
+    convert(out, args.output, args.fmt, mode="overwrite")
+    changed = (
+        df.select(
+            F.sum(
+                (F.col(args.text_col) != clean_text(args.text_col)).cast("int")
+            ).alias("n")
+        ).collect()[0]["n"]
+        or 0
+    )
+    print(f"cleaned {args.output} ({changed} rows changed)", file=sys.stderr)
+    return 0
+
+
+def cmd_impute(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators.impute import impute_mean, impute_mode
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+    gcols = (
+        [c.strip() for c in args.group_cols.split(",") if c.strip()]
+        if args.group_cols
+        else None
+    )
+    if args.strategy == "mean":
+        out = impute_mean(df, cols, group_cols=gcols)
+    else:
+        out = df
+        for c in cols:
+            out = impute_mode(out, c, group_cols=gcols)
+    convert(out, args.output, args.fmt, mode="overwrite")
+    filled = out.agg(
+        *[F.sum(F.col(c + "_was_null").cast("int")).alias(c) for c in cols]
+    ).collect()[0]
+    stats = ", ".join(f"{c}={filled[c] or 0}" for c in cols)
+    print(f"imputed {args.output} ({stats} filled)", file=sys.stderr)
+    return 0
+
+
 def cmd_bpe_train(args) -> int:
     from .functions.bpe import bpe_train
     from .sources.formats import read_any
@@ -723,6 +774,24 @@ def main(argv: list[str] | None = None) -> int:
     psc.add_argument("--kinds", default="email,url,phone,ip",
                      help="comma-separated pattern kinds, applied in order")
     psc.set_defaults(fn=cmd_scrub)
+
+    pcl = sub.add_parser("clean", help="scraped-text cleanup (controls/zero-width/whitespace)")
+    pcl.add_argument("input")
+    pcl.add_argument("output")
+    pcl.add_argument("--fmt", default="parquet")
+    pcl.add_argument("--text-col", default="text")
+    pcl.set_defaults(fn=cmd_clean)
+
+    pim = sub.add_parser("impute", help="fill nulls with per-group mean/mode")
+    pim.add_argument("input")
+    pim.add_argument("output")
+    pim.add_argument("--fmt", default="parquet")
+    pim.add_argument("--cols", required=True,
+                     help="comma-separated columns to fill")
+    pim.add_argument("--group-cols", default=None,
+                     help="comma-separated group keys (default: global)")
+    pim.add_argument("--strategy", choices=["mean", "mode"], default="mean")
+    pim.set_defaults(fn=cmd_impute)
 
     pbt = sub.add_parser("bpe-train", help="learn a BPE merge table from a corpus")
     pbt.add_argument("input")

@@ -480,3 +480,47 @@ def test_cli_upsample_repeats_rows(spark, tmp_path, capsys):
     out = spark.read.parquet(out_path)
     assert out.count() == 20
     assert sorted(r["copy_no"] for r in out.filter("doc_id = 3").collect()) == [0, 1]
+
+
+def test_cli_clean_normalizes_text(spark, tmp_path, capsys):
+    data = str(tmp_path / "dirty.parquet")
+    spark.createDataFrame(
+        [(1, "\t a\x00b  c \n"), (2, "already clean")],
+        "doc_id long, text string",
+    ).write.parquet(data)
+    out_path = str(tmp_path / "cleaned")
+    rc = main(["clean", data, out_path])
+    assert rc == 0
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_path).collect()}
+    assert rows[1] == "ab c"
+    assert rows[2] == "already clean"
+    assert "1 rows changed" in capsys.readouterr().err
+
+
+def test_cli_impute_mean_fills_and_reports(spark, tmp_path, capsys):
+    data = str(tmp_path / "holes.parquet")
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 20.0)],
+        "g string, id int, v double",
+    ).write.parquet(data)
+    out_path = str(tmp_path / "filled")
+    rc = main(["impute", data, out_path, "--cols", "v", "--group-cols", "g"])
+    assert rc == 0
+    rows = {r["id"]: (r["v"], r["v_was_null"]) for r in spark.read.parquet(out_path).collect()}
+    assert rows[2] == (15.0, True)
+    assert rows[1] == (10.0, False)
+    assert "v=1 filled" in capsys.readouterr().err
+
+
+def test_cli_impute_mode_categorical(spark, tmp_path):
+    data = str(tmp_path / "cat.parquet")
+    spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "x"), ("a", 3, None)],
+        "g string, id int, v string",
+    ).write.parquet(data)
+    out_path = str(tmp_path / "modefilled")
+    rc = main(["impute", data, out_path, "--cols", "v", "--group-cols", "g",
+               "--strategy", "mode"])
+    assert rc == 0
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(out_path).collect()}
+    assert rows[3] == "x"
