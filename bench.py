@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "doc_clean_text",
     "events_daily_gap_fill",
     "customer_balance_imputed",
+    "doc_sentences",
 ]
 
 

@@ -35,6 +35,8 @@ __all__ = [
     "bigram_logprob_score",
     "bm25_scores",
     "ngram_novelty",
+    "split_sentences",
+    "SENTENCE_RE",
 ]
 
 # Tiny per-language stopword profiles for the heuristic language scorer.
@@ -598,4 +600,44 @@ def ngram_novelty(
                 cnt > 0, F.round(nov.cast("double") / cnt, 6)
             ).alias("novelty"),
         )
+    )
+
+
+# Sentence contract: maximal runs of non-terminator characters plus their
+# trailing terminator run. Lookaround-free on purpose — it is the one
+# sentence-boundary shape Java regex and RE2 express identically, so the
+# DuckDB oracle replays segmentation verbatim. (Abbreviation-aware
+# splitting needs a model; this is the deterministic pipeline default.)
+SENTENCE_RE = r"[^.!?]+[.!?]*"
+
+
+def split_sentences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment documents into (id, sent_no, sentence) rows — the
+    sentence-granularity sibling of paragraph_dedup's split and
+    doc_token_positions' posexplode. sent_no is 0-based and contiguous
+    over NON-empty trimmed segments, so downstream sentence-level dedup
+    or FIM-style pair construction can rely on dense ordering.
+
+    Scale: the match array is materialized as a real column before the
+    generator runs (the documented HOF-inlining trap: per-position
+    lambdas over an inline regex re-run it quadratically), so cost is
+    one regex pass + row growth exactly equal to the output."""
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE), 0),
+            # explicit 1-arg lambda: passing F.trim directly would match
+            # transform's 2-arg form (its optional `trim` charset param
+            # absorbs the element INDEX and trims digit characters)
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    return (
+        df.select(id_col, sents.alias("__sents"))
+        .select(id_col, F.posexplode("__sents").alias("sent_no", "sentence"))
     )

@@ -6346,3 +6346,65 @@ def customer_balance_imputed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal_was_null").alias("was_null"),
         F.round("bal", 6).alias("bal_filled"),
     ).orderBy("c_custkey")
+
+
+@register_query(
+    "doc_sentences",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               replace(replace(text, 'batch', 'batch.'),
+                       'window', 'window!') AS t
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]*') AS parts FROM m
+    ),
+    e AS (
+        SELECT doc_id, generate_subscripts(parts, 1) AS idx,
+               unnest(parts) AS p
+        FROM s
+    ),
+    f AS (
+        SELECT doc_id, idx, trim(p) AS sentence
+        FROM e WHERE trim(p) <> ''
+    )
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS sent_no,
+           length(sentence) AS n_chars,
+           md5(sentence) AS sent_md5
+    FROM f ORDER BY doc_id, sent_no
+    """,
+)
+def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (operators/text.split_sentences): documents
+    explode to (doc_id, sent_no, sentence) on a lookaround-free boundary
+    regex Java and RE2 express identically, with dense 0-based numbering
+    over non-empty trimmed segments — the granularity between
+    doc_token_positions (tokens) and doc_paragraph_dedup (paragraphs),
+    feeding sentence-level dedup and pair construction. The synthetic
+    corpus has no terminators, so the gate plants them deterministically
+    (plain replace(), replayed verbatim by the oracle). Plan: one regex
+    pass with the match array materialized before the generator (the
+    documented HOF-inlining trap), row growth = output size."""
+    from ..operators.text import split_sentences
+
+    d = load_table(spark, sf_dir, "documents")
+    marked = d.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit("batch"), F.lit("batch.")),
+            F.lit("window"),
+            F.lit("window!"),
+        ).alias("text"),
+    )
+    return (
+        split_sentences(marked)
+        .select(
+            "doc_id",
+            "sent_no",
+            F.length("sentence").alias("n_chars"),
+            F.md5("sentence").alias("sent_md5"),
+        )
+        .orderBy("doc_id", "sent_no")
+    )

@@ -274,3 +274,50 @@ def test_hashed_tf_vectors_feed_ann(spark):
     ).collect()
     ordered = [r["doc_id"] for r in sorted(top, key=lambda r: r["rank"])]
     assert ordered == [1, 2]  # self first, near-paraphrase second
+
+
+class TestSplitSentences:
+    def _split(self, spark, text):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            split_sentences,
+        )
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = split_sentences(df).collect()
+        return [(r["sent_no"], r["sentence"]) for r in sorted(rows)]
+
+    def test_basic_segmentation_dense_numbering(self, spark):
+        out = self._split(spark, "Hi there. How are you?  Fine! trailing tail")
+        assert out == [
+            (0, "Hi there."),
+            (1, "How are you?"),
+            (2, "Fine!"),
+            (3, "trailing tail"),
+        ]
+
+    def test_terminator_runs_stay_attached(self, spark):
+        assert self._split(spark, "What?! Really...") == [
+            (0, "What?!"),
+            (1, "Really..."),
+        ]
+
+    def test_no_terminators_is_one_sentence(self, spark):
+        assert self._split(spark, "no boundaries at all") == [
+            (0, "no boundaries at all")
+        ]
+
+    def test_whitespace_only_segments_dropped(self, spark):
+        # "a.   " leaves an all-space tail segment -> must not emit a row
+        assert self._split(spark, "a.   ") == [(0, "a.")]
+
+    def test_empty_doc_yields_no_rows(self, spark):
+        assert self._split(spark, "") == []
+
+    def test_digit_edges_survive_trim(self, spark):
+        # regression: transform(F.trim) matched the 2-arg lambda form and
+        # trimmed the element INDEX's digits off sentence edges
+        assert self._split(spark, "0 zero. 1 one. 2 two.") == [
+            (0, "0 zero."),
+            (1, "1 one."),
+            (2, "2 two."),
+        ]
