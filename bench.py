@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "events_daily_gap_fill",
     "customer_balance_imputed",
     "doc_sentences",
+    "doc_sentence_dedup",
 ]
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "bm25_scores",
     "ngram_novelty",
     "split_sentences",
+    "sentence_dedup",
     "SENTENCE_RE",
 ]
 
@@ -640,4 +641,55 @@ def split_sentences(
     return (
         df.select(id_col, sents.alias("__sents"))
         .select(id_col, F.posexplode("__sents").alias("sent_no", "sentence"))
+    )
+
+
+def sentence_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide sentence-level exact dedup — ``split_sentences``
+    composed with the paragraph_dedup winner-election discipline at the
+    finer C4 granularity: a sentence survives only at its smallest
+    (id, sent_no) occurrence corpus-wide (case-insensitive md5
+    fingerprint); survivors reassemble in order joined by single
+    spaces. Every input document keeps its row — fully-duplicate
+    documents return empty text — so corpus row counts are stable.
+    Returns (id_col, text_col, n_sents, n_kept).
+
+    Scale shape: the winner election shuffles (16-byte md5, id,
+    sent_no) ONLY — sentence bodies stay out of it and rejoin by
+    (id, sent_no) LEFT SEMI; reassembly is the bounded per-document
+    collect_list envelope shared with paragraph_dedup."""
+    from pyspark.sql import Window
+
+    sents = split_sentences(df, id_col=id_col, text_col=text_col)
+    slim = sents.select(
+        F.md5(F.lower("sentence")).alias("__fp"), id_col, "sent_no"
+    )
+    w = Window.partitionBy("__fp").orderBy(id_col, "sent_no")
+    winners = (
+        slim.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "sent_no")
+    )
+    kept = sents.join(winners, [id_col, "sent_no"], "left_semi")
+    re = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_no", "sentence"))),
+                lambda x: x["sentence"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.count("*").alias("n_kept"),
+    )
+    tot = sents.groupBy(id_col).agg(F.count("*").alias("n_sents"))
+    return tot.join(re, id_col, "left").select(
+        id_col,
+        F.coalesce(text_col, F.lit("")).alias(text_col),
+        "n_sents",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
     )

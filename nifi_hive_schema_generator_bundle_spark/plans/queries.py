@@ -6408,3 +6408,74 @@ def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "sent_no")
     )
+
+
+@register_query(
+    "doc_sentence_dedup",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               replace(replace(text, 'batch', 'batch.'),
+                       'window', 'window!') AS t
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]*') AS parts FROM m
+    ),
+    e AS (
+        SELECT doc_id, generate_subscripts(parts, 1) AS idx,
+               unnest(parts) AS p
+        FROM s
+    ),
+    f AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1
+                   AS sent_no,
+               trim(p) AS sentence
+        FROM e WHERE trim(p) <> ''
+    ),
+    k AS (
+        SELECT doc_id, sent_no, sentence,
+               row_number() OVER (PARTITION BY md5(lower(sentence))
+                                  ORDER BY doc_id, sent_no) AS rk
+        FROM f
+    ),
+    re AS (
+        SELECT doc_id,
+               string_agg(sentence, ' ' ORDER BY sent_no) AS text,
+               count(*) AS n_kept
+        FROM k WHERE rk = 1 GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_sents FROM f GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(r.text, '') AS text,
+           t.n_sents, coalesce(r.n_kept, 0) AS n_kept
+    FROM tot t LEFT JOIN re r USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def doc_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide SENTENCE-level exact dedup — split_sentences composed
+    with the paragraph_dedup winner-election discipline at the finer
+    granularity (C4 drops repeated sentences/lines, not just repeated
+    paragraphs): a sentence is kept only at its smallest (doc_id,
+    sent_no) occurrence corpus-wide (case-insensitive fingerprint),
+    survivors reassemble in order, and every input document keeps its
+    row (fully-duplicate documents come back with empty text), so
+    corpus row counts are stable through the pass.
+
+    Scale shape: the winner election shuffles (16-byte md5, doc_id,
+    sent_no) ONLY — sentence bodies stay out of it and rejoin by
+    (doc_id, sent_no) semi-join; reassembly is the same bounded
+    per-document collect_list envelope as paragraph_dedup."""
+    from ..operators.text import sentence_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    marked = d.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit("batch"), F.lit("batch.")),
+            F.lit("window"),
+            F.lit("window!"),
+        ).alias("text"),
+    )
+    return sentence_dedup(marked).orderBy("doc_id")

@@ -321,3 +321,44 @@ class TestSplitSentences:
             (1, "1 one."),
             (2, "2 two."),
         ]
+
+
+class TestSentenceDedup:
+    def _dedup(self, spark, rows):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            sentence_dedup,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["text"], r["n_sents"], r["n_kept"])
+            for r in sentence_dedup(df).collect()
+        }
+
+    def test_boilerplate_dropped_from_later_docs(self, spark):
+        out = self._dedup(spark, [
+            (1, "Subscribe now. Real content one."),
+            (2, "Subscribe now. Real content two."),
+        ])
+        assert out[1] == ("Subscribe now. Real content one.", 2, 2)
+        assert out[2] == ("Real content two.", 2, 1)
+
+    def test_fully_duplicate_doc_keeps_empty_row(self, spark):
+        out = self._dedup(spark, [
+            (1, "Only sentence here."),
+            (2, "Only sentence here."),
+        ])
+        assert out[2] == ("", 1, 0)
+        assert len(out) == 2
+
+    def test_dedup_is_case_insensitive_but_keeps_original(self, spark):
+        out = self._dedup(spark, [
+            (1, "Hello World."),
+            (2, "HELLO world."),
+        ])
+        assert out[1] == ("Hello World.", 1, 1)
+        assert out[2] == ("", 1, 0)
+
+    def test_within_doc_repeats_collapse(self, spark):
+        out = self._dedup(spark, [(1, "Again. Again. Different.")])
+        assert out[1] == ("Again. Different.", 3, 2)
