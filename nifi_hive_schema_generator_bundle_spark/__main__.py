@@ -147,6 +147,19 @@ def cmd_dedup(args) -> int:
     if args.method == "exact":
         keep = dd.exact_dedup(df, args.text_col, args.key).select(args.key)
         out = df.join(keep, args.key, "left_semi")
+    elif args.method in ("paragraph", "sentence"):
+        # inner-document granularities: rows survive, text is rewritten
+        if args.method == "paragraph":
+            deduped = dd.paragraph_dedup(
+                df, text_col=args.text_col, id_col=args.key
+            )
+        else:
+            from .operators.text import sentence_dedup
+
+            deduped = sentence_dedup(df, id_col=args.key, text_col=args.text_col)
+        out = df.drop(args.text_col).join(
+            deduped.select(args.key, args.text_col), args.key, "left"
+        )
     else:
         if args.method == "minhash":
             pairs = dd.minhash_lsh_pairs(
@@ -718,7 +731,9 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--fmt", default="parquet")
     pd_.add_argument("--key", default="doc_id", help="stable id column")
     pd_.add_argument("--text-col", default="text")
-    pd_.add_argument("--method", choices=["exact", "minhash", "simhash"],
+    pd_.add_argument("--method",
+                     choices=["exact", "minhash", "simhash",
+                              "paragraph", "sentence"],
                      default="exact")
     pd_.add_argument("--threshold", type=float, default=0.5,
                      help="minhash: estimated-Jaccard cutoff")

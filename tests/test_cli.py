@@ -524,3 +524,18 @@ def test_cli_impute_mode_categorical(spark, tmp_path):
     assert rc == 0
     rows = {r["id"]: r["v"] for r in spark.read.parquet(out_path).collect()}
     assert rows[3] == "x"
+
+
+def test_cli_dedup_sentence_rewrites_text(spark, tmp_path, capsys):
+    data = str(tmp_path / "sd.parquet")
+    spark.createDataFrame(
+        [(1, "Subscribe now. Content one."), (2, "Subscribe now. Content two.")],
+        "doc_id long, text string",
+    ).write.parquet(data)
+    out_path = str(tmp_path / "sdd")
+    rc = main(["dedup", data, out_path, "--method", "sentence"])
+    assert rc == 0
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_path).collect()}
+    assert rows[1] == "Subscribe now. Content one."
+    assert rows[2] == "Content two."
+    assert "kept 2/2" in capsys.readouterr().err
