@@ -52,9 +52,20 @@ def test_scd2_matches_runlength_model(spark, feed):
         for i, (k, a, d) in enumerate(feed)
     ]
     df = spark.createDataFrame(rows, "k string, attr string, ts timestamp, id long")
+    # sort key maps the open-ended valid_to=None to datetime.max: an
+    # A->B->A flip inside one timestamp yields two rows tied up to
+    # valid_to, and Python can't order None against a datetime
+    def row_key(t):
+        return (*t[:3], t[3] or datetime.datetime.max, t[4])
+
     got = sorted(
-        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
-        for r in scd2_build(df, "k", ["attr"], "ts", tiebreak_col="id").collect()
+        (
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_build(
+                df, "k", ["attr"], "ts", tiebreak_col="id"
+            ).collect()
+        ),
+        key=row_key,
     )
 
     expect = []
@@ -69,7 +80,7 @@ def test_scd2_matches_runlength_model(spark, feed):
         for j, (a, ts) in enumerate(runs):
             nxt = runs[j + 1][1] if j + 1 < len(runs) else None
             expect.append((k, a, ts, nxt, nxt is None))
-    assert got == sorted(expect)
+    assert got == sorted(expect, key=row_key)
 
 
 # ---------------------------------------------------------------------------
