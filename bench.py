@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "customer_balance_imputed",
     "doc_sentences",
     "doc_sentence_dedup",
+    "doc_temperature_sample",
 ]
 
 

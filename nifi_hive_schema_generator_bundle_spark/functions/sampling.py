@@ -26,6 +26,7 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "mixture_sample",
+    "temperature_sample",
     "exact_stratified_sample",
     "weighted_sample",
     "shuffle_shards",
@@ -235,6 +236,68 @@ def mixture_sample(
         )
         .otherwise(F.lit(0.0))
         .alias("__rate"),
+    )
+    return (
+        df.join(rates, strata_col)
+        .filter(hash_fraction(key) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    *,
+    alpha: float = 0.5,
+    key: str,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing — the multilingual
+    alpha-sampling rule (mC4/XLM-R style): target share of stratum g is
+    p_g ∝ count_g^alpha, so alpha=1 keeps the natural distribution,
+    alpha=0 forces uniform, and 0<alpha<1 boosts rare strata
+    (downsampling-only: head strata are cut toward the tempered mix;
+    the feasible total is maximized exactly like ``mixture_sample``).
+
+    Unlike ``mixture_sample`` the targets come from the DATA, so the
+    whole computation stays distributed: a |strata|-row count table,
+    tempered weights, a 1-row weight total + feasibility cap riding the
+    plan as scalar broadcasts, then the same deterministic
+    ``hash_fraction`` keep filter. No driver collect, bodies never
+    shuffle.
+
+    Cross-engine determinism: alpha=0.5 uses sqrt (correctly-rounded
+    IEEE in every engine, so a SQL oracle replays the rates
+    bit-for-bit); other alphas go through pow(), whose last-ulp
+    behavior is libm-specific — fine in production, but exact
+    cross-engine replays should stick to 0.5 (or 0 / 1).
+    The weight total accumulates in DECIMAL(38,15) quantized steps so
+    float summation order can never perturb the shares."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    if alpha == 0.5:
+        wt = F.sqrt(F.col("__n"))
+    elif alpha == 0:
+        wt = F.lit(1.0)
+    elif alpha == 1:
+        wt = F.col("__n").cast("double")
+    else:
+        wt = F.pow(F.col("__n"), F.lit(float(alpha)))
+    w = counts.select(strata_col, "__n", wt.alias("__wt"))
+    total = w.agg(
+        F.sum(F.col("__wt").cast("decimal(38,15)"))
+        .cast("double")
+        .alias("__tw")
+    )
+    t = w.crossJoin(F.broadcast(total)).select(
+        strata_col, "__n", (F.col("__wt") / F.col("__tw")).alias("__p")
+    )
+    cap = t.agg(F.floor(F.min(F.col("__n") / F.col("__p"))).alias("__cap"))
+    rates = t.crossJoin(F.broadcast(cap)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0), F.col("__cap") * F.col("__p") / F.col("__n")
+        ).alias("__rate"),
     )
     return (
         df.join(rates, strata_col)

@@ -6479,3 +6479,48 @@ def doc_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return sentence_dedup(marked).orderBy("doc_id")
+
+
+@register_query(
+    "doc_temperature_sample",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, sqrt(n) AS wt FROM c),
+    tw AS (
+        SELECT CAST(sum(CAST(wt AS DECIMAL(38,15))) AS DOUBLE) AS t FROM w
+    ),
+    p AS (SELECT lang, n, wt / (SELECT t FROM tw) AS p FROM w),
+    cap AS (SELECT floor(min(n / p)) AS cap FROM p),
+    r AS (
+        SELECT lang, least(1.0, (SELECT cap FROM cap) * p / n) AS rate
+        FROM p
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST(concat('0x', substring(
+              md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < r.rate
+    ORDER BY d.doc_id
+    """,
+)
+def doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing
+    (functions/sampling.temperature_sample, alpha=0.5): target shares
+    p_g ∝ sqrt(count_g) — the mC4/XLM-R alpha-sampling rule that boosts
+    rare languages against the head — realized as the max-feasible
+    deterministic md5-fraction keep. alpha=0.5 is the oracle-exact
+    setting (sqrt is correctly-rounded IEEE in every engine; the weight
+    total accumulates in DECIMAL so summation order can't perturb the
+    shares). Plan: |strata|-row count/weight tables, two 1-row scalar
+    broadcasts (weight total, feasibility cap), one narrow keep filter —
+    bodies never shuffle, no driver collect."""
+    from ..functions.sampling import temperature_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_sample(
+            d.select("doc_id", "lang"), "lang", alpha=0.5, key="doc_id"
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -229,6 +229,9 @@ BNLJ_ALLOWED = {
     # 1-row scalar broadcast: the GLOBAL mean fallback (for groups that
     # are entirely null) rides the plan as one row, same class as q22
     "customer_balance_imputed",
+    # two 1-row scalar broadcasts: the tempered weight total and the
+    # feasibility cap each ride the plan as one row, same class as q22
+    "doc_temperature_sample",
     # gap-interval join between two DAY-COUNT tables (calendar anti-join
     # output x observed days) — bounded by calendar length, never rows
     "events_partition_completeness",

@@ -225,3 +225,86 @@ def test_epoch_upsample_drops_unlisted_strata_and_validates(spark):
     assert sorted(got) == [(1, 0), (1, 1)]
     with _pytest.raises(ValueError):
         epoch_upsample(df, "lang", {"keep": -0.5}, key="doc_id")
+
+
+class TestTemperatureSample:
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+
+        # 64 'en' rows, 4 'xx' rows: a heavy head and a rare tail
+        rows = [(i, "en" if i < 64 else "xx") for i in range(68)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_alpha_one_is_identity(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+            temperature_sample,
+        )
+
+        out = temperature_sample(self._df(spark), "lang", alpha=1, key="doc_id")
+        assert out.count() == 68
+
+    def test_alpha_half_boosts_tail_share(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+            temperature_sample,
+        )
+
+        kept = (
+            temperature_sample(self._df(spark), "lang", alpha=0.5, key="doc_id")
+            .groupBy("lang")
+            .count()
+            .collect()
+        )
+        counts = {r["lang"]: r["count"] for r in kept}
+        # natural tail share 4/68 ≈ 6%; tempered target is
+        # sqrt(4)/(sqrt(64)+sqrt(4)) = 20% — the tail keeps everything
+        # (rate 1) while the head is cut toward 4x the tail
+        assert counts["xx"] == 4
+        assert counts["en"] < 64
+        tail_share = counts["xx"] / (counts["xx"] + counts["en"])
+        assert tail_share > 4 / 68
+
+    def test_alpha_zero_targets_uniform(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+            temperature_sample,
+        )
+
+        kept = (
+            temperature_sample(self._df(spark), "lang", alpha=0, key="doc_id")
+            .groupBy("lang")
+            .count()
+            .collect()
+        )
+        counts = {r["lang"]: r["count"] for r in kept}
+        # uniform targets: feasible total = 2 * min-stratum; binomial
+        # keep means head count lands NEAR the tail count, far from 64
+        assert counts["xx"] == 4
+        assert counts["en"] <= 16
+
+    def test_partition_layout_invariance(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+            temperature_sample,
+        )
+
+        a = sorted(
+            r["doc_id"]
+            for r in temperature_sample(
+                self._df(spark), "lang", alpha=0.5, key="doc_id"
+            ).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in temperature_sample(
+                self._df(spark).repartition(13), "lang", alpha=0.5, key="doc_id"
+            ).collect()
+        )
+        assert a == b
+
+    def test_negative_alpha_raises(self, spark):
+        import pytest
+
+        from nifi_hive_schema_generator_bundle_spark.functions.sampling import (
+            temperature_sample,
+        )
+
+        with pytest.raises(ValueError):
+            temperature_sample(self._df(spark), "lang", alpha=-1, key="doc_id")
