@@ -180,16 +180,24 @@ def cmd_dedup(args) -> int:
 
 
 def cmd_mixture(args) -> int:
-    from .functions.sampling import mixture_sample
+    from .functions.sampling import mixture_sample, temperature_sample
     from .sources.formats import convert, read_any
 
+    if (args.targets is None) == (args.alpha is None):
+        print("pass exactly one of --targets / --alpha", file=sys.stderr)
+        return 2
     spark = _session(args)
     df = read_any(spark, args.input, args.fmt)
-    targets = {}
-    for part in args.targets.split(","):
-        k, _, v = part.partition("=")
-        targets[k.strip()] = float(v)
-    out = mixture_sample(df, args.strata_col, targets, key=args.key)
+    if args.alpha is not None:
+        out = temperature_sample(
+            df, args.strata_col, alpha=args.alpha, key=args.key
+        )
+    else:
+        targets = {}
+        for part in args.targets.split(","):
+            k, _, v = part.partition("=")
+            targets[k.strip()] = float(v)
+        out = mixture_sample(df, args.strata_col, targets, key=args.key)
     convert(out, args.output, args.fmt, mode="overwrite")
     got = dict(
         read_any(spark, args.output, args.fmt)
@@ -744,7 +752,10 @@ def main(argv: list[str] | None = None) -> int:
     pm = sub.add_parser("mixture", help="reweight corpus to target strata mix")
     pm.add_argument("input")
     pm.add_argument("output")
-    pm.add_argument("--targets", required=True, help="e.g. en=0.6,fr=0.2,de=0.2")
+    pm.add_argument("--targets", help="e.g. en=0.6,fr=0.2,de=0.2")
+    pm.add_argument("--alpha", type=float, default=None,
+                    help="temperature sampling instead of explicit targets: "
+                         "shares proportional to count^alpha (0.5 = mC4-style)")
     pm.add_argument("--strata-col", default="lang")
     pm.add_argument("--key", default="doc_id")
     pm.add_argument("--fmt", default="parquet")

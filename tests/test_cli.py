@@ -539,3 +539,25 @@ def test_cli_dedup_sentence_rewrites_text(spark, tmp_path, capsys):
     assert rows[1] == "Subscribe now. Content one."
     assert rows[2] == "Content two."
     assert "kept 2/2" in capsys.readouterr().err
+
+
+def test_cli_mixture_alpha_temperature(spark, tmp_path, capsys):
+    data = str(tmp_path / "tmix.parquet")
+    rows = [(i, "en" if i < 64 else "xx") for i in range(68)]
+    spark.createDataFrame(rows, "doc_id long, lang string").write.parquet(data)
+    out_path = str(tmp_path / "tempered")
+    rc = main(["mixture", data, out_path, "--alpha", "0.5"])
+    assert rc == 0
+    got = {
+        r["lang"]: r["count"]
+        for r in spark.read.parquet(out_path).groupBy("lang").count().collect()
+    }
+    assert got["xx"] == 4 and got["en"] < 64
+
+
+def test_cli_mixture_requires_exactly_one_mode(spark, tmp_path):
+    data = str(tmp_path / "m.parquet")
+    spark.createDataFrame([(1, "en")], "doc_id long, lang string").write.parquet(data)
+    assert main(["mixture", data, str(tmp_path / "o")]) == 2
+    assert main(["mixture", data, str(tmp_path / "o"),
+                 "--targets", "en=1.0", "--alpha", "0.5"]) == 2
