@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "doc_sentences",
     "doc_sentence_dedup",
     "doc_temperature_sample",
+    "doc_readability",
 ]
 
 

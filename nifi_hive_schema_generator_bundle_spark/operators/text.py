@@ -37,6 +37,7 @@ __all__ = [
     "ngram_novelty",
     "split_sentences",
     "sentence_dedup",
+    "readability_stats",
     "SENTENCE_RE",
 ]
 
@@ -692,4 +693,53 @@ def sentence_dedup(
         F.coalesce(text_col, F.lit("")).alias(text_col),
         "n_sents",
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+    )
+
+
+def readability_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surface-level readability profile per document: sentence count,
+    mean sentence length in whitespace tokens, and type-token ratio
+    (distinct / total lowercased tokens) — the cheap complexity signals
+    (Flesch-style pipelines start here) that complement quality_score's
+    boilerplate heuristics. Returns (id, n_sents, mean_sent_tokens,
+    ttr); documents with no sentences get n_sents=0 and null means.
+
+    Determinism: token counts are integers summed exactly; the mean and
+    ratio are one float division + round(6) each, so a SQL oracle
+    replays them bit-for-bit. Plan: the sentence explode (row growth =
+    sentence count) feeds one per-doc partial agg; TTR is a narrow
+    projection on the original row — one join on the id at the end."""
+    sents = split_sentences(df, id_col=id_col, text_col=text_col)
+    per_sent = sents.select(
+        id_col, F.size(whitespace_tokens("sentence")).alias("__tok")
+    )
+    agg = per_sent.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sents"),
+        F.sum("__tok").alias("__tot"),
+    )
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    ttr = df.select(
+        id_col,
+        F.size(toks).alias("__n"),
+        F.size(F.array_distinct(toks)).alias("__d"),
+    )
+    return (
+        ttr.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_sents", F.lit(0).cast("long")).alias("n_sents"),
+            F.when(
+                F.col("n_sents") > 0,
+                F.round(F.col("__tot").cast("double") / F.col("n_sents"), 6),
+            ).alias("mean_sent_tokens"),
+            F.when(
+                F.col("__n") > 0,
+                F.round(F.col("__d").cast("double") / F.col("__n"), 6),
+            ).alias("ttr"),
+        )
     )

@@ -6524,3 +6524,72 @@ def doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "doc_readability",
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id,
+               replace(replace(text, 'batch', 'batch.'),
+                       'window', 'window!') AS t
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]*') AS parts FROM m
+    ),
+    e AS (SELECT doc_id, unnest(parts) AS p FROM s),
+    f AS (
+        SELECT doc_id, trim(p) AS sentence FROM e WHERE trim(p) <> ''
+    ),
+    ps AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(sentence, '\s+'),
+                               x -> x <> '')) AS tok
+        FROM f
+    ),
+    ag AS (
+        SELECT doc_id, count(*) AS n_sents, sum(tok) AS tot
+        FROM ps GROUP BY doc_id
+    ),
+    tt AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(t), '\s+'),
+                               x -> x <> '')) AS n,
+               len(list_distinct(list_filter(
+                   string_split_regex(lower(t), '\s+'), x -> x <> ''))) AS d
+        FROM m
+    )
+    SELECT tt.doc_id,
+           coalesce(ag.n_sents, 0) AS n_sents,
+           CASE WHEN ag.n_sents > 0
+                THEN round(CAST(ag.tot AS DOUBLE) / ag.n_sents, 6)
+           END AS mean_sent_tokens,
+           CASE WHEN tt.n > 0
+                THEN round(CAST(tt.d AS DOUBLE) / tt.n, 6)
+           END AS ttr
+    FROM tt LEFT JOIN ag USING (doc_id)
+    ORDER BY tt.doc_id
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile (operators/text.readability_stats): sentence
+    count, mean sentence length in whitespace tokens, type-token ratio —
+    the surface complexity signals complementing quality_score's
+    boilerplate heuristics, over the same planted-terminator text as
+    doc_sentences. Integer token counts sum exactly; mean and ratio are
+    one float division + round each, so the oracle replays them
+    bit-for-bit. Plan: sentence explode feeding one per-doc partial agg
+    + a narrow TTR projection, joined on the id."""
+    from ..operators.text import readability_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    marked = d.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit("batch"), F.lit("batch.")),
+            F.lit("window"),
+            F.lit("window!"),
+        ).alias("text"),
+    )
+    return readability_stats(marked).orderBy("doc_id")

@@ -362,3 +362,35 @@ class TestSentenceDedup:
     def test_within_doc_repeats_collapse(self, spark):
         out = self._dedup(spark, [(1, "Again. Again. Different.")])
         assert out[1] == ("Again. Different.", 3, 2)
+
+
+class TestReadabilityStats:
+    def _stats(self, spark, rows):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            readability_stats,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["n_sents"], r["mean_sent_tokens"], r["ttr"])
+            for r in readability_stats(df).collect()
+        }
+
+    def test_hand_computed(self, spark):
+        out = self._stats(spark, [(1, "One two three. Four five? Six.")])
+        # sentences: 3/2/1 tokens -> mean 2.0; 6 distinct of 6 -> ttr 1.0
+        assert out[1] == (3, 2.0, 1.0)
+
+    def test_repetition_lowers_ttr(self, spark):
+        # tokens: spam, spam, spam, spam. -> distinct {spam, spam.} = 2/4
+        out = self._stats(spark, [(1, "spam spam spam spam.")])
+        assert out[1] == (1, 4.0, 0.5)
+
+    def test_empty_doc(self, spark):
+        out = self._stats(spark, [(1, "")])
+        assert out[1] == (0, None, None)
+
+    def test_case_insensitive_ttr(self, spark):
+        out = self._stats(spark, [(1, "Word word WORD.")])
+        # 'word.' differs from 'word' (punct attached) -> 2 distinct of 3
+        assert out[1][2] == round(2 / 3, 6)
