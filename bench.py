@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "doc_sentence_dedup",
     "doc_temperature_sample",
     "doc_readability",
+    "events_value_winsorized",
 ]
 
 

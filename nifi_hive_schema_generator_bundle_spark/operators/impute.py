@@ -1,4 +1,4 @@
-"""Null imputation — per-group mean / mode fill for feature prep.
+"""Feature cleanup: null imputation and outlier winsorization.
 
 The standard pre-training feature-cleanup step: replace missing numerics
 with their group mean (or any column with its group mode) so downstream
@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["impute_mean", "impute_mode"]
+__all__ = ["impute_mean", "impute_mode", "winsorize"]
 
 _DEC = "decimal(30,6)"
 
@@ -118,3 +118,79 @@ def impute_mode(
         col, F.coalesce(F.col(col), fill)
     )
     return out.drop("__gmode", *(["__mode"] if gcols else []))
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    group_cols: list[str] | None = None,
+    lower_p: float = 0.05,
+    upper_p: float = 0.95,
+    flag_suffix: str = "_clipped",
+) -> DataFrame:
+    """Percentile winsorization — clamp each numeric column to its
+    per-group [lower_p, upper_p] DISCRETE quantiles (the standard
+    outlier-capping step before normalization/featurization), plus a
+    boolean ``<col>_clipped`` flag per column. Nulls pass through
+    unclamped (compose with ``impute_mean`` for full cleanup).
+
+    The bound is the order statistic at rank ceil(p·n) (clamped to
+    [1, n]) — an actual data value, not an interpolation, so any SQL
+    engine replays it exactly (interpolating quantiles differ in
+    last-ulp arithmetic across engines; order statistics cannot).
+
+    Scale shape: one per-group window (rank + count ride a single
+    Exchange+Sort per column) filtered down to a |groups|-row bounds
+    table that joins back broadcast; the clamp itself is a narrow
+    projection. For fixed known bounds skip this and use least/greatest
+    directly."""
+    if not 0 <= lower_p <= upper_p <= 1:
+        raise ValueError("need 0 <= lower_p <= upper_p <= 1")
+    gcols = list(group_cols or [])
+    out = df
+    for c in cols:
+        nn = df.filter(F.col(c).isNotNull()).select(*gcols, c)
+        w = Window.partitionBy(*gcols).orderBy(c)
+        wn = Window.partitionBy(*gcols)
+        ranked = nn.select(
+            *gcols,
+            F.col(c),
+            F.row_number().over(w).alias("__rk"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
+        lo_rk = F.greatest(F.lit(1), F.ceil(F.lit(lower_p) * F.col("__n")))
+        hi_rk = F.least(F.col("__n"), F.ceil(F.lit(upper_p) * F.col("__n")))
+        bounds = (
+            ranked.withColumn("__lo_rk", lo_rk)
+            .withColumn("__hi_rk", hi_rk)
+            .filter(
+                (F.col("__rk") == F.col("__lo_rk"))
+                | (F.col("__rk") == F.col("__hi_rk"))
+            )
+            .groupBy(*gcols)
+            .agg(
+                F.min(
+                    F.when(F.col("__rk") == F.col("__lo_rk"), F.col(c))
+                ).alias(f"__lo_{c}"),
+                F.max(
+                    F.when(F.col("__rk") == F.col("__hi_rk"), F.col(c))
+                ).alias(f"__hi_{c}"),
+            )
+        )
+        if gcols:
+            out = out.join(F.broadcast(bounds), gcols, "left")
+        else:
+            out = out.join(F.broadcast(bounds), F.lit(True), "left")
+        clamped = F.least(
+            F.greatest(F.col(c), F.col(f"__lo_{c}")), F.col(f"__hi_{c}")
+        )
+        out = (
+            out.withColumn(
+                c + flag_suffix,
+                F.col(c).isNotNull() & (clamped != F.col(c)),
+            )
+            .withColumn(c, F.when(F.col(c).isNotNull(), clamped))
+            .drop(f"__lo_{c}", f"__hi_{c}")
+        )
+    return out

@@ -6593,3 +6593,56 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return readability_stats(marked).orderBy("doc_id")
+
+
+@register_query(
+    "events_value_winsorized",
+    oracle="""
+    WITH nn AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value)
+                   AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM nn
+    ),
+    b AS (
+        SELECT event_type,
+               min(CASE WHEN rk = greatest(1, ceil(0.05 * n))
+                        THEN value END) AS lo,
+               max(CASE WHEN rk = least(n, ceil(0.95 * n))
+                        THEN value END) AS hi
+        FROM r GROUP BY event_type
+    )
+    SELECT e.event_id,
+           round(least(greatest(e.value, b.lo), b.hi), 2) AS value_w,
+           (e.value < b.lo OR e.value > b.hi) AS clipped
+    FROM events e JOIN b USING (event_type)
+    ORDER BY e.event_id
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (operators/impute.winsorize): event
+    values clamp to their event-type's [p05, p95] DISCRETE quantiles —
+    order statistics at rank ceil(p·n), actual data values rather than
+    interpolations, so the oracle replays the bounds exactly (engine
+    interpolation formulas differ in last-ulp arithmetic; order
+    statistics cannot). Plan: one per-group window ranks the values,
+    the two boundary rows collapse to a |groups|-row bounds table that
+    broadcasts back onto the facts, and the clamp is a narrow
+    least/greatest projection."""
+    from ..operators.impute import winsorize
+
+    ev = load_table(spark, sf_dir, "events")
+    out = winsorize(
+        ev.select("event_type", "event_id", "value"),
+        ["value"],
+        group_cols=["event_type"],
+    )
+    return out.select(
+        "event_id",
+        F.round("value", 2).alias("value_w"),
+        F.col("value_clipped").alias("clipped"),
+    ).orderBy("event_id")

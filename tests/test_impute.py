@@ -106,3 +106,67 @@ class TestImputeMode:
         )
         rows = impute_mode(df, "v", group_cols=["g"]).collect()
         assert len(rows) == 2 and all(r["v"] is None for r in rows)
+
+
+class TestWinsorize:
+    def _df(self, spark):
+        # group "a": values 1..10; at p10/p90 the bound ranks are
+        # ceil(1.0)=1 and ceil(9.0)=9 -> bounds [1.0, 9.0]
+        rows = [("a", i, float(i)) for i in range(1, 11)]
+        rows += [("b", 100, 5.0)]
+        return spark.createDataFrame(rows, "g string, id int, v double")
+
+    def _wins(self, spark, **kw):
+        from nifi_hive_schema_generator_bundle_spark.operators.impute import (
+            winsorize,
+        )
+
+        return {
+            r["id"]: (r["v"], r["v_clipped"])
+            for r in winsorize(
+                self._df(spark), ["v"], group_cols=["g"], **kw
+            ).collect()
+        }
+
+    def test_bounds_are_order_statistics(self, spark):
+        out = self._wins(spark, lower_p=0.1, upper_p=0.9)
+        assert out[10] == (9.0, True)   # clamped down to rank-9 value
+        assert out[1] == (1.0, False)   # rank ceil(0.1*10)=1 -> lo=1, kept
+        assert out[5] == (5.0, False)
+
+    def test_single_value_group_untouched(self, spark):
+        out = self._wins(spark, lower_p=0.1, upper_p=0.9)
+        assert out[100] == (5.0, False)
+
+    def test_degenerate_percentiles_clamp_everything(self, spark):
+        out = self._wins(spark, lower_p=0.5, upper_p=0.5)
+        # every value in group a clamps to the median rank value (5.0)
+        assert out[1] == (5.0, True) and out[10] == (5.0, True)
+        assert out[5] == (5.0, False)
+
+    def test_nulls_pass_through(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.impute import (
+            winsorize,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, None), ("a", 3, 100.0)],
+            "g string, id int, v double",
+        )
+        out = {
+            r["id"]: (r["v"], r["v_clipped"])
+            for r in winsorize(
+                df, ["v"], group_cols=["g"], lower_p=0.5, upper_p=0.5
+            ).collect()
+        }
+        assert out[2] == (None, False)
+
+    def test_bad_percentiles_raise(self, spark):
+        import pytest
+
+        from nifi_hive_schema_generator_bundle_spark.operators.impute import (
+            winsorize,
+        )
+
+        with pytest.raises(ValueError):
+            winsorize(self._df(spark), ["v"], lower_p=0.9, upper_p=0.1)
