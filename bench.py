@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "doc_temperature_sample",
     "doc_readability",
     "events_value_winsorized",
+    "doc_blocklist_filter",
 ]
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "split_sentences",
     "sentence_dedup",
     "readability_stats",
+    "blocklist_filter",
     "SENTENCE_RE",
 ]
 
@@ -743,3 +744,43 @@ def readability_stats(
             ).alias("ttr"),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    *,
+    text_col: str = "text",
+    action: str = "flag",
+    flag_col: str = "blocked",
+    hits_col: str = "n_blocked_terms",
+) -> DataFrame:
+    """Token blocklist filtering — the C4 "bad words" stage: a document
+    is blocked when any lowercased whitespace token matches the
+    blocklist exactly. ``action='flag'`` annotates every row with a
+    boolean + the count of DISTINCT blocklisted terms present;
+    ``action='drop'`` returns survivors only.
+
+    Token-exact matching on purpose (the documented C4 behavior, and
+    the Scunthorpe-safe default); substring policies belong to
+    ``textfns.redact``-style regex passes. The blocklist rides the plan
+    as an array literal (KBs — the standard lists are hundreds of
+    terms); matching is one narrow codegen'd array_intersect per row,
+    no shuffle, no join."""
+    if action not in ("flag", "drop"):
+        raise ValueError("action must be 'flag' or 'drop'")
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    terms = F.array(*[F.lit(w.lower()) for w in sorted(set(blocklist))])
+    hits = F.size(
+        F.array_intersect(
+            F.array_distinct(whitespace_tokens(F.lower(F.col(text_col)))),
+            terms,
+        )
+    )
+    flagged = df.withColumn(hits_col, hits).withColumn(
+        flag_col, F.col(hits_col) > 0
+    )
+    if action == "drop":
+        return flagged.filter(~F.col(flag_col)).drop(flag_col, hits_col)
+    return flagged

@@ -6646,3 +6646,37 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value_w"),
         F.col("value_clipped").alias("clipped"),
     ).orderBy("event_id")
+
+
+@register_query(
+    "doc_blocklist_filter",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '\s+'), x -> x <> ''
+               )) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(list_intersect(t, ['dup', 'stream'])) AS n_blocked_terms,
+           len(list_intersect(t, ['dup', 'stream'])) > 0 AS blocked
+    FROM toks ORDER BY doc_id
+    """,
+)
+def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token blocklist filtering (operators/text.blocklist_filter) — the
+    C4 "bad words" stage: flag documents containing any blocklisted
+    token (exact lowercased whitespace-token match, the Scunthorpe-safe
+    C4 behavior), with the count of distinct blocklisted terms present.
+    The blocklist rides the plan as an array literal; matching is one
+    narrow codegen'd array_intersect per row — no shuffle, no join,
+    scan-bound at any corpus size."""
+    from ..operators.text import blocklist_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        blocklist_filter(d.select("doc_id", "text"), ["dup", "stream"])
+        .select("doc_id", "n_blocked_terms", "blocked")
+        .orderBy("doc_id")
+    )

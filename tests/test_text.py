@@ -394,3 +394,54 @@ class TestReadabilityStats:
         out = self._stats(spark, [(1, "Word word WORD.")])
         # 'word.' differs from 'word' (punct attached) -> 2 distinct of 3
         assert out[1][2] == round(2 / 3, 6)
+
+
+class TestBlocklistFilter:
+    def _flag(self, spark, rows, bl, **kw):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            blocklist_filter,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return blocklist_filter(df, bl, **kw)
+
+    def test_flags_and_counts_distinct_terms(self, spark):
+        out = {
+            r["doc_id"]: (r["blocked"], r["n_blocked_terms"])
+            for r in self._flag(
+                spark,
+                [(1, "bad bad ugly fine"), (2, "all clean here")],
+                ["bad", "ugly"],
+            ).collect()
+        }
+        assert out[1] == (True, 2)   # distinct terms, not occurrences
+        assert out[2] == (False, 0)
+
+    def test_token_exact_no_scunthorpe(self, spark):
+        out = {
+            r["doc_id"]: r["blocked"]
+            for r in self._flag(
+                spark, [(1, "scunthorpe is a town")], ["thorpe", "horp"]
+            ).collect()
+        }
+        assert out[1] is False  # substring never matches
+
+    def test_case_insensitive(self, spark):
+        out = self._flag(spark, [(1, "BAD day")], ["bad"]).collect()
+        assert out[0]["blocked"] is True
+
+    def test_drop_action(self, spark):
+        kept = self._flag(
+            spark,
+            [(1, "bad stuff"), (2, "clean")],
+            ["bad"],
+            action="drop",
+        ).collect()
+        assert [r["doc_id"] for r in kept] == [2]
+        assert "blocked" not in kept[0].asDict()
+
+    def test_empty_blocklist_raises(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            self._flag(spark, [(1, "x")], [])
