@@ -13,8 +13,9 @@ library + CLI"):
     profile one-scan column statistics (count/null/distinct/min/max)
     compact rewrite a small-files directory to ~target-size files
     sql     ad-hoc SQL over a directory of parquet tables (one view per file)
-    prep    composed training-data pipeline: quality filter -> dedup ->
-            optional benchmark decontamination -> train/holdout split
+    prep    composed training-data pipeline: optional blocklist ->
+            quality filter -> dedup -> optional benchmark
+            decontamination -> train/holdout split
     explain print the physical plan of any registered query
     stream  drain an NDJSON directory through streaming inference, print
             the DDL and any drift ALTERs
@@ -585,6 +586,16 @@ def cmd_prep(args) -> int:
 
     # persist each stage: the per-stage counts and the final write must
     # not re-execute the whole upstream chain once per action
+    if args.blocklist:
+        from .operators.text import blocklist_filter
+
+        with open(args.blocklist) as fh:
+            words = [w.strip() for w in fh if w.strip()]
+        df = blocklist_filter(
+            df, words, text_col=args.text_col, action="drop"
+        ).persist()
+        stages.append(("blocklist", df.count()))
+
     scored = quality_score(df, args.text_col)
     df = scored.filter(F.col("quality") >= args.quality_min).drop(
         "len_score", "punct_score", "stop_score", "rep_score", "quality"
@@ -903,6 +914,9 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--key", default="doc_id")
     pq.add_argument("--text-col", default="text")
     pq.add_argument("--quality-min", type=float, default=0.5)
+    pq.add_argument("--blocklist", default=None,
+                    help="file of banned tokens (one per line); drops docs "
+                         "containing any, before the quality stage")
     pq.add_argument("--eval-dir", default=None,
                     help="benchmark dir; drops docs sharing k-grams with it")
     pq.add_argument("--decontam-k", type=int, default=8)

@@ -561,3 +561,21 @@ def test_cli_mixture_requires_exactly_one_mode(spark, tmp_path):
     assert main(["mixture", data, str(tmp_path / "o")]) == 2
     assert main(["mixture", data, str(tmp_path / "o"),
                  "--targets", "en=1.0", "--alpha", "0.5"]) == 2
+
+
+def test_cli_prep_blocklist_stage(spark, tmp_path, capsys):
+    data = str(tmp_path / "bl.parquet")
+    good = "the cat and the dog sat in a house near the tree today fine"
+    spark.createDataFrame(
+        [(1, good), (2, good + " badword")],
+        "doc_id long, text string",
+    ).write.parquet(data)
+    bl = tmp_path / "bl.txt"
+    bl.write_text("badword\n")
+    out_path = str(tmp_path / "prepped")
+    rc = main(["prep", data, out_path, "--blocklist", str(bl),
+               "--quality-min", "0.0"])
+    assert rc == 0
+    kept = [r["doc_id"] for r in spark.read.parquet(out_path).collect()]
+    assert kept == [1]
+    assert "blocklist: 1" in capsys.readouterr().err
