@@ -55,30 +55,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry and the local sf0.01 oracle gate still runs all of it.
 DRIVER_PRIORITY = [
     # 48 never-driver-verified entries (absent from CORRECTNESS_r01-r03) +
-    # 2 canaries. The 70-entry never-verified pool exceeds the 50-slot cap;
-    # the omissions are the ones with a structurally identical sibling either
+    # 2 canaries. The never-verified pool exceeds the 50-slot cap; the
+    # omissions are the ones with a structurally identical sibling either
     # already verified or still in this list (e.g. doc_chunks ~ doc_cdc_chunks,
     # spend_deciles ~ balance_percentiles ~ verified topk windows,
-    # q12/q15 ~ verified q4/q14/q11, langs_except_all ~ langs_intersect_all,
-    # moving_avg frame ~ verified lag/sessionize, exact_stratified ~ verified
-    # holdout/mixture + weighted_sample here, partition_completeness ~
-    # orders_quality_report here).
+    # q12/q15/q16/q17/q20 ~ verified q4/q14/q11/q2/q21-family shapes,
+    # langs_except_all ~ langs_intersect_all, moving_avg frame ~ verified
+    # lag/sessionize, exact_stratified/weighted_sample/shuffle_shards ~
+    # verified holdout/mixture + temperature_sample here, median ~
+    # value_histogram/winsorize percentile family here, duplicate_spans /
+    # unigram_logprob / curation_v2 ~ remove_duplicate_spans / bigram+bm25 /
+    # curation_v3 here, partition_completeness ~ orders_quality_report).
+    # Round-4d operators (newest code = top risk) take the freed slots.
     # --- never driver-verified: TPC-H remainder ---
     "q7_nation_volume",
     "q9_profit_by_nation_year",
     "q11_top_value_parts",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_heavy_suppliers",
     # --- never driver-verified: windows / time series ---
-    "returnflag_quantity_median",
     "events_cohort_retention",
     "user_decayed_value",
     # --- never driver-verified: text / dedup / prep ---
     "doc_paragraph_dedup",
     "doc_bpe_token_count",
     "doc_cdc_chunks",
-    "doc_unigram_logprob",
     "doc_bm25_scores",
     "doc_duplicate_clusters",
     "doc_near_dedup_exact",
@@ -88,8 +87,6 @@ DRIVER_PRIORITY = [
     "part_copurchase_triangles",
     "part_communities",
     # --- round-4a additions (never driver-verified) ---
-    "doc_duplicate_spans",
-    "doc_weighted_sample",
     "doc_bigram_logprob",
     "embedding_hard_negatives",
     "doc_hybrid_rrf",
@@ -105,8 +102,6 @@ DRIVER_PRIORITY = [
     "events_daily_anomaly",
     "events_value_histogram",
     "doc_score_calibration",
-    "doc_shuffle_shards",
-    "curation_pipeline_v2",
     "orders_quality_report",
     "orders_incremental_rollup",
     # --- round-4c additions (never driver-verified, newest code = top risk) ---
@@ -118,6 +113,16 @@ DRIVER_PRIORITY = [
     "minhash_near_dup_portable",
     "simhash_near_dup_portable",
     "curation_pipeline_v3",
+    # --- round-4d additions (never driver-verified, newest code = top risk) ---
+    "doc_clean_text",
+    "events_daily_gap_fill",
+    "customer_balance_imputed",
+    "doc_sentences",
+    "doc_sentence_dedup",
+    "doc_temperature_sample",
+    "doc_readability",
+    "events_value_winsorized",
+    "doc_blocklist_filter",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",
