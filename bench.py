@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "doc_readability",
     "events_value_winsorized",
     "doc_blocklist_filter",
+    "doc_dsir_weights",
 ]
 
 

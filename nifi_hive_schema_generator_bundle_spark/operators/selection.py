@@ -20,13 +20,13 @@ tighter granularity = more buckets, same plan shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import quality_score
 from ..functions.textfns import whitespace_tokens
 
-__all__ = ["token_budget_select", "per_group_cap"]
+__all__ = ["token_budget_select", "per_group_cap", "dsir_importance_weights"]
 
 
 def token_budget_select(
@@ -106,4 +106,114 @@ def per_group_cap(
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= cap)
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much its hashed-bigram distribution looks like a
+    target domain relative to the raw corpus. The published recipe —
+    hash n-gram features into a fixed bucket count, fit bag-of-buckets
+    unigram models over target and raw, weight = log p_target(doc) -
+    log p_raw(doc) — selects raw documents that resemble the target
+    (e.g. "give me the web pages that read like Wikipedia").
+
+    ``target`` is a boolean Column over ``df``'s rows defining the
+    in-corpus target slice; the raw (denominator) distribution is the
+    whole input. Smoothing is add-``alpha`` over ``n_buckets`` buckets,
+    so every bucket has non-zero mass under both models and the weight
+    is always finite.
+
+    Output: (id_col, n_bigrams, dsir_weight) — one row per input doc;
+    dsir_weight = round(Σ_g [ln p_t(bucket(g)) - ln p_s(bucket(g))], 6)
+    over the doc's bigrams g, NULL (n_bigrams = 0) for docs with < 2
+    tokens. Feed it to ``functions/sampling.hash_fraction``-style keep
+    rules or ``token_budget_select`` for the actual resampling step.
+
+    Bucketing is the portable md5 recipe shared with the sampling
+    module (first 8 md5 hex chars of "prev cur" mod ``n_buckets``), so
+    any engine that agrees on md5 reproduces the weights bit-for-bit —
+    Spark's hash()/xxhash64 are engine-private.
+
+    Scale shape: the bigram explode feeds a (doc, bucket) partial-count
+    aggregation (map-side combine collapses Zipf-head buckets to one
+    row per doc); both model tables are a ≤ ``n_buckets``-row aggregate
+    of that frame, broadcast back with their 1-row totals for the
+    per-doc weighted sum. Document bodies never shuffle; nothing about
+    the plan changes at 100 TB except the (doc, bucket) shuffle volume,
+    which is bounded by docs × min(bigrams, n_buckets) longs.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (zero breaks smoothing)")
+    toks = df.select(
+        F.col(id_col),
+        target.cast("boolean").alias("__t"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    n = F.size("__toks")
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("__toks"), i),
+                F.element_at(F.col("__toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    doc_b = (
+        toks.select(F.col(id_col), "__t", F.explode(grams).alias("g"))
+        .select(id_col, "__t", bucket.alias("b"))
+        .groupBy(id_col, "__t", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    model = doc_b.groupBy("b").agg(
+        F.sum("k").alias("cs"),
+        F.sum(F.when(F.col("__t"), F.col("k")).otherwise(0)).alias("ct"),
+    )
+    totals = model.agg(
+        F.sum("cs").alias("ns"), F.sum("ct").alias("nt")
+    )
+    smooth = F.lit(float(alpha) * n_buckets)
+    llr = F.log(
+        (F.col("ct") + F.lit(float(alpha)))
+        / (F.col("nt").cast("double") + smooth)
+    ) - F.log(
+        (F.col("cs") + F.lit(float(alpha)))
+        / (F.col("ns").cast("double") + smooth)
+    )
+    scored = (
+        doc_b.join(F.broadcast(model.join(F.broadcast(totals))), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * llr), 6).alias("dsir_weight"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.col("dsir_weight"),
+        )
     )

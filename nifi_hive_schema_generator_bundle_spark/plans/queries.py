@@ -6680,3 +6680,60 @@ def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_blocked_terms", "blocked")
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "doc_dsir_weights",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id, source,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               t[CAST(g.i AS INT)] || ' ' || t[CAST(g.i AS INT)+1] AS g
+        FROM tk CROSS JOIN LATERAL unnest(range(1, len(t))) AS g(i)
+        WHERE len(t) >= 2
+    ), db AS (
+        SELECT doc_id,
+               max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tgt,
+               CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT) % 1024 AS b,
+               count(*) AS k
+        FROM grams GROUP BY doc_id, b
+    ), model AS (
+        SELECT b, sum(k) AS cs,
+               sum(CASE WHEN tgt = 1 THEN k ELSE 0 END) AS ct
+        FROM db GROUP BY b
+    ), tot AS (
+        SELECT CAST(sum(cs) AS DOUBLE) AS ns, CAST(sum(ct) AS DOUBLE) AS nt
+        FROM model
+    ), scored AS (
+        SELECT db.doc_id, CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+               round(sum(db.k * (ln((m.ct + 1.0) / (tot.nt + 1024.0))
+                               - ln((m.cs + 1.0) / (tot.ns + 1024.0)))), 6)
+                   AS dsir_weight
+        FROM db JOIN model m USING (b) CROSS JOIN tot
+        GROUP BY db.doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.dsir_weight
+    FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/selection.
+    dsir_importance_weights; Xie et al. 2023): hashed-bigram
+    bag-of-buckets models for a target slice (source = 'src0') vs the
+    raw corpus, per-doc weight = Σ ln p_t/p_s over its bigrams — the
+    published importance-resampling scorer for "select raw docs that
+    read like the target domain". Portable md5 bucketing (1024
+    buckets, add-1 smoothing); both model tables are ≤1024-row
+    broadcast aggregates of the same (doc, bucket) partial counts, and
+    document bodies never shuffle."""
+    from ..operators.selection import dsir_importance_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        d, F.col("source") == "src0"
+    ).orderBy("doc_id")

@@ -128,3 +128,74 @@ def test_budget_zero_and_huge(scored_docs):
 def test_budget_rejects_negative(scored_docs):
     with pytest.raises(ValueError):
         token_budget_select(scored_docs, -1)
+
+
+class TestDsirImportanceWeights:
+    """Planted-domain tests for selection.dsir_importance_weights."""
+
+    @pytest.fixture(scope="class")
+    def weighted(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+            dsir_importance_weights,
+        )
+
+        # Target docs speak "alpha beta gamma ..."; off-domain docs speak
+        # "zig zag zog ..."; probe docs mix. A raw doc written in the
+        # target's vocabulary must outscore one written off-domain.
+        tgt = "alpha beta gamma delta epsilon zeta eta theta"
+        off = "zig zag zog zip zap zup zim zum"
+        rows = (
+            [(i, tgt, True) for i in range(20)]
+            + [(100 + i, off, False) for i in range(20)]
+            + [(200, tgt, False), (201, off, False), (202, "solo", False)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+        out = dsir_importance_weights(df, F.col("is_t"))
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_target_lookalike_outscores_off_domain(self, weighted):
+        assert weighted[200]["dsir_weight"] > weighted[201]["dsir_weight"]
+        # and the gap is the whole point: strictly positive vs negative
+        assert weighted[200]["dsir_weight"] > 0
+        assert weighted[201]["dsir_weight"] < 0
+
+    def test_short_doc_null_weight(self, weighted):
+        assert weighted[202]["n_bigrams"] == 0
+        assert weighted[202]["dsir_weight"] is None
+
+    def test_one_row_per_input_doc(self, weighted):
+        assert len(weighted) == 43
+        assert weighted[200]["n_bigrams"] == 7
+
+    def test_weight_is_partitioning_independent(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+            dsir_importance_weights,
+        )
+
+        rows = [
+            (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(12)), i % 3 == 0)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+        a = {
+            r["doc_id"]: r["dsir_weight"]
+            for r in dsir_importance_weights(df.coalesce(1), F.col("is_t")).collect()
+        }
+        b = {
+            r["doc_id"]: r["dsir_weight"]
+            for r in dsir_importance_weights(
+                df.repartition(16), F.col("is_t")
+            ).collect()
+        }
+        assert a == b
+
+    def test_rejects_bad_params(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+            dsir_importance_weights,
+        )
+
+        df = spark.createDataFrame([(1, "a b", True)], "doc_id long, text string, is_t boolean")
+        with pytest.raises(ValueError):
+            dsir_importance_weights(df, F.col("is_t"), n_buckets=0)
+        with pytest.raises(ValueError):
+            dsir_importance_weights(df, F.col("is_t"), alpha=0.0)
