@@ -118,3 +118,74 @@ def test_weighted_sample_matches_bruteforce(spark, weights, n):
     ranked = sorted(rows, key=lambda t: -(_u(t[0]) ** (1.0 / t[1])))
     expect = sorted(i for i, _ in ranked[:n])
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_weights ≡ pure-Python bag-of-buckets model
+# ---------------------------------------------------------------------------
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["ant", "bee", "cat", "dog", "elk", "fox"]),
+                min_size=0,
+                max_size=8,
+            ),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_dsir_weights_match_bruteforce(spark, docs):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+        dsir_importance_weights,
+    )
+
+    B, ALPHA = 64, 1.0
+    rows = [(i, " ".join(toks), tgt) for i, (toks, tgt) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_weight"])
+        for r in dsir_importance_weights(
+            df, F.col("is_t"), n_buckets=B, alpha=ALPHA
+        ).collect()
+    }
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    cs: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    per_doc: list[dict[int, int]] = []
+    for toks, tgt in docs:
+        counts: dict[int, int] = {}
+        for a, b in zip(toks, toks[1:]):
+            counts[bucket(f"{a} {b}")] = counts.get(bucket(f"{a} {b}"), 0) + 1
+        per_doc.append(counts)
+        for k, v in counts.items():
+            cs[k] = cs.get(k, 0) + v
+            if tgt:
+                ct[k] = ct.get(k, 0) + v
+    ns, nt = sum(cs.values()), sum(ct.values())
+    for i, (toks, _) in enumerate(docs):
+        n_bi, w = got[i]
+        assert n_bi == max(len(toks) - 1, 0)
+        if n_bi == 0:
+            assert w is None
+            continue
+        expect = sum(
+            k
+            * (
+                math.log((ct.get(b, 0) + ALPHA) / (nt + ALPHA * B))
+                - math.log((cs[b] + ALPHA) / (ns + ALPHA * B))
+            )
+            for b, k in per_doc[i].items()
+        )
+        assert w == pytest.approx(round(expect, 6), abs=2e-6)
