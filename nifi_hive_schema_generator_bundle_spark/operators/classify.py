@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from ..functions.partitioning import ensure_min_partitions
 from ..functions.textfns import whitespace_tokens
 
-__all__ = ["linear_text_score"]
+__all__ = ["linear_text_score", "fit_linear_classifier"]
 
 _WDEC = "decimal(10,4)"
 _ACC = "decimal(28,4)"
@@ -132,3 +132,164 @@ def linear_text_score(
         F.col("__wsum").alias("weight_sum"),
         prob.alias(score_col),
     )
+
+
+def fit_linear_classifier(
+    df: DataFrame,
+    label_col: str,
+    *,
+    text_col: str = "text",
+    vocab: list[str] | None = None,
+    vocab_size: int = 2000,
+    lr: float = 1.0,
+    iters: int = 20,
+    l2: float = 0.0,
+) -> dict:
+    """Train the bag-of-words logistic classifier ``linear_text_score``
+    serves — in-engine, so the labeled-docs → quality-gate loop never
+    leaves Spark (the CCNet/fastText recipe: fit on "good corpus vs
+    crawl" labels, then score everything).
+
+    Model: ``p = sigmoid(bias + mean_token_weight)`` — exactly the
+    serving equation. Training is full-batch gradient descent on
+    logistic loss: per iteration one narrow scan computes every doc's
+    margin from the current weights (literal-map fold, zero shuffle),
+    and one token-keyed aggregation reduces the per-doc errors to a
+    ``|vocab|+1``-row gradient (map-side combine; the +1 is the bias,
+    riding the same shuffle as a sentinel token). Nothing larger than
+    the vocabulary ever reaches the driver.
+
+    Determinism: weights are quantized to 6 decimals after every
+    update, and gradient contributions accumulate in DECIMAL — the fit
+    is bit-identical across partitionings and cluster sizes (same
+    discipline as the serving path's weight_sum). ``vocab`` defaults to
+    the ``vocab_size`` most-document-frequent tokens (ties broken by
+    token), collected once — driver-bounded like the IVF quantizer
+    sample. The literal-map strategy caps practical vocabularies at a
+    few thousand entries (codegen limit, documented on the serving
+    path); pass a larger model to ``linear_text_score(how="join")``
+    only for serving.
+
+    Returns ``{"weights": {token: w}, "bias": b, "n_docs": N,
+    "log_loss": final mean loss}`` — feed ``weights``/``bias`` straight
+    to ``linear_text_score``.
+
+    Labels: ``label_col`` is boolean-castable; rows with NULL labels
+    are excluded from the fit.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if lr <= 0:
+        raise ValueError("lr must be > 0")
+    if l2 < 0:
+        raise ValueError("l2 must be >= 0")
+    if vocab is not None and len(vocab) == 0:
+        raise ValueError("vocab must be non-empty when given")
+
+    _BIAS = "\x00bias"  # NUL-prefixed: can't collide with a whitespace token
+    _GDEC = "decimal(30,12)"
+
+    base = (
+        df.filter(F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).cast("boolean").cast("int").cast("double").alias("__y"),
+            whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+        )
+        .withColumn("__n", F.size("__toks"))
+        .cache()
+    )
+    try:
+        n_docs = base.count()
+        if n_docs == 0:
+            raise ValueError("no labeled rows to fit on")
+        if vocab is None:
+            vocab = [
+                r["t"]
+                for r in (
+                    base.select(
+                        F.explode(F.array_distinct("__toks")).alias("t")
+                    )
+                    .groupBy("t")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .orderBy(F.col("c").desc(), F.col("t"))
+                    .limit(vocab_size)
+                    .collect()
+                )
+            ]
+            if not vocab:
+                raise ValueError("corpus has no tokens to build a vocabulary")
+
+        weights = {t: 0.0 for t in vocab}
+        bias = 0.0
+
+        def _margin_and_err():
+            pairs: list = []
+            for t in sorted(weights):
+                pairs.append(F.lit(t))
+                pairs.append(F.lit(weights[t]))
+            wmap = F.create_map(*pairs)
+            fold = F.aggregate(
+                F.col("__toks"),
+                F.lit(0.0),
+                lambda acc, t: acc + F.coalesce(wmap[t], F.lit(0.0)),
+            )
+            margin = F.lit(bias) + F.when(
+                F.col("__n") > 0, fold / F.col("__n")
+            ).otherwise(F.lit(0.0))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            return wmap, p, p - F.col("__y")
+
+        for _ in range(iters):
+            wmap, _p, err = _margin_and_err()
+            # one row per in-vocab token occurrence (x = 1/n, mean
+            # pooling) plus a per-doc bias sentinel (x = 1); DECIMAL
+            # contributions make the token-keyed sum order-independent
+            contrib = F.concat(
+                F.filter(
+                    F.transform(
+                        F.col("__toks"),
+                        lambda t: F.struct(
+                            t.alias("t"),
+                            F.when(F.col("__n") > 0, err / F.col("__n"))
+                            .otherwise(F.lit(0.0))
+                            .alias("g"),
+                        ),
+                    ),
+                    lambda s: wmap[s["t"]].isNotNull(),
+                ),
+                F.array(
+                    F.struct(F.lit(_BIAS).alias("t"), err.alias("g"))
+                ),
+            )
+            grad_rows = (
+                base.select(F.explode(contrib).alias("c"))
+                .groupBy(F.col("c.t").alias("t"))
+                .agg(F.sum(F.col("c.g").cast(_GDEC)).alias("g"))
+                .collect()
+            )
+            grads = {r["t"]: float(r["g"]) for r in grad_rows}
+            decay = 1.0 - lr * l2
+            for t in weights:
+                weights[t] = round(
+                    weights[t] * decay - lr * grads.get(t, 0.0) / n_docs, 6
+                )
+            bias = round(bias - lr * grads.get(_BIAS, 0.0) / n_docs, 6)
+
+        _wmap, p, _err = _margin_and_err()
+        eps = F.lit(1e-12)
+        loss_row = base.agg(
+            F.avg(
+                -(
+                    F.col("__y") * F.log(p + eps)
+                    + (F.lit(1.0) - F.col("__y")) * F.log(F.lit(1.0) - p + eps)
+                )
+            ).alias("loss")
+        ).collect()[0]
+        return {
+            "weights": weights,
+            "bias": bias,
+            "n_docs": n_docs,
+            "log_loss": float(loss_row["loss"]),
+        }
+    finally:
+        base.unpersist()

@@ -6737,3 +6737,40 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         d, F.col("source") == "src0"
     ).orderBy("doc_id")
+
+
+@register_query("doc_quality_classifier_fit")
+def doc_quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine training of the linear quality classifier
+    (operators/classify.fit_linear_classifier): full-batch logistic GD
+    on a deterministic synthetic label (doc contains the token 'dup'),
+    6 iterations over a 64-token vocabulary. Rows-only by design —
+    the fit is iterative (non-SQL); determinism is guaranteed by the
+    operator's 6-decimal weight quantization + DECIMAL gradient
+    accumulation (bit-identical across partitionings, unit-tested), and
+    the learned model must put its most positive weight on the label
+    token itself — asserted by the planted units, visible here as
+    rank 1. Output: (rank, token, weight_1e6, bias_1e6) sorted by
+    descending weight."""
+    from ..operators.classify import fit_linear_classifier
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        "text",
+        F.array_contains(
+            F.split(F.lower(F.col("text")), r"\s+"), "dup"
+        ).alias("label"),
+    )
+    model = fit_linear_classifier(
+        labeled, "label", iters=6, lr=2.0, vocab_size=64
+    )
+    rows = sorted(
+        model["weights"].items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    out = [
+        (i + 1, t, int(round(w * 1e6)), int(round(model["bias"] * 1e6)))
+        for i, (t, w) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out, "rank int, token string, weight_1e6 long, bias_1e6 long"
+    )

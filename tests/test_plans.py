@@ -244,6 +244,9 @@ BNLJ_ALLOWED = {
     "doc_unigram_logprob",
     # same 1-row grand-total broadcast; bigram/marginal joins are equi/AQE
     "doc_bigram_logprob",
+    # 1-row (ns, nt) model-totals broadcast onto the <=1024-row bucket
+    # model table; the per-doc bucket join is equi
+    "doc_dsir_weights",
     # 1-row N/avgdl stats broadcast; the term joins are equi
     "doc_bm25_scores",
     # 1-row dangling-mass broadcast per power iteration

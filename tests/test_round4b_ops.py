@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -654,3 +655,95 @@ def test_schema_contract(spark):
     assert any("missing column missing" in p for p in probs)
     strict = schema_contract_violations(df, {"id": "bigint"}, allow_extra=False)
     assert any("unexpected column name" in p for p in strict)
+
+
+# ---------------------------------------------------------------------------
+# fit_linear_classifier
+# ---------------------------------------------------------------------------
+
+class TestFitLinearClassifier:
+    @pytest.fixture(scope="class")
+    def labeled(self, spark):
+        rows = []
+        for i in range(30):
+            rows.append((i, f"good clean prose filler{i % 5}", True))
+            rows.append((100 + i, f"spam junk noise filler{i % 5}", False))
+        return spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+
+    def test_learns_separable_data(self, spark, labeled):
+        from nifi_hive_schema_generator_bundle_spark.operators.classify import (
+            fit_linear_classifier,
+            linear_text_score,
+        )
+
+        m = fit_linear_classifier(labeled, "label", iters=12, lr=2.0)
+        w = m["weights"]
+        # signal tokens signed correctly, shared token ~neutral
+        assert min(w["good"], w["clean"], w["prose"]) > 0
+        assert max(w["spam"], w["junk"], w["noise"]) < 0
+        assert abs(w["filler0"]) < 1e-6
+        # and the fitted model feeds the serving path to 100% train acc
+        scored = linear_text_score(labeled, w, bias=m["bias"])
+        acc = scored.select(
+            F.avg(
+                ((F.col("quality_prob") > 0.5) == F.col("label")).cast("double")
+            ).alias("a")
+        ).collect()[0]["a"]
+        assert acc == 1.0
+        assert m["log_loss"] < 0.69  # better than the p=0.5 baseline
+
+    def test_partitioning_independent(self, labeled):
+        from nifi_hive_schema_generator_bundle_spark.operators.classify import (
+            fit_linear_classifier,
+        )
+
+        a = fit_linear_classifier(labeled.coalesce(1), "label", iters=5, lr=1.0)
+        b = fit_linear_classifier(
+            labeled.repartition(16), "label", iters=5, lr=1.0
+        )
+        assert a["weights"] == b["weights"]
+        assert a["bias"] == b["bias"]
+
+    def test_null_labels_excluded_and_imbalance_biases(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.classify import (
+            fit_linear_classifier,
+        )
+
+        rows = [(1, "aa bb", True), (2, "aa bb", True), (3, "aa bb", None)]
+        m = fit_linear_classifier(
+            spark.createDataFrame(rows, "doc_id long, text string, label boolean"),
+            "label",
+            iters=5,
+        )
+        assert m["n_docs"] == 2  # NULL row dropped
+        assert m["bias"] > 0  # all-positive corpus pushes the bias up
+
+    def test_explicit_vocab_and_l2(self, labeled):
+        from nifi_hive_schema_generator_bundle_spark.operators.classify import (
+            fit_linear_classifier,
+        )
+
+        m = fit_linear_classifier(
+            labeled, "label", iters=8, lr=2.0, vocab=["good", "spam"], l2=0.1
+        )
+        assert set(m["weights"]) == {"good", "spam"}
+        m0 = fit_linear_classifier(
+            labeled, "label", iters=8, lr=2.0, vocab=["good", "spam"], l2=0.0
+        )
+        # L2 shrinks toward zero
+        assert abs(m["weights"]["good"]) < abs(m0["weights"]["good"])
+
+    def test_rejects_bad_params(self, spark, labeled):
+        from nifi_hive_schema_generator_bundle_spark.operators.classify import (
+            fit_linear_classifier,
+        )
+
+        with pytest.raises(ValueError):
+            fit_linear_classifier(labeled, "label", iters=-1)
+        with pytest.raises(ValueError):
+            fit_linear_classifier(labeled, "label", lr=0.0)
+        with pytest.raises(ValueError):
+            fit_linear_classifier(labeled, "label", vocab=[])
+        empty = labeled.filter(F.col("doc_id") < 0)
+        with pytest.raises(ValueError):
+            fit_linear_classifier(empty, "label")
