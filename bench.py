@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "events_value_winsorized",
     "doc_blocklist_filter",
     "doc_dsir_weights",
+    "doc_quality_classifier_fit",
 ]
 
 
