@@ -11,6 +11,8 @@ library + CLI"):
     dedup   exact or near-dup (minhash/simhash) dedup of a text column,
             keep the min-id representative per duplicate group -> output dir
     profile one-scan column statistics (count/null/distinct/min/max)
+    fit-classifier  train the linear quality classifier -> model JSON
+    dsir    DSIR importance weights vs a --target slice -> parquet
     compact rewrite a small-files directory to ~target-size files
     sql     ad-hoc SQL over a directory of parquet tables (one view per file)
     prep    composed training-data pipeline: optional blocklist ->
@@ -553,6 +555,79 @@ def cmd_classify(args) -> int:
     return 0
 
 
+def cmd_fit_classifier(args) -> int:
+    """Train the linear quality classifier on labeled docs and write the
+    model JSON `classify` consumes ({"bias": b, "weights": {tok: w}})."""
+    import json as _json
+
+    from .operators.classify import fit_linear_classifier
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    model = fit_linear_classifier(
+        df,
+        args.label_col,
+        text_col=args.text_col,
+        vocab_size=args.vocab_size,
+        lr=args.lr,
+        iters=args.iters,
+        l2=args.l2,
+    )
+    with open(args.model, "w") as fh:
+        _json.dump(
+            {"bias": model["bias"], "weights": model["weights"]},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    print(
+        f"fit {len(model['weights'])}-token model on {model['n_docs']} docs "
+        f"(log_loss={model['log_loss']:.4f}) -> {args.model}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_dsir(args) -> int:
+    """DSIR importance weights: score every doc by hashed-bigram
+    similarity to a target slice (--target is a SQL boolean over the
+    input's columns) vs the raw corpus; writes (id, n_bigrams,
+    dsir_weight) parquet."""
+    from pyspark.sql import functions as F
+
+    from .operators.selection import dsir_importance_weights
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    out = dsir_importance_weights(
+        df,
+        F.expr(args.target),
+        text_col=args.text_col,
+        id_col=args.key,
+        n_buckets=args.buckets,
+        alpha=args.alpha,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    stats = (
+        spark.read.parquet(args.output)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dsir_weight"), 4).alias("mean"),
+            F.round(F.min("dsir_weight"), 4).alias("min"),
+            F.round(F.max("dsir_weight"), 4).alias("max"),
+        )
+        .collect()[0]
+    )
+    print(
+        f"weighted {stats['n']} docs -> {args.output} "
+        f"(mean={stats['mean']} min={stats['min']} max={stats['max']})",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_compact(args) -> int:
     from .sources.formats import compact
 
@@ -898,6 +973,35 @@ def main(argv: list[str] | None = None) -> int:
     pcl.add_argument("--text-col", default="text")
     pcl.add_argument("--how", default="map", choices=["map", "join"])
     pcl.set_defaults(fn=cmd_classify)
+
+    pfc = sub.add_parser(
+        "fit-classifier", help="train the linear quality classifier"
+    )
+    pfc.add_argument("input")
+    pfc.add_argument("--model", required=True, help="output model JSON path")
+    pfc.add_argument("--label-col", required=True,
+                     help="boolean-castable label column (NULLs excluded)")
+    pfc.add_argument("--fmt", default="parquet")
+    pfc.add_argument("--text-col", default="text")
+    pfc.add_argument("--vocab-size", type=int, default=2000)
+    pfc.add_argument("--lr", type=float, default=1.0)
+    pfc.add_argument("--iters", type=int, default=20)
+    pfc.add_argument("--l2", type=float, default=0.0)
+    pfc.set_defaults(fn=cmd_fit_classifier)
+
+    pdw = sub.add_parser(
+        "dsir", help="DSIR importance weights vs a target slice"
+    )
+    pdw.add_argument("input")
+    pdw.add_argument("output")
+    pdw.add_argument("--target", required=True,
+                     help="SQL boolean marking target rows, e.g. \"source = 'wiki'\"")
+    pdw.add_argument("--fmt", default="parquet")
+    pdw.add_argument("--key", default="doc_id")
+    pdw.add_argument("--text-col", default="text")
+    pdw.add_argument("--buckets", type=int, default=1024)
+    pdw.add_argument("--alpha", type=float, default=1.0)
+    pdw.set_defaults(fn=cmd_dsir)
 
     pk = sub.add_parser("compact", help="rewrite small files to ~target size")
     pk.add_argument("path")

@@ -579,3 +579,50 @@ def test_cli_prep_blocklist_stage(spark, tmp_path, capsys):
     kept = [r["doc_id"] for r in spark.read.parquet(out_path).collect()]
     assert kept == [1]
     assert "blocklist: 1" in capsys.readouterr().err
+
+
+def test_cli_fit_classifier_then_classify_roundtrip(spark, tmp_path, capsys):
+    import json
+
+    data = str(tmp_path / "labeled.parquet")
+    rows = [
+        (i, "good clean prose" if i % 2 == 0 else "spam junk noise", i % 2 == 0)
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, label boolean"
+    ).write.parquet(data)
+    model_path = str(tmp_path / "model.json")
+    rc = main([
+        "fit-classifier", data, "--model", model_path,
+        "--label-col", "label", "--iters", "8", "--lr", "2.0",
+    ])
+    assert rc == 0
+    model = json.loads(open(model_path).read())
+    assert model["weights"]["good"] > 0 > model["weights"]["spam"]
+    assert "fit" in capsys.readouterr().err
+
+    scored = str(tmp_path / "scored")
+    rc = main(["classify", data, scored, "--model", model_path])
+    assert rc == 0
+    got = {r["doc_id"]: r["quality_prob"] for r in spark.read.parquet(scored).collect()}
+    assert got[0] > 0.5 > got[1]
+
+
+def test_cli_dsir_weights(spark, tmp_path, capsys):
+    data = str(tmp_path / "docs.parquet")
+    rows = [
+        (i, "alpha beta gamma delta" if i % 3 == 0 else "zig zag zog zip",
+         "wiki" if i % 3 == 0 else "crawl")
+        for i in range(30)
+    ] + [(100, "alpha beta gamma delta", "crawl"), (101, "zig zag zog zip", "crawl")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(data)
+    out = str(tmp_path / "weights")
+    rc = main(["dsir", data, out, "--target", "source = 'wiki'"])
+    assert rc == 0
+    got = {r["doc_id"]: r["dsir_weight"] for r in spark.read.parquet(out).collect()}
+    # the crawl doc written in the wiki vocabulary outscores the off-domain one
+    assert got[100] > got[101]
+    assert "weighted 32 docs" in capsys.readouterr().err
