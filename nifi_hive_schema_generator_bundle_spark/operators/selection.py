@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from .text import quality_score
 from ..functions.textfns import whitespace_tokens
 
-__all__ = ["token_budget_select", "per_group_cap", "dsir_importance_weights"]
+__all__ = ["token_budget_select", "per_group_cap", "dsir_importance_weights", "dsir_sample"]
 
 
 def token_budget_select(
@@ -215,5 +215,84 @@ def dsir_importance_weights(
                 "n_bigrams"
             ),
             F.col("dsir_weight"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: Column,
+    n_keep: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    hist_buckets: int = 1000,
+) -> DataFrame:
+    """The DSIR selection step: resample ~``n_keep`` raw documents with
+    probability ∝ their importance weight, via the Gumbel-top-k trick
+    the paper uses — score = log-weight + Gumbel noise, keep the k
+    best. Composes ``dsir_importance_weights`` with a deterministic
+    Gumbel draw (``-ln(-ln(u))``, u = the portable md5 fraction of the
+    doc id — reproducible across runs, engines, and partitionings; no
+    RNG state anywhere).
+
+    The top-k itself reuses the ``token_budget_select`` discipline: no
+    global sort. Scores quantize into ``hist_buckets`` equi-width bins
+    between the observed (min, max) — a two-row broadcast — a
+    cumulative window walks the ≤(hist_buckets+1)-row bin table from
+    the top, and one filtered scan keeps the full bins that fit. Like
+    ``token_budget_select`` this under-fills by at most the boundary
+    bin (and keeps nothing if the single top bin already exceeds
+    ``n_keep``); tighter ``hist_buckets`` = finer fill, same plan.
+
+    Docs with NULL weights (< 2 tokens) never qualify. Output: (id,
+    n_bigrams, dsir_weight, gumbel_score, score_bucket) for kept docs.
+    """
+    if n_keep < 0:
+        raise ValueError("n_keep must be >= 0")
+    if hist_buckets < 1:
+        raise ValueError("hist_buckets must be >= 1")
+    from ..functions.sampling import hash_fraction
+
+    w = dsir_importance_weights(
+        df,
+        target,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+    ).filter(F.col("dsir_weight").isNotNull())
+    u = hash_fraction(F.col(id_col))
+    scored = w.withColumn(
+        "gumbel_score",
+        F.round(F.col("dsir_weight") + -F.log(-F.log(u)), 6),
+    )
+    bounds = scored.agg(
+        F.min("gumbel_score").alias("__lo"), F.max("gumbel_score").alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.when(span > 0, F.floor(
+        (F.col("gumbel_score") - F.col("__lo")) / span * hist_buckets
+    ).cast("long")).otherwise(F.lit(0))
+    binned = scored.join(F.broadcast(bounds)).withColumn(
+        "score_bucket", bucket
+    )
+    per_bin = binned.groupBy("score_bucket").agg(
+        F.count(F.lit(1)).alias("__bin_n")
+    )
+    win = Window.orderBy(F.col("score_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_bin.withColumn("__cum", F.sum("__bin_n").over(win))
+    thr = cum.filter(F.col("__cum") <= n_keep).agg(
+        F.min("score_bucket").alias("__thr")
+    )
+    return (
+        binned.join(F.broadcast(thr))
+        .filter(F.col("score_bucket") >= F.col("__thr"))
+        .select(
+            id_col, "n_bigrams", "dsir_weight", "gumbel_score", "score_bucket"
         )
     )

@@ -6774,3 +6774,74 @@ def doc_quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "rank int, token string, weight_1e6 long, bias_1e6 long"
     )
+
+
+@register_query(
+    "doc_dsir_sample",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id, source,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               t[CAST(g.i AS INT)] || ' ' || t[CAST(g.i AS INT)+1] AS g
+        FROM tk CROSS JOIN LATERAL unnest(range(1, len(t))) AS g(i)
+        WHERE len(t) >= 2
+    ), db AS (
+        SELECT doc_id,
+               max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tgt,
+               CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT) % 1024 AS b,
+               count(*) AS k
+        FROM grams GROUP BY doc_id, b
+    ), model AS (
+        SELECT b, sum(k) AS cs,
+               sum(CASE WHEN tgt = 1 THEN k ELSE 0 END) AS ct
+        FROM db GROUP BY b
+    ), tot AS (
+        SELECT CAST(sum(cs) AS DOUBLE) AS ns, CAST(sum(ct) AS DOUBLE) AS nt
+        FROM model
+    ), wts AS (
+        SELECT db.doc_id, CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+               round(sum(db.k * (ln((m.ct + 1.0) / (tot.nt + 1024.0))
+                               - ln((m.cs + 1.0) / (tot.ns + 1024.0)))), 6)
+                   AS dsir_weight
+        FROM db JOIN model m USING (b) CROSS JOIN tot
+        GROUP BY db.doc_id
+    ), gsc AS (
+        SELECT doc_id, n_bigrams, dsir_weight,
+               round(dsir_weight + -ln(-ln(
+                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0)), 6) AS gumbel_score
+        FROM wts WHERE dsir_weight IS NOT NULL
+    ), bounds AS (
+        SELECT min(gumbel_score) AS lo, max(gumbel_score) AS hi FROM gsc
+    ), binned AS (
+        SELECT g.*, CASE WHEN b.hi > b.lo THEN
+                   CAST(floor((g.gumbel_score - b.lo) / (b.hi - b.lo) * 1000) AS BIGINT)
+               ELSE 0 END AS score_bucket
+        FROM gsc g CROSS JOIN bounds b
+    ), bins AS (
+        SELECT score_bucket, count(*) AS n FROM binned GROUP BY score_bucket
+    ), cum AS (
+        SELECT score_bucket, sum(n) OVER (ORDER BY score_bucket DESC) AS c
+        FROM bins
+    ), thr AS (
+        SELECT min(score_bucket) AS t FROM cum WHERE c <= 100
+    )
+    SELECT doc_id, n_bigrams, dsir_weight, gumbel_score, score_bucket
+    FROM binned CROSS JOIN thr WHERE score_bucket >= t ORDER BY doc_id
+    """,
+)
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DSIR selection (operators/selection.dsir_sample):
+    importance weights vs the source='src0' slice + deterministic
+    md5-Gumbel noise, keep ~100 docs by the bucketed-histogram top-k
+    (no global sort — the token_budget_select discipline). The oracle
+    replays weights, Gumbel draw, binning, and threshold exactly."""
+    from ..operators.selection import dsir_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_sample(d, F.col("source") == "src0", 100).orderBy("doc_id")

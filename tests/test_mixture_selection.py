@@ -199,3 +199,62 @@ class TestDsirImportanceWeights:
             dsir_importance_weights(df, F.col("is_t"), n_buckets=0)
         with pytest.raises(ValueError):
             dsir_importance_weights(df, F.col("is_t"), alpha=0.0)
+
+
+class TestDsirSample:
+    def test_keeps_at_most_n_and_prefers_high_weight(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+            dsir_sample,
+        )
+
+        tgt_text = "alpha beta gamma delta epsilon zeta"
+        off_text = "zig zag zog zip zap zup"
+        rows = (
+            [(i, tgt_text, True) for i in range(10)]
+            + [(200 + i, tgt_text, False) for i in range(30)]
+            + [(400 + i, off_text, False) for i in range(30)]
+            + [(900, "solo", False)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+        kept = dsir_sample(df, F.col("is_t"), 30).collect()
+        assert 0 < len(kept) <= 30
+        ids = {r["doc_id"] for r in kept}
+        assert 900 not in ids  # <2 tokens -> NULL weight -> never kept
+        # Gumbel noise spans a few units; the ~13-unit weight gap between
+        # on/off-domain docs dominates, so kept docs skew to the lookalikes
+        on_domain = sum(1 for i in ids if i < 400)
+        assert on_domain > len(ids) * 0.7
+
+    def test_deterministic_across_partitionings(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+            dsir_sample,
+        )
+
+        rows = [
+            (i, " ".join(f"w{(i * 5 + j) % 11}" for j in range(10)), i % 4 == 0)
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+        a = sorted(
+            r["doc_id"] for r in dsir_sample(df.coalesce(1), F.col("is_t"), 25).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in dsir_sample(df.repartition(16), F.col("is_t"), 25).collect()
+        )
+        assert a == b and len(a) <= 25
+
+    def test_zero_keep_and_bad_params(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+            dsir_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c", True), (2, "a b c", False)],
+            "doc_id long, text string, is_t boolean",
+        )
+        assert dsir_sample(df, F.col("is_t"), 0).count() == 0
+        with pytest.raises(ValueError):
+            dsir_sample(df, F.col("is_t"), -1)
+        with pytest.raises(ValueError):
+            dsir_sample(df, F.col("is_t"), 5, hist_buckets=0)

@@ -247,6 +247,9 @@ BNLJ_ALLOWED = {
     # 1-row (ns, nt) model-totals broadcast onto the <=1024-row bucket
     # model table; the per-doc bucket join is equi
     "doc_dsir_weights",
+    # inherits the totals broadcast, plus the 1-row (lo, hi) score
+    # bounds and 1-row bucket-threshold broadcasts (token_budget class)
+    "doc_dsir_sample",
     # 1-row N/avgdl stats broadcast; the term joins are equi
     "doc_bm25_scores",
     # 1-row dangling-mass broadcast per power iteration
