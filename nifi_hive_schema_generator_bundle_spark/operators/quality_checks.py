@@ -27,6 +27,7 @@ __all__ = [
     "ref_integrity_violations",
     "partition_completeness",
     "schema_contract_violations",
+    "k_anonymity_report",
 ]
 
 
@@ -203,3 +204,51 @@ def schema_contract_violations(
             if name not in expected:
                 problems.append(f"unexpected column {name} ({actual[name]})")
     return problems
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """K-anonymity audit over a set of quasi-identifier columns — the
+    re-identification check privacy reviews run before a structured
+    table ships with training data: every combination of
+    quasi-identifier values must be shared by at least ``k`` rows
+    (Sweeney 2002). Rows in smaller equivalence classes are
+    re-identifiable by joining those columns against outside data.
+
+    Returns a one-row report: (k, n_rows, n_classes, n_risky_classes,
+    n_risky_rows, min_class_size, anonymous) where a "class" is one
+    distinct quasi-identifier combination, risky = class size < ``k``,
+    and ``anonymous`` is true iff no class is risky. NULL
+    quasi-identifier values form their own classes (NULL-safe
+    grouping), matching how an attacker would treat missing values as
+    a distinguishing signal.
+
+    One scan + one aggregation: the class sizes are a
+    ``groupBy(quasi_cols).count()`` (map-side combinable; cardinality
+    bounded by distinct combinations, not rows) reduced to the 1-row
+    audit — the same single-pass discipline as ``quality_report``.
+    Skew is the attacker's problem, not ours: a whale class is by
+    definition anonymous.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    risky = F.col("__n") < k
+    return classes.agg(
+        F.lit(k).alias("k"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(risky.cast("long")).cast("long").alias("n_risky_classes"),
+        F.sum(F.when(risky, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.min("__n").cast("long").alias("min_class_size"),
+        (F.max(risky.cast("int")) == 0).alias("anonymous"),
+    )

@@ -6845,3 +6845,31 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dsir_sample(d, F.col("source") == "src0", 100).orderBy("doc_id")
+
+
+@register_query(
+    "customers_k_anonymity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_mktsegment, c_nationkey, count(*) AS n
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT CAST(5 AS INT) AS k,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+           CAST(min(n) AS BIGINT) AS min_class_size,
+           max(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS anonymous
+    FROM classes
+    """,
+)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit (operators/quality_checks.k_anonymity_report,
+    k=5) over the (market segment, nation) quasi-identifier pair — the
+    privacy-review gate for structured tables. One groupBy + 1-row
+    reduction; class cardinality bounds the shuffle, not rows."""
+    from ..operators.quality_checks import k_anonymity_report
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_report(cust, ["c_mktsegment", "c_nationkey"], k=5)

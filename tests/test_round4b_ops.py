@@ -747,3 +747,46 @@ class TestFitLinearClassifier:
         empty = labeled.filter(F.col("doc_id") < 0)
         with pytest.raises(ValueError):
             fit_linear_classifier(empty, "label")
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_report
+# ---------------------------------------------------------------------------
+
+class TestKAnonymity:
+    def test_counts_and_flags(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+            k_anonymity_report,
+        )
+
+        rows = (
+            [("a", 1)] * 5      # class of 5: safe at k=5
+            + [("a", 2)] * 3    # class of 3: risky
+            + [("b", 1)] * 1    # class of 1: risky
+            + [(None, 1)] * 5   # NULL forms its own (safe) class
+        )
+        df = spark.createDataFrame(rows, "seg string, nat int")
+        r = k_anonymity_report(df, ["seg", "nat"], k=5).collect()[0]
+        assert r["k"] == 5 and r["n_rows"] == 14 and r["n_classes"] == 4
+        assert r["n_risky_classes"] == 2 and r["n_risky_rows"] == 4
+        assert r["min_class_size"] == 1 and r["anonymous"] is False
+
+    def test_anonymous_when_all_classes_big(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+            k_anonymity_report,
+        )
+
+        df = spark.createDataFrame([("a",)] * 4 + [("b",)] * 4, "seg string")
+        r = k_anonymity_report(df, ["seg"], k=3).collect()[0]
+        assert r["anonymous"] is True and r["n_risky_classes"] == 0
+
+    def test_rejects_bad_params(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+            k_anonymity_report,
+        )
+
+        df = spark.createDataFrame([("a",)], "seg string")
+        with pytest.raises(ValueError):
+            k_anonymity_report(df, [], k=5)
+        with pytest.raises(ValueError):
+            k_anonymity_report(df, ["seg"], k=0)
