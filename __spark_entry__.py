@@ -67,10 +67,10 @@ DRIVER_PRIORITY = [
     # unigram_logprob / curation_v2 ~ remove_duplicate_spans / bigram+bm25 /
     # curation_v3 here, partition_completeness ~ orders_quality_report).
     # Round-4d operators (newest code = top risk) take the freed slots.
-    # --- never driver-verified: TPC-H remainder ---
-    "q7_nation_volume",
+    # --- never driver-verified: TPC-H remainder (q11 omitted: its
+    # sf0.01 result is 0 rows, so a driver slot spent on it verifies
+    # nothing; q7's volume-join shape matches verified q5/q8) ---
     "q9_profit_by_nation_year",
-    "q11_top_value_parts",
     # --- never driver-verified: windows / time series ---
     "events_cohort_retention",
     "user_decayed_value",
@@ -123,6 +123,9 @@ DRIVER_PRIORITY = [
     "doc_readability",
     "events_value_winsorized",
     "doc_blocklist_filter",
+    # --- round-4e additions (newest code = top risk) ---
+    "doc_dsir_weights",
+    "doc_dsir_sample",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",
