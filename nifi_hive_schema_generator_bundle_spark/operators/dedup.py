@@ -43,6 +43,7 @@ __all__ = [
     "simhash_pairs",
     "simhash_bits_portable",
     "simhash_pairs_portable",
+    "packed_hamming_pairs",
     "embedding_near_dup_pairs",
     "connected_components",
     "dedup_keep_min",
@@ -547,6 +548,27 @@ def simhash_pairs_portable(
         pack(F.col("__bits"), 0).alias("lo"),
         pack(F.col("__bits"), 32).alias("hi"),
     )
+    return packed_hamming_pairs(
+        sh, max_hamming=max_hamming, max_bucket=max_bucket
+    )
+
+
+def packed_hamming_pairs(
+    sh: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(id, lo, hi) 64-bit signatures (two packed 32-bit halves) →
+    (id_a, id_b, hamming) candidate pairs with Hamming ≤ ``max_hamming``
+    — the shared banding engine behind ``simhash_pairs_portable`` and
+    ``multimodal.image_near_dup``: 4×16-bit pigeonhole chunks (a pair
+    within Hamming ≤ 3 must agree on at least one chunk — complete for
+    3; higher ``max_hamming`` still verifies correctly but banding may
+    miss pairs differing in all four chunks), per-chunk equi-join with
+    the ``max_bucket`` degenerate-bucket cap, verify =
+    ``bit_count(xor)`` on the packed halves (one codegen'd instruction
+    per half)."""
     chunk_vals = [
         F.col("lo").bitwiseAND(F.lit(0xFFFF)),
         F.call_function("shiftright", F.col("lo"), F.lit(16)).bitwiseAND(

@@ -43,6 +43,8 @@ __all__ = [
     "frame_sample",
     "resize_media",
     "repartition_by_bytes",
+    "perceptual_hashes",
+    "image_near_dup",
 ]
 
 # the canonical media column group: payload + typed metadata struct
@@ -260,3 +262,77 @@ def resize_media(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def perceptual_hashes(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hash_fn: Callable[[bytes], tuple[int, int]] | None = None,
+) -> DataFrame:
+    """payload → 64-bit perceptual hash as packed (lo, hi) 32-bit
+    halves via one Arrow stage — the signature step of image near-dup.
+    Default ``hash_fn`` is the stdlib PNG average-hash
+    (``png_codec.average_hash``); plug in a pHash/dHash over a real
+    imaging stack in production. NULL payloads and undecodable images
+    yield NULL halves (and so never reach the banding join).
+    """
+    if hash_fn is None:
+        from .png_codec import average_hash as hash_fn  # type: ignore[assignment]
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("lo", LongType(), True),
+            StructField("hi", LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            los, his = [], []
+            for b in pdf[payload_col]:
+                if b is None:
+                    los.append(None)
+                    his.append(None)
+                    continue
+                try:
+                    lo, hi = hash_fn(bytes(b))
+                except (ValueError, NotImplementedError):
+                    lo = hi = None
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame({id_col: pdf[id_col], "lo": los, "hi": his})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def image_near_dup(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    hash_fn: Callable[[bytes], tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs — the multimodal mirror of SimHash
+    text dedup (the LAION-style visual dedup stage): perceptual hash
+    per image (one Arrow pass over (id, payload), bodies never
+    shuffle), then ``dedup.packed_hamming_pairs``'s 4×16-bit pigeonhole
+    banding + ``bit_count(xor)`` verify — complete for Hamming ≤ 3,
+    same degenerate-bucket cap. Returns (id_a, id_b, hamming).
+
+    Everything after the hash is signature-only: the banding shuffle
+    carries (id, two longs) per image regardless of image size, so the
+    100 TB profile is identical to text SimHash dedup.
+    """
+    from .dedup import packed_hamming_pairs
+
+    sig = perceptual_hashes(
+        df, payload_col=payload_col, id_col=id_col, hash_fn=hash_fn
+    ).filter(F.col("lo").isNotNull())
+    sh = sig.select(F.col(id_col).alias("id"), "lo", "hi")
+    return packed_hamming_pairs(
+        sh, max_hamming=max_hamming, max_bucket=max_bucket
+    )

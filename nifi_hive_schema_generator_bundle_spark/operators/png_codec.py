@@ -27,6 +27,7 @@ __all__ = [
     "png_encode",
     "resize",
     "feature_fn",
+    "average_hash",
 ]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
@@ -180,3 +181,55 @@ def feature_fn(dim: int = 64):
         return out
 
     return features
+
+
+def average_hash(payload: bytes, hash_size: int = 8) -> tuple[int, int]:
+    """Perceptual average-hash (aHash) of a PNG: decode → grayscale →
+    block-mean downsample to ``hash_size``² cells → bit per cell =
+    "cell brighter than the global mean". Returns the 64 bits (for the
+    default 8×8) packed little-endian into TWO 32-bit ints ``(lo, hi)``
+    — the ``dedup.packed_hamming_pairs`` signature layout, chosen over
+    one 64-bit pack for the same bit-63 reason as the portable SimHash.
+
+    Robust to re-encoding, small pixel noise, and nearest-neighbor
+    rescaling (an integer-factor upscale of an image whose dimensions
+    are multiples of ``hash_size`` preserves every block mean exactly —
+    unit-pinned; other shapes shift cell boundaries by a pixel and may
+    flip a few bits, still well inside the Hamming-3 band); brightness
+    inversion flips every bit.
+    Deterministic pure-stdlib arithmetic: grayscale = sum of the first
+    min(channels, 3) samples (alpha ignored), means compared
+    cross-multiplied in integers so no float enters the hash.
+    """
+    if hash_size < 1 or hash_size * hash_size > 64:
+        raise ValueError("hash_size must be in 1..8 (bits must fit 64)")
+    w, h, ch, px = png_decode(payload)
+    if w < 1 or h < 1:
+        raise ValueError("empty image")
+    cc = min(ch, 3)
+    # per-cell integer gray sums + pixel counts
+    sums = [0] * (hash_size * hash_size)
+    counts = [0] * (hash_size * hash_size)
+    for y in range(h):
+        gy = y * hash_size // h
+        row = y * w
+        for x in range(w):
+            i = (row + x) * ch
+            g = 0
+            for c in range(cc):
+                g += px[i + c]
+            cell = gy * hash_size + (x * hash_size // w)
+            sums[cell] += g
+            counts[cell] += 1
+    total = sum(sums)
+    n_px = w * h
+    lo = hi = 0
+    for cell in range(hash_size * hash_size):
+        # cell_mean > global_mean  ⇔  sums/counts > total/n_px — compare
+        # cross-multiplied so the hash never touches floats
+        if sums[cell] * n_px > total * counts[cell]:
+            if cell < 32:
+                lo |= 1 << cell
+            else:
+                hi |= 1 << (cell - 32)
+    return lo, hi

@@ -6873,3 +6873,45 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return k_anonymity_report(cust, ["c_mktsegment", "c_nationkey"], k=5)
+
+
+@register_query("media_image_near_dup")
+def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup pairs over the REAL stdlib PNG codec (rows-only:
+    the Arrow decode is not SQL-expressible): deterministic synthetic
+    PNGs (gradient seeded by doc_id % 200 — docs sharing a seed are
+    exact visual copies) → ``multimodal.perceptual_hashes`` (average-
+    hash, packed (lo, hi)) → ``dedup.packed_hamming_pairs`` banding.
+    Only (id, lo, hi) ever shuffles. Every planted same-seed pair comes
+    back at Hamming 0 (verified exhaustively in the units); additional
+    small-Hamming pairs between similar gradients are the hash doing
+    its job on visually-close images."""
+    import pandas as pd
+
+    from ..operators.multimodal import image_near_dup
+    from ..operators.png_codec import png_encode
+
+    w_px, h_px = 16, 12
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                seed = int(i) % 200 + 3
+                px = bytes(
+                    (x * seed + y * 7) % 256
+                    for y in range(h_px)
+                    for x in range(w_px)
+                    for _ in range(3)
+                )
+                payloads.append(png_encode(px, w_px, h_px, 3))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = d.mapInPandas(synth, "media_id long, payload binary")
+    return (
+        image_near_dup(imgs)
+        .orderBy("id_a", "id_b")
+    )

@@ -114,3 +114,82 @@ def test_resize_media_custom_fn(spark):
         d, width=2, height=1, resize_fn=lambda p, w, h: p[: w * h]
     ).collect()[0]
     assert bytes(got.payload) == b"ab"
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing + image near-dup
+# ---------------------------------------------------------------------------
+
+def _grad_png(seed: int, w: int = 24, h: int = 16) -> bytes:
+    from nifi_hive_schema_generator_bundle_spark.operators.png_codec import (
+        png_encode,
+    )
+
+    px = bytes(
+        ((x * seed + y * 3) % 256) for y in range(h) for x in range(w) for _ in range(3)
+    )
+    return png_encode(px, w, h, 3)
+
+
+def test_average_hash_invariances():
+    from nifi_hive_schema_generator_bundle_spark.operators.png_codec import (
+        average_hash,
+        png_encode,
+        resize,
+    )
+
+    base = _grad_png(10)
+    a = average_hash(base)
+    # re-encode identical pixels -> identical hash
+    assert average_hash(_grad_png(10)) == a
+    # integer-factor nearest-neighbor upscale preserves block means
+    assert average_hash(resize(base, 48, 32)) == a
+    # brightness inversion flips all 64 bits
+    inv_px = bytes(
+        (255 - ((x * 10 + y * 3) % 256)) for y in range(16) for x in range(24)
+        for _ in range(3)
+    )
+    ih = average_hash(png_encode(inv_px, 24, 16, 3))
+    ham = bin(ih[0] ^ a[0]).count("1") + bin(ih[1] ^ a[1]).count("1")
+    assert ham == 64
+    # halves fit 32 bits
+    assert 0 <= a[0] < 2**32 and 0 <= a[1] < 2**32
+
+
+def test_average_hash_rejects_bad_size():
+    import pytest
+
+    from nifi_hive_schema_generator_bundle_spark.operators.png_codec import (
+        average_hash,
+    )
+
+    with pytest.raises(ValueError):
+        average_hash(_grad_png(5), hash_size=0)
+    with pytest.raises(ValueError):
+        average_hash(_grad_png(5), hash_size=9)
+
+
+def test_image_near_dup_planted(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.multimodal import (
+        image_near_dup,
+    )
+    from nifi_hive_schema_generator_bundle_spark.operators.png_codec import (
+        png_encode,
+        resize,
+    )
+
+    base = _grad_png(10)
+    inv_px = bytes(
+        (255 - ((x * 10 + y * 3) % 256)) for y in range(16) for x in range(24)
+        for _ in range(3)
+    )
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(resize(base, 48, 32))),          # visual copy
+        (3, bytearray(png_encode(inv_px, 24, 16, 3))),  # inverted: far away
+        (4, None),                                      # NULL payload
+        (5, bytearray(b"not a png")),                   # undecodable
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in image_near_dup(df).collect()}
+    assert pairs == {(1, 2): 0}  # copy found; inverse/null/garbage excluded

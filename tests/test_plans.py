@@ -185,6 +185,9 @@ ARROW_BATCHED = {
     # SemDeDup's within-cell pairs run the same blocked-matmul kernel
     # as embedding_near_dup (per-cell task grid, one GEMM per task)
     "doc_semantic_dedup",
+    # PNG synth + perceptual average-hash are two Arrow stages; the
+    # banding/verify after them is pure JVM (packed_hamming_pairs)
+    "media_image_near_dup",
 }
 
 PY_NODES = (
