@@ -44,7 +44,9 @@ __all__ = [
     "resize_media",
     "repartition_by_bytes",
     "perceptual_hashes",
+    "media_near_dup",
     "image_near_dup",
+    "audio_near_dup",
 ]
 
 # the canonical media column group: payload + typed metadata struct
@@ -307,24 +309,25 @@ def perceptual_hashes(
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
 
 
-def image_near_dup(
+def media_near_dup(
     df: DataFrame,
+    hash_fn: Callable[[bytes], tuple[int, int]],
     *,
     payload_col: str = "payload",
     id_col: str = "media_id",
     max_hamming: int = 3,
     max_bucket: int = 1000,
-    hash_fn: Callable[[bytes], tuple[int, int]] | None = None,
 ) -> DataFrame:
-    """Near-duplicate IMAGE pairs — the multimodal mirror of SimHash
-    text dedup (the LAION-style visual dedup stage): perceptual hash
-    per image (one Arrow pass over (id, payload), bodies never
-    shuffle), then ``dedup.packed_hamming_pairs``'s 4×16-bit pigeonhole
-    banding + ``bit_count(xor)`` verify — complete for Hamming ≤ 3,
-    same degenerate-bucket cap. Returns (id_a, id_b, hamming).
+    """Near-duplicate MEDIA pairs for any 64-bit perceptual ``hash_fn``
+    — the shared engine behind ``image_near_dup`` and
+    ``audio_near_dup``: one Arrow hash pass over (id, payload) — bodies
+    never shuffle — then ``dedup.packed_hamming_pairs``'s 4×16-bit
+    pigeonhole banding + ``bit_count(xor)`` verify (complete for
+    Hamming ≤ 3, same degenerate-bucket cap). Returns
+    (id_a, id_b, hamming).
 
     Everything after the hash is signature-only: the banding shuffle
-    carries (id, two longs) per image regardless of image size, so the
+    carries (id, two longs) per item regardless of payload size, so the
     100 TB profile is identical to text SimHash dedup.
     """
     from .dedup import packed_hamming_pairs
@@ -335,4 +338,57 @@ def image_near_dup(
     sh = sig.select(F.col(id_col).alias("id"), "lo", "hi")
     return packed_hamming_pairs(
         sh, max_hamming=max_hamming, max_bucket=max_bucket
+    )
+
+
+def image_near_dup(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    hash_fn: Callable[[bytes], tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs — the multimodal mirror of SimHash
+    text dedup (the LAION-style visual dedup stage). Default signature
+    is the stdlib PNG average-hash (``png_codec.average_hash``); see
+    ``media_near_dup`` for the banding/verify plan shape.
+    """
+    if hash_fn is None:
+        from .png_codec import average_hash as hash_fn  # type: ignore[assignment]
+    return media_near_dup(
+        df,
+        hash_fn,
+        payload_col=payload_col,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def audio_near_dup(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    hash_fn: Callable[[bytes], tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs — the audio mirror of
+    ``image_near_dup`` (the fingerprint-and-band stage a Shazam-style
+    or dataset-dedup audio pipeline runs). Default signature is the
+    stdlib WAV loudness-envelope dHash (``wav_codec.audio_hash``, gain-
+    robust); see ``media_near_dup`` for the banding/verify plan shape.
+    """
+    if hash_fn is None:
+        from .wav_codec import audio_hash as hash_fn  # type: ignore[assignment]
+    return media_near_dup(
+        df,
+        hash_fn,
+        payload_col=payload_col,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )

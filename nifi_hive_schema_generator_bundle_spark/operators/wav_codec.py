@@ -31,6 +31,7 @@ __all__ = [
     "resample",
     "clip_fn",
     "feature_fn",
+    "audio_hash",
 ]
 
 
@@ -78,6 +79,8 @@ def wav_info(payload: bytes) -> tuple[int, int, int, int, int]:
         )
     if bits not in (8, 16):
         raise NotImplementedError(f"{bits}-bit samples (only 8/16 supported)")
+    if n_ch < 1:
+        raise ValueError("WAV declares zero channels")
     frame_bytes = n_ch * (bits // 8)
     n_frames = len(data) // frame_bytes
     duration_ms = n_frames * 1000 // rate if rate else 0
@@ -203,3 +206,40 @@ def feature_fn(dim: int = 64):
         return out
 
     return features
+
+
+def audio_hash(payload: bytes) -> tuple[int, int]:
+    """64-bit perceptual audio fingerprint of a WAV: loudness envelope
+    over 65 equal time windows, bit i = "window i+1 louder than window
+    i" — a differential (dHash-style) envelope signature, packed
+    little-endian into TWO 32-bit ints ``(lo, hi)``, the
+    ``dedup.packed_hamming_pairs`` layout shared with
+    ``png_codec.average_hash``.
+
+    The differential form makes the hash EXACTLY invariant to uniform
+    volume scaling by any power of two (binary-float multiplication is
+    exact, so every strict comparison is preserved — unit-pinned at
+    0.5×) and stable under other gains / re-encoding / nearest-neighbor
+    resampling up to float-rounding ties on near-equal windows. Time
+    reversal reverses + negates the difference chain; silence hashes to
+    all-zero bits. Raises ``ValueError`` on empty audio.
+    """
+    _rate, _n_ch, samples = wav_decode(payload)
+    n = len(samples)
+    if n == 0:
+        raise ValueError("empty audio")
+    windows = 65
+    env = []
+    for b in range(windows):
+        lo_i = b * n // windows
+        hi_i = max(lo_i + 1, (b + 1) * n // windows)
+        seg = samples[lo_i:hi_i]
+        env.append(sum(abs(v) for v in seg) / len(seg))
+    lo = hi = 0
+    for i in range(64):
+        if env[i + 1] > env[i]:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return lo, hi

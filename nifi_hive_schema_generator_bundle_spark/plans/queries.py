@@ -6915,3 +6915,54 @@ def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_near_dup(imgs)
         .orderBy("id_a", "id_b")
     )
+
+
+@register_query("media_audio_near_dup")
+def media_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over the REAL stdlib WAV codec (rows-only:
+    the Arrow decode is not SQL-expressible): deterministic synthetic
+    PCM tones (envelope shaped by doc_id % 200 — docs sharing a seed
+    are the same recording, half of them re-encoded at HALF volume to
+    exercise the gain invariance) → ``wav_codec.audio_hash``
+    (loudness-envelope dHash, packed (lo, hi)) →
+    ``dedup.packed_hamming_pairs`` banding via
+    ``multimodal.audio_near_dup``. Only (id, lo, hi) ever shuffles.
+    Every planted same-seed pair comes back at Hamming 0."""
+    import math
+
+    import pandas as pd
+
+    from ..operators.multimodal import audio_near_dup
+    from ..operators.wav_codec import wav_encode
+
+    n_samp = 650
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                seed = int(i) % 200 + 2
+                # int16 domain, forced even, so the half-volume variant
+                # (v // 2) decodes to EXACTLY half the float samples —
+                # quantization can't perturb the envelope comparisons
+                ints = [
+                    round(
+                        32000
+                        * math.sin(0.07 * seed * t)
+                        * (0.2 + 0.8 * abs(math.sin(0.003 * (seed + 5) * t)))
+                    )
+                    & ~1
+                    for t in range(n_samp)
+                ]
+                if int(i) % 2:
+                    ints = [v // 2 for v in ints]
+                payloads.append(
+                    wav_encode([v / 32767.0 for v in ints], 8000, 1, 16)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = d.mapInPandas(synth, "media_id long, payload binary")
+    return audio_near_dup(wavs).orderBy("id_a", "id_b")

@@ -188,6 +188,8 @@ ARROW_BATCHED = {
     # PNG synth + perceptual average-hash are two Arrow stages; the
     # banding/verify after them is pure JVM (packed_hamming_pairs)
     "media_image_near_dup",
+    # WAV synth + envelope dHash, same two-Arrow-stage shape
+    "media_audio_near_dup",
 }
 
 PY_NODES = (

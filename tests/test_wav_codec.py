@@ -156,3 +156,79 @@ def test_frame_sample_with_audio_clips(spark):
     assert [r.frame_idx for r in out] == [0, 1, 2]
     for r in out:
         assert wav_info(bytes(r.frame))[3] == 160
+
+
+# ---------------------------------------------------------------------------
+# audio_hash + audio near-dup
+# ---------------------------------------------------------------------------
+
+def _envelope_ints(seed: int, n: int = 650) -> list[int]:
+    """Even int16 samples with a strongly varying loudness envelope."""
+    return [
+        round(
+            32000
+            * math.sin(0.07 * seed * t)
+            * (0.2 + 0.8 * abs(math.sin(0.003 * (seed + 5) * t)))
+        )
+        & ~1
+        for t in range(n)
+    ]
+
+
+def _wav_from_ints(ints: list[int]) -> bytes:
+    return wav_encode([v / 32767.0 for v in ints], 8000, 1, 16)
+
+
+def test_int_domain_roundtrip_exact():
+    # the v/32767.0 -> encode(round(x*32767)) path must round-trip every
+    # int16 value exactly, or the gain-exactness argument collapses
+    ints = list(range(-32767, 32768, 97)) + [32767, -32767, 0]
+    _, _, samples = wav_decode(_wav_from_ints(ints))
+    assert samples == [v / 32768.0 for v in ints]
+
+
+def test_audio_hash_gain_invariance_and_shape():
+    from nifi_hive_schema_generator_bundle_spark.operators.wav_codec import (
+        audio_hash,
+    )
+
+    ints = _envelope_ints(9)
+    a = audio_hash(_wav_from_ints(ints))
+    assert 0 <= a[0] < 2**32 and 0 <= a[1] < 2**32
+    # exact half volume in the int domain -> identical hash, guaranteed
+    assert audio_hash(_wav_from_ints([v // 2 for v in ints])) == a
+    # quarter volume too
+    assert audio_hash(_wav_from_ints([v // 4 for v in ints])) == a
+    # a different envelope seed lands far away
+    b = audio_hash(_wav_from_ints(_envelope_ints(83)))
+    ham = bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+    assert ham > 10
+    # silence: no window louder than the previous -> all-zero bits
+    assert audio_hash(_wav_from_ints([0] * 650)) == (0, 0)
+
+
+def test_audio_hash_rejects_empty():
+    from nifi_hive_schema_generator_bundle_spark.operators.wav_codec import (
+        audio_hash,
+    )
+
+    with pytest.raises(ValueError):
+        audio_hash(_wav_from_ints([]))
+
+
+def test_audio_near_dup_planted(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.multimodal import (
+        audio_near_dup,
+    )
+
+    ints = _envelope_ints(12)
+    rows = [
+        (1, bytearray(_wav_from_ints(ints))),
+        (2, bytearray(_wav_from_ints([v // 2 for v in ints]))),  # half gain
+        (3, bytearray(_wav_from_ints(_envelope_ints(77)))),      # different
+        (4, None),                                               # NULL
+        (5, bytearray(b"RIFFgarbage")),                          # undecodable
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in audio_near_dup(df).collect()}
+    assert pairs == {(1, 2): 0}
