@@ -36,6 +36,7 @@ __all__ = [
     "hard_negatives",
     "reciprocal_rank_fusion",
     "ann_recall",
+    "ranking_metrics",
 ]
 
 
@@ -698,5 +699,95 @@ def ann_recall(
                 / F.col("n_exact"),
                 6,
             ).alias("recall"),
+        )
+    )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Graded retrieval-quality metrics per query — MRR@k and nDCG@k —
+    the standard eval pair for any ranking a search/RAG pipeline serves
+    (recall@k alone can't see ORDER; these can).
+
+    ``results``: (query, id, rank) with rank 1-based (extra columns
+    ignored; rows with rank > k dropped). ``qrels``: (query, id, rel)
+    graded relevance judgments, rel >= 0, unjudged ids counted as 0.
+    Output per query in ``qrels``: n_rel (judged rel > 0), mrr
+    (1/rank of the first rel > 0 result, 0 if none retrieved), ndcg
+    (DCG@k / ideal-DCG@k with the classic rel/log2(rank+1) gain; 0 when
+    the query has no relevant docs). Rounded to 6dp for stable hashing.
+
+    Scale shape: one narrow (query, id) equi-join plus two per-query
+    aggregates and one window over the ≤k judged rows per query — cost
+    follows k × queries + |qrels|, never corpus size (same contract as
+    ``ann_recall``).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    res = (
+        results.select(
+            F.col(query_col), F.col(id_col), F.col(rank_col).alias("__rank")
+        )
+        .filter(F.col("__rank") <= k)
+    )
+    jud = qrels.select(
+        F.col(query_col), F.col(id_col), F.col(rel_col).cast("double").alias("__rel")
+    )
+    # retrieved-side gains: judged relevance at each served rank
+    got = res.join(jud, [query_col, id_col], "inner")
+    per_q = got.groupBy(query_col).agg(
+        F.sum(
+            F.col("__rel") / F.log2(F.col("__rank").cast("double") + F.lit(1.0))
+        ).alias("__dcg"),
+        F.min(F.when(F.col("__rel") > 0, F.col("__rank"))).alias("__first"),
+    )
+    # ideal gains: best possible ordering of the judgments, top k
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("__rel").desc(), F.col(id_col)
+    )
+    ideal = (
+        jud.filter(F.col("__rel") > 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(query_col)
+        .agg(
+            F.sum(
+                F.col("__rel") / F.log2(F.col("__rn").cast("double") + F.lit(1.0))
+            ).alias("__idcg"),
+            F.count(F.lit(1)).alias("__n_rel_k"),
+        )
+    )
+    n_rel = (
+        jud.groupBy(query_col)
+        .agg(
+            F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rel")
+        )
+    )
+    return (
+        n_rel.join(ideal, query_col, "left")
+        .join(per_q, query_col, "left")
+        .select(
+            F.col(query_col),
+            F.col("n_rel"),
+            F.round(
+                F.coalesce(1.0 / F.col("__first"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("__idcg"), F.lit(0.0)) > 0,
+                    F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg"),
+                ).otherwise(0.0),
+                6,
+            ).alias("ndcg"),
         )
     )

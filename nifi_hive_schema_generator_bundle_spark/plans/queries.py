@@ -6966,3 +6966,95 @@ def media_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     wavs = d.mapInPandas(synth, "media_id long, payload binary")
     return audio_near_dup(wavs).orderBy("id_a", "id_b")
+
+
+@register_query(
+    "ann_ndcg_eval",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             round(list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dp,
+             round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+      FROM embeddings c, embeddings q WHERE q.vec_id < 5
+    ),
+    res AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY dp DESC, vec_id) AS rnk
+      FROM scored
+    ),
+    qrels AS (
+      SELECT query_id, vec_id,
+             CASE WHEN cos >= 0.6 THEN 3.0 WHEN cos >= 0.3 THEN 2.0
+                  WHEN cos >= 0.2 THEN 1.0 ELSE 0.0 END AS rel
+      FROM scored
+    ),
+    got AS (
+      SELECT r.query_id,
+             sum(rel / log2(rnk + 1.0)) AS dcg,
+             min(CASE WHEN rel > 0 THEN rnk END) AS first_rel
+      FROM res r JOIN qrels j
+        ON r.query_id = j.query_id AND r.vec_id = j.vec_id
+      WHERE rnk <= 10 GROUP BY r.query_id
+    ),
+    ideal AS (
+      SELECT query_id, sum(rel / log2(rn + 1.0)) AS idcg FROM (
+        SELECT query_id, rel,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+        FROM qrels WHERE rel > 0
+      ) WHERE rn <= 10 GROUP BY query_id
+    ),
+    nr AS (
+      SELECT query_id,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+      FROM qrels GROUP BY query_id
+    )
+    SELECT nr.query_id, nr.n_rel,
+           round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+           round(CASE WHEN coalesce(idcg, 0) > 0
+                      THEN coalesce(dcg, 0.0) / idcg ELSE 0.0 END, 6) AS ndcg
+    FROM nr LEFT JOIN ideal USING (query_id)
+            LEFT JOIN got ON nr.query_id = got.query_id
+    ORDER BY nr.query_id
+    """,
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 / nDCG@10 of a deliberately degraded ranking — top-10 by
+    RAW dot product (no normalization) — against graded qrels banded
+    from exact cosine (3/2/1 at 0.6/0.3/0.2, judged on 4dp-rounded
+    cosine so both engines band identically). Exercises
+    ``similarity.ranking_metrics``: the order-sensitive eval pair that
+    recall@k can't provide. Queries are broadcast; the corpus never
+    shuffles; the metric join is k × queries narrow rows."""
+    from ..functions.vectors import cosine_similarity, dot
+    from ..operators.similarity import ranking_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        emb.select("vec_id", F.col("embedding").alias("c_vec"))
+        .join(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot("c_vec", "q_vec"), 6).alias("dp"),
+            F.round(cosine_similarity("c_vec", "q_vec"), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dp").desc(), F.col("vec_id"))
+    res = scored.select(
+        "query_id", "vec_id", F.row_number().over(w).alias("rank")
+    )
+    qrels = scored.select(
+        "query_id",
+        "vec_id",
+        F.when(F.col("cos") >= 0.6, 3.0)
+        .when(F.col("cos") >= 0.3, 2.0)
+        .when(F.col("cos") >= 0.2, 1.0)
+        .otherwise(0.0)
+        .alias("rel"),
+    )
+    return ranking_metrics(res, qrels, k=10).orderBy("query_id")

@@ -224,6 +224,9 @@ BNLJ_ALLOWED = {
     # same bounded broadcast-anchor scans as ann_cosine_topk
     "embedding_hard_negatives",
     "doc_hybrid_rrf",
+    # 5-query broadcast scored all-pairs against the corpus (the ranking
+    # under eval + its qrels); the metric joins after it are equi-joins
+    "ann_ndcg_eval",
     # composes brute-force + LSH + IVF + int8 (each individually
     # allowlisted above) to score their recall — inherits their
     # bounded broadcast-anchor BNLJs

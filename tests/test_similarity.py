@@ -317,3 +317,74 @@ def test_ivf_index_build_rejects_empty_corpus(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError):
         build_ivf_index(empty, str(tmp_path / "ivf"))
+
+
+# ---------------------------------------------------------------------------
+# ranking_metrics (MRR@k / nDCG@k)
+# ---------------------------------------------------------------------------
+
+def test_ranking_metrics_hand_computed(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        ranking_metrics,
+    )
+
+    # q1: judged A=3, B=2, C=1; served [B, D, A] -> first rel at rank 1,
+    # DCG = 2/log2(2) + 0 + 3/log2(4);  IDCG = 3/1 + 2/log2(3) + 1/log2(4)
+    # q2: only zero-relevance judgments -> all metrics 0
+    # q3: judged E=1 but nothing served -> mrr 0, ndcg 0, n_rel 1
+    results = spark.createDataFrame(
+        [("q1", "B", 1), ("q1", "D", 2), ("q1", "A", 3), ("q2", "A", 1)],
+        "query_id string, vec_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [
+            ("q1", "A", 3.0), ("q1", "B", 2.0), ("q1", "C", 1.0),
+            ("q2", "A", 0.0),
+            ("q3", "E", 1.0),
+        ],
+        "query_id string, vec_id string, rel double",
+    )
+    got = {
+        r.query_id: r
+        for r in ranking_metrics(results, qrels, k=3).collect()
+    }
+    assert set(got) == {"q1", "q2", "q3"}
+    dcg = 2.0 / math.log2(2) + 3.0 / math.log2(4)
+    idcg = 3.0 + 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert got["q1"].n_rel == 3
+    assert got["q1"].mrr == 1.0
+    assert got["q1"].ndcg == pytest.approx(round(dcg / idcg, 6), abs=1e-9)
+    assert (got["q2"].n_rel, got["q2"].mrr, got["q2"].ndcg) == (0, 0.0, 0.0)
+    assert (got["q3"].n_rel, got["q3"].mrr, got["q3"].ndcg) == (1, 0.0, 0.0)
+
+
+def test_ranking_metrics_rank_beyond_k_ignored(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        ranking_metrics,
+    )
+
+    results = spark.createDataFrame(
+        [("q", "A", 5)], "query_id string, vec_id string, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [("q", "A", 2.0)], "query_id string, vec_id string, rel double"
+    )
+    r = ranking_metrics(results, qrels, k=3).collect()[0]
+    assert (r.mrr, r.ndcg, r.n_rel) == (0.0, 0.0, 1)
+    # with k covering it: mrr = 1/5; ndcg discounts the position —
+    # served-at-5 vs ideal-at-1 gives (2/log2(6)) / (2/log2(2))
+    r2 = ranking_metrics(results, qrels, k=5).collect()[0]
+    assert r2.mrr == 0.2
+    assert r2.ndcg == pytest.approx(round(1.0 / math.log2(6), 6), abs=1e-9)
+
+
+def test_ranking_metrics_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+        ranking_metrics,
+    )
+
+    d = spark.createDataFrame([], "query_id string, vec_id string, rank int")
+    with _pytest.raises(ValueError):
+        ranking_metrics(d, d, k=0)
