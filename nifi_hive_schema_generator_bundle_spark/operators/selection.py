@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from .text import quality_score
 from ..functions.textfns import whitespace_tokens
 
-__all__ = ["token_budget_select", "per_group_cap", "dsir_importance_weights", "dsir_sample"]
+__all__ = ["token_budget_select", "per_group_cap", "dsir_importance_weights", "dsir_sample", "perplexity_buckets"]
 
 
 def token_budget_select(
@@ -295,4 +295,43 @@ def dsir_sample(
         .select(
             id_col, "n_bigrams", "dsir_weight", "gumbel_score", "score_bucket"
         )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str,
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    labels: tuple = ("head", "middle", "tail"),
+    higher_is_better: bool = True,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style quality banding: within each group (language, in the
+    paper), rank documents by LM score and split into equal-count
+    ``labels`` bands — head/middle/tail — so downstream sampling can
+    take all of head, some of middle, and drop tail per language
+    without a global quality threshold that low-resource languages
+    would fail wholesale.
+
+    ``higher_is_better=True`` fits mean-logprob scores (this engine's
+    ``unigram_logprob_score``); pass False for raw perplexity. Ties
+    break on ``id_col`` so the banding is deterministic and
+    oracle-replayable. Returns ``df`` plus ``bucket_col``.
+
+    Scale shape: one window (ntile) per group — a single shuffle on
+    ``group_col``; band sizes per group differ by at most one row by
+    ntile's contract. Skewed groups (one language dominating the
+    corpus) are the same skew the scoring aggregate already handled.
+    """
+    if len(labels) < 2:
+        raise ValueError("need at least 2 bucket labels")
+    ordered = (
+        F.col(score_col).desc() if higher_is_better else F.col(score_col).asc()
+    )
+    w = Window.partitionBy(group_col).orderBy(ordered, F.col(id_col))
+    lab = F.array(*[F.lit(x) for x in labels])
+    return df.withColumn(
+        bucket_col, F.element_at(lab, F.ntile(len(labels)).over(w))
     )

@@ -7058,3 +7058,52 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rel"),
     )
     return ranking_metrics(res, qrels, k=10).orderBy("query_id")
+
+
+@register_query(
+    "doc_ccnet_buckets",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ), f AS (
+        SELECT tok, count(*) AS c FROM tk GROUP BY tok
+    ), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM f
+    ), sc AS (
+        SELECT tk.doc_id,
+               round(avg(ln(CAST(f.c AS DOUBLE) / tot.s)), 6) AS lm_score
+        FROM tk JOIN f USING (tok) CROSS JOIN tot
+        GROUP BY tk.doc_id
+    )
+    SELECT s.doc_id, d.lang, s.lm_score,
+           CASE ntile(3) OVER (
+                  PARTITION BY d.lang ORDER BY s.lm_score DESC, s.doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM sc s JOIN documents d USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality banding (Wenzek et al. 2020):
+    per-language ntile(3) over the corpus-unigram LM score
+    (``selection.perplexity_buckets`` over
+    ``text.unigram_logprob_score``) — the banding CCNet uses so
+    low-resource languages keep their own head instead of failing a
+    global perplexity threshold. Banding orders on the 6dp-rounded
+    score with doc_id tiebreak, so both engines band identically."""
+    from ..operators.selection import perplexity_buckets
+    from ..operators.text import unigram_logprob_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        perplexity_buckets(scored, "lm_score", group_col="lang")
+        .select("doc_id", "lang", "lm_score", "bucket")
+        .orderBy("doc_id")
+    )

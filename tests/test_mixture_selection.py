@@ -258,3 +258,57 @@ class TestDsirSample:
             dsir_sample(df, F.col("is_t"), -1)
         with pytest.raises(ValueError):
             dsir_sample(df, F.col("is_t"), 5, hist_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets (CCNet head/middle/tail banding)
+# ---------------------------------------------------------------------------
+
+class TestPerplexityBuckets:
+    def test_per_group_banding(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+            perplexity_buckets,
+        )
+
+        rows = [
+            # lang en: scores 9 > 8 > 7 > 6 > 5 > 4 -> 2 per band
+            (1, "en", 9.0), (2, "en", 8.0), (3, "en", 7.0),
+            (4, "en", 6.0), (5, "en", 5.0), (6, "en", 4.0),
+            # lang xx: its OWN head even though all scores are lower
+            (7, "xx", 1.0), (8, "xx", 0.5), (9, "xx", 0.1),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+        got = {
+            r.doc_id: r.bucket
+            for r in perplexity_buckets(df, "s", group_col="lang").collect()
+        }
+        assert got == {
+            1: "head", 2: "head", 3: "middle", 4: "middle",
+            5: "tail", 6: "tail",
+            7: "head", 8: "middle", 9: "tail",
+        }
+
+    def test_lower_is_better_mode_and_ties(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+            perplexity_buckets,
+        )
+
+        # raw perplexity: LOWER is better; equal scores tiebreak on id
+        rows = [(1, "en", 5.0), (2, "en", 5.0), (3, "en", 80.0)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, p double")
+        got = {
+            r.doc_id: r.bucket
+            for r in perplexity_buckets(
+                df, "p", group_col="lang", higher_is_better=False
+            ).collect()
+        }
+        assert got == {1: "head", 2: "middle", 3: "tail"}
+
+    def test_rejects_single_label(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.selection import (
+            perplexity_buckets,
+        )
+
+        df = spark.createDataFrame([(1, "en", 1.0)], "doc_id long, lang string, s double")
+        with pytest.raises(ValueError):
+            perplexity_buckets(df, "s", labels=("only",))

@@ -252,6 +252,8 @@ BNLJ_ALLOWED = {
     "doc_unigram_logprob",
     # same 1-row grand-total broadcast; bigram/marginal joins are equi/AQE
     "doc_bigram_logprob",
+    # unigram score feeding the CCNet banding: same 1-row total broadcast
+    "doc_ccnet_buckets",
     # 1-row (ns, nt) model-totals broadcast onto the <=1024-row bucket
     # model table; the per-doc bucket join is equi
     "doc_dsir_weights",
