@@ -96,14 +96,11 @@ DRIVER_PRIORITY = [
     "doc_ngram_novelty",
     "doc_domain_cap",
     "user_scd2_history",
-    "doc_near_dedup_best",
     "events_rolling_wau",
     "embedding_outlier_scores",
     "events_daily_anomaly",
-    "events_value_histogram",
     "doc_score_calibration",
     "orders_quality_report",
-    "orders_incremental_rollup",
     # --- round-4c additions (never driver-verified, newest code = top risk) ---
     "customers_pii_scrub",
     "doc_bloom_incremental",
@@ -126,6 +123,14 @@ DRIVER_PRIORITY = [
     # --- round-4e additions (newest code = top risk) ---
     "doc_dsir_weights",
     "doc_dsir_sample",
+    # --- round-4f additions (newest code = top risk; displace
+    # doc_near_dedup_best ~ verified doc_near_dedup_exact kernel and
+    # events_value_histogram ~ verified events_value_bands banding) ---
+    "ann_ndcg_eval",
+    "doc_ccnet_buckets",
+    # (also displacing orders_incremental_rollup ~ verified events_rollup
+    # + orders_quality_report shapes)
+    "doc_split_leakage",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",

@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     "doc_blocklist_filter",
     "doc_dsir_weights",
     "doc_quality_classifier_fit",
+    "media_image_near_dup",
+    "media_audio_near_dup",
+    "ann_ndcg_eval",
+    "doc_ccnet_buckets",
 ]
 
 

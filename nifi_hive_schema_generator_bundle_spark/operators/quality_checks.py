@@ -28,6 +28,7 @@ __all__ = [
     "partition_completeness",
     "schema_contract_violations",
     "k_anonymity_report",
+    "split_leakage_report",
 ]
 
 
@@ -251,4 +252,45 @@ def k_anonymity_report(
         .alias("n_risky_rows"),
         F.min("__n").cast("long").alias("min_class_size"),
         (F.max(risky.cast("int")) == 0).alias("anonymous"),
+    )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    *,
+    split_col: str = "split",
+    content_col: str = "text",
+    holdout_value: str = "holdout",
+) -> DataFrame:
+    """Exact-content leakage audit across a train/holdout boundary: the
+    fingerprints whose content appears on BOTH sides of the split. A
+    keyed split (``sampling.hash_split``) guarantees duplicate KEYS
+    co-locate, but the same text riding different keys still straddles
+    the boundary — the self-contamination that silently inflates eval
+    scores. This is decontamination turned inward, on one corpus's own
+    split column.
+
+    Output: one row per leaked fingerprint — (fingerprint, n_train,
+    n_holdout), n_train counting every non-``holdout_value`` row.
+    Empty result = clean split.
+
+    Scale shape: one (16-byte md5, split) projection into a map-side-
+    combined count aggregate, then a having filter — document bodies
+    never shuffle, identical profile to ``exact_dedup``.
+    """
+    is_holdout = F.col(split_col) == holdout_value
+    return (
+        df.select(
+            F.md5(F.col(content_col)).alias("fingerprint"), F.col(split_col)
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.sum(F.when(is_holdout, 0).otherwise(1))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(is_holdout, 1).otherwise(0))
+            .cast("long")
+            .alias("n_holdout"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_holdout") > 0))
     )

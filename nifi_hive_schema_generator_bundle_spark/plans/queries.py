@@ -7107,3 +7107,45 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "lm_score", "bucket")
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "doc_split_leakage",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), tagged AS (
+        SELECT text,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM u
+    ), c AS (
+        SELECT md5(text) AS fingerprint,
+               CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout
+        FROM tagged GROUP BY md5(text)
+    )
+    SELECT fingerprint, n_train, n_holdout
+    FROM c WHERE n_train > 0 AND n_holdout > 0
+    ORDER BY fingerprint
+    """,
+)
+def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout contamination audit
+    (``quality_checks.split_leakage_report``): exact-content
+    fingerprints straddling the split boundary. The test corpus has no
+    exact text duplicates, so the query plants them — a second copy of
+    every document under a shifted key — and the keyed ``hash_split``
+    then scatters some copies across the boundary, which the audit must
+    surface. One 16-byte-key aggregate; bodies never shuffle."""
+    from ..functions.sampling import hash_split
+    from ..operators.quality_checks import split_leakage_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.unionAll(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    tagged = hash_split(planted, "doc_id", holdout_sixteenths=2)
+    return split_leakage_report(tagged).orderBy("fingerprint")

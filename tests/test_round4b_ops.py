@@ -790,3 +790,41 @@ class TestKAnonymity:
             k_anonymity_report(df, [], k=5)
         with pytest.raises(ValueError):
             k_anonymity_report(df, ["seg"], k=0)
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_report
+# ---------------------------------------------------------------------------
+
+class TestSplitLeakage:
+    def test_planted_leak_found_clean_split_empty(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+            split_leakage_report,
+        )
+
+        rows = [
+            # "dup" text on both sides -> leaked (2 train, 1 holdout)
+            (1, "dup", "train"), (2, "dup", "train"), (3, "dup", "holdout"),
+            # train-only and holdout-only texts -> clean
+            (4, "only train", "train"), (5, "only train", "train"),
+            (6, "only holdout", "holdout"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+        got = split_leakage_report(df).collect()
+        assert len(got) == 1
+        assert (got[0].n_train, got[0].n_holdout) == (2, 1)
+        clean = df.filter(F.col("text") != "dup")
+        assert split_leakage_report(clean).count() == 0
+
+    def test_custom_columns_and_holdout_value(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+            split_leakage_report,
+        )
+
+        rows = [("x", "a"), ("x", "b"), ("y", "a")]
+        df = spark.createDataFrame(rows, "body string, part string")
+        got = split_leakage_report(
+            df, split_col="part", content_col="body", holdout_value="b"
+        ).collect()
+        assert len(got) == 1
+        assert (got[0].n_train, got[0].n_holdout) == (1, 1)
