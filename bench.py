@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "media_audio_near_dup",
     "ann_ndcg_eval",
     "doc_ccnet_buckets",
+    "doc_split_leakage",
 ]
 
 

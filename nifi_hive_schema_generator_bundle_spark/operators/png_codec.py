@@ -207,20 +207,39 @@ def average_hash(payload: bytes, hash_size: int = 8) -> tuple[int, int]:
     if w < 1 or h < 1:
         raise ValueError("empty image")
     cc = min(ch, 3)
-    # per-cell integer gray sums + pixel counts
-    sums = [0] * (hash_size * hash_size)
-    counts = [0] * (hash_size * hash_size)
-    for y in range(h):
-        gy = y * hash_size // h
-        row = y * w
-        for x in range(w):
-            i = (row + x) * ch
-            g = 0
-            for c in range(cc):
-                g += px[i + c]
-            cell = gy * hash_size + (x * hash_size // w)
-            sums[cell] += g
-            counts[cell] += 1
+    try:  # numpy fast path: identical integer sums, vectorized
+        import numpy as np
+
+        a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, ch)
+        g = a[:, :, :cc].sum(axis=2, dtype=np.int64)
+        cell = (
+            (np.arange(h, dtype=np.int64) * hash_size // h)[:, None] * hash_size
+            + (np.arange(w, dtype=np.int64) * hash_size // w)[None, :]
+        ).ravel()
+        n_cells = hash_size * hash_size
+        # bincount weights are float64 but every partial sum is an
+        # integer < 2^53, so the accumulation is exact
+        sums = [
+            int(v)
+            for v in np.bincount(
+                cell, weights=g.ravel(), minlength=n_cells
+            )
+        ]
+        counts = [int(v) for v in np.bincount(cell, minlength=n_cells)]
+    except ImportError:  # stdlib fallback: same arithmetic, looped
+        sums = [0] * (hash_size * hash_size)
+        counts = [0] * (hash_size * hash_size)
+        for y in range(h):
+            gy = y * hash_size // h
+            row = y * w
+            for x in range(w):
+                i = (row + x) * ch
+                g = 0
+                for c in range(cc):
+                    g += px[i + c]
+                cell = gy * hash_size + (x * hash_size // w)
+                sums[cell] += g
+                counts[cell] += 1
     total = sum(sums)
     n_px = w * h
     lo = hi = 0

@@ -39,6 +39,7 @@ __all__ = [
     "sentence_dedup",
     "readability_stats",
     "blocklist_filter",
+    "tokenizer_fertility",
     "SENTENCE_RE",
 ]
 
@@ -784,3 +785,58 @@ def blocklist_filter(
     if action == "drop":
         return flagged.filter(~F.col(flag_col)).drop(flag_col, hits_col)
     return flagged
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: list,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility per group (per language, canonically): BPE
+    tokens emitted per whitespace word — the tokenizer-quality number
+    multilingual teams track, because a language with fertility 3 burns
+    3× the sequence length per word and so gets a third of the
+    effective context (and 3× the training cost per word) of a
+    fertility-1 language under the same tokenizer.
+
+    Output per group: (group, n_docs, n_words, n_bpe_tokens, fertility)
+    with fertility = total BPE tokens / total whitespace words, rounded
+    to 6dp (NULL for a group with zero words).
+
+    Scale shape: the BPE count is ``bpe_token_stats``'s single Arrow
+    stage over a pruned (id, text) projection; the word count is a
+    narrow JVM expression; they meet in one doc-count-sized 3-column
+    join and collapse to a |groups|-row aggregate — bodies cross the
+    wire only into the Arrow stage, never through a shuffle.
+    """
+    from ..functions.bpe import bpe_token_stats
+    from ..functions.textfns import whitespace_tokens
+
+    bpe = bpe_token_stats(
+        df.select(id_col, text_col), merges, text_col=text_col, id_col=id_col
+    ).select(id_col, "n_bpe_tokens")
+    words = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(whitespace_tokens(text_col)).alias("__n_words"),
+    )
+    tot_words = F.sum("__n_words").cast("long")
+    tot_bpe = F.sum(F.coalesce(F.col("n_bpe_tokens"), F.lit(0))).cast("long")
+    return (
+        words.join(bpe, id_col, "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            tot_words.alias("n_words"),
+            tot_bpe.alias("n_bpe_tokens"),
+            F.round(
+                F.when(
+                    tot_words > 0, tot_bpe.cast("double") / tot_words
+                ),
+                6,
+            ).alias("fertility"),
+        )
+    )

@@ -6894,15 +6894,17 @@ def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_px, h_px = 16, 12
 
     def synth(it):
+        import numpy as np
+
+        xs = np.arange(w_px, dtype=np.int64)
+        ys = np.arange(h_px, dtype=np.int64)
         for pdf in it:
             payloads = []
             for i in pdf["doc_id"]:
                 seed = int(i) % 200 + 3
-                px = bytes(
-                    (x * seed + y * 7) % 256
-                    for y in range(h_px)
-                    for x in range(w_px)
-                    for _ in range(3)
+                grid = (xs[None, :] * seed + ys[:, None] * 7) % 256
+                px = (
+                    np.repeat(grid.ravel(), 3).astype(np.uint8).tobytes()
                 )
                 payloads.append(png_encode(px, w_px, h_px, 3))
             yield pd.DataFrame(
@@ -6928,16 +6930,25 @@ def media_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup.packed_hamming_pairs`` banding via
     ``multimodal.audio_near_dup``. Only (id, lo, hi) ever shuffles.
     Every planted same-seed pair comes back at Hamming 0."""
-    import math
-
     import pandas as pd
 
     from ..operators.multimodal import audio_near_dup
-    from ..operators.wav_codec import wav_encode
 
     n_samp = 650
 
     def synth(it):
+        import struct
+
+        import numpy as np
+
+        t = np.arange(n_samp, dtype=np.float64)
+        # canonical 16-bit mono header, byte-identical to wav_encode's
+        # (pinned by the units); the synth packs sample bytes directly
+        # so scaffolding cost doesn't swamp the decode-side measurement
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        head = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data"
+        )
         for pdf in it:
             payloads = []
             for i in pdf["doc_id"]:
@@ -6945,19 +6956,20 @@ def media_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # int16 domain, forced even, so the half-volume variant
                 # (v // 2) decodes to EXACTLY half the float samples —
                 # quantization can't perturb the envelope comparisons
-                ints = [
-                    round(
-                        32000
-                        * math.sin(0.07 * seed * t)
-                        * (0.2 + 0.8 * abs(math.sin(0.003 * (seed + 5) * t)))
-                    )
+                ints = (
+                    np.round(
+                        32000.0
+                        * np.sin(0.07 * seed * t)
+                        * (0.2 + 0.8 * np.abs(np.sin(0.003 * (seed + 5) * t)))
+                    ).astype(np.int64)
                     & ~1
-                    for t in range(n_samp)
-                ]
+                )
                 if int(i) % 2:
-                    ints = [v // 2 for v in ints]
+                    ints //= 2  # even ints: exact halving
+                data = ints.astype("<i2").tobytes()
+                body = head + struct.pack("<I", len(data)) + data
                 payloads.append(
-                    wav_encode([v / 32767.0 for v in ints], 8000, 1, 16)
+                    b"RIFF" + struct.pack("<I", len(body)) + body
                 )
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
@@ -7149,3 +7161,56 @@ def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = hash_split(planted, "doc_id", holdout_sixteenths=2)
     return split_leakage_report(tagged).orderBy("fingerprint")
+
+
+@register_query(
+    "doc_token_fertility",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w
+        FROM documents,
+        LATERAL unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS t(w)
+    ), bpe AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN w IN ('agg','batch','column','customer','filter',
+                                        'group','hash','join','merge','query','small',
+                                        'spark','the','value','vector','window')
+                             THEN 1 ELSE length(w) END) AS BIGINT) AS n_bpe
+        FROM words GROUP BY doc_id
+    ), ws AS (
+        SELECT doc_id, lang,
+               len(list_filter(
+                   string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                   x -> x <> '')) AS n_words
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(coalesce(n_bpe, 0)) AS BIGINT) AS n_bpe_tokens,
+           round(CASE WHEN sum(n_words) > 0
+                      THEN sum(coalesce(n_bpe, 0)) * 1.0 / sum(n_words)
+                 END, 6) AS fertility
+    FROM ws LEFT JOIN bpe USING (doc_id)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (``text.tokenizer_fertility``)
+    under the bundled fixture BPE vocabulary — BPE tokens per
+    whitespace word, the number that says which languages a tokenizer
+    taxes. The fixture's merge chains make the BPE counts exactly
+    SQL-replayable (the ``doc_bpe_token_count`` construction): 1 token
+    per fully-merged vocab word, character count otherwise."""
+    import importlib.resources as res
+
+    from ..functions.bpe import load_merges
+    from ..operators.text import tokenizer_fertility
+
+    with res.as_file(
+        res.files("nifi_hive_schema_generator_bundle_spark").joinpath(
+            "data/bpe_merges_fixture.txt"
+        )
+    ) as p:
+        merges = load_merges(str(p))
+    d = load_table(spark, sf_dir, "documents")
+    return tokenizer_fertility(d, merges).orderBy("lang")

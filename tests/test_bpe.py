@@ -242,3 +242,44 @@ class TestTrainer:
         df = spark.createDataFrame([(t,) for t in texts], "text string")
         got = bpe_train(df, n_merges=1, min_freq=2)
         assert got == [("q", "q", 5)]  # zz (freq 1) never enters training
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    merges = load_merges(FIXTURE)
+    rows = [
+        # en: "the spark join" = 3 words, all vocab -> 3 BPE tokens
+        (1, "en", "the spark join"),
+        # en: "zzz qq" = 2 words, unmergeable -> 3 + 2 = 5 BPE tokens
+        (2, "en", "zzz qq"),
+        # xx: "ab" = 1 word -> 2 chars -> 2 BPE tokens, fertility 2.0
+        (3, "xx", "ab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.lang: r for r in tokenizer_fertility(df, merges).collect()}
+    assert got["en"].n_docs == 2
+    assert got["en"].n_words == 5
+    assert got["en"].n_bpe_tokens == 8
+    assert got["en"].fertility == 1.6
+    assert (got["xx"].n_words, got["xx"].n_bpe_tokens, got["xx"].fertility) == (
+        1, 2, 2.0,
+    )
+
+
+def test_tokenizer_fertility_zero_word_group_null(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "yy", "   ")], "doc_id long, lang string, text string"
+    )
+    r = tokenizer_fertility(df, []).collect()[0]
+    assert (r.n_docs, r.n_words, r.fertility) == (1, 0, None)

@@ -232,3 +232,19 @@ def test_audio_near_dup_planted(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     pairs = {(r.id_a, r.id_b): r.hamming for r in audio_near_dup(df).collect()}
     assert pairs == {(1, 2): 0}
+
+
+def test_direct_packed_wav_matches_encoder():
+    """The media_audio_near_dup synth packs RIFF bytes directly (numpy
+    int16 + struct header) to keep scaffolding cost out of the decode
+    measurement — pin that recipe byte-identical to wav_encode."""
+    ints = _envelope_ints(21, n=130)
+    via_encoder = _wav_from_ints(ints)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = b"".join(struct.pack("<h", v) for v in ints)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    direct = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert direct == via_encoder
