@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "ann_ndcg_eval",
     "doc_ccnet_buckets",
     "doc_split_leakage",
+    "doc_token_fertility",
 ]
 
 

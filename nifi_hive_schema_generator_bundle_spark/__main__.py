@@ -460,6 +460,32 @@ def cmd_profile(args) -> int:
     return 0
 
 
+
+def cmd_leakage(args) -> int:
+    """Train/holdout leakage gate: exit non-zero when any exact-content
+    fingerprint straddles the split boundary (the eval-hygiene sibling
+    of ``check``)."""
+    from .operators.quality_checks import split_leakage_report
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    leaked = (
+        split_leakage_report(
+            df,
+            split_col=args.split_col,
+            content_col=args.content_col,
+            holdout_value=args.holdout_value,
+        )
+        .orderBy("fingerprint")
+        .collect()
+    )
+    for r in leaked[: args.show]:
+        print(f"{r['fingerprint']}  train={r['n_train']}  holdout={r['n_holdout']}")
+    print(f"leaked fingerprints: {len(leaked)}")
+    return 1 if leaked else 0
+
+
 def cmd_check(args) -> int:
     """Data-quality gate: evaluate declarative constraints and exit
     non-zero if any rule fails — the promotion-gate contract (wire it
@@ -963,6 +989,18 @@ def main(argv: list[str] | None = None) -> int:
     pck.add_argument("--completeness", default=None, metavar="TS_COL",
                      help="flag calendar-day gaps in this timestamp column")
     pck.set_defaults(fn=cmd_check)
+
+    plk = sub.add_parser(
+        "leakage", help="train/holdout exact-content leakage gate"
+    )
+    plk.add_argument("input")
+    plk.add_argument("--fmt", default="parquet")
+    plk.add_argument("--split-col", default="split")
+    plk.add_argument("--content-col", default="text")
+    plk.add_argument("--holdout-value", default="holdout")
+    plk.add_argument("--show", type=int, default=10,
+                     help="print at most this many leaked fingerprints")
+    plk.set_defaults(fn=cmd_leakage)
 
     pcl = sub.add_parser("classify", help="linear bag-of-words quality scoring")
     pcl.add_argument("input")

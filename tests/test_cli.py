@@ -626,3 +626,28 @@ def test_cli_dsir_weights(spark, tmp_path, capsys):
     # the crawl doc written in the wiki vocabulary outscores the off-domain one
     assert got[100] > got[101]
     assert "weighted 32 docs" in capsys.readouterr().err
+
+
+def test_cli_leakage_gate(spark, tmp_path, capsys):
+    data = str(tmp_path / "split.parquet")
+    rows = [
+        (1, "dup text", "train"),
+        (2, "dup text", "holdout"),
+        (3, "clean a", "train"),
+        (4, "clean b", "holdout"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, split string"
+    ).write.parquet(data)
+    rc = main(["leakage", data])
+    out = capsys.readouterr().out
+    assert rc == 1  # leak -> non-zero exit (gate contract)
+    assert "leaked fingerprints: 1" in out
+    assert "train=1  holdout=1" in out
+
+    clean = str(tmp_path / "clean.parquet")
+    spark.createDataFrame(
+        [(3, "clean a", "train"), (4, "clean b", "holdout")],
+        "doc_id long, text string, split string",
+    ).write.parquet(clean)
+    assert main(["leakage", clean]) == 0
