@@ -179,6 +179,8 @@ ARROW_BATCHED = {
     # greedy-merge BPE: data-dependent iteration per pre-token, broadcast
     # merge table, one mapInPandas stage (functions/bpe.py)
     "doc_bpe_token_count",
+    # same BPE Arrow stage feeding the per-language fertility aggregate
+    "doc_token_fertility",
     # composes ivf_ann_topk (Arrow centroid assignment, above) to
     # score its recall
     "ann_recall_eval",
