@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "value_histogram"]
+__all__ = ["profile", "value_histogram", "dataset_fingerprint"]
 
 
 def profile(
@@ -108,4 +108,42 @@ def value_histogram(
             ),
             "n",
         )
+    )
+
+
+def dataset_fingerprint(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Order- and partitioning-invariant content fingerprint of a table
+    — the replica-equality probe a migration or backup-restore check
+    needs at 100 TB: equal (n_rows, xor_hash, sum_hash) across two
+    tables means the same MULTISET of rows with overwhelming
+    probability, and computing it never shuffles data (one map-side
+    aggregate reduced to a single row; xor and sum are commutative, so
+    row order and partition layout cannot change the answer).
+
+    Each row hashes to 60 bits of its md5 over the selected columns'
+    string forms (NULL → a sentinel distinct from any value, unit-safe
+    separator between columns); xor catches any differing row pair, the
+    additive sum (folded mod 2^60 so it stays an exact BIGINT in every
+    engine) catches the classic xor blind spot (a row repeated twice
+    xors to zero). Engine-portable by construction — DuckDB replays it
+    exactly (the oracle's proof).
+    """
+    cols = list(df.columns) if cols is None else list(cols)
+    if not cols:
+        raise ValueError("need at least one column")
+    row = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
+        ],
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return df.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("bit_xor(__h)").alias("xor_fingerprint"),
+        (F.sum(F.col("__h").cast("decimal(38,0)")) % F.lit(2**60))
+        .cast("long")
+        .alias("sum_fingerprint"),
     )

@@ -7175,6 +7175,43 @@ def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "documents_fingerprint",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      bit_xor(CAST(concat('0x', substr(md5(concat_ws(chr(31),
+        coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+        coalesce(text, chr(0)),
+        coalesce(lang, chr(0)),
+        coalesce(source, chr(0)),
+        coalesce(CAST(n_chars AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT))
+        AS xor_fingerprint,
+      CAST(sum(CAST(concat('0x', substr(md5(concat_ws(chr(31),
+        coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+        coalesce(text, chr(0)),
+        coalesce(lang, chr(0)),
+        coalesce(source, chr(0)),
+        coalesce(CAST(n_chars AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT))
+        % 1152921504606846976 AS BIGINT) AS sum_fingerprint
+    FROM documents
+    """,
+)
+def documents_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partitioning-invariant multiset fingerprint of the full
+    documents table (``profile.dataset_fingerprint``): the
+    replica-equality probe for migrations and backup restores — xor +
+    additive sum of a 60-bit per-row md5, one map-side aggregate, zero
+    data shuffle. The DuckDB twin computing the IDENTICAL number from
+    the same parquet is exactly the cross-engine equality check the
+    operator exists for."""
+    from ..operators.profile import dataset_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_fingerprint(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+@register_query(
     "doc_token_fertility",
     oracle="""
     WITH words AS (

@@ -38,3 +38,72 @@ def test_profile_approx_same_shape(spark):
     assert exact["k"] == 7
     # HLL estimate within its default ~5% rsd at this cardinality
     assert abs(approx["id"] - 1000) <= 60 and abs(approx["k"] - 7) <= 2
+
+
+# ---------------------------------------------------------------------------
+# dataset_fingerprint
+# ---------------------------------------------------------------------------
+
+class TestDatasetFingerprint:
+    def test_order_and_partitioning_invariant(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+            dataset_fingerprint,
+        )
+
+        rows = [(1, "a"), (2, "b"), (3, None)]
+        df = spark.createDataFrame(rows, "id long, v string")
+        base = dataset_fingerprint(df).collect()[0]
+        # reversed row order, different partition count -> same fingerprint
+        alt = dataset_fingerprint(
+            spark.createDataFrame(list(reversed(rows)), "id long, v string")
+            .repartition(7)
+        ).collect()[0]
+        assert (base.n_rows, base.xor_fingerprint, base.sum_fingerprint) == (
+            alt.n_rows, alt.xor_fingerprint, alt.sum_fingerprint,
+        )
+
+    def test_detects_changed_row_and_duplicate(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+            dataset_fingerprint,
+        )
+
+        a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        changed = spark.createDataFrame([(1, "a"), (2, "B")], "id long, v string")
+        fa = dataset_fingerprint(a).collect()[0]
+        fc = dataset_fingerprint(changed).collect()[0]
+        assert fa.xor_fingerprint != fc.xor_fingerprint
+        # xor blind spot: duplicating a pair of identical rows xors away;
+        # the additive sum (and count) must still catch it
+        dup = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (9, "x"), (9, "x")], "id long, v string"
+        )
+        fd = dataset_fingerprint(dup).collect()[0]
+        assert fd.n_rows != fa.n_rows
+        assert fd.sum_fingerprint != fa.sum_fingerprint
+
+    def test_null_distinct_from_empty_and_col_subset(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+            dataset_fingerprint,
+        )
+
+        withnull = spark.createDataFrame([(1, None)], "id long, v string")
+        withempty = spark.createDataFrame([(1, "")], "id long, v string")
+        fn_ = dataset_fingerprint(withnull).collect()[0]
+        fe = dataset_fingerprint(withempty).collect()[0]
+        assert fn_.xor_fingerprint != fe.xor_fingerprint
+        # column subset ignores the differing column
+        same = dataset_fingerprint(withnull, ["id"]).collect()[0]
+        assert same.xor_fingerprint == dataset_fingerprint(
+            withempty, ["id"]
+        ).collect()[0].xor_fingerprint
+
+    def test_rejects_empty_cols(self, spark):
+        import pytest as _pytest
+
+        from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+            dataset_fingerprint,
+        )
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with _pytest.raises(ValueError):
+            dataset_fingerprint(df, [])
