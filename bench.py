@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "doc_ccnet_buckets",
     "doc_split_leakage",
     "doc_token_fertility",
+    "documents_fingerprint",
 ]
 
 

@@ -336,6 +336,22 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_urls(args) -> int:
+    from .functions.urls import registrable_domain, url_host, url_normalize
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    out = df.withColumn(args.url_col, url_normalize(args.url_col))
+    if args.host_col:
+        out = out.withColumn(args.host_col, url_host(args.url_col))
+    if args.domain_col:
+        out = out.withColumn(args.domain_col, registrable_domain(args.url_col))
+    convert(out, args.output, args.fmt, mode="overwrite")
+    print(f"normalized URLs -> {args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_impute(args) -> int:
     from pyspark.sql import functions as F
 
@@ -919,6 +935,15 @@ def main(argv: list[str] | None = None) -> int:
     pcl.add_argument("--fmt", default="parquet")
     pcl.add_argument("--text-col", default="text")
     pcl.set_defaults(fn=cmd_clean)
+
+    pur = sub.add_parser("urls", help="canonicalize URL column (+host/domain columns)")
+    pur.add_argument("input")
+    pur.add_argument("output")
+    pur.add_argument("--fmt", default="parquet")
+    pur.add_argument("--url-col", default="url")
+    pur.add_argument("--host-col", default="")
+    pur.add_argument("--domain-col", default="")
+    pur.set_defaults(fn=cmd_urls)
 
     pim = sub.add_parser("impute", help="fill nulls with per-group mean/mode")
     pim.add_argument("input")

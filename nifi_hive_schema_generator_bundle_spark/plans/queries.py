@@ -7212,6 +7212,60 @@ def documents_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_url_normalize",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      CASE WHEN doc_id % 7 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+           ELSE 'http://www.' || source ||
+                CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+                '/p/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' END AS url_canon,
+      CASE WHEN doc_id % 7 = 0 THEN ''
+           ELSE 'www.' || source ||
+                CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END
+           END AS host,
+      CASE WHEN doc_id % 7 = 0 THEN ''
+           ELSE source ||
+                CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END
+           END AS domain
+    FROM documents
+    """,
+)
+def doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable domain (``functions/urls.py``)
+    over a deterministically-derived messy URL per document (uppercase
+    host, userinfo, default port, unsorted + tracking query params,
+    fragment; every 7th row a non-URL passthrough). The oracle does NOT
+    re-run the string pipeline — it constructs the expected canonical
+    form analytically from the same derivation, so a shared
+    regexp/sort/filter bug can't self-confirm. One narrow codegen'd
+    projection, zero shuffle."""
+    from ..functions.urls import registrable_domain, url_host, url_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    messy = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.lit("not a url "), did)
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP://User@WWW."),
+            F.upper("source"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".CO.UK")).otherwise(
+                F.lit(".COM")
+            ),
+            F.lit(":80/p/"),
+            did,
+            F.lit("?utm_source=x&b=2&a=1#frag"),
+        )
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        url_normalize(messy).alias("url_canon"),
+        url_host(messy).alias("host"),
+        registrable_domain(messy).alias("domain"),
+    )
+
+
+@register_query(
     "doc_token_fertility",
     oracle="""
     WITH words AS (

@@ -651,3 +651,26 @@ def test_cli_leakage_gate(spark, tmp_path, capsys):
         "doc_id long, text string, split string",
     ).write.parquet(clean)
     assert main(["leakage", clean]) == 0
+
+
+def test_cli_urls_normalize(spark, tmp_path, capsys):
+    src = str(tmp_path / "urls_in")
+    spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Ex.COM:80/a?utm_source=x&b=2&a=1#f"),
+            (2, "not a url"),
+        ],
+        "id long, url string",
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "urls_out")
+    rc = main([
+        "urls", src, out_dir,
+        "--url-col", "url", "--host-col", "host", "--domain-col", "dom",
+    ])
+    assert rc == 0
+    rows = {r.id: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows[1].url == "http://www.ex.com/a?a=1&b=2"
+    assert rows[1].host == "www.ex.com"
+    assert rows[1].dom == "ex.com"
+    assert rows[2].url == "not a url"
+    assert rows[2].host == "" and rows[2].dom == ""
