@@ -323,6 +323,12 @@ def cmd_clean(args) -> int:
     spark = _session(args)
     df = read_any(spark, args.input, args.fmt)
     out = df.withColumn(args.text_col, clean_text(args.text_col))
+    if args.unicode_form:
+        from .functions.textfns import unicode_normalize
+
+        out = out.withColumn(
+            args.text_col, unicode_normalize(args.text_col, args.unicode_form)
+        )
     convert(out, args.output, args.fmt, mode="overwrite")
     changed = (
         df.select(
@@ -934,6 +940,8 @@ def main(argv: list[str] | None = None) -> int:
     pcl.add_argument("output")
     pcl.add_argument("--fmt", default="parquet")
     pcl.add_argument("--text-col", default="text")
+    pcl.add_argument("--unicode-form", default="",
+                     help="also Unicode-normalize (NFC/NFKC/NFD/NFKD)")
     pcl.set_defaults(fn=cmd_clean)
 
     pur = sub.add_parser("urls", help="canonicalize URL column (+host/domain columns)")

@@ -15,6 +15,7 @@ __all__ = [
     "CLEAN_CHARS_RE",
     "whitespace_tokens",
     "bpe_ish_tokens",
+    "unicode_normalize",
     "BPE_ISH_TOKEN_RE",
     "REDACT_PATTERNS",
     "redact",
@@ -64,6 +65,30 @@ def whitespace_tokens(c: Column | str) -> Column:
 def bpe_ish_tokens(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     return F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_RE), 0)
+
+
+def unicode_normalize(c: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the step every
+    tokenizer-bound pipeline runs before hashing or BPE, since scraped
+    text mixes precomposed and combining-mark spellings that hash and
+    tokenize differently while rendering identically. Spark has no
+    builtin for it, so this is a declared Arrow-batched stage: one
+    scalar ``pandas_udf`` over the text column (``Series.str.normalize``
+    — C-level ICU-equivalent via Python's unicodedata), nulls propagate.
+    Everything around it stays JVM; plan shows one ArrowEvalPython node.
+    The DuckDB oracle replays NFC through its own utf8proc
+    ``nfc_normalize`` — two independent implementations agreeing is the
+    correctness check."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import pandas as pd  # noqa: F401  (worker-side dependency)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):  # type: ignore[no-untyped-def]
+        return s.str.normalize(form)
+
+    return _norm(F.col(c) if isinstance(c, str) else c)
 
 
 # Scrub patterns for training-data cleaning. Kept to syntax shared by

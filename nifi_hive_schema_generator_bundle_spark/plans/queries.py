@@ -7212,6 +7212,52 @@ def documents_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_unicode_normalize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0
+             THEN 'Caf' || chr(233) || ' no ' || CAST(doc_id AS VARCHAR)
+             ELSE 'Cafe' || chr(769) || ' no ' || CAST(doc_id AS VARCHAR)
+        END AS raw
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      nfc_normalize(raw) AS text_nfc,
+      raw <> nfc_normalize(raw) AS changed
+    FROM m
+    """,
+)
+def doc_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (``textfns.unicode_normalize``) over a
+    derived column mixing precomposed (even doc_ids) and
+    combining-mark (odd) spellings of the same text. The oracle runs
+    DuckDB's utf8proc ``nfc_normalize`` — an independent implementation
+    of the same Unicode standard, so agreement is a real cross-check,
+    not a replay. One Arrow stage (the declared pandas_udf); the
+    surrounding derivation and comparison stay JVM."""
+    from ..functions.textfns import unicode_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("Caf\u00e9 no "), did),  # precomposed: already NFC
+    ).otherwise(
+        F.concat(F.lit("Cafe\u0301 no "), did)  # e + combining acute
+    )
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        raw.alias("raw"),
+        unicode_normalize(raw).alias("text_nfc"),
+    )
+    return staged.select(
+        "doc_id",
+        "text_nfc",
+        (F.col("raw") != F.col("text_nfc")).alias("changed"),
+    )
+
+
+@register_query(
     "doc_url_normalize",
     oracle="""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,

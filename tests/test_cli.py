@@ -674,3 +674,16 @@ def test_cli_urls_normalize(spark, tmp_path, capsys):
     assert rows[1].dom == "ex.com"
     assert rows[2].url == "not a url"
     assert rows[2].host == "" and rows[2].dom == ""
+
+
+def test_cli_clean_unicode_form(spark, tmp_path):
+    src = str(tmp_path / "uc_in")
+    # decomposed e + combining acute; NFC must precompose it
+    spark.createDataFrame(
+        [(1, "Café  x")], "id long, text string"
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "uc_out")
+    rc = main(["clean", src, out_dir, "--unicode-form", "NFC"])
+    assert rc == 0
+    got = spark.read.parquet(out_dir).collect()[0].text
+    assert got == "Café x"  # cleaned whitespace AND precomposed

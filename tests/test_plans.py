@@ -192,6 +192,9 @@ ARROW_BATCHED = {
     "media_image_near_dup",
     # WAV synth + envelope dHash, same two-Arrow-stage shape
     "media_audio_near_dup",
+    # Unicode NFC via pandas Series.str.normalize — Spark has no
+    # builtin; one scalar-pandas_udf Arrow stage (textfns.unicode_normalize)
+    "doc_unicode_normalize",
 }
 
 PY_NODES = (
