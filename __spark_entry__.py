@@ -108,17 +108,16 @@ DRIVER_PRIORITY = [
     "doc_hashed_tf_vectors",
     "events_variant_extract",
     "minhash_near_dup_portable",
-    "simhash_near_dup_portable",
     "curation_pipeline_v3",
     # --- round-4d additions (never driver-verified, newest code = top risk) ---
     "doc_clean_text",
     "events_daily_gap_fill",
     "customer_balance_imputed",
     "doc_sentences",
-    "doc_sentence_dedup",
     "doc_temperature_sample",
     "doc_readability",
-    "events_value_winsorized",
+    # (events_value_winsorized displaced: same discrete order-statistic
+    # percentile kernel as in-gate doc_ccnet_buckets)
     "doc_blocklist_filter",
     # --- round-4e additions (newest code = top risk) ---
     "doc_dsir_weights",
@@ -131,6 +130,13 @@ DRIVER_PRIORITY = [
     # (also displacing orders_incremental_rollup ~ verified events_rollup
     # + orders_quality_report shapes)
     "doc_split_leakage",
+    # --- round-4g additions (newest code = top risk; displacing
+    # simhash_near_dup_portable ~ in-gate minhash_near_dup_portable
+    # banding shape and doc_sentence_dedup ~ in-gate doc_sentences split
+    # + doc_paragraph_dedup corpus-wide-dedup kernel) ---
+    "documents_fingerprint",
+    "doc_url_normalize",
+    "doc_unicode_normalize",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",

@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "doc_split_leakage",
     "doc_token_fertility",
     "documents_fingerprint",
+    "doc_url_normalize",
+    "doc_unicode_normalize",
 ]
 
 
