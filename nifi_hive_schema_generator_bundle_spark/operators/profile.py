@@ -112,7 +112,9 @@ def value_histogram(
 
 
 def dataset_fingerprint(
-    df: DataFrame, cols: list[str] | None = None
+    df: DataFrame,
+    cols: list[str] | None = None,
+    group_by: str | None = None,
 ) -> DataFrame:
     """Order- and partitioning-invariant content fingerprint of a table
     — the replica-equality probe a migration or backup-restore check
@@ -129,8 +131,20 @@ def dataset_fingerprint(
     engine) catches the classic xor blind spot (a row repeated twice
     xors to zero). Engine-portable by construction — DuckDB replays it
     exactly (the oracle's proof).
+
+    ``group_by``: per-group fingerprints instead of one global row — the
+    100 TB diff protocol: fingerprint both replicas grouped by the
+    partition column, join on the key, and only the partitions whose
+    triples differ need row-level recomparison. The grouped form
+    shuffles only (key, 3 numbers) per partial — never data. The group
+    key itself is excluded from the hash (so replicas keyed by
+    different spellings still compare group-wise); per-group triples
+    therefore fold back to the GLOBAL fingerprint only when the global
+    call also excludes it from ``cols``.
     """
     cols = list(df.columns) if cols is None else list(cols)
+    if group_by is not None:
+        cols = [c for c in cols if c != group_by]
     if not cols:
         raise ValueError("need at least one column")
     row = F.concat_ws(
@@ -140,10 +154,17 @@ def dataset_fingerprint(
         ],
     )
     h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
-    return df.select(h.alias("__h")).agg(
+    aggs = [
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.expr("bit_xor(__h)").alias("xor_fingerprint"),
         (F.sum(F.col("__h").cast("decimal(38,0)")) % F.lit(2**60))
         .cast("long")
         .alias("sum_fingerprint"),
+    ]
+    if group_by is None:
+        return df.select(h.alias("__h")).agg(*aggs)
+    return (
+        df.select(F.col(group_by), h.alias("__h"))
+        .groupBy(group_by)
+        .agg(*aggs)
     )

@@ -107,3 +107,41 @@ class TestDatasetFingerprint:
         df = spark.createDataFrame([(1,)], "id long")
         with _pytest.raises(ValueError):
             dataset_fingerprint(df, [])
+
+    def test_grouped_fingerprints_compose_to_global(self, spark):
+        """Per-group (n, xor, sum mod 2^60) must fold back to the global
+        triple — xor of xors, sum of ns, modular sum of sums. This is
+        the property that lets a 100 TB replica diff recurse from
+        per-partition fingerprints to the table-level one."""
+        from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+            dataset_fingerprint,
+        )
+
+        rows = [(i, f"g{i % 3}", f"v{i * 7 % 11}") for i in range(50)]
+        df = spark.createDataFrame(rows, "id long, g string, v string")
+        per = dataset_fingerprint(df, ["id", "v"], group_by="g").collect()
+        assert len(per) == 3
+        glob = dataset_fingerprint(df, ["id", "v"]).collect()[0]
+        n = sum(r.n_rows for r in per)
+        x = 0
+        for r in per:
+            x ^= r.xor_fingerprint
+        s = sum(r.sum_fingerprint for r in per) % 2**60
+        assert (n, x, s) == (
+            glob.n_rows, glob.xor_fingerprint, glob.sum_fingerprint,
+        )
+
+    def test_group_by_column_excluded_from_hash(self, spark):
+        """The group key must not be hashed into its own rows' triple —
+        otherwise two replicas partitioned by different key spellings
+        could never be compared group-wise."""
+        from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+            dataset_fingerprint,
+        )
+
+        a = spark.createDataFrame([("g1", "x"), ("g1", "y")], "g string, v string")
+        per = {r.g: r for r in dataset_fingerprint(a, group_by="g").collect()}
+        plain = dataset_fingerprint(
+            spark.createDataFrame([("x",), ("y",)], "v string")
+        ).collect()[0]
+        assert per["g1"].xor_fingerprint == plain.xor_fingerprint

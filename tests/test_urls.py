@@ -95,3 +95,60 @@ def test_plan_is_narrow_projection(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): idempotence + structural invariants over
+# generated URLs — the hand table above can't cover the combinatorics of
+# userinfo x port x params x fragment.
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    _label = st.text("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ09", min_size=1, max_size=6)
+    _param = st.one_of(
+        st.tuples(_label, _label).map(lambda kv: f"{kv[0]}={kv[1]}"),
+        st.just("utm_source=x"),
+        st.just("fbclid=abc"),
+    )
+    _urls = st.builds(
+        lambda scheme, user, host_labels, port, path, params, frag: (
+            scheme
+            + "://"
+            + (user + "@" if user else "")
+            + ".".join(host_labels)
+            + (f":{port}" if port else "")
+            + ("/" + path if path else "")
+            + ("?" + "&".join(params) if params else "")
+            + ("#" + frag if frag else "")
+        ),
+        scheme=st.sampled_from(["http", "https", "HTTP", "Https"]),
+        user=st.one_of(st.just(""), _label),
+        host_labels=st.lists(_label, min_size=1, max_size=4),
+        port=st.one_of(st.none(), st.sampled_from([80, 443, 8080])),
+        path=st.one_of(st.just(""), _label),
+        params=st.lists(_param, max_size=4),
+        frag=st.one_of(st.just(""), _label),
+    )
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(_urls, min_size=1, max_size=8))
+    def test_normalize_idempotent_and_clean(spark, urls):
+        once = _run(spark, url_normalize, urls)
+        twice = _run(spark, url_normalize, once)
+        assert once == twice
+        for u in once:
+            assert "#" not in u
+            assert "utm_" not in u and "fbclid" not in u
+            q = u.split("?", 1)
+            if len(q) == 2:
+                parts = q[1].split("&")
+                assert parts == sorted(parts)
