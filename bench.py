@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "documents_fingerprint",
     "doc_url_normalize",
     "doc_unicode_normalize",
+    "events_value_drift",
 ]
 
 

@@ -23,7 +23,7 @@ from pyspark.sql.types import ArrayType, DataType, StructType
 from .infer import infer_schema_by_key
 from ..plans.lattice import merge_types
 
-__all__ = ["schema_drift_report"]
+__all__ = ["schema_drift_report", "distribution_drift"]
 
 
 def _type_class(t: DataType) -> str:
@@ -95,4 +95,78 @@ def schema_drift_report(
         rows,
         "group_key string, field string, group_class string, "
         "global_class string, drift string",
+    )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    *,
+    bins: int = 10,
+    lo: float,
+    hi: float,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index per bucket between a reference and a
+    current snapshot of a numeric column — the VALUE-distribution half
+    of drift monitoring (``schema_drift_report`` is the structural
+    half): PSI < 0.1 is stable, 0.1-0.25 drifting, > 0.25 shifted, the
+    standard model-monitoring thresholds.
+
+    Binning is ``value_histogram`` with a PINNED [lo, hi] — mandatory
+    here, because drift is only meaningful against fixed bucket edges
+    (and the pinned form skips the min/max scan: one pass per
+    snapshot, counts shuffle as |bins| rows, bodies never move).
+    Empty buckets participate through Laplace smoothing (``smoothing``
+    pseudo-count per bucket) so a bucket present in one snapshot and
+    absent in the other contributes finite, not infinite, PSI.
+
+    Returns (bucket, bucket_lo, n_ref, n_cur, psi_contrib) — one row
+    per bucket including empty ones; total PSI = sum(psi_contrib).
+    ``psi_contrib`` is rounded to 6 decimals (the engine's float
+    oracle-parity convention).
+    """
+    from pyspark.sql import Window, functions as F
+
+    from .profile import value_histogram
+
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (it guards empty buckets)")
+    spark = ref.sparkSession
+    w = (float(hi) - float(lo)) / bins
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    hr = value_histogram(ref, col, bins=bins, lo=lo, hi=hi).select(
+        "bucket", F.col("n").alias("n_ref")
+    )
+    hc = value_histogram(cur, col, bins=bins, lo=lo, hi=hi).select(
+        "bucket", F.col("n").alias("n_cur")
+    )
+    j = (
+        spine.join(hr, "bucket", "left")
+        .join(hc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    # totals over the |bins|-row frame: a window on a handful of rows,
+    # not a data-side shuffle
+    everything = Window.partitionBy(F.lit(1))
+    s = float(smoothing)
+    p = (F.col("n_ref") + F.lit(s)) / (
+        F.sum("n_ref").over(everything) + F.lit(s * bins)
+    )
+    q = (F.col("n_cur") + F.lit(s)) / (
+        F.sum("n_cur").over(everything) + F.lit(s * bins)
+    )
+    return j.select(
+        "bucket",
+        F.round(F.lit(float(lo)) + F.col("bucket") * F.lit(w), 6).alias(
+            "bucket_lo"
+        ),
+        "n_ref",
+        "n_cur",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )

@@ -7212,6 +7212,68 @@ def documents_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "events_value_drift",
+    oracle="""
+    WITH r AS (
+      SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS INT))) AS bucket,
+             count(*) AS n
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+      GROUP BY 1),
+    c AS (
+      SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS INT))) AS bucket,
+             count(*) AS n
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+      GROUP BY 1),
+    spine AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+    j AS (
+      SELECT s.bucket,
+             COALESCE(r.n, 0) AS n_ref,
+             COALESCE(c.n, 0) AS n_cur
+      FROM spine s
+      LEFT JOIN r ON s.bucket = r.bucket
+      LEFT JOIN c ON s.bucket = c.bucket),
+    t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                 CAST(sum(n_cur) AS DOUBLE) AS tc FROM j)
+    SELECT j.bucket,
+      round(CAST(j.bucket AS DOUBLE) * 50.0, 6) AS bucket_lo,
+      CAST(n_ref AS BIGINT) AS n_ref,
+      CAST(n_cur AS BIGINT) AS n_cur,
+      round((
+          (CAST(n_ref AS DOUBLE) + 0.5) / (t.tr + 5.0)
+        - (CAST(n_cur AS DOUBLE) + 0.5) / (t.tc + 5.0)
+      ) * ln(
+          ((CAST(n_ref AS DOUBLE) + 0.5) / (t.tr + 5.0))
+        / ((CAST(n_cur AS DOUBLE) + 0.5) / (t.tc + 5.0))
+      ), 6) AS psi_contrib
+    FROM j CROSS JOIN t
+    ORDER BY j.bucket
+    """,
+)
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution drift (PSI) between the first and second half
+    of the events month (``operators/drift.distribution_drift``): pinned
+    [0, 500) × 10 equi-width buckets, Laplace smoothing 0.5, per-bucket
+    PSI contributions — total PSI = sum. Each snapshot is one scan whose
+    shuffle payload is 10 (bucket, count) rows; the PSI math runs on the
+    10-row joined frame. The oracle replays the identical binning,
+    smoothing, and ln() formula."""
+    from ..operators.drift import distribution_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return distribution_drift(
+        ev.filter(F.col("ts") < "2024-01-16"),
+        ev.filter(F.col("ts") >= "2024-01-16"),
+        "value",
+        bins=10,
+        lo=0.0,
+        hi=500.0,
+        smoothing=0.5,
+    ).orderBy("bucket")
+
+
+@register_query(
     "doc_unicode_normalize",
     oracle="""
     WITH m AS (
