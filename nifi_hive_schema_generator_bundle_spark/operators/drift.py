@@ -23,7 +23,7 @@ from pyspark.sql.types import ArrayType, DataType, StructType
 from .infer import infer_schema_by_key
 from ..plans.lattice import merge_types
 
-__all__ = ["schema_drift_report", "distribution_drift"]
+__all__ = ["schema_drift_report", "distribution_drift", "categorical_drift"]
 
 
 def _type_class(t: DataType) -> str:
@@ -166,6 +166,66 @@ def distribution_drift(
         F.round(F.lit(float(lo)) + F.col("bucket") * F.lit(w), 6).alias(
             "bucket_lo"
         ),
+        "n_ref",
+        "n_cur",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
+
+
+def categorical_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    *,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI over a categorical column (language mix, source mix, label
+    mix — the usual "did this crawl's composition shift" check),
+    completing ``distribution_drift``'s numeric half. Categories are the
+    union observed in either snapshot (NULLs excluded, matching the
+    numeric form); a category present on one side only still gets a
+    finite contribution through the same Laplace smoothing.
+
+    Scale shape: one count-aggregate per snapshot (shuffle payload =
+    |categories| rows), a full-outer join of the two count tables, and
+    the two totals ride a 1-row broadcast (the scalar cross-join
+    pattern) — deliberately NOT a single-partition window, so a
+    high-cardinality column doesn't serialize on one task. Returns
+    (value, n_ref, n_cur, psi_contrib); total PSI = sum.
+    """
+    from pyspark.sql import functions as F
+
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (it guards one-sided categories)")
+    c = F.col(col)
+    nr = (
+        ref.filter(c.isNotNull())
+        .groupBy(c.cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    nc = (
+        cur.filter(c.isNotNull())
+        .groupBy(c.cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    j = (
+        nr.join(nc, "value", "full_outer")
+        .select(
+            "value",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    totals = j.agg(
+        F.sum("n_ref").cast("double").alias("__tr"),
+        F.sum("n_cur").cast("double").alias("__tc"),
+        F.count(F.lit(1)).cast("double").alias("__k"),
+    )
+    s = float(smoothing)
+    p = (F.col("n_ref") + F.lit(s)) / (F.col("__tr") + F.lit(s) * F.col("__k"))
+    q = (F.col("n_cur") + F.lit(s)) / (F.col("__tc") + F.lit(s) * F.col("__k"))
+    return j.crossJoin(F.broadcast(totals)).select(
+        "value",
         "n_ref",
         "n_cur",
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),

@@ -7274,6 +7274,55 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_lang_drift",
+    oracle="""
+    WITH r AS (
+      SELECT lang AS value, count(*) AS n FROM documents
+      WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+    c AS (
+      SELECT lang AS value, count(*) AS n FROM documents
+      WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
+    j AS (
+      SELECT COALESCE(r.value, c.value) AS value,
+             COALESCE(r.n, 0) AS n_ref,
+             COALESCE(c.n, 0) AS n_cur
+      FROM r FULL OUTER JOIN c ON r.value = c.value),
+    t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                 CAST(sum(n_cur) AS DOUBLE) AS tc,
+                 CAST(count(*) AS DOUBLE) AS k FROM j)
+    SELECT j.value,
+      CAST(n_ref AS BIGINT) AS n_ref,
+      CAST(n_cur AS BIGINT) AS n_cur,
+      round((
+          (CAST(n_ref AS DOUBLE) + 0.5) / (t.tr + 0.5 * t.k)
+        - (CAST(n_cur AS DOUBLE) + 0.5) / (t.tc + 0.5 * t.k)
+      ) * ln(
+          ((CAST(n_ref AS DOUBLE) + 0.5) / (t.tr + 0.5 * t.k))
+        / ((CAST(n_cur AS DOUBLE) + 0.5) / (t.tc + 0.5 * t.k))
+      ), 6) AS psi_contrib
+    FROM j CROSS JOIN t
+    ORDER BY j.value
+    """,
+)
+def doc_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI (``drift.categorical_drift``) over the language
+    mix of two deterministic document halves (doc_id parity standing in
+    for consecutive crawl snapshots) — "did the composition shift".
+    Shuffle payload is |langs| count rows per side; the totals ride a
+    1-row broadcast (scalar cross-join pattern), NOT a single-partition
+    window, so the shape survives high-cardinality columns. The oracle
+    replays the identical smoothing and ln formula."""
+    from ..operators.drift import categorical_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return categorical_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    ).orderBy("value")
+
+
+@register_query(
     "doc_unicode_normalize",
     oracle="""
     WITH m AS (

@@ -59,3 +59,47 @@ class TestDistributionDrift:
             distribution_drift(
                 ref, ref, "v", bins=2, lo=0.0, hi=10.0, smoothing=0.0
             )
+
+
+class TestCategoricalDrift:
+    def test_hand_computed(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.drift import (
+            categorical_drift,
+        )
+
+        ref = spark.createDataFrame(
+            [("en",), ("en",), ("en",), ("fr",)], "lang string"
+        )
+        cur = spark.createDataFrame(
+            [("en",), ("fr",), ("fr",), ("de",), (None,)], "lang string"
+        )
+        out = {r.value: r for r in categorical_drift(ref, cur, "lang").collect()}
+        assert set(out) == {"en", "fr", "de"}  # union; NULL excluded
+        assert (out["en"].n_ref, out["en"].n_cur) == (3, 1)
+        assert (out["de"].n_ref, out["de"].n_cur) == (0, 1)
+        s, k = 0.5, 3
+        tr, tc = 4, 4
+        for v, r in out.items():
+            p = (r.n_ref + s) / (tr + s * k)
+            q = (r.n_cur + s) / (tc + s * k)
+            assert r.psi_contrib == pytest.approx(
+                round((p - q) * math.log(p / q), 6), abs=1e-9
+            )
+
+    def test_identical_zero(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.drift import (
+            categorical_drift,
+        )
+
+        ref = spark.createDataFrame([("a",), ("b",), ("b",)], "v string")
+        out = categorical_drift(ref, ref, "v").collect()
+        assert all(r.psi_contrib == 0.0 for r in out)
+
+    def test_rejects_zero_smoothing(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.drift import (
+            categorical_drift,
+        )
+
+        ref = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError):
+            categorical_drift(ref, ref, "v", smoothing=0)

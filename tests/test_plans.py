@@ -232,6 +232,9 @@ BNLJ_ALLOWED = {
     # 5-query broadcast scored all-pairs against the corpus (the ranking
     # under eval + its qrels); the metric joins after it are equi-joins
     "ann_ndcg_eval",
+    # categorical PSI totals: the two denominators are a 1-row aggregate
+    # broadcast over the |categories|-row count frame (scalar pattern)
+    "doc_lang_drift",
     # composes brute-force + LSH + IVF + int8 (each individually
     # allowlisted above) to score their recall — inherits their
     # bounded broadcast-anchor BNLJs
