@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "doc_url_normalize",
     "doc_unicode_normalize",
     "events_value_drift",
+    "doc_lang_drift",
 ]
 
 
