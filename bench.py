@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "doc_unicode_normalize",
     "events_value_drift",
     "doc_lang_drift",
+    "events_user_concentration",
+    "doc_dp_lang_counts",
 ]
 
 

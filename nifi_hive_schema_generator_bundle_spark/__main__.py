@@ -483,6 +483,54 @@ def cmd_profile(args) -> int:
 
 
 
+def cmd_concentration(args) -> int:
+    """Lorenz bands + Gini over a grouping key — the "top 10% of
+    domains produce X% of the corpus" curation diagnostic."""
+    from .operators.profile import concentration_report
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    rows = concentration_report(
+        df, args.group_col, weight_col=args.weight_col, n_bands=args.bands
+    ).collect()
+    for r in rows:
+        print(
+            f"band={r['band']:<3} groups={r['n_groups']:<8} "
+            f"share={r['band_share']:<9} cum={r['cum_share']}"
+        )
+    if rows:
+        print(f"gini: {rows[0]['gini']}")
+    return 0
+
+
+def cmd_dpcounts(args) -> int:
+    """Differentially-private group-count release (Laplace, seeded)."""
+    from .operators.quality_checks import dp_noisy_counts
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    rows = (
+        dp_noisy_counts(
+            df,
+            args.group_cols.split(","),
+            epsilon=args.epsilon,
+            sensitivity=args.sensitivity,
+            seed=args.seed,
+        )
+        .orderBy(*args.group_cols.split(","))
+        .collect()
+    )
+    for r in rows:
+        d = r.asDict()
+        keys = " ".join(
+            f"{c}={d[c]}" for c in args.group_cols.split(",")
+        )
+        print(f"{keys}  noisy_count={d['noisy_count']}")
+    return 0
+
+
 def cmd_leakage(args) -> int:
     """Train/holdout leakage gate: exit non-zero when any exact-content
     fingerprint straddles the split boundary (the eval-hygiene sibling
@@ -1007,6 +1055,28 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--approx", action="store_true",
                     help="approx_count_distinct (HLL) instead of exact")
     pp.set_defaults(fn=cmd_profile)
+
+    pcon = sub.add_parser(
+        "concentration", help="Lorenz bands + Gini over a grouping key"
+    )
+    pcon.add_argument("input")
+    pcon.add_argument("group_col")
+    pcon.add_argument("--fmt", default="parquet")
+    pcon.add_argument("--weight-col", default=None,
+                      help="sum this column instead of counting rows")
+    pcon.add_argument("--bands", type=int, default=10)
+    pcon.set_defaults(fn=cmd_concentration)
+
+    pdp = sub.add_parser(
+        "dpcounts", help="differentially-private group counts (Laplace)"
+    )
+    pdp.add_argument("input")
+    pdp.add_argument("group_cols", help="comma-separated group columns")
+    pdp.add_argument("--fmt", default="parquet")
+    pdp.add_argument("--epsilon", type=float, default=1.0)
+    pdp.add_argument("--sensitivity", type=int, default=1)
+    pdp.add_argument("--seed", default="dp")
+    pdp.set_defaults(fn=cmd_dpcounts)
 
     pck = sub.add_parser("check", help="data-quality gate (non-zero exit on failure)")
     pck.add_argument("input")

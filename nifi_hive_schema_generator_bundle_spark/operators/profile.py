@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "value_histogram", "dataset_fingerprint"]
+__all__ = [
+    "profile",
+    "value_histogram",
+    "dataset_fingerprint",
+    "concentration_report",
+]
 
 
 def profile(
@@ -167,4 +172,105 @@ def dataset_fingerprint(
         df.select(F.col(group_by), h.alias("__h"))
         .groupBy(group_by)
         .agg(*aggs)
+    )
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str,
+    *,
+    weight_col: str | None = None,
+    n_bands: int = 10,
+) -> DataFrame:
+    """Corpus concentration over a grouping key — the "what fraction of
+    the data comes from the top N% of domains/users/sources" diagnostic
+    every curation report publishes (heavy domain concentration is the
+    standard argument for per-domain caps, and the Gini coefficient is
+    its one-number summary).
+
+    Groups are ranked by weight (row count, or ``sum(weight_col)``)
+    descending, ties broken by the group value ascending so the order —
+    and therefore every number here — is a pure function of the data.
+    Output, one row per occupied band (``band`` = which
+    ``n_bands``-quantile of the GROUP ranking, 1 = heaviest):
+    (band, n_groups, band_share, cum_share, gini) with shares rounded
+    to 6 decimals and the discrete-population Gini repeated on every
+    row (computed from the same ranking:
+    ``2*sum(i_asc*w)/(n*W) - (n+1)/n``).
+
+    Scale shape: the corpus collapses to one row per group first
+    (shuffle payload = |groups| count rows), and the global
+    rank/cumulative-sum over those rows is an exact DISTRIBUTED prefix
+    sum — range-repartition by (weight desc, group), per-partition
+    window, plus per-partition offsets folded in via a broadcast of the
+    |partitions|-row offset table — deliberately NOT a single global
+    window, so 100 M registrable domains don't serialize through one
+    task. (The offset table's own cumulative sum is a single-partition
+    window over |partitions| rows — the same bounded-scalar exemption
+    as the 1001-row histogram in ``token_budget_select``.) The grand
+    totals ride a 1-row broadcast (scalar cross-join pattern).
+    """
+    from pyspark.sql import Window
+
+    if n_bands < 1:
+        raise ValueError("n_bands must be >= 1")
+    w_expr = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).cast("double")
+    gw = (
+        df.groupBy(F.col(group_col).alias("__grp"))
+        .agg(w_expr.alias("__w"))
+    )
+    nparts = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    part = gw.repartitionByRange(
+        nparts, F.col("__w").desc(), F.col("__grp").asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    per = part.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__c"), F.sum("__w").alias("__s")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__coff"),
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0.0)).alias("__woff"),
+    )
+    wp = Window.partitionBy("__pid").orderBy(
+        F.col("__w").desc(), F.col("__grp").asc()
+    )
+    ranked = part.join(F.broadcast(offsets), "__pid").select(
+        "__grp",
+        "__w",
+        (F.row_number().over(wp) + F.col("__coff")).alias("__rank"),
+        (
+            F.sum("__w").over(wp.rowsBetween(Window.unboundedPreceding, 0))
+            + F.col("__woff")
+        ).alias("__cum"),
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__w").alias("__tw"),
+        F.sum(F.col("__rank") * F.col("__w")).alias("__rw"),
+    )
+    banded = ranked.crossJoin(F.broadcast(totals))
+    band = F.ceil(F.col("__rank") * F.lit(float(n_bands)) / F.col("__n"))
+    gini = F.round(
+        F.lit(2.0)
+        * ((F.col("__n") + 1) * F.col("__tw") - F.col("__rw"))
+        / (F.col("__n") * F.col("__tw"))
+        - (F.col("__n") + 1) / F.col("__n"),
+        6,
+    )
+    return (
+        banded.groupBy(band.cast("int").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.round(F.sum("__w") / F.first("__tw"), 6).alias("band_share"),
+            F.round(F.max("__cum") / F.first("__tw"), 6).alias("cum_share"),
+            F.first(gini).alias("gini"),
+        )
+        .orderBy("band")
     )

@@ -29,6 +29,7 @@ __all__ = [
     "schema_contract_violations",
     "k_anonymity_report",
     "split_leakage_report",
+    "dp_noisy_counts",
 ]
 
 
@@ -293,4 +294,74 @@ def split_leakage_report(
             .alias("n_holdout"),
         )
         .filter((F.col("n_train") > 0) & (F.col("n_holdout") > 0))
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    epsilon: float = 1.0,
+    sensitivity: int = 1,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private count release (the Laplace mechanism,
+    Dwork et al. 2006): per-group counts plus Laplace(sensitivity/ε)
+    noise — the standard way a curation pipeline publishes composition
+    statistics (per-language counts, per-source counts) about a corpus
+    containing user data without revealing any single record's
+    presence. ``sensitivity`` is how many rows one individual can
+    contribute (1 for one-row-per-person tables; set it to the
+    contribution bound the pipeline enforces upstream).
+
+    The noise is DERIVED from md5 of the group value and ``seed``
+    (inverse-CDF over a uniform built as ``(h32 + 0.5) / 2^32`` — never
+    exactly 0, ½, or 1, so ``ln`` stays finite): the same release is
+    bit-for-bit reproducible across runs, partition layouts, and
+    engines (the DuckDB oracle replays it), and a FIXED seed never
+    re-randomizes — re-publishing with the same seed costs no extra
+    privacy budget, while each NEW seed spends another ε (the caller
+    owns that ledger, as with any DP system). True-random noise is one
+    ``F.rand()`` swap away; the hashed form is the testable default.
+
+    Returns one row per group: (*group_cols, noisy_count, epsilon) —
+    deliberately WITHOUT the true count (publishing both would defeat
+    the mechanism; tests recompute truth separately). Noisy counts can
+    be negative or fractional — standard for Laplace release;
+    post-process with clamp/round if the consumer needs naturals.
+    Cost: one map-side-combinable count aggregate, |groups| rows, plus
+    a narrow projection; NULL group values form their own groups the
+    same way ``k_anonymity_report`` treats them.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    if sensitivity < 1:
+        raise ValueError("sensitivity must be >= 1")
+    b = float(sensitivity) / float(epsilon)
+    key = F.concat_ws(
+        "\x1f",
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in group_cols
+        ],
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    x = u - F.lit(0.5)
+    noise = (
+        -F.lit(b)
+        * F.signum(x)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(x))
+    )
+    return (
+        df.groupBy(*[F.col(c) for c in group_cols])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            *group_cols,
+            F.round(F.col("__n") + noise, 6).alias("noisy_count"),
+            F.lit(float(epsilon)).alias("epsilon"),
+        )
     )

@@ -7323,6 +7323,80 @@ def doc_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_dp_lang_counts",
+    oracle="""
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+    h AS (
+      SELECT lang, n,
+             (CAST(concat('0x', substring(md5(
+                 'dp' || chr(31) || coalesce(lang, chr(0))), 1, 8))
+               AS BIGINT) + 0.5) / 4294967296.0 AS u
+      FROM g)
+    SELECT lang,
+           round(n + (-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))),
+                 6) AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM h ORDER BY lang
+    """,
+)
+def doc_dp_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private language-composition release
+    (``quality_checks.dp_noisy_counts``, Laplace mechanism ε=1): the
+    per-language counts a privacy-reviewed data card publishes. Noise
+    derives from md5 of (seed, group) — reproducible across runs,
+    layouts, and engines; the oracle replays the identical
+    inverse-CDF arithmetic. One map-side-combinable count aggregate +
+    a narrow projection; |langs| rows ever shuffle."""
+    from ..operators.quality_checks import dp_noisy_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dp_noisy_counts(docs, ["lang"], epsilon=1.0).orderBy("lang")
+
+
+@register_query(
+    "events_user_concentration",
+    oracle="""
+    WITH g AS (
+      SELECT user_id AS grp, CAST(count(*) AS DOUBLE) AS w
+      FROM events GROUP BY 1),
+    o AS (
+      SELECT grp, w,
+             row_number() OVER (ORDER BY w DESC, grp) AS rn,
+             sum(w) OVER (ORDER BY w DESC, grp
+                          ROWS UNBOUNDED PRECEDING) AS cw
+      FROM g),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(w) AS DOUBLE) AS tw,
+                 CAST(sum(rn * w) AS DOUBLE) AS rw FROM o)
+    SELECT CAST(ceil(rn * 10.0 / n) AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           round(sum(w) / tw, 6) AS band_share,
+           round(max(cw) / tw, 6) AS cum_share,
+           round(2.0 * ((n + 1) * tw - rw) / (n * tw) - (n + 1) / n,
+                 6) AS gini
+    FROM o CROSS JOIN s
+    GROUP BY 1, n, tw, rw
+    ORDER BY band
+    """,
+)
+def events_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration (``profile.concentration_report``): Lorenz
+    bands + Gini of events per user — the "top 10% of users produce X%
+    of the data" curation diagnostic that motivates per-domain caps.
+    The corpus collapses to |users| count rows before any ranking, and
+    the global rank/cum-sum is the exact DISTRIBUTED prefix sum (range
+    repartition + per-partition window + broadcast offset fold), never
+    a single global window — the shape that survives 100 M groups. The
+    oracle replays the identical ranking, band, share, and Gini
+    arithmetic with one window (fine at sf scale)."""
+    from ..operators.profile import concentration_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return concentration_report(ev, "user_id", n_bands=10)
+
+
+@register_query(
     "doc_unicode_normalize",
     oracle="""
     WITH m AS (

@@ -235,6 +235,9 @@ BNLJ_ALLOWED = {
     # categorical PSI totals: the two denominators are a 1-row aggregate
     # broadcast over the |categories|-row count frame (scalar pattern)
     "doc_lang_drift",
+    # concentration grand totals (n, W, sum(rank*w)) are a 1-row
+    # aggregate broadcast over the |groups|-row ranked frame
+    "events_user_concentration",
     # composes brute-force + LSH + IVF + int8 (each individually
     # allowlisted above) to score their recall — inherits their
     # bounded broadcast-anchor BNLJs

@@ -145,3 +145,65 @@ class TestDatasetFingerprint:
             spark.createDataFrame([("x",), ("y",)], "v string")
         ).collect()[0]
         assert per["g1"].xor_fingerprint == plain.xor_fingerprint
+
+
+class TestConcentrationReport:
+    def test_hand_computed_bands_and_gini(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+            concentration_report,
+        )
+
+        # groups by count: a=6, b=2, c=1, d=1 -> W=10, desc ranks 1..4
+        rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [("d",)]
+        df = spark.createDataFrame(rows, "g string")
+        out = {
+            r.band: r for r in concentration_report(df, "g", n_bands=4).collect()
+        }
+        assert [out[b].n_groups for b in (1, 2, 3, 4)] == [1, 1, 1, 1]
+        assert [out[b].band_share for b in (1, 2, 3, 4)] == [0.6, 0.2, 0.1, 0.1]
+        assert [out[b].cum_share for b in (1, 2, 3, 4)] == [0.6, 0.8, 0.9, 1.0]
+        # R = 1*6+2*2+3*1+4*1 = 17; G = 2*(5*10-17)/(4*10) - 5/4 = 0.4
+        assert all(out[b].gini == 0.4 for b in (1, 2, 3, 4))
+
+    def test_weight_col_and_tiebreak(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+            concentration_report,
+        )
+
+        # equal weights tie-broken by group value ascending: x before y
+        df = spark.createDataFrame(
+            [("y", 3.0), ("x", 2.0), ("x", 1.0)], "g string, w double"
+        )
+        out = concentration_report(df, "g", weight_col="w", n_bands=2).collect()
+        assert [(r.band, r.n_groups, r.cum_share) for r in out] == [
+            (1, 1, 0.5),
+            (2, 1, 1.0),
+        ]
+        # uniform two-group weights -> gini 0
+        assert all(r.gini == 0.0 for r in out)
+
+    def test_partition_layout_invariant(self, spark):
+        """The distributed prefix sum must give the same answer no
+        matter how the input is laid out."""
+        from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+            concentration_report,
+        )
+
+        rows = [(f"g{i % 17}",) for i in range(500)]
+        df = spark.createDataFrame(rows, "g string")
+        a = concentration_report(df, "g").collect()
+        b = concentration_report(df.repartition(13), "g").collect()
+        c = concentration_report(df.coalesce(1), "g").collect()
+        assert a == b == c
+        assert abs(a[-1].cum_share - 1.0) < 1e-9
+
+    def test_rejects_bad_bands(self, spark):
+        import pytest
+
+        from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+            concentration_report,
+        )
+
+        df = spark.createDataFrame([("a",)], "g string")
+        with pytest.raises(ValueError):
+            concentration_report(df, "g", n_bands=0)

@@ -828,3 +828,58 @@ class TestSplitLeakage:
         ).collect()
         assert len(got) == 1
         assert (got[0].n_train, got[0].n_holdout) == (1, 1)
+
+
+class TestDpNoisyCounts:
+    def test_noise_bounded_and_deterministic(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+            dp_noisy_counts,
+        )
+
+        rows = [("en",)] * 40 + [("fr",)] * 10 + [(None,)] * 5
+        df = spark.createDataFrame(rows, "lang string")
+        out = {r.lang: r.noisy_count for r in dp_noisy_counts(df, ["lang"]).collect()}
+        true = {"en": 40, "fr": 10, None: 5}
+        assert set(out) == set(true)
+        for lang, n in true.items():
+            # Laplace(b=1): |noise| > 14 has probability ~8e-7
+            assert abs(out[lang] - n) < 14.0
+            assert out[lang] != n  # noise actually applied
+        # same seed -> bit-identical release, regardless of layout
+        again = {
+            r.lang: r.noisy_count
+            for r in dp_noisy_counts(df.repartition(7), ["lang"]).collect()
+        }
+        assert again == out
+        # different seed -> different release
+        other = {
+            r.lang: r.noisy_count
+            for r in dp_noisy_counts(df, ["lang"], seed="dp2").collect()
+        }
+        assert other != out
+
+    def test_epsilon_scales_noise(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+            dp_noisy_counts,
+        )
+
+        df = spark.createDataFrame([("en",)] * 100, "lang string")
+        n1 = dp_noisy_counts(df, ["lang"], epsilon=1.0).collect()[0].noisy_count
+        n01 = dp_noisy_counts(df, ["lang"], epsilon=0.1).collect()[0].noisy_count
+        # identical uniform draw, b scales 10x -> noise scales 10x exactly
+        assert abs((n01 - 100) - 10 * (n1 - 100)) < 1e-4
+
+    def test_guards(self, spark):
+        import pytest
+
+        from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+            dp_noisy_counts,
+        )
+
+        df = spark.createDataFrame([("a",)], "g string")
+        with pytest.raises(ValueError):
+            dp_noisy_counts(df, [])
+        with pytest.raises(ValueError):
+            dp_noisy_counts(df, ["g"], epsilon=0)
+        with pytest.raises(ValueError):
+            dp_noisy_counts(df, ["g"], sensitivity=0)
