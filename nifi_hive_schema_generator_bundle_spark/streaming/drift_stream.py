@@ -25,7 +25,7 @@ from pyspark.sql.types import ArrayType, DataType, StructType
 from ..operators.infer import infer_schema_by_key
 from ..plans.lattice import merge_types, type_to_dict
 
-__all__ = ["GroupDriftState"]
+__all__ = ["GroupDriftState", "ValueDriftMonitor"]
 
 
 def _classes(t: DataType) -> dict[str, str]:
@@ -85,3 +85,97 @@ class GroupDriftState:
                         batch_id, key, fld, f"retyped:{oldc[fld]}->{newc[fld]}"
                     )
             self.schemas[key] = merged
+
+
+@dataclass
+class ValueDriftMonitor:
+    """Continuous VALUE-distribution drift: per micro-batch PSI of a
+    numeric column against a pinned reference histogram — the
+    streaming twin of ``operators.drift.distribution_drift``, watching
+    live ingest for the composition shift a weekly batch comparison
+    would catch a week late.
+
+    Build with ``from_reference`` (one pinned-range histogram scan of
+    the reference snapshot, |bins| counts collected once); wire
+    ``process_batch`` into ``foreachBatch``. Per batch: ONE narrow
+    count-aggregate of the batch at the same pinned edges (|bins| rows
+    to the driver — state and traffic are both O(bins), never data),
+    then the identical Laplace-smoothed PSI arithmetic as the batch
+    operator, so a monitor reading and an offline
+    ``distribution_drift`` sum over the same two snapshots agree to
+    the same 6-decimal rounding. Events: (batch_id, n, psi);
+    ``on_alert`` fires when psi >= ``threshold`` (0.25 = the standard
+    "shifted" line; 0.1 = "drifting"). An empty batch smooths to the
+    uniform histogram, so it still scores nonzero PSI against any
+    non-uniform reference — a stalled producer reads as drift, not as
+    "stable".
+    """
+
+    col: str
+    bins: int
+    lo: float
+    hi: float
+    smoothing: float = 0.5
+    threshold: float = 0.25
+    ref_counts: list[int] = field(default_factory=list)
+    events: list[tuple[int, int, float]] = field(default_factory=list)
+    on_alert: Callable[[int, float], None] | None = None
+
+    @classmethod
+    def from_reference(
+        cls,
+        ref: DataFrame,
+        col: str,
+        *,
+        bins: int = 10,
+        lo: float,
+        hi: float,
+        smoothing: float = 0.5,
+        threshold: float = 0.25,
+        on_alert: Callable[[int, float], None] | None = None,
+    ) -> "ValueDriftMonitor":
+        if smoothing <= 0:
+            raise ValueError("smoothing must be > 0 (it guards empty buckets)")
+        m = cls(
+            col=col,
+            bins=bins,
+            lo=float(lo),
+            hi=float(hi),
+            smoothing=float(smoothing),
+            threshold=float(threshold),
+            on_alert=on_alert,
+        )
+        m.ref_counts = m._histogram(ref)
+        return m
+
+    def _histogram(self, df: DataFrame) -> list[int]:
+        from ..operators.profile import value_histogram
+
+        counts = [0] * self.bins
+        for r in value_histogram(
+            df, self.col, bins=self.bins, lo=self.lo, hi=self.hi
+        ).collect():
+            counts[r["bucket"]] = int(r["n"])
+        return counts
+
+    def psi_against(self, cur_counts: list[int]) -> float:
+        """The batch operator's exact smoothing + ln arithmetic, driver
+        side (|bins| numbers), rounded to the same 6 decimals."""
+        import math
+
+        s = self.smoothing
+        tr = sum(self.ref_counts) + s * self.bins
+        tc = sum(cur_counts) + s * self.bins
+        psi = 0.0
+        for nr, nc in zip(self.ref_counts, cur_counts):
+            p = (nr + s) / tr
+            q = (nc + s) / tc
+            psi += round((p - q) * math.log(p / q), 6)
+        return round(psi, 6)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        cur = self._histogram(batch_df)
+        psi = self.psi_against(cur)
+        self.events.append((int(batch_id), sum(cur), psi))
+        if psi >= self.threshold and self.on_alert is not None:
+            self.on_alert(int(batch_id), psi)

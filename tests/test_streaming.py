@@ -279,3 +279,92 @@ def test_group_drift_monitor_in_foreachbatch(spark, tmp_path):
     q.awaitTermination(120)
     assert {g for _, g, _, _ in state.events} == {"a", "b"}
     assert all(c == "new_group" for _, _, _, c in state.events)
+
+
+def test_value_drift_monitor_matches_batch_operator(spark, tmp_path):
+    """Monitor PSI == sum(distribution_drift psi_contrib) for the same
+    two snapshots, and the alert fires only past the threshold."""
+    import shutil
+
+    from nifi_hive_schema_generator_bundle_spark.operators.drift import (
+        distribution_drift,
+    )
+    from nifi_hive_schema_generator_bundle_spark.streaming.drift_stream import (
+        ValueDriftMonitor,
+    )
+
+    ref = spark.createDataFrame([(float(v),) for v in [1, 2, 2, 3, 8]], "v double")
+    shifted = spark.createDataFrame(
+        [(float(v),) for v in [7, 8, 8, 9, 9, 9]], "v double"
+    )
+    alerts = []
+    mon = ValueDriftMonitor.from_reference(
+        ref, "v", bins=5, lo=0.0, hi=10.0, threshold=0.25,
+        on_alert=lambda b, p: alerts.append((b, p)),
+    )
+
+    # batch 0: the reference itself — PSI 0, no alert
+    mon.process_batch(ref, 0)
+    assert mon.events[0] == (0, 5, 0.0)
+    assert alerts == []
+
+    # batch 1: shifted — PSI equals the batch operator's sum exactly
+    mon.process_batch(shifted, 1)
+    batch_psi = round(
+        sum(
+            r.psi_contrib
+            for r in distribution_drift(
+                ref, shifted, "v", bins=5, lo=0.0, hi=10.0
+            ).collect()
+        ),
+        6,
+    )
+    assert mon.events[1] == (1, 6, batch_psi)
+    assert batch_psi > 0.25 and alerts == [(1, batch_psi)]
+
+    # empty batch: nonzero PSI against a non-uniform reference
+    empty = spark.createDataFrame([], "v double")
+    mon.process_batch(empty, 2)
+    assert mon.events[2][1] == 0 and mon.events[2][2] > 0.0
+
+
+def test_value_drift_monitor_in_foreachbatch(spark, tmp_path):
+    """Monitor wired through a real foreachBatch stream."""
+    import os
+
+    from nifi_hive_schema_generator_bundle_spark.streaming.drift_stream import (
+        ValueDriftMonitor,
+    )
+
+    ref = spark.createDataFrame([(float(v),) for v in [1, 2, 3]], "v double")
+    src = str(tmp_path / "vdm_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3]]
+    , "v double").coalesce(1).write.mode("overwrite").parquet(src)
+
+    mon = ValueDriftMonitor.from_reference(ref, "v", bins=4, lo=0.0, hi=4.0)
+    stream = spark.readStream.schema("v double").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", str(tmp_path / "vdm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(mon.events) == 1
+    assert mon.events[0] == (0, 3, 0.0)
+
+
+def test_value_drift_monitor_rejects_zero_smoothing(spark):
+    import pytest
+
+    from nifi_hive_schema_generator_bundle_spark.streaming.drift_stream import (
+        ValueDriftMonitor,
+    )
+
+    ref = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        ValueDriftMonitor.from_reference(
+            ref, "v", bins=2, lo=0.0, hi=2.0, smoothing=0.0
+        )
