@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "doc_lang_drift",
     "events_user_concentration",
     "doc_dp_lang_counts",
+    "doc_license_detect",
 ]
 
 

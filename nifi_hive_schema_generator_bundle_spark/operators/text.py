@@ -41,6 +41,8 @@ __all__ = [
     "blocklist_filter",
     "tokenizer_fertility",
     "SENTENCE_RE",
+    "license_detect",
+    "LICENSE_PHRASES",
 ]
 
 # Tiny per-language stopword profiles for the heuristic language scorer.
@@ -840,3 +842,44 @@ def tokenizer_fertility(
             ).alias("fertility"),
         )
     )
+
+
+# Characteristic phrases, most-specific first: the NC/SA Creative-Commons
+# restrictions must win over the plain CC-BY substring they contain, and
+# the LGPL phrase contains "general public license" so it precedes GPL.
+# Detection is case-insensitive substring containment — deliberately not
+# regex, so every engine (and the DuckDB oracle) matches identically.
+LICENSE_PHRASES: list[tuple[str, str, bool]] = [
+    ("mit", "permission is hereby granted, free of charge", True),
+    ("apache-2.0", "licensed under the apache license", True),
+    ("bsd", "redistribution and use in source and binary forms", True),
+    ("lgpl", "gnu lesser general public license", False),
+    ("gpl", "gnu general public license", False),
+    ("cc-by-nc", "creativecommons.org/licenses/by-nc", False),
+    ("cc-by-sa", "creativecommons.org/licenses/by-sa", False),
+    ("cc-by", "creativecommons.org/licenses/by", True),
+    ("cc0", "creativecommons.org/publicdomain/zero", True),
+]
+
+
+def license_detect(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """License classification from in-document boilerplate — the
+    filter The Stack / RedPajama-code run before code or scraped text
+    enters a training mix: detect the license family a document
+    declares, tag whether it's permissive, keep (or route) on that
+    flag. Phrase table in ``LICENSE_PHRASES``; no match → ('unknown',
+    false) — the conservative default a license-gated pipeline wants.
+
+    Appends (license, permissive) to every input row. One lowercase
+    projection + a short ``contains`` decision chain — all JVM
+    whole-stage-codegen, zero shuffle, zero UDF; first matching phrase
+    in table order wins (most-specific first, see table comment).
+    """
+    low = F.lower(F.col(text_col))
+    lic = F.lit("unknown")
+    perm = F.lit(False)
+    for name, phrase, permissive in reversed(LICENSE_PHRASES):
+        hit = low.contains(phrase)
+        lic = F.when(hit, F.lit(name)).otherwise(lic)
+        perm = F.when(hit, F.lit(permissive)).otherwise(perm)
+    return df.withColumn("license", lic).withColumn("permissive", perm)

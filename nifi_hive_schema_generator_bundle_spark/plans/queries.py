@@ -7323,6 +7323,90 @@ def doc_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_license_detect",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+        CASE doc_id % 13
+          WHEN 0 THEN text || ' Permission is hereby granted, free of charge, to any person.'
+          WHEN 1 THEN text || ' Licensed under the Apache License, Version 2.0.'
+          WHEN 2 THEN text || ' This program is covered by the GNU General Public License.'
+          WHEN 3 THEN text || ' See https://creativecommons.org/licenses/by-nc/4.0/.'
+          WHEN 4 THEN text || ' See https://creativecommons.org/licenses/by/4.0/.'
+          ELSE text END AS t
+      FROM documents),
+    tagged AS (
+      SELECT doc_id,
+        CASE
+          WHEN contains(lower(t), 'permission is hereby granted, free of charge') THEN 'mit'
+          WHEN contains(lower(t), 'licensed under the apache license') THEN 'apache-2.0'
+          WHEN contains(lower(t), 'redistribution and use in source and binary forms') THEN 'bsd'
+          WHEN contains(lower(t), 'gnu lesser general public license') THEN 'lgpl'
+          WHEN contains(lower(t), 'gnu general public license') THEN 'gpl'
+          WHEN contains(lower(t), 'creativecommons.org/licenses/by-nc') THEN 'cc-by-nc'
+          WHEN contains(lower(t), 'creativecommons.org/licenses/by-sa') THEN 'cc-by-sa'
+          WHEN contains(lower(t), 'creativecommons.org/licenses/by') THEN 'cc-by'
+          WHEN contains(lower(t), 'creativecommons.org/publicdomain/zero') THEN 'cc0'
+          ELSE 'unknown' END AS license,
+        CASE
+          WHEN contains(lower(t), 'permission is hereby granted, free of charge') THEN TRUE
+          WHEN contains(lower(t), 'licensed under the apache license') THEN TRUE
+          WHEN contains(lower(t), 'redistribution and use in source and binary forms') THEN TRUE
+          WHEN contains(lower(t), 'gnu lesser general public license') THEN FALSE
+          WHEN contains(lower(t), 'gnu general public license') THEN FALSE
+          WHEN contains(lower(t), 'creativecommons.org/licenses/by-nc') THEN FALSE
+          WHEN contains(lower(t), 'creativecommons.org/licenses/by-sa') THEN FALSE
+          WHEN contains(lower(t), 'creativecommons.org/licenses/by') THEN TRUE
+          WHEN contains(lower(t), 'creativecommons.org/publicdomain/zero') THEN TRUE
+          ELSE FALSE END AS permissive
+      FROM planted)
+    SELECT license, permissive,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM tagged GROUP BY 1, 2 ORDER BY license
+    """,
+)
+def doc_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-family detection (``text.license_detect`` — The Stack /
+    RedPajama-code's license gate): classify each document's declared
+    license from characteristic boilerplate phrases, tag permissive vs
+    restrictive, aggregate the corpus composition. The synthetic docs
+    carry no licenses, so the query PLANTS phrases deterministically by
+    doc_id % 13 (the md5-injection trick the impute oracle uses) —
+    five families + untouched rows all exercised. Detection is one
+    lowercase projection + a ``contains`` decision chain: codegen'd,
+    zero shuffle, zero UDF; the oracle replays the identical CASE
+    chain, most-specific phrase first."""
+    from ..operators.text import license_detect
+
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 13
+    plant = (
+        F.when(mod == 0, F.concat(F.col("text"), F.lit(
+            " Permission is hereby granted, free of charge, to any person.")))
+        .when(mod == 1, F.concat(F.col("text"), F.lit(
+            " Licensed under the Apache License, Version 2.0.")))
+        .when(mod == 2, F.concat(F.col("text"), F.lit(
+            " This program is covered by the GNU General Public License.")))
+        .when(mod == 3, F.concat(F.col("text"), F.lit(
+            " See https://creativecommons.org/licenses/by-nc/4.0/.")))
+        .when(mod == 4, F.concat(F.col("text"), F.lit(
+            " See https://creativecommons.org/licenses/by/4.0/.")))
+        .otherwise(F.col("text"))
+    )
+    planted = docs.select("doc_id", plant.alias("t"))
+    return (
+        license_detect(planted, "t")
+        .groupBy("license", "permissive")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("license")
+    )
+
+
+@register_query(
     "doc_dp_lang_counts",
     oracle="""
     WITH g AS (

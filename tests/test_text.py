@@ -445,3 +445,58 @@ class TestBlocklistFilter:
 
         with pytest.raises(ValueError):
             self._flag(spark, [(1, "x")], [])
+
+
+class TestLicenseDetect:
+    def test_families_and_precedence(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            license_detect,
+        )
+
+        rows = [
+            (1, "Permission is hereby granted, free of charge, to anyone."),
+            (2, "This file is Licensed under the Apache License v2."),
+            (3, "Redistribution and use in source and binary forms allowed."),
+            (4, "Under the GNU Lesser General Public License v2.1."),
+            (5, "Covered by the GNU General Public License."),
+            # -nc must beat the plain cc-by substring it contains
+            (6, "See creativecommons.org/licenses/by-nc/4.0/ for terms."),
+            (7, "See creativecommons.org/licenses/by/4.0/ for terms."),
+            (8, "See creativecommons.org/publicdomain/zero/1.0/."),
+            (9, "no license text here at all"),
+        ]
+        df = spark.createDataFrame(rows, "id int, text string")
+        out = {r.id: (r.license, r.permissive) for r in license_detect(df).collect()}
+        assert out[1] == ("mit", True)
+        assert out[2] == ("apache-2.0", True)
+        assert out[3] == ("bsd", True)
+        assert out[4] == ("lgpl", False)
+        assert out[5] == ("gpl", False)
+        assert out[6] == ("cc-by-nc", False)
+        assert out[7] == ("cc-by", True)
+        assert out[8] == ("cc0", True)
+        assert out[9] == ("unknown", False)
+
+    def test_case_insensitive_and_first_wins(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            license_detect,
+        )
+
+        # MIT phrase present alongside GPL: table order (mit first) wins
+        both = (
+            "PERMISSION IS HEREBY GRANTED, FREE OF CHARGE —"
+            " also mentions the gnu general public license."
+        )
+        df = spark.createDataFrame([(1, both)], "id int, text string")
+        r = license_detect(df).collect()[0]
+        assert (r.license, r.permissive) == ("mit", True)
+
+    def test_no_shuffle_no_udf(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            license_detect,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "id int, text string")
+        plan = license_detect(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "BatchEval" not in plan
