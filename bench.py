@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "events_user_concentration",
     "doc_dp_lang_counts",
     "doc_license_detect",
+    "doc_gopher_quality",
 ]
 
 

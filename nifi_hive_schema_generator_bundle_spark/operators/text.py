@@ -43,6 +43,8 @@ __all__ = [
     "SENTENCE_RE",
     "license_detect",
     "LICENSE_PHRASES",
+    "gopher_quality_flags",
+    "GOPHER_THRESHOLDS",
 ]
 
 # Tiny per-language stopword profiles for the heuristic language scorer.
@@ -883,3 +885,96 @@ def license_detect(df: DataFrame, text_col: str = "text") -> DataFrame:
         lic = F.when(hit, F.lit(name)).otherwise(lic)
         perm = F.when(hit, F.lit(permissive)).otherwise(perm)
     return df.withColumn("license", lic).withColumn("permissive", perm)
+
+
+# The published Gopher thresholds (Rae et al. 2021, appendix A1.1) —
+# module-level so tests and callers share one source of truth.
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_ratio": 0.9,
+    "max_ellipsis_ratio": 0.3,
+    "min_alpha_ratio": 0.8,
+    "min_stop_words": 2,
+}
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher quality-filter rules (Rae et al. 2021 — the composite
+    heuristic most later corpora, MassiveText/RefinedWeb/Dolma, started
+    from): per document, the published component metrics and the single
+    ``passes_gopher`` conjunction a pipeline filters on. Appended
+    columns: word_count, mean_word_len, symbol_ratio (#/… per word),
+    bullet_ratio + ellipsis_ratio (of lines), alpha_ratio (words with
+    an ASCII letter — documented heuristic; swap per-language),
+    n_stop (of the 8 published stop words), passes_gopher.
+
+    One narrow projection: token and line arrays are materialized ONCE
+    before any per-element lambda (the O(len²) HOF-inlining trap,
+    SCALE.md), every metric is a JVM array fold — zero shuffle, zero
+    UDF, whole-stage codegen. Thresholds in ``GOPHER_THRESHOLDS``.
+    """
+    t = GOPHER_THRESHOLDS
+    low = F.lower(F.col(text_col))
+    with_arrays = df.withColumn(
+        "__toks", F.split(F.trim(low), r"\s+")
+    ).withColumn("__lines", F.split(low, "\n"))
+    toks, lines = F.col("__toks"), F.col("__lines")
+    wc = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    ) / wc
+    n_hash = (F.length(low) - F.length(F.replace(low, F.lit("#")))).cast(
+        "long"
+    )
+    n_ell = (
+        (F.length(low) - F.length(F.replace(low, F.lit("...")))) / 3
+    ).cast("long")
+    symbol_ratio = (n_hash + n_ell) / wc
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("- ")
+            | F.ltrim(l).startswith("* ")
+            | F.ltrim(l).startswith("•"),
+        )
+    )
+    ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...")
+            | F.rtrim(l).endswith("…"),
+        )
+    )
+    n_lines = F.size(lines)
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(_GOPHER_STOPWORDS)))
+    m = {
+        "word_count": wc.cast("long"),
+        "mean_word_len": F.round(mean_len, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "bullet_ratio": F.round(bullet / n_lines, 6),
+        "ellipsis_ratio": F.round(ell_lines / n_lines, 6),
+        "alpha_ratio": F.round(alpha / wc, 6),
+        "n_stop": n_stop.cast("long"),
+    }
+    passes = (
+        (m["word_count"] >= t["min_words"])
+        & (m["word_count"] <= t["max_words"])
+        & (m["mean_word_len"] >= t["min_mean_word_len"])
+        & (m["mean_word_len"] <= t["max_mean_word_len"])
+        & (m["symbol_ratio"] <= t["max_symbol_ratio"])
+        & (m["bullet_ratio"] <= t["max_bullet_ratio"])
+        & (m["ellipsis_ratio"] <= t["max_ellipsis_ratio"])
+        & (m["alpha_ratio"] >= t["min_alpha_ratio"])
+        & (m["n_stop"] >= t["min_stop_words"])
+    )
+    out = with_arrays
+    for name, col in m.items():
+        out = out.withColumn(name, col)
+    return out.withColumn("passes_gopher", passes).drop("__toks", "__lines")

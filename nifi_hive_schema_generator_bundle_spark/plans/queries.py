@@ -7323,6 +7323,77 @@ def doc_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_gopher_quality",
+    oracle="""
+    WITH d AS (SELECT doc_id, lower(text) AS low FROM documents),
+    a AS (SELECT doc_id, low,
+            string_split_regex(trim(low), '\\s+') AS toks,
+            string_split(low, chr(10)) AS lines
+          FROM d),
+    m AS (SELECT doc_id,
+            len(toks) AS wc,
+            list_sum(list_transform(toks, t -> length(t))) AS totlen,
+            length(low) - length(replace(low, '#', '')) AS n_hash,
+            CAST((length(low) - length(replace(low, '...', ''))) / 3
+                 AS BIGINT) AS n_ell,
+            len(list_filter(lines, l ->
+                ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'
+                OR ltrim(l) LIKE '•%')) AS n_bul,
+            len(list_filter(lines, l ->
+                rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS n_elll,
+            len(lines) AS n_lines,
+            len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+              AS n_alpha,
+            len(list_filter(toks, t -> t IN
+                ('the','be','to','of','and','that','have','with')))
+              AS n_stop
+          FROM a),
+    r AS (SELECT doc_id,
+            CAST(wc AS BIGINT) AS word_count,
+            round(CAST(totlen AS DOUBLE) / wc, 6) AS mean_word_len,
+            round(CAST(n_hash + n_ell AS DOUBLE) / wc, 6) AS symbol_ratio,
+            round(CAST(n_bul AS DOUBLE) / n_lines, 6) AS bullet_ratio,
+            round(CAST(n_elll AS DOUBLE) / n_lines, 6) AS ellipsis_ratio,
+            round(CAST(n_alpha AS DOUBLE) / wc, 6) AS alpha_ratio,
+            CAST(n_stop AS BIGINT) AS n_stop
+          FROM m)
+    SELECT *,
+      (word_count >= 50 AND word_count <= 100000
+       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+       AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+       AND n_stop >= 2) AS passes_gopher
+    FROM r ORDER BY doc_id
+    """,
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rules (``text.gopher_quality_flags``, Rae et
+    al. 2021 A1.1): per-document component metrics + the published
+    threshold conjunction. One narrow codegen'd projection — token and
+    line arrays materialized once (HOF-inlining trap), zero shuffle,
+    zero UDF (plan-asserted in units). The oracle replays every metric
+    and the flag on the SAME rounded values."""
+    from ..operators.text import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        gopher_quality_flags(docs)
+        .select(
+            "doc_id",
+            "word_count",
+            "mean_word_len",
+            "symbol_ratio",
+            "bullet_ratio",
+            "ellipsis_ratio",
+            "alpha_ratio",
+            "n_stop",
+            "passes_gopher",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register_query(
     "doc_license_detect",
     oracle="""
     WITH planted AS (

@@ -500,3 +500,64 @@ class TestLicenseDetect:
         plan = license_detect(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestGopherQualityFlags:
+    def test_planted_pass_and_fail_modes(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            gopher_quality_flags,
+        )
+
+        good = (
+            "the quick brown fox jumps over that lazy dog and friends " * 6
+        )
+        bad_short = "tiny doc"
+        bad_sym = ("the and that have with " + "# " * 30) * 4
+        bullets = "\n".join(
+            ["- item one the and"] * 9
+            + ["regular line of text that have with the and of to be"]
+        )
+        df = spark.createDataFrame(
+            [(1, good), (2, bad_short), (3, bad_sym), (4, bullets)],
+            "id int, text string",
+        )
+        out = {r.id: r for r in gopher_quality_flags(df).collect()}
+        assert out[1].passes_gopher  # clean prose
+        assert out[1].word_count == 66 and out[1].n_stop == 18
+        assert not out[2].passes_gopher  # too short
+        assert not out[3].passes_gopher  # symbol-heavy, low alpha
+        assert out[3].symbol_ratio > 0.1 and out[3].alpha_ratio < 0.8
+        # bullet_ratio 0.9 passes THAT rule (<= 0.9) but the doc fails
+        # on mean word length — components are reported independently
+        assert out[4].bullet_ratio == 0.9 and not out[4].passes_gopher
+        assert out[4].mean_word_len < 3.0
+
+    def test_ellipsis_lines_and_ratio(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            gopher_quality_flags,
+        )
+
+        text = "\n".join(
+            ["this line trails off the and that..."] * 2
+            + ["a normal line with the and that of to be have with"] * 2
+        )
+        df = spark.createDataFrame([(1, text)], "id int, text string")
+        r = gopher_quality_flags(df).collect()[0]
+        assert r.ellipsis_ratio == 0.5
+        # the '...' occurrences also count into symbol_ratio
+        assert r.symbol_ratio > 0.0
+
+    def test_no_shuffle_no_udf(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            gopher_quality_flags,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "id int, text string")
+        plan = (
+            gopher_quality_flags(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "BatchEval" not in plan
