@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "doc_dp_lang_counts",
     "doc_license_detect",
     "doc_gopher_quality",
+    "doc_c4_line_filter",
 ]
 
 

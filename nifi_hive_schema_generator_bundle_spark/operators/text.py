@@ -45,6 +45,7 @@ __all__ = [
     "LICENSE_PHRASES",
     "gopher_quality_flags",
     "GOPHER_THRESHOLDS",
+    "c4_line_filter",
 ]
 
 # Tiny per-language stopword profiles for the heuristic language scorer.
@@ -978,3 +979,60 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, col in m.items():
         out = out.withColumn(name, col)
     return out.withColumn("passes_gopher", passes).drop("__toks", "__lines")
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The C4 cleaning stage (Raffel et al. 2020 §2.2) — line-level
+    retention plus page-level discard flags, the other canonical
+    filter next to ``gopher_quality_flags`` (which only FLAGS): keep
+    lines that end in terminal punctuation (. ! ? ") AND have >= 5
+    words AND don't mention javascript; then flag the page — keep iff
+    the retained text still has >= 3 sentences, no "lorem ipsum", and
+    no '{'. (C4's fourth rule, 3-sentence-span dedup, is corpus-wide
+    and lives in the dedup family: ``remove_duplicate_spans`` /
+    ``sentence_dedup``.)
+
+    Rewrites ``text_col`` to the retained lines (originals joined with
+    a newline) and appends (n_lines, n_kept_lines, n_sentences,
+    keep_page). One narrow projection — the line array is materialized
+    once; the per-line word split is per-LINE work (linear, not the
+    per-position O(len²) HOF trap); zero shuffle, zero UDF. Sentences
+    are counted as terminal-punctuation occurrences in the retained
+    text — the standard cheap proxy.
+    """
+    low_line = lambda l: F.lower(l)  # noqa: E731
+    with_lines = df.withColumn("__lines", F.split(F.col(text_col), "\n"))
+    lines = F.col("__lines")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.rtrim(l).endswith(".")
+            | F.rtrim(l).endswith("!")
+            | F.rtrim(l).endswith("?")
+            | F.rtrim(l).endswith('"')
+        )
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 5)
+        & ~low_line(l).contains("javascript"),
+    )
+    text_kept = F.concat_ws("\n", kept)
+    n_sent = F.length(text_kept) - F.length(
+        F.replace(
+            F.replace(
+                F.replace(text_kept, F.lit(".")), F.lit("!")
+            ),
+            F.lit("?"),
+        )
+    )
+    keep = (
+        (n_sent >= 3)
+        & ~F.lower(text_kept).contains("lorem ipsum")
+        & ~text_kept.contains("{")
+    )
+    return (
+        with_lines.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_kept_lines", F.size(kept).cast("long"))
+        .withColumn(text_col, text_kept)
+        .withColumn("n_sentences", n_sent.cast("long"))
+        .withColumn("keep_page", keep)
+        .drop("__lines")
+    )

@@ -7323,6 +7323,85 @@ def doc_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_c4_line_filter",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, doc_id % 4 AS m FROM documents),
+    c AS (SELECT doc_id,
+            CASE m WHEN 1 THEN text || ' lorem ipsum.'
+                   WHEN 2 THEN text || ' {.'
+                   WHEN 3 THEN text
+                   ELSE text || '.' END AS l1
+          FROM d),
+    a AS (SELECT doc_id,
+            [l1, 'tiny line',
+             'Proper sentences help pages pass the filter. Indeed they do! Right?']
+            AS lines
+          FROM c),
+    k AS (SELECT doc_id, len(lines) AS n_lines,
+            list_filter(lines, l ->
+              (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+               OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+              AND len(string_split_regex(trim(l), '\\s+')) >= 5
+              AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM a),
+    f AS (SELECT doc_id, n_lines, len(kept) AS n_kept_lines,
+            array_to_string(kept, chr(10)) AS t
+          FROM k)
+    SELECT doc_id, t AS text,
+      CAST(n_lines AS BIGINT) AS n_lines,
+      CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+      CAST(length(t) - length(replace(replace(replace(
+           t, '.', ''), '!', ''), '?', '')) AS BIGINT) AS n_sentences,
+      (length(t) - length(replace(replace(replace(
+           t, '.', ''), '!', ''), '?', '')) >= 3
+       AND NOT contains(lower(t), 'lorem ipsum')
+       AND NOT contains(t, '{')) AS keep_page
+    FROM f ORDER BY doc_id
+    """,
+)
+def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning stage (``text.c4_line_filter``, Raffel et al.
+    2020 §2.2): line-level retention (terminal punctuation, >= 5
+    words, no javascript) + page-level keep flag (>= 3 sentences
+    retained, no lorem ipsum, no brace). Synthetic docs are one line
+    with no terminal punctuation, so the query CONSTRUCTS a 3-line
+    page per doc with doc_id % 4 deciding the first line's fate
+    (kept / lorem-poisoned / brace-poisoned / dropped-unterminated) —
+    every rule exercised. One codegen'd projection; the oracle replays
+    construction, line filter, and flags identically."""
+    from ..operators.text import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    l1 = (
+        F.when(m == 1, F.concat(F.col("text"), F.lit(" lorem ipsum.")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(" {.")))
+        .when(m == 3, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(".")))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            l1,
+            F.lit("tiny line"),
+            F.lit(
+                "Proper sentences help pages pass the filter."
+                " Indeed they do! Right?"
+            ),
+        ).alias("text"),
+    )
+    return (
+        c4_line_filter(pages)
+        .select(
+            "doc_id", "text", "n_lines", "n_kept_lines",
+            "n_sentences", "keep_page",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register_query(
     "doc_gopher_quality",
     oracle="""
     WITH d AS (SELECT doc_id, lower(text) AS low FROM documents),

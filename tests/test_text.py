@@ -561,3 +561,53 @@ class TestGopherQualityFlags:
         )
         assert "Exchange" not in plan
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestC4LineFilter:
+    def test_line_rules_and_page_flags(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            c4_line_filter,
+        )
+
+        doc = "\n".join([
+            "This is a proper sentence with enough words.",
+            "short one.",  # < 5 words
+            "this line talks about javascript frameworks today.",
+            "no terminal punctuation on this line here",
+            "Another good line ends with a question mark?",
+            'A quoted line with plenty of words inside."',
+        ])
+        lorem = (
+            "Lorem ipsum dolor sit amet sentence one."
+            " And two more here! Or three?"
+        )
+        brace = (
+            "A fine sentence with braces { inside it today."
+            " Two sentences! Three now?"
+        )
+        few = "Just one single proper sentence with enough words here."
+        df = spark.createDataFrame(
+            [(1, doc), (2, lorem), (3, brace), (4, few)],
+            "id int, text string",
+        )
+        out = {r.id: r for r in c4_line_filter(df).collect()}
+        r = out[1]
+        assert (r.n_lines, r.n_kept_lines) == (6, 3)
+        assert "javascript" not in r.text and "short one" not in r.text
+        assert "no terminal punctuation" not in r.text
+        assert r.keep_page
+        assert not out[2].keep_page  # lorem ipsum page
+        assert not out[3].keep_page  # brace page
+        assert not out[4].keep_page  # only 1 sentence retained
+
+    def test_no_shuffle_no_udf(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            c4_line_filter,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "id int, text string")
+        plan = (
+            c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "BatchEval" not in plan
