@@ -7323,6 +7323,127 @@ def doc_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "curation_pipeline_v4",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, text FROM documents),
+    pg AS (SELECT doc_id, lang,
+        array_to_string(list_filter([
+          CASE doc_id % 4 WHEN 1 THEN text || ' lorem ipsum.'
+                          WHEN 2 THEN text || ' {.'
+                          WHEN 3 THEN text
+                          ELSE text || '.' END,
+          'Proper sentences help pages pass the filter. Indeed they do! Right?',
+          CASE doc_id % 13
+            WHEN 0 THEN 'Permission is hereby granted, free of charge, to any person.'
+            WHEN 1 THEN 'Licensed under the Apache License, Version 2.0.'
+            WHEN 2 THEN 'This program is covered by the GNU General Public License.'
+            ELSE NULL END
+        ], x -> x IS NOT NULL), chr(10)) AS t
+       FROM d),
+    c4 AS (SELECT doc_id, lang,
+        array_to_string(list_filter(string_split(t, chr(10)), l ->
+          (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+           OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+          AND len(string_split_regex(trim(l), '\\s+')) >= 5
+          AND NOT contains(lower(l), 'javascript')), chr(10)) AS t
+       FROM pg),
+    kp AS (SELECT * FROM c4
+       WHERE length(t) - length(replace(replace(replace(
+               t, '.', ''), '!', ''), '?', '')) >= 3
+         AND NOT contains(lower(t), 'lorem ipsum')
+         AND NOT contains(t, '{')),
+    lic AS (SELECT doc_id, lang, t,
+         CASE
+           WHEN contains(lower(t), 'permission is hereby granted, free of charge') THEN 'mit'
+           WHEN contains(lower(t), 'licensed under the apache license') THEN 'apache-2.0'
+           WHEN contains(lower(t), 'redistribution and use in source and binary forms') THEN 'bsd'
+           WHEN contains(lower(t), 'gnu lesser general public license') THEN 'lgpl'
+           WHEN contains(lower(t), 'gnu general public license') THEN 'gpl'
+           WHEN contains(lower(t), 'creativecommons.org/licenses/by-nc') THEN 'cc-by-nc'
+           WHEN contains(lower(t), 'creativecommons.org/licenses/by-sa') THEN 'cc-by-sa'
+           WHEN contains(lower(t), 'creativecommons.org/licenses/by') THEN 'cc-by'
+           WHEN contains(lower(t), 'creativecommons.org/publicdomain/zero') THEN 'cc0'
+           ELSE 'unknown' END AS license
+        FROM kp),
+    perm AS (SELECT * FROM lic
+       WHERE license IN ('mit','apache-2.0','bsd','cc-by','cc0','unknown')),
+    ded AS (SELECT doc_id, lang, license,
+          min(doc_id) OVER (PARTITION BY
+            md5(regexp_replace(trim(lower(t)), '\\s+', ' ', 'g'))) AS w
+        FROM perm),
+    surv AS (SELECT lang, license FROM ded WHERE doc_id = w),
+    g AS (SELECT lang, license, CAST(count(*) AS DOUBLE) AS n
+          FROM surv GROUP BY 1, 2),
+    h AS (SELECT lang, license, n,
+           (CAST(concat('0x', substring(md5(
+               'dp' || chr(31) || lang || chr(31) || license), 1, 8))
+             AS BIGINT) + 0.5) / 4294967296.0 AS u
+          FROM g)
+    SELECT lang, license,
+           round(n + (-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))),
+                 6) AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM h ORDER BY lang, license
+    """,
+)
+def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governed-release pipeline with the round-4h/4i operator set:
+    C4 line filter + page gate (planted lorem/brace/unterminated fates
+    by doc_id % 4, a license line planted by doc_id % 13) → license
+    detection keeping permissive-or-unknown (the GPL-planted docs drop
+    here) → corpus-wide exact dedup of the RETAINED text (16-byte
+    winner election, semi-join back) → differentially-private release
+    of the surviving (lang, license) composition (ε=1 Laplace, seeded).
+    Every stage is the already-oracle-backed operator; the whole chain
+    replays in one DuckDB query. Sibling of `training_prep_pipeline`
+    (dedup-centric), `curation_pipeline_v2` (classifier-centric), and
+    `curation_pipeline_v3` (scrub/bloom/upsample-centric)."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.quality_checks import dp_noisy_counts
+    from ..operators.text import c4_line_filter, license_detect
+
+    docs = load_table(spark, sf_dir, "documents")
+    m4 = F.col("doc_id") % 4
+    m13 = F.col("doc_id") % 13
+    l1 = (
+        F.when(m4 == 1, F.concat(F.col("text"), F.lit(" lorem ipsum.")))
+        .when(m4 == 2, F.concat(F.col("text"), F.lit(" {.")))
+        .when(m4 == 3, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(".")))
+    )
+    lic_line = (
+        F.when(m13 == 0, F.lit(
+            "Permission is hereby granted, free of charge, to any person."))
+        .when(m13 == 1, F.lit(
+            "Licensed under the Apache License, Version 2.0."))
+        .when(m13 == 2, F.lit(
+            "This program is covered by the GNU General Public License."))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    pages = docs.select(
+        "doc_id", "lang",
+        F.concat_ws(
+            "\n",
+            l1,
+            F.lit(
+                "Proper sentences help pages pass the filter."
+                " Indeed they do! Right?"
+            ),
+            lic_line,
+        ).alias("text"),
+    )
+    kept = c4_line_filter(pages).filter(F.col("keep_page"))
+    tagged = license_detect(kept).filter(
+        F.col("permissive") | (F.col("license") == "unknown")
+    )
+    winners = exact_dedup(tagged).select("doc_id")
+    survivors = tagged.join(winners, "doc_id", "semi")
+    return dp_noisy_counts(
+        survivors, ["lang", "license"], epsilon=1.0
+    ).orderBy("lang", "license")
+
+
+@register_query(
     "doc_c4_line_filter",
     oracle="""
     WITH d AS (SELECT doc_id, text, doc_id % 4 AS m FROM documents),
