@@ -88,23 +88,16 @@ DRIVER_PRIORITY = [
     "part_communities",
     # --- round-4a additions (never driver-verified) ---
     "doc_bigram_logprob",
-    "embedding_hard_negatives",
-    "doc_hybrid_rrf",
     # --- round-4b additions (never driver-verified, newest code = top risk) ---
     "doc_remove_duplicate_spans",
     "doc_quality_classifier",
-    "doc_ngram_novelty",
     "doc_domain_cap",
-    "user_scd2_history",
     "events_rolling_wau",
     "embedding_outlier_scores",
-    "events_daily_anomaly",
-    "doc_score_calibration",
     "orders_quality_report",
     # --- round-4c additions (never driver-verified, newest code = top risk) ---
     "customers_pii_scrub",
     "doc_bloom_incremental",
-    "doc_epoch_upsample",
     "doc_hashed_tf_vectors",
     "events_variant_extract",
     "minhash_near_dup_portable",
@@ -115,10 +108,8 @@ DRIVER_PRIORITY = [
     "customer_balance_imputed",
     "doc_sentences",
     "doc_temperature_sample",
-    "doc_readability",
     # (events_value_winsorized displaced: same discrete order-statistic
     # percentile kernel as in-gate doc_ccnet_buckets)
-    "doc_blocklist_filter",
     # --- round-4e additions (newest code = top risk) ---
     "doc_dsir_weights",
     "doc_dsir_sample",
@@ -137,6 +128,26 @@ DRIVER_PRIORITY = [
     "documents_fingerprint",
     "doc_url_normalize",
     "doc_unicode_normalize",
+    # --- round-4h/4i additions (newest code = top risk; displacing
+    # doc_score_calibration ~ in-gate doc_ccnet_buckets per-language rank
+    # window, doc_hybrid_rrf ~ in-gate ann_ndcg_eval rank-join aggregate,
+    # embedding_hard_negatives ~ verified ann_cosine_topk broadcast-topk,
+    # doc_ngram_novelty ~ in-gate doc_remove_duplicate_spans gram-hash
+    # kernel, user_scd2_history ~ verified events_sessionize run-collapse
+    # windows, doc_epoch_upsample ~ in-gate doc_temperature_sample
+    # md5-fraction kernel, doc_readability ~ verified token_stats exact
+    # sums, doc_blocklist_filter ~ in-gate customers_pii_scrub narrow text
+    # projection, events_daily_anomaly ~ in-gate events_daily_gap_fill
+    # daily-spine window) ---
+    "doc_gopher_quality",
+    "doc_gopher_repetition",
+    "doc_c4_line_filter",
+    "doc_license_detect",
+    "doc_dp_lang_counts",
+    "events_value_drift",
+    "doc_lang_drift",
+    "events_user_concentration",
+    "curation_pipeline_v4",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",

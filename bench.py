@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "doc_license_detect",
     "doc_gopher_quality",
     "doc_c4_line_filter",
+    "doc_gopher_repetition",
     "curation_pipeline_v4",
 ]
 

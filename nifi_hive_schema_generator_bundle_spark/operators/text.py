@@ -45,6 +45,8 @@ __all__ = [
     "LICENSE_PHRASES",
     "gopher_quality_flags",
     "GOPHER_THRESHOLDS",
+    "gopher_repetition_flags",
+    "GOPHER_REPETITION_THRESHOLDS",
     "c4_line_filter",
 ]
 
@@ -1036,3 +1038,92 @@ def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("keep_page", keep)
         .drop("__lines")
     )
+
+
+# Rae et al. 2021 Table A1 — the repetition half of the Gopher filters
+# (the n-gram half lives in ``ngram_repetition``).
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+}
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The line/paragraph repetition rules of the Gopher quality filter
+    (Rae et al. 2021 Table A1) — the half ``ngram_repetition`` doesn't
+    cover: per document, the fraction of duplicated lines and
+    paragraphs, and the fraction of characters inside those duplicates
+    (occurrences after the first of each repeated unit; characters are
+    counted over trimmed units, separators excluded). Output columns
+    per granularity g in (line, para): ``n_{g}s``, ``dup_{g}_frac``,
+    ``dup_{g}_char_frac`` — plus ``passes_repetition``, the published
+    conjunction (``GOPHER_REPETITION_THRESHOLDS``); documents with no
+    non-empty units pass vacuously (NULL metrics coalesced to 0).
+
+    Scale shape: units are md5-hashed BEFORE the (doc, unit) count
+    aggregate, so the shuffle carries (id, 16-byte hash, length)
+    triples — document bodies never move. Both aggregates partial-fold
+    map-side; lines and paragraphs each cost one such pass. Lines split
+    on ``\\n``, paragraphs on ``\\n{2,}``; units are trimmed and empty
+    units dropped at both granularities.
+    """
+    d = ensure_min_partitions(df)
+    out = d.select(id_col).distinct()
+    for name, sep in (("line", "\n"), ("para", "\n{2,}")):
+        units = d.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.split(F.col(text_col), sep), lambda s: F.trim(s)
+                    ),
+                    lambda s: s != "",
+                )
+            ).alias("__u"),
+        ).select(
+            id_col,
+            F.md5(F.col("__u")).alias("__h"),
+            F.length(F.col("__u")).alias("__len"),
+        )
+        stats = (
+            units.groupBy(id_col, "__h")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.max("__len").alias("len"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("cnt").alias(f"n_{name}s"),
+                F.sum(F.col("cnt") - 1).alias("__dup"),
+                F.sum(F.col("cnt") * F.col("len")).alias("__tot_chars"),
+                F.sum((F.col("cnt") - 1) * F.col("len")).alias("__dup_chars"),
+            )
+            .select(
+                id_col,
+                F.col(f"n_{name}s"),
+                F.round(F.col("__dup") / F.col(f"n_{name}s"), 6).alias(
+                    f"dup_{name}_frac"
+                ),
+                F.round(F.col("__dup_chars") / F.col("__tot_chars"), 6).alias(
+                    f"dup_{name}_char_frac"
+                ),
+            )
+        )
+        out = out.join(stats, id_col, "left")
+    t = GOPHER_REPETITION_THRESHOLDS
+    passes = (
+        (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= t["dup_line_frac"])
+        & (F.coalesce(F.col("dup_para_frac"), F.lit(0.0)) <= t["dup_para_frac"])
+        & (
+            F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0))
+            <= t["dup_line_char_frac"]
+        )
+        & (
+            F.coalesce(F.col("dup_para_char_frac"), F.lit(0.0))
+            <= t["dup_para_char_frac"]
+        )
+    )
+    return out.withColumn("passes_repetition", passes)

@@ -7902,3 +7902,94 @@ def doc_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges = load_merges(str(p))
     d = load_table(spark, sf_dir, "documents")
     return tokenizer_fertility(d, merges).orderBy("lang")
+
+
+@register_query(
+    "doc_gopher_repetition",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, doc_id % 5 AS m,
+             replace(substring(text, 1, 40), chr(10), ' ') AS base
+      FROM documents),
+    pg AS (
+      SELECT doc_id,
+        'Alpha line one.' || chr(10) || base AS p1,
+        CASE m WHEN 0 THEN 'Beta line two.'
+               WHEN 1 THEN 'Alpha line one.' || chr(10) || 'Alpha line one.'
+               WHEN 2 THEN 'Alpha line one.' || chr(10) || base
+               WHEN 3 THEN 'Alpha line one.'
+               ELSE base END AS p2
+      FROM src),
+    pages AS (
+      SELECT doc_id, p1 || chr(10) || chr(10) || p2 AS t FROM pg),
+    lu AS (SELECT doc_id, trim(u) AS u
+           FROM pages, unnest(string_split(t, chr(10))) AS s(u)
+           WHERE trim(u) <> ''),
+    lc AS (SELECT doc_id, u, count(*) AS cnt, length(u) AS len
+           FROM lu GROUP BY doc_id, u),
+    lr AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+             round(CAST(sum(cnt - 1) AS DOUBLE) / sum(cnt), 6)
+               AS dup_line_frac,
+             round(CAST(sum((cnt - 1) * len) AS DOUBLE)
+                   / sum(cnt * len), 6) AS dup_line_char_frac
+           FROM lc GROUP BY doc_id),
+    pu AS (SELECT doc_id, trim(u) AS u
+           FROM pages, unnest(string_split_regex(t, '\\n{2,}')) AS s(u)
+           WHERE trim(u) <> ''),
+    pc AS (SELECT doc_id, u, count(*) AS cnt, length(u) AS len
+           FROM pu GROUP BY doc_id, u),
+    pr AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_paras,
+             round(CAST(sum(cnt - 1) AS DOUBLE) / sum(cnt), 6)
+               AS dup_para_frac,
+             round(CAST(sum((cnt - 1) * len) AS DOUBLE)
+                   / sum(cnt * len), 6) AS dup_para_char_frac
+           FROM pc GROUP BY doc_id)
+    SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+           p.n_paras, p.dup_para_frac, p.dup_para_char_frac,
+           (coalesce(l.dup_line_frac, 0) <= 0.30
+            AND coalesce(p.dup_para_frac, 0) <= 0.30
+            AND coalesce(l.dup_line_char_frac, 0) <= 0.20
+            AND coalesce(p.dup_para_char_frac, 0) <= 0.20)
+             AS passes_repetition
+    FROM lr l JOIN pr p USING (doc_id) ORDER BY l.doc_id
+    """,
+)
+def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition half of the Gopher filters
+    (``text.gopher_repetition_flags``, Rae et al. 2021 Table A1):
+    duplicated-line and duplicated-paragraph fractions plus the
+    characters inside those duplicates, and the threshold conjunction.
+    Synthetic docs are single-line, so the query CONSTRUCTS a
+    two-paragraph page per doc with doc_id % 5 planting the repetition
+    mode (clean / tripled line / duplicated paragraph / short / filler
+    echoed across paragraphs) — every metric exercised. Units are
+    md5-hashed before the (doc, unit) count aggregate, so the shuffle
+    carries (id, hash, length) triples, never page bodies; the oracle
+    replays construction, unit splits, and both aggregates."""
+    from ..operators.text import gopher_repetition_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    base = F.replace(
+        F.substring(F.col("text"), 1, 40), F.lit("\n"), F.lit(" ")
+    )
+    p1 = F.concat(F.lit("Alpha line one.\n"), base)
+    p2 = (
+        F.when(m == 0, F.lit("Beta line two."))
+        .when(m == 1, F.lit("Alpha line one.\nAlpha line one."))
+        .when(m == 2, F.concat(F.lit("Alpha line one.\n"), base))
+        .when(m == 3, F.lit("Alpha line one."))
+        .otherwise(base)
+    )
+    pages = docs.select(
+        "doc_id", F.concat(p1, F.lit("\n\n"), p2).alias("text")
+    )
+    return (
+        gopher_repetition_flags(pages)
+        .select(
+            "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+            "n_paras", "dup_para_frac", "dup_para_char_frac",
+            "passes_repetition",
+        )
+        .orderBy("doc_id")
+    )

@@ -611,3 +611,67 @@ class TestC4LineFilter:
         )
         assert "Exchange" not in plan
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestGopherRepetitionFlags:
+    def test_planted_dup_lines_and_paras(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            gopher_repetition_flags,
+        )
+
+        clean = "a one.\nb two.\n\nc three."
+        dup_lines = "x y.\nx y.\nx y.\nunique line."
+        para = "line a.\nline b."
+        dup_paras = para + "\n\n" + para
+        df = spark.createDataFrame(
+            [(1, clean), (2, dup_lines), (3, dup_paras)],
+            "doc_id int, text string",
+        )
+        out = {r.doc_id: r for r in gopher_repetition_flags(df).collect()}
+        r1 = out[1]
+        assert (r1.n_lines, r1.n_paras) == (3, 2)
+        assert r1.dup_line_frac == 0.0 and r1.dup_para_frac == 0.0
+        assert r1.passes_repetition
+        r2 = out[2]
+        # 3x "x y." (len 4) + 1 unique (len 12): dup 2/4, chars 8/24
+        assert (r2.n_lines, r2.dup_line_frac) == (4, 0.5)
+        assert r2.dup_line_char_frac == 0.333333
+        assert (r2.n_paras, r2.dup_para_frac) == (1, 0.0)
+        assert not r2.passes_repetition
+        r3 = out[3]
+        # identical paragraphs; their lines duplicate too
+        assert (r3.n_paras, r3.dup_para_frac) == (2, 0.5)
+        assert r3.dup_para_char_frac == 0.5
+        assert (r3.n_lines, r3.dup_line_frac) == (4, 0.5)
+        assert not r3.passes_repetition
+
+    def test_empty_and_single_unit_docs(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            gopher_repetition_flags,
+        )
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   \n  \n"), (3, "only line.")],
+            "doc_id int, text string",
+        )
+        out = {r.doc_id: r for r in gopher_repetition_flags(df).collect()}
+        # no non-empty units -> NULL metrics, vacuous pass
+        for i in (1, 2):
+            assert out[i].n_lines is None and out[i].passes_repetition
+        r3 = out[3]
+        assert (r3.n_lines, r3.n_paras) == (1, 1)
+        assert r3.dup_line_frac == 0.0 and r3.passes_repetition
+
+    def test_no_python_in_plan(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            gopher_repetition_flags,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+        plan = (
+            gopher_repetition_flags(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan and "BatchEval" not in plan
