@@ -103,7 +103,9 @@ DRIVER_PRIORITY = [
     "minhash_near_dup_portable",
     "curation_pipeline_v3",
     # --- round-4d additions (never driver-verified, newest code = top risk) ---
-    "doc_clean_text",
+    # (doc_clean_text displaced by doc_html_extract: same narrow
+    # regexp-chain-projection kernel, html extraction is the newer code)
+    "doc_html_extract",
     "events_daily_gap_fill",
     "customer_balance_imputed",
     "doc_sentences",

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "doc_gopher_quality",
     "doc_c4_line_filter",
     "doc_gopher_repetition",
+    "doc_html_extract",
     "curation_pipeline_v4",
 ]
 

@@ -20,6 +20,7 @@ __all__ = [
     "REDACT_PATTERNS",
     "redact",
     "pattern_count",
+    "html_to_text",
 ]
 
 # A GPT-2-style pre-tokenizer shape: word pieces, numbers, punctuation runs.
@@ -125,3 +126,46 @@ def pattern_count(c: Column | str, kind: str) -> Column:
     scrub report)."""
     c = F.col(c) if isinstance(c, str) else c
     return F.regexp_count(c, F.lit(REDACT_PATTERNS[kind]))
+
+
+def html_to_text(c: Column | str) -> Column:
+    """HTML → visible-text extraction (the WET-file / boilerplate-strip
+    stage every web-scrape pipeline runs before quality filtering).
+    Chain, in order: (1) ``<script>``/``<style>`` blocks dropped WITH
+    their content, (2) comments dropped, (3) ``<br>`` and block-level
+    closing tags become newlines, (4) every remaining tag becomes a
+    space, (5) the six ubiquitous entities decode — ``&amp;`` LAST so
+    ``&amp;lt;`` yields the literal ``&lt;`` instead of double-decoding
+    to ``<``, (6) space runs collapse, spaces hugging newlines vanish,
+    newline runs collapse, outer whitespace strips.
+
+    Every construct used — inline ``(?is)`` flags, lazy quantifiers,
+    character classes — is shared by Java regex and RE2, and script /
+    style use separate patterns because RE2 has no backreferences: a
+    DuckDB oracle replays the chain verbatim. One narrow codegen'd
+    projection — no shuffle, no UDF. Line structure downstream: blocks
+    become lines (paragraph reconstruction is out of scope — newline
+    runs collapse to one)."""
+    t = F.col(c) if isinstance(c, str) else c
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t,
+        r"(?i)<br\s*/?>|</p\s*>|</div\s*>|</li\s*>|</h[1-6]\s*>|</tr\s*>|</title\s*>",
+        "\n",
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" *\n *", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")

@@ -7993,3 +7993,107 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "doc_html_extract",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, doc_id % 4 AS m,
+             replace(substring(text, 1, 30), chr(10), ' ') AS base
+      FROM documents),
+    pages AS (
+      SELECT doc_id,
+        CASE m
+          WHEN 0 THEN '<html><head><title>Title</title><style>p {color:red}</style>'
+                      || '<script type="text/javascript">var x = 1 < 2;</script>'
+                      || '</head><body><h1>' || base || '</h1><p>First para.</p>'
+                      || '<ul><li>One</li><li>Two</li></ul></body></html>'
+          WHEN 1 THEN '<p>Tom &amp; Jerry say &quot;hi&quot; &lt;now&gt; it&#39;s&nbsp;'
+                      || base || '</p>'
+          WHEN 2 THEN '<div><!-- hidden comment --><span class="a b">'
+                      || base || '</span><br/>next line</div>'
+          ELSE base END AS h
+      FROM src),
+    x AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '(?i)<br\\s*/?>|</p\\s*>|</div\\s*>|</li\\s*>|</h[1-6]\\s*>|</tr\\s*>|</title\\s*>',
+             chr(10), 'g'),
+             '(?s)<[^>]*>', ' ', 'g') AS t1
+      FROM pages),
+    e AS (
+      SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(
+          t1, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t2
+      FROM x),
+    f AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          t2, '[ \\t]+', ' ', 'g'),
+          ' *\\n *', chr(10), 'g'),
+          '\\n{2,}', chr(10), 'g'),
+          '^\\s+|\\s+$', '', 'g') AS text
+      FROM e)
+    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+    FROM f ORDER BY doc_id
+    """,
+)
+def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible-text extraction (``textfns.html_to_text``, the
+    WET-file stage upstream of every quality filter). Synthetic docs are
+    plain text, so the query CONSTRUCTS an HTML page per doc with
+    doc_id % 4 planting the mode (full page with script+style+list /
+    entity-heavy incl. the double-encoded-& trap / comment+nested tags
+    +<br> / tagless passthrough). The whole chain is shared Java-regex ∩
+    RE2 syntax with no backreferences, so the oracle replays every
+    pattern verbatim; one codegen'd projection, zero shuffle, zero
+    UDF."""
+    from ..functions.textfns import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    base = F.replace(
+        F.substring(F.col("text"), 1, 30), F.lit("\n"), F.lit(" ")
+    )
+    h = (
+        F.when(m == 0, F.concat(
+            F.lit(
+                '<html><head><title>Title</title><style>p {color:red}</style>'
+                '<script type="text/javascript">var x = 1 < 2;</script>'
+                "</head><body><h1>"
+            ),
+            base,
+            F.lit(
+                "</h1><p>First para.</p>"
+                "<ul><li>One</li><li>Two</li></ul></body></html>"
+            ),
+        ))
+        .when(m == 1, F.concat(
+            F.lit(
+                "<p>Tom &amp; Jerry say &quot;hi&quot; &lt;now&gt;"
+                " it&#39;s&nbsp;"
+            ),
+            base,
+            F.lit("</p>"),
+        ))
+        .when(m == 2, F.concat(
+            F.lit('<div><!-- hidden comment --><span class="a b">'),
+            base,
+            F.lit("</span><br/>next line</div>"),
+        ))
+        .otherwise(base)
+    )
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .select(
+            "doc_id",
+            html_to_text("h").alias("text"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .orderBy("doc_id")
+    )

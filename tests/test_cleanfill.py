@@ -121,3 +121,52 @@ class TestDailySpineFill:
         dense = _ts_frame(spark).filter("day <= DATE'2024-01-02'")
         out = self._filled(spark, dense)
         assert out.count() == dense.count()
+
+
+class TestHtmlToText:
+    def _run(self, spark, html):
+        from nifi_hive_schema_generator_bundle_spark.functions.textfns import (
+            html_to_text,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(html_to_text("h").alias("t")).collect()[0].t
+
+    def test_full_page(self, spark):
+        html = (
+            "<html><head><title>Title</title>"
+            "<style>p {color:red}</style>"
+            '<script type="text/javascript">var x = 1 < 2;</script>'
+            "</head><body><h1>Heading</h1><p>First para.</p>"
+            "<ul><li>One</li><li>Two</li></ul></body></html>"
+        )
+        # title/h1/p/li closers -> newlines; script+style content gone
+        assert self._run(spark, html) == "Title\nHeading\nFirst para.\nOne\nTwo"
+
+    def test_entities_amp_last(self, spark):
+        html = "<p>Tom &amp; Jerry &quot;hi&quot; &lt;b&gt; it&#39;s&nbsp;ok</p>"
+        assert self._run(spark, html) == "Tom & Jerry \"hi\" <b> it's ok"
+        # double-encoded &amp;lt; must yield the literal entity, not '<'
+        assert self._run(spark, "x &amp;lt; y") == "x &lt; y"
+
+    def test_comments_br_and_plain_text(self, spark):
+        html = '<div><!-- hidden --><span class="a b">vis</span><br/>next</div>'
+        assert self._run(spark, html) == "vis\nnext"
+        assert self._run(spark, "no tags at all") == "no tags at all"
+        assert self._run(spark, "  \n <p></p> \n ") == ""
+
+    def test_no_shuffle_no_udf(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.textfns import (
+            html_to_text,
+        )
+
+        df = spark.createDataFrame([("x",)], "h string")
+        plan = (
+            df.select(html_to_text("h"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "BatchEval" not in plan
