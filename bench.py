@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "doc_c4_line_filter",
     "doc_gopher_repetition",
     "doc_html_extract",
+    "doc_url_dedup",
     "curation_pipeline_v4",
 ]
 

@@ -49,6 +49,7 @@ __all__ = [
     "dedup_keep_min",
     "dedup_keep_best",
     "paragraph_dedup",
+    "url_dedup",
     "duplicate_span_stats",
     "remove_duplicate_spans",
     "minhash_signatures",
@@ -1229,3 +1230,52 @@ def remove_duplicate_spans(
         F.col("n_tokens"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    *,
+    quality_col: str | None = None,
+) -> DataFrame:
+    """URL-level recrawl collapse — the CommonCrawl-style stage that
+    keeps ONE page per canonical URL when a corpus holds many crawls of
+    the same address under cosmetically different URLs (case, tracking
+    params, fragments, default ports, userinfo). URLs canonicalize via
+    ``functions.urls.url_normalize``; within each canonical URL the
+    winner is the highest ``quality_col`` (ties → lowest ``id_col``),
+    or the lowest id when no quality column is given — same election
+    semantics as ``dedup_keep_best`` / ``dedup_keep_min``, keyed by URL
+    instead of content. Returns the winning rows with ``url_canon`` and
+    ``n_crawls`` (the collapsed group's size) appended.
+
+    Scale shape: the election window runs on a slim (id, canon,
+    quality) projection — ONE shuffle keyed by the canonical URL whose
+    rows are ~100 bytes regardless of page size; bodies rejoin the
+    |winners|-sized table by id (the exact_dedup semi-join-back
+    kernel). Canonicalization itself is a narrow codegen'd projection.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.urls import url_normalize
+
+    q = F.col(quality_col) if quality_col is not None else F.lit(0)
+    slim = df.select(
+        F.col(id_col),
+        url_normalize(F.col(url_col)).alias("url_canon"),
+        q.alias("__q"),
+    )
+    w = Window.partitionBy("url_canon").orderBy(
+        F.col("__q").desc_nulls_last(), F.col(id_col).asc()
+    )
+    winners = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_crawls",
+            F.count(F.lit(1)).over(Window.partitionBy("url_canon")),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "url_canon", "n_crawls")
+    )
+    return df.join(winners, id_col, "inner")

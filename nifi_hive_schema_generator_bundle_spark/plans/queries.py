@@ -8097,3 +8097,60 @@ def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_chars", F.length("text").cast("long"))
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "doc_url_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, length(text) AS q,
+             'http://www.site' || CAST(doc_id % 97 AS VARCHAR)
+               || '.com/page' AS url_canon
+      FROM documents),
+    r AS (
+      SELECT doc_id, url_canon, q,
+        row_number() OVER (PARTITION BY url_canon
+                           ORDER BY q DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY url_canon) AS n_crawls
+      FROM u)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, url_canon,
+           CAST(n_crawls AS BIGINT) AS n_crawls
+    FROM r WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level recrawl collapse (``dedup.url_dedup``): docs are
+    assigned messy URLs that collide in groups of ~5 (doc_id % 97 picks
+    the page; doc_id % 3 picks the cosmetic variant — uppercase host /
+    tracking param + fragment / userinfo + default port), then one
+    winner per canonical URL survives (longest text, ties → lowest id).
+    The oracle constructs the expected canonical form ANALYTICALLY from
+    the same derivation and replays only the election — a shared
+    canonicalization bug can't self-confirm (the doc_url_normalize
+    oracle style). Election runs on a slim (id, canon, len) projection;
+    bodies never shuffle through the window."""
+    from ..operators.dedup import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 97
+    v = F.col("doc_id") % 3
+    ks = k.cast("string")
+    messy = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTP://WWW.SITE"), ks, F.lit(".COM/page")))
+        .when(v == 1, F.concat(
+            F.lit("http://www.site"), ks,
+            F.lit(".com/page?utm_source=x#top")))
+        .otherwise(F.concat(
+            F.lit("http://user@www.site"), ks, F.lit(".com:80/page")))
+    )
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        messy.alias("url"),
+        F.length("text").alias("q"),
+    )
+    return (
+        url_dedup(staged, quality_col="q")
+        .select("doc_id", "url_canon", "n_crawls")
+        .orderBy("doc_id")
+    )

@@ -378,3 +378,46 @@ def test_simhash_portable_planted_dups_and_model(spark):
         .collect()[0]["b"]
     )
     assert spark_bits == model_bits(rows[0][1])
+
+
+class TestUrlDedup:
+    def test_recrawl_collapse_keep_best(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+            url_dedup,
+        )
+
+        rows = [
+            # three crawls of the same page, cosmetically different URLs
+            (1, "HTTP://WWW.Site.COM/page", "short"),
+            (2, "http://www.site.com/page?utm_source=x#top", "the longest text"),
+            (3, "http://user@www.site.com:80/page", "mid text"),
+            # a different page on the same host
+            (4, "http://www.site.com/other", "x"),
+            # quality tie -> lowest id wins
+            (5, "http://t.com/a", "same"),
+            (6, "http://t.com/a?fbclid=1", "same"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, url string, text string")
+        from pyspark.sql import functions as F
+
+        out = url_dedup(
+            df.withColumn("q", F.length("text")), quality_col="q"
+        )
+        got = {r.doc_id: r for r in out.collect()}
+        assert set(got) == {2, 4, 5}
+        assert got[2].url_canon == "http://www.site.com/page"
+        assert got[2].n_crawls == 3
+        assert got[4].n_crawls == 1
+        assert got[5].n_crawls == 2  # tie broken to lowest id
+
+    def test_no_quality_col_keeps_lowest_id(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+            url_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(7, "http://a.com/x"), (3, "http://A.COM/x"), (9, "http://a.com/y")],
+            "doc_id int, url string",
+        )
+        got = sorted(r.doc_id for r in url_dedup(df).collect())
+        assert got == [3, 9]
