@@ -78,7 +78,10 @@ DRIVER_PRIORITY = [
     "doc_paragraph_dedup",
     "doc_bpe_token_count",
     "doc_cdc_chunks",
-    "doc_bm25_scores",
+    # (doc_bm25_scores displaced by doc_bm25_index_search: identical
+    # BM25 formula + oracle; the persisted-index path is the newer code
+    # and hash-verifying it transitively covers the inline formula)
+    "doc_bm25_index_search",
     "doc_duplicate_clusters",
     "doc_near_dedup_exact",
     "doc_semantic_dedup",

@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "doc_gopher_repetition",
     "doc_html_extract",
     "doc_url_dedup",
+    "doc_bm25_index_search",
     "curation_pipeline_v4",
 ]
 

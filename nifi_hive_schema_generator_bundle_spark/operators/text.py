@@ -48,6 +48,8 @@ __all__ = [
     "gopher_repetition_flags",
     "GOPHER_REPETITION_THRESHOLDS",
     "c4_line_filter",
+    "build_text_index",
+    "text_index_search",
 ]
 
 # Tiny per-language stopword profiles for the heuristic language scorer.
@@ -1127,3 +1129,120 @@ def gopher_repetition_flags(
         )
     )
     return out.withColumn("passes_repetition", passes)
+
+
+def build_text_index(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+) -> None:
+    """Materialize a BM25 inverted index on disk — the lexical
+    counterpart to ``similarity.build_ivf_index``: ``{path}/postings``
+    parquet PARTITIONED BY ``bucket`` (= first-8-hex-of-md5(term) mod
+    ``buckets``) with one row per (term, doc) hit carrying (tf, dl,
+    df_t), plus ``{path}/stats`` (one row: n_docs, avgdl, buckets).
+    ``df_t`` and ``dl`` are DENORMALIZED onto every posting row so a
+    search is join-free — it pays a bounded duplication at build time
+    to never re-shuffle at query time. Build once, search many.
+
+    Build shape: one explode → (doc, term) partial-count agg → a
+    term-keyed df_t join (vocabulary-sized, AQE decides the strategy —
+    NOT forced broadcast) → a doc-keyed dl join; the posting rows that
+    shuffle are (term, id, counts), never bodies. Deterministic given
+    (corpus, buckets): rebuilding yields the identical index."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    staged = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    lengths = staged.select("doc_id", F.size("__toks").alias("dl"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.lit(buckets).alias("buckets"),
+    )
+    tf = (
+        staged.select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+        .cast("long") % buckets
+    ).cast("int")
+    postings = (
+        tf.join(dfreq, "term")
+        .join(lengths, "doc_id")
+        .select("term", "doc_id", "tf", "df_t", "dl", bucket.alias("bucket"))
+    )
+    postings.write.partitionBy("bucket").mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _term_bucket(term: str, buckets: int) -> int:
+    """Driver-side twin of the build's bucket expression (same md5)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % buckets
+
+
+def text_index_search(
+    spark,
+    path: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int | None = None,
+) -> DataFrame:
+    """Search a ``build_text_index`` index: BM25 scores for every doc
+    matching ≥ 1 query term — identical formula (and results) to the
+    full-corpus ``bm25_scores``, but reading ONLY the partitions whose
+    bucket holds a query term: the term buckets are computed
+    driver-side and pushed as a STATIC ``bucket IN (…)`` partition
+    filter, so at 100 TB a query reads ~|q|/buckets of the index
+    instead of scanning the corpus. Join-free: df_t/dl ride each
+    posting row; n_docs/avgdl come from the 1-row stats read. With
+    ``k`` set, returns only the top-k docs (rank by score desc, id
+    asc); otherwise every matching doc."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_docs, avgdl, buckets = st["n_docs"], st["avgdl"], st["buckets"]
+    terms = sorted({t.lower() for t in query_terms})
+    bks = sorted({_term_bucket(t, buckets) for t in terms})
+    p = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(bks) & F.col("term").isin(terms)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    scored = (
+        p.select(
+            "doc_id",
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+    )
+    if k is None:
+        return scored
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -8154,3 +8154,72 @@ def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "url_canon", "n_crawls")
         .orderBy("doc_id")
     )
+
+
+_TEXT_INDEX_CACHE: dict = {}
+
+
+@register_query(
+    "doc_bm25_index_search",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x <> '') AS toks
+        FROM documents
+    ), lens AS (
+        SELECT doc_id, len(toks) AS dl FROM tk
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM lens
+    ), hits AS (
+        SELECT doc_id,
+               unnest(list_filter(toks,
+                   t -> list_contains(['data', 'model', 'learning'], t))) AS term
+        FROM tk
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM hits GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           round(sum(
+               ln(1.0 + (stats.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN lens ON tf.doc_id = lens.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
+)
+def doc_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted BM25 inverted index (``text.build_text_index`` /
+    ``text_index_search``) — the lexical twin of ``ivf_index_search``:
+    postings live on disk PARTITIONED BY term bucket, df_t/dl
+    denormalized onto each posting row, and the search reads ONLY the
+    buckets holding {data, model, learning} via a static partition
+    filter (plan-tested in units) with zero query-time joins. Built
+    once per (session, corpus), searched on every invocation — bench
+    warm runs measure the production search path. UNLIKE the iterative
+    IVF fit, the index is a deterministic pure function of the corpus,
+    so this entry is fully oracle-backed: the search result must equal
+    full-corpus BM25 (the doc_bm25_scores formula, k1=1.2 b=0.75),
+    replayed by DuckDB from the raw documents table."""
+    import tempfile
+
+    from ..operators.text import build_text_index, text_index_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, "bm25")
+    path = _TEXT_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="bm25_gate_")
+        build_text_index(docs, path, buckets=32)
+        _TEXT_INDEX_CACHE[key] = path
+    return text_index_search(
+        spark, path, ["data", "model", "learning"]
+    ).orderBy("doc_id")

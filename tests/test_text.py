@@ -675,3 +675,74 @@ class TestGopherRepetitionFlags:
             .toString()
         )
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestTextIndex:
+    def _corpus(self, spark):
+        rows = [
+            (1, "data model data learning the end"),
+            (2, "model model model nothing else"),
+            (3, "the quick brown fox"),
+            (4, "data data data data learning"),
+            (5, "learning about the data model"),
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_search_equals_inline_bm25(self, spark, tmp_path):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            bm25_scores,
+            build_text_index,
+            text_index_search,
+        )
+
+        corpus = self._corpus(spark)
+        path = str(tmp_path / "tix")
+        build_text_index(corpus, path, buckets=8)
+        q = ["data", "model", "learning"]
+        got = sorted(
+            text_index_search(spark, path, q).collect(),
+            key=lambda r: r.doc_id,
+        )
+        want = sorted(
+            bm25_scores(corpus, q).collect(), key=lambda r: r.doc_id
+        )
+        assert [(r.doc_id, r.bm25) for r in got] == [
+            (r.doc_id, r.bm25) for r in want
+        ]
+        assert {r.doc_id for r in got} == {1, 2, 4, 5}  # doc 3 no hits
+
+    def test_partition_pruning_and_topk(self, spark, tmp_path):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            build_text_index,
+            text_index_search,
+        )
+
+        corpus = self._corpus(spark)
+        path = str(tmp_path / "tix2")
+        build_text_index(corpus, path, buckets=8)
+        res = text_index_search(spark, path, ["data"], k=2)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan
+        rows = res.orderBy("rank").collect()
+        assert [r.doc_id for r in rows] == [4, 1]  # tf 4 then tf 2
+        assert rows[0].bm25 > rows[1].bm25
+
+    def test_rebuild_identical_and_guards(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            build_text_index,
+            text_index_search,
+        )
+
+        corpus = self._corpus(spark)
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        build_text_index(corpus, p1, buckets=4)
+        build_text_index(corpus, p2, buckets=4)
+        a = sorted(map(tuple, spark.read.parquet(f"{p1}/postings").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{p2}/postings").collect()))
+        assert a == b
+        with _pytest.raises(ValueError):
+            text_index_search(spark, p1, [])
+        with _pytest.raises(ValueError):
+            build_text_index(corpus, str(tmp_path / "c"), buckets=0)
