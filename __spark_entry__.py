@@ -76,7 +76,10 @@ DRIVER_PRIORITY = [
     "user_decayed_value",
     # --- never driver-verified: text / dedup / prep ---
     "doc_paragraph_dedup",
-    "doc_bpe_token_count",
+    # (doc_bpe_token_count displaced by doc_span_corruption: in-gate
+    # doc_token_fertility replays the same fixture-BPE count construction
+    # per language; the grid-masking kernel is the newer code)
+    "doc_span_corruption",
     "doc_cdc_chunks",
     # (doc_bm25_scores displaced by doc_bm25_index_search: identical
     # BM25 formula + oracle; the persisted-index path is the newer code

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "doc_html_extract",
     "doc_url_dedup",
     "doc_bm25_index_search",
+    "doc_span_corruption",
     "curation_pipeline_v4",
 ]
 

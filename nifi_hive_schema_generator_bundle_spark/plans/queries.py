@@ -8223,3 +8223,71 @@ def doc_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_index_search(
         spark, path, ["data", "model", "learning"]
     ).orderBy("doc_id")
+
+
+@register_query(
+    "doc_span_corruption",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(
+                 string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                 x -> x <> '') AS t
+      FROM documents),
+    n AS (SELECT doc_id, t, CAST(len(t) // 20 AS INT) AS nb FROM tk),
+    blocks AS (
+      SELECT doc_id, t, nb,
+        CASE WHEN nb > 0 THEN generate_series(0, CAST(nb AS BIGINT) - 1)
+             ELSE []::BIGINT[] END AS js
+      FROM n),
+    calc AS (
+      SELECT doc_id, nb,
+        flatten(list_transform(js, j ->
+          list_concat(list_concat(
+            t[j*20+1 : j*20 +
+              CAST(concat('0x', substring(md5('42:' || CAST(doc_id AS VARCHAR)
+                || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 18],
+            ['<extra_id_' || CAST(j AS VARCHAR) || '>']),
+            t[j*20 +
+              CAST(concat('0x', substring(md5('42:' || CAST(doc_id AS VARCHAR)
+                || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 18 + 4
+              : (j+1)*20]
+          ))) AS inp,
+        t[nb*20+1 : len(t)] AS tail,
+        flatten(list_transform(js, j ->
+          list_concat(['<extra_id_' || CAST(j AS VARCHAR) || '>'],
+            t[j*20 +
+              CAST(concat('0x', substring(md5('42:' || CAST(doc_id AS VARCHAR)
+                || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 18 + 1
+              : j*20 +
+              CAST(concat('0x', substring(md5('42:' || CAST(doc_id AS VARCHAR)
+                || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 18 + 3]
+          ))) AS tgt
+      FROM blocks)
+    SELECT doc_id, n_spans, input_text, target_text FROM (
+      SELECT doc_id, CAST(nb AS INT) AS n_spans,
+        coalesce(array_to_string(list_concat(inp, tail), ' '), '')
+          AS input_text,
+        coalesce(array_to_string(tgt, ' '), '') AS target_text
+      FROM calc)
+    ORDER BY doc_id
+    """,
+)
+def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption pair generation (``packing.span_corruption``,
+    Raffel et al. 2020 §3.1.4) at the published 15% density (3-token
+    spans in 20-token blocks): every full block masks one md5-placed
+    span, input gets ``<extra_id_K>`` sentinels, target carries the
+    hidden tokens — deterministic on any partitioning/engine, no RNG
+    state. One narrow codegen'd projection (token array materialized
+    once, per-block lambdas slice it); zero shuffle/UDF/explode. The
+    oracle replays tokenization, block grid, md5 offsets, slicing, and
+    assembly verbatim."""
+    from ..operators.packing import span_corruption
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        span_corruption(docs)
+        .select("doc_id", "n_spans", "input_text", "target_text")
+        .orderBy("doc_id")
+    )

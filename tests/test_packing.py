@@ -196,3 +196,91 @@ def test_cdc_chunks_validates_params(spark):
         cdc_chunk_documents(df, window=0)
     with _pytest.raises(ValueError):
         cdc_chunk_documents(df, modulus=1)
+
+
+class TestSpanCorruption:
+    def test_hand_computed_blocks(self, spark):
+        import hashlib
+
+        from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+            span_corruption,
+        )
+
+        toks = [f"t{i}" for i in range(12)]  # 2 full blocks of 5 + tail 2
+        df = spark.createDataFrame(
+            [(7, " ".join(toks))], "doc_id int, text string"
+        )
+        r = span_corruption(df, block=5, span=2, seed=1).collect()[0]
+        width = 5 - 2 + 1
+
+        def off(j):
+            h = hashlib.md5(f"1:7:{j}".encode()).hexdigest()[:8]
+            return int(h, 16) % width
+
+        exp_input, exp_target = [], []
+        for j in (0, 1):
+            o = off(j)
+            blk = toks[j * 5 : (j + 1) * 5]
+            exp_input += blk[:o] + [f"<extra_id_{j}>"] + blk[o + 2 :]
+            exp_target += [f"<extra_id_{j}>"] + blk[o : o + 2]
+        exp_input += toks[10:]
+        assert r.n_spans == 2
+        assert r.input_text == " ".join(exp_input)
+        assert r.target_text == " ".join(exp_target)
+        # masked tokens are exactly the ones missing from the input
+        assert set(toks) - set(r.input_text.split()) == set(
+            r.target_text.split()
+        ) - {"<extra_id_0>", "<extra_id_1>"}
+
+    def test_short_doc_passthrough_and_determinism(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+            span_corruption,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "")], "doc_id int, text string"
+        )
+        out = {r.doc_id: r for r in span_corruption(df, block=5).collect()}
+        assert out[1].n_spans == 0 and out[1].input_text == "a b c"
+        assert out[1].target_text == ""
+        assert out[2].input_text == "" and out[2].n_spans == 0
+        # same input -> bit-identical output across repartitionings
+        big = spark.createDataFrame(
+            [(i, "w " * 50) for i in range(20)], "doc_id int, text string"
+        )
+        a = sorted(map(tuple, span_corruption(big).collect()))
+        b = sorted(map(tuple, span_corruption(big.repartition(7)).collect()))
+        assert a == b
+
+    def test_density_and_guards(self, spark):
+        import pytest as _pytest
+
+        from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+            span_corruption,
+        )
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(200)))],
+            "doc_id int, text string",
+        )
+        r = span_corruption(df).collect()[0]  # block=20, span=3
+        assert r.n_spans == 10
+        masked = len(r.target_text.split()) - r.n_spans
+        assert masked == 30  # exactly 15% of 200
+        with _pytest.raises(ValueError):
+            span_corruption(df, block=3, span=3)
+
+    def test_no_shuffle_no_udf_plan(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+            span_corruption,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+        plan = (
+            span_corruption(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "BatchEval" not in plan
