@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "doc_url_dedup",
     "doc_bm25_index_search",
     "doc_span_corruption",
+    "doc_fim_transform",
     "curation_pipeline_v4",
 ]
 

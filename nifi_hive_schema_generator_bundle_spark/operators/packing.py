@@ -35,6 +35,7 @@ __all__ = [
     "chunk_documents",
     "cdc_chunk_documents",
     "span_corruption",
+    "fim_transform",
 ]
 
 
@@ -337,4 +338,75 @@ def span_corruption(
         nb.alias("n_spans"),
         F.concat_ws(" ", input_toks).alias("input_text"),
         F.concat_ws(" ", target_toks).alias("target_text"),
+    )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    fim_rate: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022 — the code-
+    model data augmentation): for a deterministic ``fim_rate`` fraction
+    of documents, split the token stream at two md5-derived cut points
+    into (prefix, middle, suffix) and emit the PSM layout
+    ``<fim_prefix> P <fim_suffix> S <fim_middle> M``; the rest pass
+    through unchanged. Selection and cuts both derive from (seed, id) —
+    no RNG state, the same doc transforms identically on any
+    partitioning or engine (the md5-fraction keep rule shared with
+    ``sampling.hash_fraction``).
+
+    Cut points are uniform over 0..n_tokens inclusive, so empty
+    prefix/middle/suffix all occur (the published transform allows
+    them). Output: id, ``fim_applied``, ``output_text``. One narrow
+    codegen'd projection — token array materialized once, zero
+    shuffle/UDF; row count and keys unchanged."""
+    if not 0.0 <= fim_rate <= 1.0:
+        raise ValueError("fim_rate must be in [0, 1]")
+    d = ensure_min_partitions(df)
+    staged = d.select(
+        "*", whitespace_tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+
+    def h(tag: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        F.col(id_col).cast("string"),
+                        F.lit(tag),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    keep = (h("keep") % 1000000) < int(round(fim_rate * 1000000))
+    c1 = (h("a") % (n + 1)).cast("int")
+    c2 = (h("b") % (n + 1)).cast("int")
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    prefix = F.concat_ws(" ", F.slice(toks, 1, lo))
+    middle = F.concat_ws(" ", F.slice(toks, lo + 1, hi - lo))
+    suffix = F.concat_ws(" ", F.slice(toks, hi + 1, n - hi))
+    psm = F.concat(
+        F.lit("<fim_prefix> "), prefix,
+        F.lit(" <fim_suffix> "), suffix,
+        F.lit(" <fim_middle> "), middle,
+    )
+    return staged.select(
+        F.col(id_col),
+        keep.alias("fim_applied"),
+        F.when(keep, psm).otherwise(
+            F.concat_ws(" ", toks)
+        ).alias("output_text"),
     )

@@ -8291,3 +8291,51 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_spans", "input_text", "target_text")
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "doc_fim_transform",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(
+                 string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                 x -> x <> '') AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id, t, len(t) AS n,
+        CAST(concat('0x', substring(md5('42:' || CAST(doc_id AS VARCHAR)
+          || ':keep'), 1, 8)) AS BIGINT) % 1000000 < 500000 AS keep,
+        CAST(concat('0x', substring(md5('42:' || CAST(doc_id AS VARCHAR)
+          || ':a'), 1, 8)) AS BIGINT) % (len(t) + 1) AS c1,
+        CAST(concat('0x', substring(md5('42:' || CAST(doc_id AS VARCHAR)
+          || ':b'), 1, 8)) AS BIGINT) % (len(t) + 1) AS c2
+      FROM tk),
+    s AS (
+      SELECT doc_id, keep, t, n,
+             least(c1, c2) AS lo, greatest(c1, c2) AS hi
+      FROM c)
+    SELECT doc_id, keep AS fim_applied,
+      CASE WHEN keep THEN
+        '<fim_prefix> ' || coalesce(array_to_string(t[1:lo], ' '), '')
+        || ' <fim_suffix> ' || coalesce(array_to_string(t[hi+1:n], ' '), '')
+        || ' <fim_middle> ' || coalesce(array_to_string(t[lo+1:hi], ' '), '')
+      ELSE coalesce(array_to_string(t, ' '), '') END AS output_text
+    FROM s ORDER BY doc_id
+    """,
+)
+def doc_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle augmentation (``packing.fim_transform``,
+    Bavarian et al. 2022) at the published 50% FIM rate: md5-selected
+    docs split at two md5-derived token cuts into the PSM sentinel
+    layout, the rest pass through. Deterministic on any partitioning /
+    engine; one narrow codegen'd projection, zero shuffle/UDF. The
+    oracle replays selection, cuts, slicing, and layout verbatim."""
+    from ..operators.packing import fim_transform
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fim_transform(docs)
+        .select("doc_id", "fim_applied", "output_text")
+        .orderBy("doc_id")
+    )

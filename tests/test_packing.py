@@ -284,3 +284,69 @@ class TestSpanCorruption:
         )
         assert "Exchange" not in plan
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestFimTransform:
+    def test_hand_computed_split(self, spark):
+        import hashlib
+
+        from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+            fim_transform,
+        )
+
+        toks = [f"t{i}" for i in range(10)]
+        df = spark.createDataFrame(
+            [(3, " ".join(toks))], "doc_id int, text string"
+        )
+        r = fim_transform(df, fim_rate=1.0, seed=9).collect()[0]
+
+        def h(tag):
+            return int(
+                hashlib.md5(f"9:3:{tag}".encode()).hexdigest()[:8], 16
+            )
+
+        c1, c2 = h("a") % 11, h("b") % 11
+        lo, hi = min(c1, c2), max(c1, c2)
+        exp = (
+            "<fim_prefix> " + " ".join(toks[:lo])
+            + " <fim_suffix> " + " ".join(toks[hi:])
+            + " <fim_middle> " + " ".join(toks[lo:hi])
+        )
+        assert r.fim_applied and r.output_text == exp
+        # every original token survives exactly once
+        body = [t for t in r.output_text.split() if not t.startswith("<fim_")]
+        assert sorted(body) == sorted(toks)
+
+    def test_rate_selection_and_passthrough(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+            fim_transform,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a b c d e") for i in range(200)],
+            "doc_id int, text string",
+        )
+        out = fim_transform(df, fim_rate=0.3).collect()
+        applied = sum(r.fim_applied for r in out)
+        assert 40 <= applied <= 80  # ~30% of 200, md5-uniform
+        for r in out:
+            if not r.fim_applied:
+                assert r.output_text == "a b c d e"
+        none = fim_transform(df, fim_rate=0.0).collect()
+        assert not any(r.fim_applied for r in none)
+        # determinism across layouts
+        a = sorted(map(tuple, fim_transform(df).collect()))
+        b = sorted(map(tuple, fim_transform(df.repartition(7)).collect()))
+        assert a == b
+
+    def test_no_shuffle_no_udf_plan(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.packing import (
+            fim_transform,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+        plan = (
+            fim_transform(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "BatchEval" not in plan
