@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "doc_bm25_index_search",
     "doc_span_corruption",
     "doc_fim_transform",
+    "dataset_overlap_matrix",
     "curation_pipeline_v4",
 ]
 

@@ -8339,3 +8339,59 @@ def doc_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fim_applied", "output_text")
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "dataset_overlap_matrix",
+    oracle="""
+    WITH staged AS (
+      SELECT source,
+        CASE WHEN doc_id % 5 < 2
+             THEN 'shared pool text ' || CAST(doc_id % 11 AS VARCHAR)
+             ELSE text END AS text
+      FROM documents),
+    fps AS (
+      SELECT DISTINCT source AS g,
+        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM staged),
+    sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM fps GROUP BY g),
+    inter AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.g < b.g
+      GROUP BY a.g, b.g),
+    pairs AS (
+      SELECT sa.g AS group_a, sb.g AS group_b, sa.n AS n_a, sb.n AS n_b
+      FROM sizes sa JOIN sizes sb ON sa.g < sb.g)
+    SELECT p.group_a, p.group_b, p.n_a, p.n_b,
+           coalesce(i.n_common, 0) AS n_common,
+           round(coalesce(i.n_common, 0) * 1.0
+                 / (p.n_a + p.n_b - coalesce(i.n_common, 0)), 6) AS jaccard
+    FROM pairs p LEFT JOIN inter i USING (group_a, group_b)
+    ORDER BY group_a, group_b
+    """,
+)
+def dataset_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content-overlap matrix between sources
+    (``profile.dataset_overlap_report``) — the governance report run
+    before mixing corpus slices. Synthetic docs are near-unique, so
+    40% of rows are remapped onto an 11-document shared pool spanning
+    every source (doc_id % 5 < 2), planting real cross-source
+    intersections; zero-overlap pairs stay in the report. The corpus
+    collapses to distinct (source, 16-byte fingerprint) rows before
+    any join — bodies never shuffle; the oracle replays fingerprint,
+    intersection, and Jaccard identically."""
+    from ..operators.profile import dataset_overlap_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 5 < 2,
+            F.concat(
+                F.lit("shared pool text "),
+                (F.col("doc_id") % 11).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dataset_overlap_report(staged).orderBy("group_a", "group_b")

@@ -207,3 +207,39 @@ class TestConcentrationReport:
         df = spark.createDataFrame([("a",)], "g string")
         with pytest.raises(ValueError):
             concentration_report(df, "g", n_bands=0)
+
+
+class TestDatasetOverlapReport:
+    def test_planted_overlap_and_zero_pair(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+            dataset_overlap_report,
+        )
+
+        rows = [
+            # A: x, y, z   B: x, y, w   C: disjoint
+            ("A", "x"), ("A", "Y "), ("A", "z"), ("A", "x"),  # dup + norm
+            ("B", "x"), ("B", "y"), ("B", "w"),
+            ("C", "only c"),
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        out = {
+            (r.group_a, r.group_b): r
+            for r in dataset_overlap_report(df).collect()
+        }
+        assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+        ab = out[("A", "B")]
+        # 'Y ' normalizes to 'y' -> A∩B = {x, y}
+        assert (ab.n_a, ab.n_b, ab.n_common) == (3, 3, 2)
+        assert ab.jaccard == 0.5
+        ac = out[("A", "C")]
+        assert ac.n_common == 0 and ac.jaccard == 0.0  # reported, not dropped
+
+    def test_single_group_empty_report(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+            dataset_overlap_report,
+        )
+
+        df = spark.createDataFrame(
+            [("A", "x"), ("A", "y")], "source string, text string"
+        )
+        assert dataset_overlap_report(df).count() == 0
