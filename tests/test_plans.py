@@ -254,6 +254,10 @@ BNLJ_ALLOWED = {
     # gap-interval join between two DAY-COUNT tables (calendar anti-join
     # output x observed days) — bounded by calendar length, never rows
     "events_partition_completeness",
+    # |slices|-row size table crossed with itself (group_a < group_b) to
+    # keep zero-overlap pairs in the report — slice count is tiny by
+    # definition; the content-intersection join itself is an equi-join
+    "dataset_overlap_matrix",
     "ngram_jaccard_docs",
     # bounded scalar cross joins: the |strata|-row rate table × 1-row
     # feasible cap, and the 1-row bucket-threshold broadcast
