@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "doc_span_corruption",
     "doc_fim_transform",
     "dataset_overlap_matrix",
+    "doc_compression_ratio",
     "curation_pipeline_v4",
 ]
 

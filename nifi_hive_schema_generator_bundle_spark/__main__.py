@@ -21,6 +21,7 @@ library + CLI"):
     explain print the physical plan of any registered query
     stream  drain an NDJSON directory through streaming inference, print
             the DDL and any drift ALTERs
+    htmlextract  HTML column -> visible text (WET-style extraction)
 """
 
 from __future__ import annotations
@@ -339,6 +340,21 @@ def cmd_clean(args) -> int:
         or 0
     )
     print(f"cleaned {args.output} ({changed} rows changed)", file=sys.stderr)
+    return 0
+
+
+def cmd_htmlextract(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .functions.textfns import html_to_text
+    from .sources.formats import convert, read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    out = df.withColumn(args.text_col, html_to_text(args.text_col))
+    convert(out, args.output, args.fmt, mode="overwrite")
+    n = out.count()
+    print(f"extracted {args.output} ({n} rows)", file=sys.stderr)
     return 0
 
 
@@ -991,6 +1007,15 @@ def main(argv: list[str] | None = None) -> int:
     pcl.add_argument("--unicode-form", default="",
                      help="also Unicode-normalize (NFC/NFKC/NFD/NFKD)")
     pcl.set_defaults(fn=cmd_clean)
+
+    phx = sub.add_parser(
+        "htmlextract", help="HTML -> visible text (WET-style extraction)"
+    )
+    phx.add_argument("input")
+    phx.add_argument("output")
+    phx.add_argument("--fmt", default="parquet")
+    phx.add_argument("--text-col", default="text")
+    phx.set_defaults(fn=cmd_htmlextract)
 
     pur = sub.add_parser("urls", help="canonicalize URL column (+host/domain columns)")
     pur.add_argument("input")

@@ -8395,3 +8395,30 @@ def dataset_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return dataset_overlap_report(staged).orderBy("group_a", "group_b")
+
+
+@register_query("doc_compression_ratio")
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal
+    (``textfns.compression_ratio``, the RedPajama-v2/Dolma redundancy
+    metric): ratio of zlib-compressed to raw UTF-8 bytes per document,
+    plus the repetitive-tail flag. Docs with doc_id % 4 == 0 get their
+    text replaced by a 40x-repeated token to plant the boilerplate
+    tail the filter exists to catch. Rows-only (no codec in the SQL
+    oracle engine); the unit tests pin the ratios against direct
+    ``zlib`` calls and the plan against exactly one Arrow stage."""
+    from ..functions.textfns import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.repeat(F.lit("boilerplate "), 40)
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return staged.select(
+        "doc_id",
+        compression_ratio("text").alias("comp_ratio"),
+    ).withColumn(
+        "repetitive", F.col("comp_ratio") < 0.2
+    ).orderBy("doc_id")

@@ -170,3 +170,58 @@ class TestHtmlToText:
         )
         assert "Exchange" not in plan
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestCompressionRatio:
+    def test_matches_direct_zlib(self, spark):
+        import zlib
+
+        from nifi_hive_schema_generator_bundle_spark.functions.textfns import (
+            compression_ratio,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "spam " * 100,
+            "x",
+            "",
+            None,
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id int, text string"
+        )
+        got = {
+            r.id: r.r
+            for r in df.select(
+                "id", compression_ratio("text").alias("r")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            if t is None or t == "":
+                assert got[i] is None
+            else:
+                raw = t.encode()
+                assert got[i] == round(
+                    len(zlib.compress(raw, 6)) / len(raw), 6
+                )
+        # repetitive text compresses far below prose
+        assert got[1] < 0.1 < got[0]
+
+    def test_level_guard_and_single_arrow_stage(self, spark):
+        import pytest as _pytest
+
+        from nifi_hive_schema_generator_bundle_spark.functions.textfns import (
+            compression_ratio,
+        )
+
+        with _pytest.raises(ValueError):
+            compression_ratio("text", level=10)
+        df = spark.createDataFrame([(1, "x")], "id int, text string")
+        plan = (
+            df.select(compression_ratio("text"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("ArrowEvalPython") == 1
+        assert "Exchange" not in plan

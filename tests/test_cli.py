@@ -687,3 +687,19 @@ def test_cli_clean_unicode_form(spark, tmp_path):
     assert rc == 0
     got = spark.read.parquet(out_dir).collect()[0].text
     assert got == "Café x"  # cleaned whitespace AND precomposed
+
+
+def test_cli_htmlextract(spark, tmp_path):
+    inp, out = str(tmp_path / "h_in"), str(tmp_path / "h_out")
+    spark.createDataFrame(
+        [
+            (1, "<html><body><p>Hello &amp; goodbye.</p></body></html>"),
+            (2, "<div><script>var x;</script>visible<br/>line</div>"),
+        ],
+        "id int, text string",
+    ).write.parquet(inp)
+    rc = main(["htmlextract", inp, out])
+    assert rc == 0
+    rows = {r.id: r.text for r in spark.read.parquet(out).collect()}
+    assert rows[1] == "Hello & goodbye."
+    assert rows[2] == "visible\nline"

@@ -195,6 +195,9 @@ ARROW_BATCHED = {
     # Unicode NFC via pandas Series.str.normalize — Spark has no
     # builtin; one scalar-pandas_udf Arrow stage (textfns.unicode_normalize)
     "doc_unicode_normalize",
+    # zlib compression ratio — no codec expression in Spark; one
+    # scalar-pandas_udf Arrow stage (textfns.compression_ratio)
+    "doc_compression_ratio",
 }
 
 PY_NODES = (
