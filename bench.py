@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "doc_fim_transform",
     "dataset_overlap_matrix",
     "doc_compression_ratio",
+    "corpus_top_ngrams",
     "curation_pipeline_v4",
 ]
 

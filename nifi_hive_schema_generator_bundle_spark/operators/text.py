@@ -50,6 +50,7 @@ __all__ = [
     "c4_line_filter",
     "build_text_index",
     "text_index_search",
+    "corpus_top_ngrams",
 ]
 
 # Tiny per-language stopword profiles for the heuristic language scorer.
@@ -1246,3 +1247,61 @@ def text_index_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def corpus_top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    k: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the boilerplate-mining
+    report that tells a pipeline WHAT to put in its blocklists and
+    span-removal rules (navigation chrome, cookie banners, license
+    footers surface immediately). Per surviving gram: total occurrence
+    count and the number of distinct documents containing it; grams in
+    fewer than ``min_docs`` documents are dropped (a high-count
+    single-doc loop is a repetition problem, not boilerplate). Ties
+    break lexicographically for determinism.
+
+    Scale shape: positional n-grams explode once (token array
+    materialized first — the HOF-inlining trap), then a (doc, gram)
+    partial-fold count followed by a gram-keyed (sum, doc-count)
+    aggregate; the top-k is a per-partition TakeOrdered + driver merge
+    of k rows, never a global sort. The gram-keyed shuffles carry
+    short n-word strings and counts — bodies never move."""
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be >= 1")
+    d = ensure_min_partitions(df)
+    tokd = d.select(
+        F.monotonically_increasing_id().alias("__rid"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    grams = tokd.select(
+        "__rid",
+        F.explode(
+            F.when(F.size(toks) < n, F.array()).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+    per_doc = grams.groupBy("__rid", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    agg = (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("cnt").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return agg.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    ).limit(k)

@@ -8422,3 +8422,41 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "repetitive", F.col("comp_ratio") < 0.2
     ).orderBy("doc_id")
+
+
+@register_query(
+    "corpus_top_ngrams",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(
+                 string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                 x -> x <> '') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+      FROM tk, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS s(i)),
+    pd AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+    ag AS (
+      SELECT gram, CAST(sum(c) AS BIGINT) AS n_occurrences,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM pd GROUP BY gram HAVING count(*) >= 2)
+    SELECT gram, n_occurrences, n_docs
+    FROM ag ORDER BY n_occurrences DESC, gram LIMIT 20
+    """,
+)
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most-frequent 3-grams (``text.corpus_top_ngrams``) —
+    the boilerplate-mining report feeding blocklist / span-removal
+    construction: top 20 by total occurrences (ties lexicographic),
+    single-doc loops excluded by the >= 2 distinct-docs floor. One
+    (doc, gram) partial count + one gram-keyed aggregate + a
+    TakeOrdered top-k (no global sort); the oracle replays gram
+    construction, both aggregates, the floor, and the deterministic
+    ordering."""
+    from ..operators.text import corpus_top_ngrams as top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=3, k=20).select(
+        "gram", "n_occurrences", "n_docs"
+    )

@@ -746,3 +746,44 @@ class TestTextIndex:
             text_index_search(spark, p1, [])
         with _pytest.raises(ValueError):
             build_text_index(corpus, str(tmp_path / "c"), buckets=0)
+
+
+class TestCorpusTopNgrams:
+    def test_planted_boilerplate_surfaces(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            corpus_top_ngrams,
+        )
+
+        boiler = "all rights reserved"
+        rows = [
+            (1, f"alpha beta gamma {boiler}"),
+            (2, f"delta epsilon {boiler} zeta"),
+            (3, f"{boiler} {boiler} eta"),
+            (4, "looped looped looped looped looped"),  # single-doc loop
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = corpus_top_ngrams(df, n=3, k=5).collect()
+        assert out[0].gram == boiler
+        assert out[0].n_occurrences == 4 and out[0].n_docs == 3
+        # the single-doc loop gram is excluded by min_docs
+        assert all("looped looped looped" != r.gram for r in out)
+        # with min_docs=1 it appears
+        out1 = corpus_top_ngrams(df, n=3, k=5, min_docs=1).collect()
+        assert any(r.gram == "looped looped looped" for r in out1)
+
+    def test_tiebreak_and_guards(self, spark):
+        import pytest as _pytest
+
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            corpus_top_ngrams,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "b a"), (2, "b a"), (3, "a b"), (4, "a b")],
+            "doc_id int, text string",
+        )
+        out = corpus_top_ngrams(df, n=2, k=2, min_docs=2).collect()
+        # equal counts -> lexicographic order
+        assert [r.gram for r in out] == ["a b", "b a"]
+        with _pytest.raises(ValueError):
+            corpus_top_ngrams(df, n=0)
