@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "dataset_overlap_matrix",
     "doc_compression_ratio",
     "corpus_top_ngrams",
+    "media_min_resolution",
     "curation_pipeline_v4",
 ]
 

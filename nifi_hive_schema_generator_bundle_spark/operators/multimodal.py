@@ -47,6 +47,8 @@ __all__ = [
     "media_near_dup",
     "image_near_dup",
     "audio_near_dup",
+    "png_dimensions",
+    "filter_min_resolution",
 ]
 
 # the canonical media column group: payload + typed metadata struct
@@ -392,3 +394,66 @@ def audio_near_dup(
         max_hamming=max_hamming,
         max_bucket=max_bucket,
     )
+
+
+# PNG wire-format constants for the JVM-side header parse: the 8-byte
+# signature and the ASCII "IHDR" chunk type, both as F.hex() renders
+# them (uppercase).
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+_PNG_IHDR_HEX = "49484452"
+
+
+def png_dimensions(payload) -> "Column":
+    """Parse a PNG payload's pixel dimensions ENTIRELY JVM-side — no
+    Python, no decompression, no decode: the IHDR chunk is at a fixed
+    offset (8-byte signature, 4-byte length, 4-byte type, then
+    big-endian width and height), so ``substring``/``hex``/``conv`` on
+    the binary column read both ints in one codegen'd projection.
+    This is how a 100 TB media gate should check resolution — the
+    payload bytes never leave the JVM and only 24 bytes of each are
+    looked at. Returns a (width, height) struct; NULL when the payload
+    is not a PNG (signature or IHDR type mismatch) or is NULL.
+    """
+    c = F.col(payload) if isinstance(payload, str) else payload
+    is_png = (F.hex(F.substring(c, 1, 8)) == _PNG_SIG_HEX) & (
+        F.hex(F.substring(c, 13, 4)) == _PNG_IHDR_HEX
+    )
+    w = F.conv(F.hex(F.substring(c, 17, 4)), 16, 10).cast("int")
+    h = F.conv(F.hex(F.substring(c, 21, 4)), 16, 10).cast("int")
+    return F.when(
+        is_png, F.struct(w.alias("width"), h.alias("height"))
+    ).otherwise(F.lit(None))
+
+
+def filter_min_resolution(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    min_width: int = 1,
+    min_height: int = 1,
+    action: str = "drop",
+) -> DataFrame:
+    """Minimum-resolution media gate (the standard multimodal-pipeline
+    floor — LAION-style pipelines drop tiny images before any costly
+    decode): appends ``width``/``height`` from the JVM header parse
+    and ``keep`` = both dimensions at or above the floor; non-PNG /
+    unparseable payloads FAIL the gate (NULL dims → keep false).
+    ``action='drop'`` removes failing rows, ``'flag'`` keeps them with
+    the verdict column. One narrow codegen'd projection + an optional
+    filter — zero Python, zero shuffle, payloads never move."""
+    if action not in ("drop", "flag"):
+        raise ValueError("action must be 'drop' or 'flag'")
+    dims = png_dimensions(payload_col)
+    out = df.withColumn("__dims", dims).select(
+        "*",
+        F.col("__dims.width").alias("width"),
+        F.col("__dims.height").alias("height"),
+        (
+            (F.col("__dims.width") >= min_width)
+            & (F.col("__dims.height") >= min_height)
+        ).alias("keep"),
+    ).drop("__dims")
+    out = out.withColumn("keep", F.coalesce(F.col("keep"), F.lit(False)))
+    if action == "drop":
+        return out.filter(F.col("keep")).drop("keep")
+    return out

@@ -8460,3 +8460,47 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, n=3, k=20).select(
         "gram", "n_occurrences", "n_docs"
     )
+
+
+@register_query("media_min_resolution")
+def media_min_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-resolution media gate
+    (``multimodal.filter_min_resolution``): synthetic PNGs at three
+    sizes (doc_id % 3 → 8×8 / 32×24 / 64×48, real ``png_codec``
+    encodes) flow through the JVM-side IHDR header parse — width and
+    height read with ``substring``/``hex``/``conv`` on the binary
+    column, payloads never leave the JVM and never shuffle — and the
+    16×16 floor flags the small tier. Rows-only: the Arrow synth stage
+    is not SQL-expressible; the parse itself is pinned against the
+    encoder in units."""
+    import pandas as pd
+
+    from ..operators.multimodal import filter_min_resolution
+    from ..operators.png_codec import png_encode
+
+    sizes = [(8, 8), (32, 24), (64, 48)]
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                w, h = sizes[int(i) % 3]
+                raw = bytes(
+                    bytearray(
+                        (int(i) + j) % 256 for j in range(w * h * 3)
+                    )
+                )
+                payloads.append(png_encode(raw, w, h, 3))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = d.mapInPandas(synth, "media_id long, payload binary")
+    return (
+        filter_min_resolution(
+            imgs, min_width=16, min_height=16, action="flag"
+        )
+        .select("media_id", "width", "height", "keep")
+        .orderBy("media_id")
+    )

@@ -193,3 +193,63 @@ def test_image_near_dup_planted(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     pairs = {(r.id_a, r.id_b): r.hamming for r in image_near_dup(df).collect()}
     assert pairs == {(1, 2): 0}  # copy found; inverse/null/garbage excluded
+
+
+class TestPngDimensionsGate:
+    def _png(self, w, h):
+        from nifi_hive_schema_generator_bundle_spark.operators.png_codec import (
+            png_encode,
+        )
+
+        px = bytes(bytearray((w * h * 3) % 256 for _ in range(1))) * 0
+        raw = bytes(bytearray(range(256)) * ((w * h * 3) // 256 + 1))[: w * h * 3]
+        return png_encode(raw, w, h, 3)
+
+    def test_jvm_parse_matches_encoded_sizes(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.multimodal import (
+            png_dimensions,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, self._png(16, 12)),
+            (2, self._png(300, 200)),
+            (3, b"not a png at all........."),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "media_id int, payload binary")
+        out = {
+            r.media_id: r
+            for r in df.select(
+                "media_id", png_dimensions("payload").alias("d")
+            ).collect()
+        }
+        assert (out[1].d.width, out[1].d.height) == (16, 12)
+        assert (out[2].d.width, out[2].d.height) == (300, 200)
+        assert out[3].d is None and out[4].d is None
+
+    def test_min_resolution_gate_and_plan(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.multimodal import (
+            filter_min_resolution,
+        )
+
+        rows = [
+            (1, self._png(16, 12)),
+            (2, self._png(64, 64)),
+            (3, b"garbage"),
+        ]
+        df = spark.createDataFrame(rows, "media_id int, payload binary")
+        kept = filter_min_resolution(df, min_width=32, min_height=32)
+        assert [r.media_id for r in kept.collect()] == [2]
+        flagged = filter_min_resolution(
+            df, min_width=32, min_height=32, action="flag"
+        )
+        got = {r.media_id: r.keep for r in flagged.collect()}
+        assert got == {1: False, 2: True, 3: False}
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "BatchEval" not in plan
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            filter_min_resolution(df, action="nope")

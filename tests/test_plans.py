@@ -198,6 +198,9 @@ ARROW_BATCHED = {
     # zlib compression ratio — no codec expression in Spark; one
     # scalar-pandas_udf Arrow stage (textfns.compression_ratio)
     "doc_compression_ratio",
+    # PNG synth is one Arrow stage; the resolution gate itself is the
+    # JVM header parse (substring/hex/conv), pinned no-Python in units
+    "media_min_resolution",
 }
 
 PY_NODES = (
