@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "doc_compression_ratio",
     "corpus_top_ngrams",
     "media_min_resolution",
+    "media_audio_duration",
     "curation_pipeline_v4",
 ]
 

@@ -8504,3 +8504,55 @@ def media_min_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "width", "height", "keep")
         .orderBy("media_id")
     )
+
+
+@register_query("media_audio_duration")
+def media_audio_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio duration gate (``multimodal.filter_audio_duration``):
+    synthetic PCM WAVs at three lengths (doc_id % 3 → 100 ms / 1 s /
+    3 s, real ``wav_codec`` encodes at 8 kHz) flow through the
+    JVM-side RIFF header parse — sample rate, byte rate, and data size
+    read little-endian via per-byte hex reversal + ``conv``, payloads
+    never leave the JVM — and the [500 ms, 2 s] envelope flags the
+    tails. Rows-only (Arrow synth); the parse is pinned against the
+    encoder in units. The waveform depends only on (doc_id % 3,
+    doc_id % 7), so the synth memoizes the 21 distinct encodes per
+    task — row count scales, encode cost doesn't."""
+    import pandas as pd
+
+    from ..operators.multimodal import filter_audio_duration
+    from ..operators.wav_codec import wav_encode
+
+    n_samps = [800, 8000, 24000]
+
+    def synth(it):
+        import math
+
+        cache: dict = {}
+
+        def make(i: int) -> bytes:
+            key = (i % 3, i % 7)
+            wav = cache.get(key)
+            if wav is None:
+                n, phase = n_samps[key[0]], key[1] + 1
+                wav = wav_encode(
+                    [math.sin(j / phase) * 0.5 for j in range(n)], 8000
+                )
+                cache[key] = wav
+            return wav
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [make(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = d.mapInPandas(synth, "media_id long, payload binary")
+    return (
+        filter_audio_duration(wavs, min_ms=500, max_ms=2000, action="flag")
+        .select("media_id", "sample_rate", "duration_ms", "keep")
+        .orderBy("media_id")
+    )

@@ -253,3 +253,61 @@ class TestPngDimensionsGate:
 
         with _pytest.raises(ValueError):
             filter_min_resolution(df, action="nope")
+
+
+class TestWavDurationGate:
+    def _wav(self, n_samples, rate=8000):
+        import math
+
+        from nifi_hive_schema_generator_bundle_spark.operators.wav_codec import (
+            wav_encode,
+        )
+
+        return wav_encode(
+            [math.sin(i / 10.0) for i in range(n_samples)], rate
+        )
+
+    def test_jvm_parse_matches_encoder(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.multimodal import (
+            wav_duration,
+        )
+
+        rows = [
+            (1, self._wav(8000)),           # exactly 1000 ms @ 8 kHz
+            (2, self._wav(4000, 16000)),    # 250 ms @ 16 kHz
+            (3, b"RIFFgarbage............................."),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "media_id int, payload binary")
+        out = {
+            r.media_id: r.d
+            for r in df.select(
+                "media_id", wav_duration("payload").alias("d")
+            ).collect()
+        }
+        assert (out[1].sample_rate, out[1].duration_ms) == (8000, 1000)
+        assert (out[2].sample_rate, out[2].duration_ms) == (16000, 250)
+        assert out[3] is None and out[4] is None
+
+    def test_duration_gate_and_plan(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.multimodal import (
+            filter_audio_duration,
+        )
+
+        rows = [
+            (1, self._wav(800)),    # 100 ms
+            (2, self._wav(8000)),   # 1000 ms
+            (3, self._wav(24000)),  # 3000 ms
+            (4, b"noise"),
+        ]
+        df = spark.createDataFrame(rows, "media_id int, payload binary")
+        kept = filter_audio_duration(df, min_ms=500, max_ms=2000)
+        assert [r.media_id for r in kept.collect()] == [2]
+        flagged = filter_audio_duration(
+            df, min_ms=500, max_ms=2000, action="flag"
+        )
+        got = {r.media_id: r.keep for r in flagged.collect()}
+        assert got == {1: False, 2: True, 3: False, 4: False}
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "BatchEval" not in plan

@@ -201,6 +201,9 @@ ARROW_BATCHED = {
     # PNG synth is one Arrow stage; the resolution gate itself is the
     # JVM header parse (substring/hex/conv), pinned no-Python in units
     "media_min_resolution",
+    # WAV synth is one Arrow stage; the duration gate is the JVM
+    # little-endian RIFF header parse, pinned no-Python in units
+    "media_audio_duration",
 }
 
 PY_NODES = (
