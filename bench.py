@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "corpus_top_ngrams",
     "media_min_resolution",
     "media_audio_duration",
+    "pq_ann_topk",
     "curation_pipeline_v4",
 ]
 

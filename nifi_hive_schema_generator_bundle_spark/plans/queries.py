@@ -8506,6 +8506,30 @@ def media_min_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query("pq_ann_topk")
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk — the
+    FAISS-PQ/ADC pattern): corpus stored as m=8 one-byte-ish codes
+    (64× compression at dim=64), per-query 8×256 lookup table built
+    distributed from the broadcast codebook, corpus scanned with pure
+    JVM ``element_at`` gathers, exact-cosine re-rank of the ADC
+    candidates. Rows-only (the per-subspace KMeans fit is iterative);
+    the unit suite pins full-candidate == brute-force and
+    recall ≥ 0.9 at default margins. Same query set as the other ANN
+    entries for comparability."""
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        pq_topk(emb, q, k=10, candidate_k=40)
+        .select("query_id", "vec_id", F.col("rank").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )
+
+
 @register_query("media_audio_duration")
 def media_audio_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio duration gate (``multimodal.filter_audio_duration``):

@@ -204,6 +204,9 @@ ARROW_BATCHED = {
     # WAV synth is one Arrow stage; the duration gate is the JVM
     # little-endian RIFF header parse, pinned no-Python in units
     "media_audio_duration",
+    # the PQ encode pass is one Arrow stage; the ADC scan itself is
+    # JVM element_at gathers, pinned single-Python-node in units
+    "pq_ann_topk",
 }
 
 PY_NODES = (
@@ -235,6 +238,9 @@ BNLJ_ALLOWED = {
     "ann_cosine_topk",
     "quantized_ann_topk",
     "ivf_ann_topk",
+    # same bounded broadcast-anchor scans: the codebook-row table and
+    # the per-query LUT frame broadcast against queries/corpus
+    "pq_ann_topk",
     # same bounded broadcast-anchor scans as ann_cosine_topk
     "embedding_hard_negatives",
     "doc_hybrid_rrf",

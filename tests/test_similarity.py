@@ -388,3 +388,122 @@ def test_ranking_metrics_rejects_bad_k(spark):
     d = spark.createDataFrame([], "query_id string, vec_id string, rank int")
     with _pytest.raises(ValueError):
         ranking_metrics(d, d, k=0)
+
+
+class TestProductQuantization:
+    def test_full_candidates_equals_brute_force(self, spark, sf_smoke_dir):
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        emb = spark.read.parquet(
+            os.path.join(sf_smoke_dir, "embeddings.parquet")
+        )
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        n = emb.count()
+        exact = sorted(
+            (r.query_id, r.vec_id, r.cosine, r.rank)
+            for r in brute_force_topk(emb, q, k=10).collect()
+        )
+        # candidate_k >= corpus size: ADC only orders the candidate cut,
+        # the exact-cosine re-rank sees every row -> identical output
+        full = sorted(
+            (r.query_id, r.vec_id, r.cosine, r.rank)
+            for r in pq_topk(emb, q, k=10, candidate_k=n).collect()
+        )
+        assert full == exact
+
+    def test_default_candidates_high_recall(self, spark, sf_smoke_dir):
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        emb = spark.read.parquet(
+            os.path.join(sf_smoke_dir, "embeddings.parquet")
+        )
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(emb, q, k=10).collect()
+        }
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in pq_topk(emb, q, k=10, candidate_k=40).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, recall
+
+    def test_self_match_and_contract(self, spark, sf_smoke_dir):
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        emb = spark.read.parquet(
+            os.path.join(sf_smoke_dir, "embeddings.parquet")
+        )
+        q = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        res = pq_topk(emb, q, k=5).collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r.query_id, []).append(r)
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r.rank)
+            assert len(rows) == 5
+            assert rows[0].vec_id == qid  # ADC keeps the exact self-match
+            assert rows[0].cosine == pytest.approx(1.0, abs=1e-4)
+
+    def test_dim_not_divisible_raises(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_topk(df, q, k=1, m=2).collect()
+
+    def test_empty_corpus(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        df = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        q = spark.createDataFrame(
+            [(1, [1.0] * 8)], "query_id long, embedding array<double>"
+        )
+        out = pq_topk(df, q, k=3)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "query_id", "vec_id", "cosine", "rank",
+        ]
+
+    def test_adc_scan_is_jvm_side(self, spark, sf_smoke_dir):
+        # the encode pass is the single declared Arrow stage; everything
+        # from the LUT join to the final rank must be JVM expressions,
+        # i.e. exactly one Python node in the whole plan
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        # prior pq_topk calls leave the encoded corpus cached; a cache hit
+        # renders as InMemoryTableScan and hides the MapInPandas child
+        spark.catalog.clearCache()
+        emb = spark.read.parquet(
+            os.path.join(sf_smoke_dir, "embeddings.parquet")
+        )
+        q = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        plan = pq_topk(emb, q, k=5)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
