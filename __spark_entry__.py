@@ -156,6 +156,10 @@ DRIVER_PRIORITY = [
     "doc_lang_drift",
     "events_user_concentration",
     "curation_pipeline_v4",
+    # (doc_host_pagerank stays out: its two kernels are both hash-checked
+    # in-gate — part_supplier_pagerank runs the identical power iteration
+    # on a much larger graph, doc_url_normalize covers the url_host
+    # extraction; the glue (explode + distinct) is everywhere above)
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",

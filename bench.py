@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "media_min_resolution",
     "media_audio_duration",
     "pq_ann_topk",
+    "doc_host_pagerank",
     "curation_pipeline_v4",
 ]
 

@@ -20,7 +20,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "label_propagation"]
+__all__ = [
+    "pagerank",
+    "triangle_count",
+    "label_propagation",
+    "link_graph_edges",
+]
+
+
+def link_graph_edges(
+    df: DataFrame,
+    url_col: str = "url",
+    links_col: str = "links",
+) -> DataFrame:
+    """Host-level link graph from crawled pages: one (src, dst) edge per
+    distinct (page host, outlink host) pair — the input of the standard
+    crawl-curation centrality signal (host PageRank as a quality prior,
+    the Common-Crawl ranking recipe).
+
+    ``url_col`` is the page's own URL, ``links_col`` an
+    ``array<string>`` of outlink URLs (e.g. from href extraction in the
+    WET stage). Hosts come from ``functions.urls.url_host`` — lowercase,
+    port/userinfo stripped. Rows whose own URL doesn't parse, outlinks
+    that don't parse, and intra-host (self-loop) links are dropped:
+    site-internal navigation is noise for a cross-host authority
+    signal.
+
+    Scale shape: one narrow projection + explode (output bounded by
+    total outlink count, never squared), then a distinct on two short
+    host strings — the single shuffle, map-side combined. The edge list
+    feeds ``pagerank`` unchanged."""
+    from ..functions.urls import url_host
+
+    return (
+        df.select(
+            url_host(F.col(url_col)).alias("src"),
+            F.explode(F.col(links_col)).alias("__link"),
+        )
+        .select("src", url_host(F.col("__link")).alias("dst"))
+        .filter((F.col("src") != "") & (F.col("dst") != ""))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
 
 def triangle_count(

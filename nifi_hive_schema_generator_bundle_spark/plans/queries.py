@@ -4665,12 +4665,15 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_documents(docs).orderBy("doc_id", "chunk_idx")
 
 
-def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+def _pagerank_oracle_sql(
+    iters: int = 5, damping: float = 0.85, edges_sql: str | None = None
+) -> str:
     """Unrolled power-iteration oracle (recursive CTEs with aggregation
     on the recursive term are non-standard, so each round is its own
-    CTE — same math as operators/graph.pagerank)."""
-    head = """
-    WITH e AS (
+    CTE — same math as operators/graph.pagerank). ``edges_sql`` is the
+    distinct (src, dst) edge CTE body; default = the part↔supplier
+    bipartite graph."""
+    edges_sql = edges_sql or """
         SELECT DISTINCT concat('p', CAST(l_partkey AS VARCHAR)) AS src,
                         concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
         FROM lineitem
@@ -4678,7 +4681,9 @@ def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
         SELECT DISTINCT concat('s', CAST(l_suppkey AS VARCHAR)),
                         concat('p', CAST(l_partkey AS VARCHAR))
         FROM lineitem
-    ), nodes AS (
+    """
+    head = f"""
+    WITH e AS ({edges_sql}), nodes AS (
         SELECT src AS node FROM e UNION SELECT dst FROM e
     ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
@@ -8503,6 +8508,67 @@ def media_min_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("media_id", "width", "height", "keep")
         .orderBy("media_id")
+    )
+
+
+_HOST_EDGES_SQL = """
+        SELECT DISTINCT
+               'h' || CAST((doc_id % 20) AS VARCHAR) || '.example.com' AS src,
+               'h' || CAST(((doc_id * 7 + t.k) % 20) AS VARCHAR)
+                   || '.example.com' AS dst
+        FROM documents, (VALUES (1), (4), (7)) t(k)
+        WHERE doc_id % 11 <> 0
+          AND (doc_id % 20) <> ((doc_id * 7 + t.k) % 20)
+    """
+
+
+@register_query(
+    "doc_host_pagerank",
+    oracle=_pagerank_oracle_sql(iters=4, edges_sql=_HOST_EDGES_SQL),
+)
+def doc_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph PageRank — the crawl-curation quality
+    prior (Common-Crawl-style host ranking): page + outlink URLs →
+    ``graph.link_graph_edges`` (url_host extraction, garbage and
+    intra-host links dropped, distinct host pairs) → ``graph.pagerank``
+    (4 iterations, damping 0.85). Synthetic URLs derive from doc_id
+    (page host = doc_id % 20 — UPPERCASED with a :443 port to exercise
+    the host normalization; 3 outlinks at (doc_id·7 + {1,4,7}) % 20;
+    every 11th page URL unparseable; one javascript: garbage outlink
+    per page). The oracle constructs the expected edges ANALYTICALLY
+    from the same derivation — the regex extraction path can't
+    self-confirm — then unrolls the identical power iteration in
+    SQL."""
+    from ..operators.graph import link_graph_edges, pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+
+    def host_url(expr, scheme="https://H", port=":443"):
+        return F.concat(
+            F.lit(scheme),
+            (expr % 20).cast("string"),
+            F.lit(".Example.COM"),
+            F.lit(port),
+            F.lit("/p/"),
+            did.cast("string"),
+        )
+
+    pages = docs.select(
+        F.when(did % 11 == 0, F.concat(F.lit("not a url "), did.cast("string")))
+        .otherwise(host_url(did))
+        .alias("url"),
+        F.array(
+            host_url(did * 7 + 1, scheme="http://h", port=""),
+            host_url(did * 7 + 4, scheme="http://h", port=""),
+            host_url(did * 7 + 7, scheme="http://h", port=""),
+            F.lit("javascript:void(0)"),
+        ).alias("links"),
+    )
+    return (
+        pagerank(link_graph_edges(pages), iters=4, damping=0.85)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
     )
 
 

@@ -154,3 +154,39 @@ def test_label_propagation_deterministic_across_layouts(spark):
         map(tuple, label_propagation(edges.repartition(7), iterations=3).collect())
     )
     assert a == b
+
+
+class TestLinkGraphEdges:
+    def test_hosts_extracted_and_cleaned(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.graph import (
+            link_graph_edges,
+        )
+
+        rows = [
+            # userinfo + port + case noise on both sides
+            (
+                "HTTPS://user@WWW.A.com:443/x",
+                ["http://b.com/1", "http://B.com/2", "https://c.org"],
+            ),
+            # self-loop outlink dropped, garbage outlink dropped
+            ("http://b.com/", ["http://b.com/other", "javascript:void(0)"]),
+            # unparseable page URL: all its edges dropped
+            ("not a url", ["http://d.net"]),
+        ]
+        df = spark.createDataFrame(rows, "url string, links array<string>")
+        got = {(r.src, r.dst) for r in link_graph_edges(df).collect()}
+        assert got == {("www.a.com", "b.com"), ("www.a.com", "c.org")}
+
+    def test_distinct_and_plan(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.graph import (
+            link_graph_edges,
+        )
+
+        df = spark.createDataFrame(
+            [("http://a.com", ["http://b.com"])] * 5,
+            "url string, links array<string>",
+        )
+        out = link_graph_edges(df)
+        assert out.count() == 1
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "BatchEval" not in plan
