@@ -119,8 +119,12 @@ DRIVER_PRIORITY = [
     # (events_value_winsorized displaced: same discrete order-statistic
     # percentile kernel as in-gate doc_ccnet_buckets)
     # --- round-4e additions (newest code = top risk) ---
-    "doc_dsir_weights",
+    # (doc_dsir_weights displaced by doc_chat_render: in-gate
+    # doc_dsir_sample composes the identical weight construction, so
+    # hash-verifying the sample transitively covers the weights — the
+    # BM25 index-search precedent; the sft render fold is newer code)
     "doc_dsir_sample",
+    "doc_chat_render",
     # --- round-4f additions (newest code = top risk; displace
     # doc_near_dedup_best ~ verified doc_near_dedup_exact kernel and
     # events_value_histogram ~ verified events_value_bands banding) ---

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "media_audio_duration",
     "pq_ann_topk",
     "doc_host_pagerank",
+    "doc_chat_render",
     "curation_pipeline_v4",
 ]
 

@@ -1,0 +1,111 @@
+"""Instruction-tuning (SFT) data preparation: chat-template rendering
+with loss-mask spans.
+
+The standard fine-tuning pipeline stores conversations as an
+``array<struct<role, content>>`` column, renders each into one training
+string under a fixed template, and trains the loss only on the
+assistant turns — everything else (system prompt, user turns, role
+markers) is context. The renderer therefore has to return, along with
+the text, the exact character spans the loss applies to; tokenizer-side
+code converts char spans to token spans downstream.
+
+Spark shape: ONE codegen'd projection per row — the render is an
+``F.aggregate`` fold over the turns array carrying a
+(text, spans) struct accumulator, so rendering and span arithmetic
+happen in the same pass, JVM-side, with no UDF and no shuffle. Turn
+counts are small (conversations, not corpora), so the fold's
+quadratic-reinlining hazard (SCALE.md, the O(len²) HOF trap) does not
+bite: the accumulator grows with turns, not document length.
+
+At 100 TB: a narrow projection scales embarrassingly; the only data
+movement is whatever the caller does next (packing, sharding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["render_chat", "rendered_chat_frame"]
+
+_SPANS_T = "array<struct<s:int,e:int>>"
+
+
+def render_chat(
+    turns: Column | str,
+    *,
+    train_roles: tuple[str, ...] = ("assistant",),
+) -> Column:
+    """Render an ``array<struct<role:string, content:string>>`` column
+    into a ``struct<text:string, spans:array<struct<s:int, e:int>>>``.
+
+    Template (fixed, marker-per-turn)::
+
+        <|role|>\\n{content}\\n   — per turn, concatenated in order
+
+    ``spans`` holds 1-based inclusive character ranges of the CONTENT
+    of every turn whose role is in ``train_roles`` (default: assistant
+    turns only — the loss-mask convention). ``substring(text, s,
+    e - s + 1)`` returns exactly that turn's content; markers and
+    untrained turns are never inside a span. NULL/empty turn arrays
+    render to empty text with no spans."""
+    t = F.col(turns) if isinstance(turns, str) else turns
+    roles = F.array(*[F.lit(r) for r in train_roles])
+
+    def step(acc, x):
+        header = F.concat(F.lit("<|"), x["role"], F.lit("|>\n"))
+        start = (F.length(acc["text"]) + F.length(header) + 1).cast("int")
+        end = (start + F.length(x["content"]) - 1).cast("int")
+        span = F.array(F.struct(start.alias("s"), end.alias("e")))
+        return F.struct(
+            F.concat(acc["text"], header, x["content"], F.lit("\n")).alias(
+                "text"
+            ),
+            F.when(
+                F.array_contains(roles, x["role"]),
+                F.concat(acc["spans"], span),
+            )
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("text"),
+        F.expr(f"CAST(array() AS {_SPANS_T})").alias("spans"),
+    )
+    return F.aggregate(F.coalesce(t, F.expr("array()")), init, step)
+
+
+def rendered_chat_frame(
+    df: DataFrame,
+    turns_col: str = "turns",
+    *,
+    train_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """``render_chat`` exploded to one row per loss span — the flat
+    training-manifest layout (conversation id columns pass through):
+    ``text``, ``text_len``, ``n_spans``, ``span_idx`` (0-based),
+    ``s``/``e`` (1-based inclusive char range), and ``piece`` (the
+    span's content, sliced back out of the rendered text — a built-in
+    self-check: piece == that turn's content by construction).
+    Conversations with no trained turns keep one row with a NULL span.
+    One projection + ``posexplode_outer``; row growth = span count."""
+    r = render_chat(turns_col, train_roles=train_roles)
+    out = df.withColumn("__r", r).drop(turns_col).select(
+        "*",
+        F.col("__r.text").alias("text"),
+        F.length("__r.text").alias("text_len"),
+        F.size("__r.spans").alias("n_spans"),
+    )
+    return (
+        out.select(
+            *[c for c in out.columns if c != "__r"],
+            F.posexplode_outer("__r.spans").alias("span_idx", "__sp"),
+        )
+        .withColumn("s", F.col("__sp.s"))
+        .withColumn("e", F.col("__sp.e"))
+        .withColumn(
+            "piece", F.substring("text", F.col("s"), F.col("e") - F.col("s") + 1)
+        )
+        .drop("__sp")
+    )

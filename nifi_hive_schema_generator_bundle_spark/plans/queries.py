@@ -8511,6 +8511,89 @@ def media_min_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query(
+    "doc_chat_render",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, 'Be concise.' AS sys,
+               substring(text, 1, 20) AS u1, substring(text, 21, 30) AS a1,
+               'More on topic ' || CAST(doc_id AS VARCHAR) AS u2,
+               substring(text, 51, 25) AS a2
+        FROM documents
+    ), r AS (
+        SELECT doc_id, u1, a1, u2, a2,
+               '<|system|>' || chr(10) || sys || chr(10)
+            || '<|user|>' || chr(10) || u1 || chr(10)
+            || '<|assistant|>' || chr(10) || a1 || chr(10) AS pre1,
+               '<|user|>' || chr(10) || u2 || chr(10)
+            || '<|assistant|>' || chr(10) AS mid2
+        FROM t
+    ), f AS (
+        SELECT doc_id, a1, a2,
+               pre1 || mid2 || a2 || chr(10) AS txt,
+               length(pre1) - length(a1) - 1 AS pre_a1,
+               length(pre1) + length(mid2) AS pre_a2
+        FROM r
+    )
+    SELECT doc_id, CAST(length(txt) AS BIGINT) AS text_len,
+           CAST(2 AS BIGINT) AS n_spans, x.span_idx,
+           CAST(CASE x.span_idx WHEN 0 THEN pre_a1 + 1
+                ELSE pre_a2 + 1 END AS INTEGER) AS s,
+           CAST(CASE x.span_idx WHEN 0 THEN pre_a1 + length(a1)
+                ELSE pre_a2 + length(a2) END AS INTEGER) AS e,
+           CASE x.span_idx WHEN 0 THEN a1 ELSE a2 END AS piece
+    FROM f, (VALUES (CAST(0 AS INTEGER)), (CAST(1 AS INTEGER))) x(span_idx)
+    ORDER BY doc_id, x.span_idx
+    """,
+)
+def doc_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering with loss-mask spans
+    (``operators/sft.rendered_chat_frame``): a 5-turn conversation
+    (system/user/assistant/user/assistant, contents derived from the
+    document text and doc_id) renders in one JVM ``aggregate`` fold —
+    text + 1-based char spans of the assistant contents in the same
+    pass, no UDF, no shuffle — then explodes to the flat training
+    manifest (one row per span, ``piece`` sliced back out as the
+    built-in self-check). The oracle rebuilds the rendered string and
+    the span arithmetic ANALYTICALLY from the same derivation — the
+    fold can't self-confirm."""
+    from ..operators.sft import rendered_chat_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def turn(role, content):
+        return F.struct(
+            F.lit(role).alias("role"), content.alias("content")
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.array(
+            turn("system", F.lit("Be concise.")),
+            turn("user", F.substring("text", 1, 20)),
+            turn("assistant", F.substring("text", 21, 30)),
+            turn(
+                "user",
+                F.concat(F.lit("More on topic "), F.col("doc_id").cast("string")),
+            ),
+            turn("assistant", F.substring("text", 51, 25)),
+        ).alias("turns"),
+    )
+    return (
+        rendered_chat_frame(base)
+        .select(
+            "doc_id",
+            F.col("text_len").cast("long").alias("text_len"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            "span_idx",
+            "s",
+            "e",
+            "piece",
+        )
+        .orderBy("doc_id", "span_idx")
+    )
+
+
 _HOST_EDGES_SQL = """
         SELECT DISTINCT
                'h' || CAST((doc_id % 20) AS VARCHAR) || '.example.com' AS src,

@@ -1,0 +1,88 @@
+"""Chat-template rendering + loss-mask span tests (operators/sft.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_hive_schema_generator_bundle_spark.operators.sft import (
+    render_chat,
+    rendered_chat_frame,
+)
+
+TURNS_T = "array<struct<role:string,content:string>>"
+
+
+@pytest.fixture(scope="module")
+def conv(spark):
+    rows = [
+        (
+            1,
+            [
+                ("system", "Be brief."),
+                ("user", "Hi there"),
+                ("assistant", "Hello!"),
+                ("user", "Bye"),
+                ("assistant", "See ya"),
+            ],
+        ),
+        (2, [("user", "no reply yet")]),
+        (3, []),
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, f"conv_id int, turns {TURNS_T}")
+
+
+def test_render_hand_computed(spark, conv):
+    r = conv.select(
+        "conv_id", render_chat("turns").alias("r")
+    ).collect()
+    by_id = {row.conv_id: row.r for row in r}
+    expected = (
+        "<|system|>\nBe brief.\n"
+        "<|user|>\nHi there\n"
+        "<|assistant|>\nHello!\n"
+        "<|user|>\nBye\n"
+        "<|assistant|>\nSee ya\n"
+    )
+    assert by_id[1].text == expected
+    # spans slice back exactly the assistant contents
+    for (s, e), want in zip(by_id[1].spans, ["Hello!", "See ya"]):
+        assert expected[s - 1:e] == want
+    assert by_id[2].text == "<|user|>\nno reply yet\n"
+    assert by_id[2].spans == []
+    assert by_id[3].text == "" and by_id[3].spans == []
+    assert by_id[4].text == "" and by_id[4].spans == []
+
+
+def test_train_roles_override(spark, conv):
+    r = conv.filter("conv_id = 1").select(
+        render_chat("turns", train_roles=("user", "assistant")).alias("r")
+    ).collect()[0].r
+    pieces = [r.text[s - 1:e] for s, e in r.spans]
+    assert pieces == ["Hi there", "Hello!", "Bye", "See ya"]
+
+
+def test_flat_frame_piece_equals_content(spark, conv):
+    out = rendered_chat_frame(conv).collect()
+    got = {
+        (r.conv_id, r.span_idx): (r.piece, r.n_spans, r.text_len)
+        for r in out
+    }
+    assert got[(1, 0)][0] == "Hello!"
+    assert got[(1, 1)][0] == "See ya"
+    assert got[(1, 0)][1] == 2
+    # span-free conversations keep one NULL-span row
+    assert got[(2, None)][1] == 0
+    assert got[(3, None)][2] == 0
+    assert got[(4, None)][2] == 0
+    assert len(out) == 5
+
+
+def test_plan_is_jvm_only(spark, conv):
+    plan = (
+        rendered_chat_frame(conv)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "BatchEval" not in plan
+    assert "Exchange" not in plan
