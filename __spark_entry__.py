@@ -114,7 +114,10 @@ DRIVER_PRIORITY = [
     "doc_html_extract",
     "events_daily_gap_fill",
     "customer_balance_imputed",
-    "doc_sentences",
+    # (doc_sentences displaced by doc_preference_pairs: its regex-split +
+    # posexplode shape is in-gate via doc_paragraph_dedup's split+explode
+    # dedup; the struct-min/max preference kernel is the newer code)
+    "doc_preference_pairs",
     "doc_temperature_sample",
     # (events_value_winsorized displaced: same discrete order-statistic
     # percentile kernel as in-gate doc_ccnet_buckets)

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "pq_ann_topk",
     "doc_host_pagerank",
     "doc_chat_render",
+    "doc_preference_pairs",
     "curation_pipeline_v4",
 ]
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["render_chat", "rendered_chat_frame"]
+__all__ = ["render_chat", "rendered_chat_frame", "preference_pairs"]
 
 _SPANS_T = "array<struct<s:int,e:int>>"
 
@@ -74,6 +74,56 @@ def render_chat(
         F.expr(f"CAST(array() AS {_SPANS_T})").alias("spans"),
     )
     return F.aggregate(F.coalesce(t, F.expr("array()")), init, step)
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    score_col: str = "score",
+    id_col: str = "response_id",
+    *,
+    margin: float = 0.0,
+) -> DataFrame:
+    """Preference-pair extraction for DPO/RLHF training: per prompt,
+    (chosen, rejected) = the highest- and lowest-scored responses, with
+    the pair emitted only when ``chosen_score − rejected_score >
+    margin`` — a prompt whose candidates all tie carries no learnable
+    signal and is dropped (margin 0.0 keeps any strict gap).
+
+    Deterministic under ties: best/worst are lexicographic max/min of
+    (score, id) — the same pair on every run, layout, and engine.
+    Returns (prompt, chosen, rejected, chosen_score, rejected_score,
+    n_responses).
+
+    Scale shape: ONE groupBy on the prompt key whose aggregates are
+    struct min/max — map-side combinable, so the shuffle carries two
+    (score, id, response) structs per (partition, prompt), never the
+    candidate lists; no window sort, no per-prompt arrays. A
+    whale prompt with 10⁶ candidates costs the same shuffle rows as
+    one with 2."""
+    hi = F.max(F.struct(F.col(score_col), F.col(id_col), F.col(response_col)))
+    lo = F.min(F.struct(F.col(score_col), F.col(id_col), F.col(response_col)))
+    agg = df.groupBy(prompt_col).agg(
+        hi.alias("__hi"), lo.alias("__lo"), F.count("*").alias("n_responses")
+    )
+    return (
+        agg.filter(
+            (F.col("n_responses") >= 2)
+            & (
+                F.col(f"__hi.{score_col}") - F.col(f"__lo.{score_col}")
+                > F.lit(margin)
+            )
+        )
+        .select(
+            prompt_col,
+            F.col(f"__hi.{response_col}").alias("chosen"),
+            F.col(f"__lo.{response_col}").alias("rejected"),
+            F.col(f"__hi.{score_col}").alias("chosen_score"),
+            F.col(f"__lo.{score_col}").alias("rejected_score"),
+            "n_responses",
+        )
+    )
 
 
 def rendered_chat_frame(

@@ -8594,6 +8594,60 @@ def doc_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query(
+    "doc_preference_pairs",
+    oracle="""
+    WITH c AS (
+        SELECT 'p' || CAST(doc_id % 50 AS VARCHAR) AS prompt,
+               text AS response,
+               CAST(n_chars % 17 AS DOUBLE) AS score,
+               doc_id AS rid
+        FROM documents
+    ), hi AS (
+        SELECT prompt, response, score,
+               row_number() OVER (
+                   PARTITION BY prompt ORDER BY score DESC, rid DESC) AS rn
+        FROM c
+    ), lo AS (
+        SELECT prompt, response, score,
+               row_number() OVER (
+                   PARTITION BY prompt ORDER BY score ASC, rid ASC) AS rn
+        FROM c
+    ), n AS (
+        SELECT prompt, CAST(count(*) AS BIGINT) AS n_responses
+        FROM c GROUP BY prompt
+    )
+    SELECT hi.prompt, hi.response AS chosen, lo.response AS rejected,
+           hi.score AS chosen_score, lo.score AS rejected_score,
+           n.n_responses
+    FROM hi, lo, n
+    WHERE hi.prompt = lo.prompt AND n.prompt = hi.prompt
+      AND hi.rn = 1 AND lo.rn = 1
+      AND n.n_responses >= 2 AND hi.score - lo.score > 0.0
+    ORDER BY hi.prompt
+    """,
+)
+def doc_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair extraction (``sft.preference_pairs``):
+    documents grouped into 50 synthetic prompts (doc_id % 50), response
+    score = n_chars % 17 (ties guaranteed, exercising the (score, id)
+    lexicographic tiebreak). One map-side-combinable struct-min/max
+    aggregate per prompt — no window sort, no candidate arrays; the
+    oracle replays best/worst with explicitly-ordered row_number
+    windows."""
+    from ..operators.sft import preference_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("p"), (F.col("doc_id") % 50).cast("string")).alias(
+            "prompt"
+        ),
+        F.col("text").alias("response"),
+        (F.col("n_chars") % 17).cast("double").alias("score"),
+        F.col("doc_id").alias("response_id"),
+    )
+    return preference_pairs(docs).orderBy("prompt")
+
+
 _HOST_EDGES_SQL = """
         SELECT DISTINCT
                'h' || CAST((doc_id % 20) AS VARCHAR) || '.example.com' AS src,

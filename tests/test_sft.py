@@ -86,3 +86,61 @@ def test_plan_is_jvm_only(spark, conv):
     )
     assert "Python" not in plan and "BatchEval" not in plan
     assert "Exchange" not in plan
+
+
+class TestPreferencePairs:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "prompt string, response string, score double, response_id long"
+        )
+
+    def test_hand_computed(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.sft import (
+            preference_pairs,
+        )
+
+        df = self._df(spark, [
+            ("p1", "bad", 1.0, 1),
+            ("p1", "ok", 2.0, 2),
+            ("p1", "best", 5.0, 3),
+            ("p2", "only", 3.0, 4),          # single response: dropped
+            ("p3", "tie-a", 2.0, 5),          # all tied: dropped at margin 0
+            ("p3", "tie-b", 2.0, 6),
+        ])
+        got = {r.prompt: r for r in preference_pairs(df).collect()}
+        assert set(got) == {"p1"}
+        r = got["p1"]
+        assert (r.chosen, r.rejected) == ("best", "bad")
+        assert (r.chosen_score, r.rejected_score, r.n_responses) == (5.0, 1.0, 3)
+
+    def test_margin_and_tiebreak(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.sft import (
+            preference_pairs,
+        )
+
+        df = self._df(spark, [
+            ("p1", "a", 1.0, 1),
+            ("p1", "b", 1.4, 2),
+            # ties at both extremes: id decides deterministically
+            ("p2", "lo-first", 1.0, 1),
+            ("p2", "lo-second", 1.0, 2),
+            ("p2", "hi-first", 9.0, 3),
+            ("p2", "hi-second", 9.0, 4),
+        ])
+        got = {r.prompt: r for r in preference_pairs(df, margin=0.5).collect()}
+        assert "p1" not in got           # gap 0.4 <= margin
+        r = got["p2"]
+        assert (r.chosen, r.rejected) == ("hi-second", "lo-first")
+
+    def test_plan_is_single_partial_agg(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.sft import (
+            preference_pairs,
+        )
+
+        df = self._df(spark, [("p", "r", 1.0, 1), ("p", "s", 2.0, 2)])
+        plan = (
+            preference_pairs(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
+        assert plan.count("Exchange") == 1  # one prompt-key shuffle, combined map-side
