@@ -105,7 +105,12 @@ DRIVER_PRIORITY = [
     "customers_pii_scrub",
     "doc_bloom_incremental",
     "doc_hashed_tf_vectors",
-    "events_variant_extract",
+    # (events_variant_extract displaced by the eval metrics: its
+    # JSON-path extraction kernel is driver-verified via r1-r3
+    # events_props_extract; pass@k's fold + majority-vote's argmax
+    # are newer code)
+    "events_pass_at_k",
+    "events_majority_vote",
     "minhash_near_dup_portable",
     "curation_pipeline_v3",
     # --- round-4d additions (never driver-verified, newest code = top risk) ---
@@ -118,7 +123,10 @@ DRIVER_PRIORITY = [
     # posexplode shape is in-gate via doc_paragraph_dedup's split+explode
     # dedup; the struct-min/max preference kernel is the newer code)
     "doc_preference_pairs",
-    "doc_temperature_sample",
+    # (doc_temperature_sample displaced: its count^alpha rate table +
+    # md5-fraction keep is the r3-driver-verified doc_mixture_sample
+    # kernel with a different rate formula, and doc_dsir_sample keeps
+    # the md5-fraction/Gumbel family in-gate)
     # (events_value_winsorized displaced: same discrete order-statistic
     # percentile kernel as in-gate doc_ccnet_buckets)
     # --- round-4e additions (newest code = top risk) ---

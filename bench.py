@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "doc_host_pagerank",
     "doc_chat_render",
     "doc_preference_pairs",
+    "events_pass_at_k",
+    "events_majority_vote",
     "curation_pipeline_v4",
 ]
 

@@ -1,0 +1,109 @@
+"""Model-evaluation metrics over sampled-generation tables.
+
+The training loop's other half: given a table of per-problem generation
+samples (n samples per problem, a correctness bit each — the HumanEval/
+MBPP layout), estimate pass@k with the unbiased estimator
+``1 − C(n−c, k)/C(n, k)`` (the expected probability that at least one
+of k samples drawn without replacement from the n is correct), and
+score majority-vote (self-consistency) accuracy.
+
+Spark shape: everything is ONE groupBy on the problem key (map-side
+combinable count/sum), then narrow arithmetic. The binomial ratio is
+computed as a falling-factorial product ``Π_{i<k} (n−c−i)/(n−i)`` via a
+JVM ``aggregate`` fold over ``sequence(0, k−1)`` — exact for any n (no
+``factorial()``'s n ≤ 20 ceiling, no lgamma rounding), k terms per row,
+no UDF, no second shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pass_at_k", "majority_vote_accuracy"]
+
+
+def pass_at_k(
+    df: DataFrame,
+    problem_col: str = "problem_id",
+    correct_col: str = "correct",
+    ks: tuple[int, ...] = (1, 10),
+) -> DataFrame:
+    """Unbiased pass@k per problem, long format: (problem, n_samples,
+    n_correct, k, pass_at_k). ``correct_col`` is boolean or 0/1.
+
+    Rows where k > n_samples get NULL (the estimator is undefined —
+    you can't draw k from n); c > n−k short-circuits to exactly 1.0
+    (every k-subset contains a correct sample) before the product,
+    which would otherwise hit a zero term."""
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError("ks must be >= 1")
+    g = df.groupBy(problem_col).agg(
+        F.count("*").alias("n_samples"),
+        F.sum(F.col(correct_col).cast("int")).alias("n_correct"),
+    )
+    out = g.select(
+        problem_col,
+        "n_samples",
+        "n_correct",
+        F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k"),
+    )
+    n, c, k = F.col("n_samples"), F.col("n_correct"), F.col("k")
+    # Π_{i=0}^{k-1} (n-c-i)/(n-i) == C(n-c,k)/C(n,k), term-by-term exact
+    prod = F.aggregate(
+        F.sequence(F.lit(0), k - 1),
+        F.lit(1.0),
+        lambda acc, i: acc * (n - c - i) / (n - i),
+    )
+    return out.withColumn(
+        "pass_at_k",
+        F.when(k > n, F.lit(None).cast("double"))
+        .when(c > n - k, F.lit(1.0))
+        .otherwise(F.round(1.0 - prod, 6)),
+    )
+
+
+def majority_vote_accuracy(
+    df: DataFrame,
+    problem_col: str = "problem_id",
+    answer_col: str = "answer",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Self-consistency scoring: per problem, the modal sampled answer
+    (ties broken by smallest answer value — deterministic across runs,
+    layouts, and engines) compared against the gold answer. Returns
+    (problem, vote_answer, n_votes, n_samples, is_correct).
+
+    ``gold_col`` must be constant within a problem (it rides the
+    aggregates via ``min``). Two map-side-combinable aggregations —
+    (problem, answer) counts, then a struct-max argmax per problem —
+    no window sort, no answer arrays."""
+    counts = df.groupBy(problem_col, answer_col).agg(
+        F.count("*").alias("n_votes"), F.min(gold_col).alias("__gold")
+    )
+    # a single max(struct(votes, answer)) would tiebreak to the LARGEST
+    # answer; smallest-answer ties need max-votes first, then a min over
+    # the winners — two partial aggs + one equi-join on the problem key
+    w = counts.groupBy(problem_col).agg(
+        F.max("n_votes").alias("__top"),
+        F.sum("n_votes").alias("n_samples"),
+        F.min("__gold").alias("__g"),
+    )
+    return (
+        counts.join(w, problem_col)
+        .filter(F.col("n_votes") == F.col("__top"))
+        .groupBy(problem_col)
+        .agg(
+            F.min(answer_col).alias("vote_answer"),
+            F.min("n_votes").alias("n_votes"),
+            F.min("n_samples").alias("n_samples"),
+            F.min("__g").alias("__g"),
+        )
+        .select(
+            problem_col,
+            "vote_answer",
+            "n_votes",
+            "n_samples",
+            (F.col("vote_answer") == F.col("__g")).alias("is_correct"),
+        )
+    )

@@ -8648,6 +8648,96 @@ def doc_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pairs(docs).orderBy("prompt")
 
 
+@register_query(
+    "events_pass_at_k",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(event_id % 40 AS BIGINT) AS problem_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(CASE WHEN event_id % (3 + (event_id % 40) % 5) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM events GROUP BY 1
+    ), x AS (
+        SELECT g.*, k.k FROM g,
+            (VALUES (CAST(1 AS INTEGER)), (CAST(5 AS INTEGER)),
+                    (CAST(10 AS INTEGER))) k(k)
+    ), p AS (
+        SELECT x.problem_id, x.k,
+               product(1.0 * (x.n_samples - x.n_correct - s.i)
+                       / (x.n_samples - s.i)) AS pr
+        FROM x JOIN generate_series(0, 9) s(i) ON s.i < x.k
+        WHERE x.k <= x.n_samples AND x.n_correct <= x.n_samples - x.k
+        GROUP BY 1, 2
+    )
+    SELECT x.problem_id, x.n_samples, x.n_correct, x.k,
+        CASE WHEN x.k > x.n_samples THEN NULL
+             WHEN x.n_correct > x.n_samples - x.k THEN 1.0
+             ELSE round(1.0 - p.pr, 6) END AS pass_at_k
+    FROM x LEFT JOIN p ON x.problem_id = p.problem_id AND x.k = p.k
+    ORDER BY x.problem_id, x.k
+    """,
+)
+def events_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k eval metric (``operators/evals.pass_at_k`` — the unbiased
+    1 − C(n−c,k)/C(n,k) estimator): events grouped into 40 synthetic
+    problems, correctness rate varying per problem (modulus 3–7). The
+    binomial ratio is a falling-factorial JVM fold over sequence(0,k−1)
+    — exact for any n, no factorial() n ≤ 20 ceiling; the oracle
+    replays it with a bounded generate_series join + product()."""
+    from ..operators.evals import pass_at_k
+
+    e = load_table(spark, sf_dir, "events")
+    samples = e.select(
+        (F.col("event_id") % 40).alias("problem_id"),
+        (
+            F.col("event_id") % (3 + (F.col("event_id") % 40) % 5) == 0
+        ).alias("correct"),
+    )
+    return pass_at_k(samples, ks=(1, 5, 10)).orderBy("problem_id", "k")
+
+
+@register_query(
+    "events_majority_vote",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(user_id % 20 AS BIGINT) AS problem_id,
+               event_type AS answer, CAST(count(*) AS BIGINT) AS n_votes
+        FROM events GROUP BY 1, 2
+    ), w AS (
+        SELECT problem_id, max(n_votes) AS top,
+               CAST(sum(n_votes) AS BIGINT) AS n_samples
+        FROM c GROUP BY problem_id
+    ), v AS (
+        SELECT c.problem_id, min(c.answer) AS vote_answer,
+               min(c.n_votes) AS n_votes, min(w.n_samples) AS n_samples
+        FROM c JOIN w ON c.problem_id = w.problem_id AND c.n_votes = w.top
+        GROUP BY c.problem_id
+    )
+    SELECT problem_id, vote_answer, n_votes, n_samples,
+           vote_answer = (CASE WHEN problem_id % 2 = 0
+                          THEN 'view' ELSE 'click' END) AS is_correct
+    FROM v ORDER BY problem_id
+    """,
+)
+def events_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-consistency scoring (``evals.majority_vote_accuracy``): the
+    modal event_type per synthetic problem (user_id % 20), smallest-
+    answer tiebreak, compared to an alternating gold. Two partial aggs
+    + one equi-join — no window sort, no per-problem answer arrays."""
+    from ..operators.evals import majority_vote_accuracy
+
+    e = load_table(spark, sf_dir, "events")
+    pid = (F.col("user_id") % 20).alias("problem_id")
+    samples = e.select(
+        pid,
+        F.col("event_type").alias("answer"),
+        F.when((F.col("user_id") % 20) % 2 == 0, F.lit("view"))
+        .otherwise(F.lit("click"))
+        .alias("gold"),
+    )
+    return majority_vote_accuracy(samples).orderBy("problem_id")
+
+
 _HOST_EDGES_SQL = """
         SELECT DISTINCT
                'h' || CAST((doc_id % 20) AS VARCHAR) || '.example.com' AS src,
