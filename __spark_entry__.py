@@ -162,12 +162,19 @@ DRIVER_PRIORITY = [
     # sums, doc_blocklist_filter ~ in-gate customers_pii_scrub narrow text
     # projection, events_daily_anomaly ~ in-gate events_daily_gap_fill
     # daily-spine window) ---
-    "doc_gopher_quality",
+    # (doc_gopher_quality displaced by the round-4j eval operators: its
+    # ratio-feature narrow projection is the in-gate doc_quality_classifier
+    # feature kernel, and doc_gopher_repetition keeps the Gopher family's
+    # aggregation side in-gate)
     "doc_gopher_repetition",
     "doc_c4_line_filter",
     "doc_license_detect",
     "doc_dp_lang_counts",
-    "events_value_drift",
+    # (events_value_drift displaced: its binned-PSI kernel differs from
+    # in-gate doc_lang_drift only in the binning projection, which
+    # events_value_bands hash-verified in r3)
+    "events_bradley_terry",
+    "events_calibration",
     "doc_lang_drift",
     "events_user_concentration",
     "curation_pipeline_v4",

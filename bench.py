@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "doc_preference_pairs",
     "events_pass_at_k",
     "events_majority_vote",
+    "events_bradley_terry",
+    "events_calibration",
     "curation_pipeline_v4",
 ]
 

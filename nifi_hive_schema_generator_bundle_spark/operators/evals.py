@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pass_at_k", "majority_vote_accuracy"]
+__all__ = ["pass_at_k", "majority_vote_accuracy", "calibration_error"]
 
 
 def pass_at_k(
@@ -61,6 +61,68 @@ def pass_at_k(
         .when(c > n - k, F.lit(1.0))
         .otherwise(F.round(1.0 - prod, 6)),
     )
+
+
+def calibration_error(
+    df: DataFrame,
+    confidence_col: str = "confidence",
+    correct_col: str = "correct",
+    *,
+    n_bins: int = 10,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Reliability diagram + expected calibration error: confidences in
+    [0, 1] bucket into ``n_bins`` equal-width bins (bin b = [b/n, (b+1)/n),
+    confidence 1.0 folded into the last bin); per bin the mean
+    confidence, empirical accuracy, and count; plus ``ece`` — the
+    count-weighted Σ |accuracy − confidence| — repeated on every row
+    (one value per group). ``group_cols`` yields one diagram per group
+    (per model, per task).
+
+    Returns (group…, bin, bin_count, avg_confidence, accuracy, ece),
+    empty bins absent. One map-side-combinable groupBy on
+    (group, bin) — the shuffle carries ≤ groups×n_bins rows — then a
+    tiny window over that aggregate for the ECE total. Confidences
+    outside [0, 1] raise at first action (an ANSI-mode-independent
+    guard would silently misbin them)."""
+    from pyspark.sql import Window
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    conf = F.col(confidence_col)
+    bin_c = F.least(
+        (conf * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    guard = F.when(
+        (conf >= 0.0) & (conf <= 1.0), bin_c
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{confidence_col} outside [0, 1]: "),
+                conf.cast("string"),
+            )
+        )
+    )
+    keys = [*group_cols, "bin"]
+    per_bin = (
+        df.withColumn("bin", guard)
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("bin_count"),
+            F.round(F.avg(conf), 6).alias("avg_confidence"),
+            F.round(F.avg(F.col(correct_col).cast("double")), 6).alias(
+                "accuracy"
+            ),
+        )
+    )
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]) if group_cols \
+        else Window.partitionBy(F.lit(1))
+    total = F.sum("bin_count").over(w)
+    ece = F.sum(
+        F.abs(F.col("accuracy") - F.col("avg_confidence"))
+        * F.col("bin_count")
+    ).over(w)
+    return per_bin.withColumn("ece", F.round(ece / total, 6))
 
 
 def majority_vote_accuracy(

@@ -1,0 +1,166 @@
+"""Pairwise-comparison model ranking (arena-style leaderboards).
+
+Given a battles table — (model_a, model_b, winner) rows from human or
+LLM-judge preferences — fit Bradley-Terry strengths with the standard
+MM update (Hunter 2004): ``p_i ← w_i / Σ_j n_ij / (p_i + p_j)``, the
+algorithm behind Chatbot-Arena-style leaderboards. Each model's win
+count is Laplace-smoothed with one virtual win and one virtual loss
+against a fixed rating-1 pseudo-opponent, which keeps every rating
+strictly positive and the update well-defined even for models that won
+or lost everything (the MAP flavor of the fit).
+
+Spark shape, mirroring ``graph.pagerank``'s loop discipline: the
+battle table collapses ONCE into (i, j, n) pair counts and per-model
+win counts (map-side combinable aggregates — the raw battles are never
+re-scanned inside the loop); each round is then two joins + one
+partial agg over the PAIR table, whose size is models², not battles.
+Ratings are normalized to mean 1 each round via a 1-row broadcast
+total. Lineage truncates per round (localCheckpoint, or reliable
+``checkpoint_dir`` with per-round GC on a real cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bradley_terry"]
+
+
+def bradley_terry(
+    battles: DataFrame,
+    *,
+    iters: int = 20,
+    model_a: str = "model_a",
+    model_b: str = "model_b",
+    winner: str = "winner",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fit Bradley-Terry ratings; returns (model, n_battles, n_wins,
+    rating, elo) for every model that appears in a decided battle.
+
+    ``winner`` holds 'a' or 'b' (who won that row's battle); rows with
+    any other value (ties, aborted battles) are ignored. ``rating`` is
+    the BT strength normalized to mean 1 (round 6); ``elo`` is the
+    conventional display scale ``1000 + 400·log10(rating)`` (round 2).
+    Deterministic given the battle set and ``iters`` (modulo float
+    summation order; cross-engine comparisons should round).
+
+    ``checkpoint_dir`` follows the ``pagerank`` contract: eager
+    per-round reliable checkpoints with previous-round cleanup."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+
+    spark = battles.sparkSession
+    sc = spark.sparkContext
+    round_no = 0
+
+    def _delete_round(i: int) -> None:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/round{i}")
+        p.getFileSystem(sc._jsc.hadoopConfiguration()).delete(p, True)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        nonlocal round_no
+        if checkpoint_dir is None:
+            # lazy: every round materializes inside the caller's one
+            # action; truncation still applies (pagerank's measured
+            # rationale — an eager job per round buys nothing locally)
+            return df.localCheckpoint(eager=False)
+        sc.setCheckpointDir(f"{checkpoint_dir}/round{round_no}")
+        out = df.checkpoint(eager=True)
+        if round_no > 0:
+            _delete_round(round_no - 1)
+        round_no += 1
+        return out
+
+    decided = battles.filter(F.col(winner).isin("a", "b")).select(
+        F.col(model_a).alias("a"),
+        F.col(model_b).alias("b"),
+        F.col(winner).alias("w"),
+    )
+    # battle table → pair counts + win counts, once, outside the loop
+    pairs = (
+        decided.select(F.col("a").alias("i"), F.col("b").alias("j"))
+        .union(decided.select(F.col("b"), F.col("a")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .cache()
+    )
+    wins = (
+        decided.select(
+            F.when(F.col("w") == "a", F.col("a")).otherwise(F.col("b")).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .cache()
+    )
+    stats = pairs.groupBy("i").agg(F.sum("n").cast("long").alias("n_battles"))
+    nodes = stats.select(F.col("i").alias("node"), "n_battles").cache()
+    try:
+        n_models = nodes.count()  # control-path scalar
+        if n_models == 0:
+            return spark.createDataFrame(
+                [],
+                "model string, n_battles long, n_wins long, "
+                "rating double, elo double",
+            )
+        ratings = _materialize(
+            nodes.select("node").withColumn("rating", F.lit(1.0))
+        )
+        for _ in range(iters):
+            ra = ratings.select(
+                F.col("node").alias("i"), F.col("rating").alias("ri")
+            )
+            rb = ratings.select(
+                F.col("node").alias("j"), F.col("rating").alias("rj")
+            )
+            denom = (
+                pairs.join(ra, "i")
+                .join(rb, "j")
+                .select(
+                    F.col("i").alias("node"),
+                    (F.col("n") / (F.col("ri") + F.col("rj"))).alias("t"),
+                )
+                .groupBy("node")
+                .agg(F.sum("t").alias("s"))
+            )
+            raw = (
+                ratings.join(denom, "node")
+                .join(wins, "node", "left")
+                .select(
+                    "node",
+                    (
+                        (F.coalesce(F.col("w"), F.lit(0.0)) + 1.0)
+                        / (F.col("s") + 2.0 / (F.col("rating") + 1.0))
+                    ).alias("raw"),
+                )
+            )
+            total = raw.agg(F.sum("raw").alias("t"))  # 1-row broadcast
+            ratings = _materialize(
+                raw.join(F.broadcast(total)).select(
+                    "node",
+                    (F.col("raw") * n_models / F.col("t")).alias("rating"),
+                )
+            )
+        return (
+            nodes.join(ratings, "node")
+            .join(wins, "node", "left")
+            .select(
+                F.col("node").alias("model"),
+                "n_battles",
+                F.coalesce(F.col("w"), F.lit(0.0)).cast("long").alias(
+                    "n_wins"
+                ),
+                F.round("rating", 6).alias("rating"),
+                F.round(
+                    F.lit(1000.0) + F.lit(400.0) * F.log10("rating"), 2
+                ).alias("elo"),
+            )
+        )
+    finally:
+        pairs.unpersist()
+        wins.unpersist()
+        nodes.unpersist()

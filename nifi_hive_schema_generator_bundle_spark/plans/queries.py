@@ -8738,6 +8738,130 @@ def events_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return majority_vote_accuracy(samples).orderBy("problem_id")
 
 
+def _bt_oracle_sql(iters: int, battles_sql: str) -> str:
+    """Unrolled Bradley-Terry MM oracle (one CTE per round, same
+    smoothed update as operators/ranking.bradley_terry)."""
+    head = f"""
+    WITH b AS MATERIALIZED ({battles_sql}), pairs AS MATERIALIZED (
+        SELECT i, j, CAST(count(*) AS DOUBLE) AS n FROM (
+            SELECT a AS i, bb AS j FROM b
+            UNION ALL SELECT bb, a FROM b) GROUP BY i, j
+    ), nodes AS MATERIALIZED (SELECT DISTINCT i AS node FROM pairs),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    wins AS MATERIALIZED (
+        SELECT CASE WHEN w = 'a' THEN a ELSE bb END AS node,
+               CAST(count(*) AS DOUBLE) AS w FROM b GROUP BY 1
+    ), nb AS (
+        SELECT i AS node, CAST(sum(n) AS BIGINT) AS n_battles
+        FROM pairs GROUP BY i
+    ), r0 AS (SELECT node, 1.0 AS rating FROM nodes)"""
+    step = """,
+    d{k} AS MATERIALIZED (
+        SELECT p.i AS node, sum(p.n / (ra.rating + rb.rating)) AS s
+        FROM pairs p JOIN r{j} ra ON ra.node = p.i
+        JOIN r{j} rb ON rb.node = p.j GROUP BY p.i
+    ), u{k} AS MATERIALIZED (
+        SELECT n.node,
+               (coalesce(w.w, 0) + 1)
+               / (d.s + 2 / (ro.rating + 1)) AS raw
+        FROM nodes n LEFT JOIN wins w ON w.node = n.node
+        JOIN d{k} d ON d.node = n.node JOIN r{j} ro ON ro.node = n.node
+    ), r{k} AS MATERIALIZED (
+        SELECT u.node, u.raw * nn.n / t.t AS rating
+        FROM u{k} u, nn, (SELECT sum(raw) AS t FROM u{k}) t
+    )"""
+    parts = [head]
+    for k in range(1, iters + 1):
+        parts.append(step.format(k=k, j=k - 1))
+    parts.append(f"""
+    SELECT n.node AS model, nb.n_battles,
+           CAST(coalesce(w.w, 0) AS BIGINT) AS n_wins,
+           round(r.rating, 6) AS rating,
+           round(1000 + 400 * log10(r.rating), 2) AS elo
+    FROM nodes n JOIN nb ON nb.node = n.node
+    LEFT JOIN wins w ON w.node = n.node
+    JOIN r{iters} r ON r.node = n.node
+    ORDER BY n.node""")
+    return "".join(parts)
+
+
+_BT_BATTLES_SQL = """
+        SELECT 'm' || CAST(event_id % 12 AS VARCHAR) AS a,
+               'm' || CAST((event_id * 5 + 1) % 12 AS VARCHAR) AS bb,
+               CASE WHEN event_id % 5 < 2 THEN 'a' ELSE 'b' END AS w
+        FROM events WHERE event_id % 17 <> 0
+    """
+
+
+@register_query(
+    "events_bradley_terry",
+    oracle=_bt_oracle_sql(6, _BT_BATTLES_SQL),
+)
+def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arena-style Bradley-Terry leaderboard (``ranking.bradley_terry``,
+    6 smoothed MM rounds): events synthesize 12 models' pairwise battles
+    (every 17th battle a tie, exercising the decided-only filter). The
+    battle table collapses once into pair/win counts; each round is two
+    joins + a partial agg over the models² pair table with a 1-row
+    normalization broadcast. The oracle unrolls the identical update."""
+    from ..operators.ranking import bradley_terry
+
+    e = load_table(spark, sf_dir, "events")
+    battles = e.filter(F.col("event_id") % 17 != 0).select(
+        F.concat(F.lit("m"), (F.col("event_id") % 12).cast("string")).alias(
+            "model_a"
+        ),
+        F.concat(
+            F.lit("m"), ((F.col("event_id") * 5 + 1) % 12).cast("string")
+        ).alias("model_b"),
+        F.when(F.col("event_id") % 5 < 2, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("winner"),
+    )
+    return bradley_terry(battles, iters=6).orderBy("model")
+
+
+@register_query(
+    "events_calibration",
+    oracle="""
+    WITH s AS (
+        SELECT (event_id % 101) / 100.0 AS conf,
+               CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS corr
+        FROM events
+    ), b AS (
+        SELECT CAST(least(CAST(floor(conf * 10) AS INTEGER), 9) AS INTEGER)
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS bin_count,
+               round(avg(conf), 6) AS avg_confidence,
+               round(avg(corr), 6) AS accuracy
+        FROM s GROUP BY 1
+    ), t AS (
+        SELECT sum(bin_count) AS n,
+               sum(abs(accuracy - avg_confidence) * bin_count) AS e
+        FROM b
+    )
+    SELECT b.bin, b.bin_count, b.avg_confidence, b.accuracy,
+           round(t.e / t.n, 6) AS ece
+    FROM b, t ORDER BY b.bin
+    """,
+)
+def events_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error
+    (``evals.calibration_error``): synthetic confidences
+    (event_id % 101)/100 vs a 1/3 base-rate correctness bit, 10
+    equal-width bins with the conf=1.0 fold into the last. One
+    map-side-combinable (bin) aggregate + a ≤10-row window for the
+    count-weighted ECE; the oracle replays bins and the weighted total."""
+    from ..operators.evals import calibration_error
+
+    e = load_table(spark, sf_dir, "events")
+    samples = e.select(
+        ((F.col("event_id") % 101) / 100.0).alias("confidence"),
+        (F.col("event_id") % 3 == 0).alias("correct"),
+    )
+    return calibration_error(samples, n_bins=10).orderBy("bin")
+
+
 _HOST_EDGES_SQL = """
         SELECT DISTINCT
                'h' || CAST((doc_id % 20) AS VARCHAR) || '.example.com' AS src,

@@ -87,3 +87,54 @@ class TestMajorityVote:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestCalibrationError:
+    def test_hand_computed(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            calibration_error,
+        )
+
+        # two bins at n_bins=2: [0, .5) and [.5, 1]
+        rows = [
+            (0.2, True), (0.4, False),          # bin 0: avg conf .3, acc .5
+            (0.9, True), (0.7, True), (1.0, False),  # bin 1: avg .866667, acc .666667
+        ]
+        df = spark.createDataFrame(rows, "confidence double, correct boolean")
+        got = {r.bin: r for r in calibration_error(df, n_bins=2).collect()}
+        assert got[0].bin_count == 2
+        assert got[0].avg_confidence == pytest.approx(0.3)
+        assert got[0].accuracy == pytest.approx(0.5)
+        assert got[1].avg_confidence == pytest.approx(0.866667)
+        assert got[1].accuracy == pytest.approx(0.666667)
+        want_ece = (abs(0.5 - 0.3) * 2 + abs(0.666667 - 0.866667) * 3) / 5
+        assert got[0].ece == pytest.approx(want_ece, abs=1e-6)
+        assert got[1].ece == got[0].ece
+
+    def test_grouped_and_conf_one_folds_into_last_bin(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            calibration_error,
+        )
+
+        rows = [("m1", 1.0, True), ("m1", 0.95, True), ("m2", 0.1, False)]
+        df = spark.createDataFrame(
+            rows, "model string, confidence double, correct boolean"
+        )
+        got = calibration_error(df, group_cols=("model",)).collect()
+        by = {(r.model, r.bin): r for r in got}
+        assert by[("m1", 9)].bin_count == 2       # 1.0 folded into bin 9
+        assert by[("m1", 9)].ece == pytest.approx(abs(1.0 - 0.975))
+        assert by[("m2", 1)].ece == pytest.approx(0.1)
+
+    def test_out_of_range_raises(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            calibration_error,
+        )
+
+        df = spark.createDataFrame(
+            [(1.2, True)], "confidence double, correct boolean"
+        )
+        with pytest.raises(Exception, match="outside"):
+            calibration_error(df).collect()
+        with pytest.raises(ValueError):
+            calibration_error(df, n_bins=0)
