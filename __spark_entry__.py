@@ -168,7 +168,12 @@ DRIVER_PRIORITY = [
     # aggregation side in-gate)
     "doc_gopher_repetition",
     "doc_c4_line_filter",
-    "doc_license_detect",
+    # (doc_license_detect displaced by events_win_rates: its regex
+    # presence-mapping kernel is the in-gate customers_pii_scrub /
+    # doc_blocklist_filter pattern family; the Wilson-interval algebra
+    # is newer code. embedding_decontamination stays out: it composes
+    # the r1-r3-verified ann_cosine_topk broadcast-topk kernel verbatim)
+    "events_win_rates",
     "doc_dp_lang_counts",
     # (events_value_drift displaced: its binned-PSI kernel differs from
     # in-gate doc_lang_drift only in the binning projection, which

@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "events_majority_vote",
     "events_bradley_terry",
     "events_calibration",
+    "events_win_rates",
+    "embedding_decontamination",
     "curation_pipeline_v4",
 ]
 

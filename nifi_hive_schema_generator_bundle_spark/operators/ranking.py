@@ -24,7 +24,67 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bradley_terry"]
+__all__ = ["bradley_terry", "pairwise_win_rates"]
+
+
+def pairwise_win_rates(
+    battles: DataFrame,
+    *,
+    z: float = 1.96,
+    model_a: str = "model_a",
+    model_b: str = "model_b",
+    winner: str = "winner",
+) -> DataFrame:
+    """Head-to-head win-rate matrix with Wilson-score intervals: one row
+    per ORDERED model pair (i, j) that met in a decided battle —
+    (model, opponent, n_battles, n_wins, win_rate, ci_lo, ci_hi), the
+    leaderboard companion to ``bradley_terry`` (BT gives the global
+    strengths; this gives the per-matchup record and its uncertainty).
+
+    ``z`` is the normal quantile (1.96 → 95%). The Wilson interval —
+    ``(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)`` — stays
+    inside [0, 1] and behaves at small n, where the naive ±z·√(pq/n)
+    interval collapses or escapes. Ties/undecided rows are ignored.
+
+    One map-side-combinable groupBy on the (model, opponent) pair —
+    each battle contributes its two ordered orientations; no window,
+    no join."""
+    if z <= 0:
+        raise ValueError("z must be > 0")
+    decided = battles.filter(F.col(winner).isin("a", "b"))
+    oriented = decided.select(
+        F.col(model_a).alias("model"),
+        F.col(model_b).alias("opponent"),
+        (F.col(winner) == "a").cast("int").alias("won"),
+    ).union(
+        decided.select(
+            F.col(model_b),
+            F.col(model_a),
+            (F.col(winner) == "b").cast("int"),
+        )
+    )
+    g = oriented.groupBy("model", "opponent").agg(
+        F.count(F.lit(1)).alias("n_battles"),
+        F.sum("won").alias("n_wins"),
+    )
+    n = F.col("n_battles").cast("double")
+    p = F.col("n_wins") / n
+    z2 = F.lit(float(z) * float(z))
+    center = (p + z2 / (2 * n)) / (1 + z2 / n)
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        / (1 + z2 / n)
+    )
+    return g.select(
+        "model",
+        "opponent",
+        "n_battles",
+        "n_wins",
+        F.round(p, 6).alias("win_rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )
 
 
 def bradley_terry(

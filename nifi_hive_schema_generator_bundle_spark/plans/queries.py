@@ -8822,6 +8822,109 @@ def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "events_win_rates",
+    oracle=f"""
+    WITH b AS ({_BT_BATTLES_SQL}), o AS (
+        SELECT a AS model, bb AS opponent,
+               CASE WHEN w = 'a' THEN 1 ELSE 0 END AS won FROM b
+        UNION ALL
+        SELECT bb, a, CASE WHEN w = 'b' THEN 1 ELSE 0 END FROM b
+    ), g AS (
+        SELECT model, opponent, CAST(count(*) AS BIGINT) AS n_battles,
+               CAST(sum(won) AS BIGINT) AS n_wins
+        FROM o GROUP BY 1, 2
+    ), x AS (
+        SELECT *, CAST(n_battles AS DOUBLE) AS n,
+               1.0 * n_wins / n_battles AS p, 1.96 * 1.96 AS z2
+        FROM g
+    )
+    SELECT model, opponent, n_battles, n_wins,
+           round(p, 6) AS win_rate,
+           round(((p + z2 / (2 * n))
+                  - 1.96 * sqrt(p * (1 - p) / n + z2 / (4 * n * n)))
+                 / (1 + z2 / n), 6) AS ci_lo,
+           round(((p + z2 / (2 * n))
+                  + 1.96 * sqrt(p * (1 - p) / n + z2 / (4 * n * n)))
+                 / (1 + z2 / n), 6) AS ci_hi
+    FROM x ORDER BY model, opponent
+    """,
+)
+def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head win-rate matrix with Wilson 95% intervals
+    (``ranking.pairwise_win_rates``) over the same synthetic battle
+    table as ``events_bradley_terry`` — per-matchup records to the BT
+    entry's global strengths. One pair-keyed partial agg, no join, no
+    window; the oracle replays the Wilson algebra term-for-term."""
+    from ..operators.ranking import pairwise_win_rates
+
+    e = load_table(spark, sf_dir, "events")
+    battles = e.filter(F.col("event_id") % 17 != 0).select(
+        F.concat(F.lit("m"), (F.col("event_id") % 12).cast("string")).alias(
+            "model_a"
+        ),
+        F.concat(
+            F.lit("m"), ((F.col("event_id") * 5 + 1) % 12).cast("string")
+        ).alias("model_b"),
+        F.when(F.col("event_id") % 5 < 2, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("winner"),
+    )
+    return pairwise_win_rates(battles).orderBy("model", "opponent")
+
+
+@register_query(
+    "embedding_decontamination",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               round(list_cosine_similarity(q.embedding, c.embedding), 6)
+                   AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       q.embedding, c.embedding), 6) DESC, c.vec_id ASC
+               ) AS rn
+        FROM q, c
+    )
+    SELECT query_id, vec_id, cosine >= 0.5 AS contaminated
+    FROM scored WHERE rn = 1 ORDER BY query_id
+    """,
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination (the semantic sibling of
+    the k-gram ``doc_decontamination``): each eval vector (vec_id < 10)
+    reports its nearest training vector (vec_id ≥ 10) by exact cosine
+    and a contamination flag at threshold 0.5 — composition of
+    ``similarity.brute_force_topk`` k=1 (queries broadcast, corpus
+    never shuffles; swap in ``pq_topk``/``ivf_topk`` at scale). The
+    oracle replays the scan with list_cosine_similarity + an
+    identically-tiebroken window."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    evals = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    train = emb.filter(F.col("vec_id") >= 10)
+    return (
+        brute_force_topk(train, evals, k=1)
+        .select(
+            "query_id",
+            "vec_id",
+            # the raw cosine stays out of the contract: the engines'
+            # summation orders differ by ~1e-9, which double-rounds to
+            # visible 5th/6th-decimal flips on knife-edge rows; the
+            # nearest ID (ranked on 6dp + id tiebreak) and the flag
+            # (threshold far from any boundary) are cross-engine stable
+            (F.col("cosine") >= 0.5).alias("contaminated"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register_query(
     "events_calibration",
     oracle="""
     WITH s AS (

@@ -241,6 +241,9 @@ BNLJ_ALLOWED = {
     # same bounded broadcast-anchor scans: the codebook-row table and
     # the per-query LUT frame broadcast against queries/corpus
     "pq_ann_topk",
+    # brute_force_topk composition: 10 eval vectors broadcast against
+    # the training corpus, the ann_cosine_topk pattern
+    "embedding_decontamination",
     # same bounded broadcast-anchor scans as ann_cosine_topk
     "embedding_hard_negatives",
     "doc_hybrid_rrf",

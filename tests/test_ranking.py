@@ -96,3 +96,46 @@ def test_plan_jvm_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestPairwiseWinRates:
+    def test_hand_computed_wilson(self, spark):
+        from math import sqrt
+
+        from nifi_hive_schema_generator_bundle_spark.operators.ranking import (
+            pairwise_win_rates,
+        )
+
+        battles = (
+            [("A", "B", "a")] * 7 + [("A", "B", "b")] * 3 + [("A", "B", "tie")]
+        )
+        df = spark.createDataFrame(battles, SCHEMA)
+        got = {(r.model, r.opponent): r for r in pairwise_win_rates(df).collect()}
+        ab = got[("A", "B")]
+        assert (ab.n_battles, ab.n_wins, ab.win_rate) == (10, 7, 0.7)
+
+        def wilson(p, n, z=1.96):
+            z2 = z * z
+            c = (p + z2 / (2 * n)) / (1 + z2 / n)
+            h = z * sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / (1 + z2 / n)
+            return round(c - h, 6), round(c + h, 6)
+
+        lo, hi = wilson(0.7, 10)
+        assert (ab.ci_lo, ab.ci_hi) == (pytest.approx(lo), pytest.approx(hi))
+        ba = got[("B", "A")]
+        assert (ba.n_wins, ba.win_rate) == (3, 0.3)
+        assert 0.0 <= ba.ci_lo < 0.3 < ba.ci_hi <= 1.0
+
+    def test_validates_z_and_plan(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.ranking import (
+            pairwise_win_rates,
+        )
+
+        df = spark.createDataFrame([("A", "B", "a")], SCHEMA)
+        with pytest.raises(ValueError):
+            pairwise_win_rates(df, z=0)
+        plan = (
+            pairwise_win_rates(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "BatchEval" not in plan
