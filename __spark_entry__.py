@@ -98,7 +98,10 @@ DRIVER_PRIORITY = [
     "doc_remove_duplicate_spans",
     "doc_quality_classifier",
     "doc_domain_cap",
-    "events_rolling_wau",
+    # (events_rolling_wau displaced by events_fleiss_kappa: its
+    # rolling-distinct kernel is the r2-verified events_user_reach
+    # exact-distinct window family; the kappa statistic is newer code)
+    "events_fleiss_kappa",
     "embedding_outlier_scores",
     "orders_quality_report",
     # --- round-4c additions (never driver-verified, newest code = top risk) ---

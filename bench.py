@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "events_calibration",
     "events_win_rates",
     "embedding_decontamination",
+    "events_fleiss_kappa",
     "curation_pipeline_v4",
 ]
 

@@ -17,10 +17,15 @@ no UDF, no second shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pass_at_k", "majority_vote_accuracy", "calibration_error"]
+__all__ = [
+    "pass_at_k",
+    "majority_vote_accuracy",
+    "calibration_error",
+    "fleiss_kappa",
+]
 
 
 def pass_at_k(
@@ -85,8 +90,6 @@ def calibration_error(
     tiny window over that aggregate for the ECE total. Confidences
     outside [0, 1] raise at first action (an ANSI-mode-independent
     guard would silently misbin them)."""
-    from pyspark.sql import Window
-
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     conf = F.col(confidence_col)
@@ -123,6 +126,66 @@ def calibration_error(
         * F.col("bin_count")
     ).over(w)
     return per_bin.withColumn("ece", F.round(ece / total, 6))
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str = "item_id",
+    category_col: str = "category",
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected inter-annotator agreement over
+    a ratings table (one row per rating; the rater identity doesn't
+    enter the statistic). The generalized form tolerates varying
+    ratings-per-item: per item ``P_i = (Σ_k n_ik² − n_i)/(n_i(n_i−1))``,
+    observed agreement ``P̄ = mean_i P_i``, chance agreement
+    ``P_e = Σ_k p_k²`` with ``p_k`` the category shares over all kept
+    ratings, ``κ = (P̄ − P_e)/(1 − P_e)``. Items with a single rating
+    carry no pairwise-agreement information and are dropped entirely
+    (from P̄ AND p_k — the statistic stays self-consistent).
+
+    Returns ONE row: (n_items, n_ratings, p_bar, p_e, kappa); kappa is
+    NULL when P_e = 1 (every kept rating in one category — agreement is
+    vacuous, 0/0). Two map-side-combinable aggregations — (item,
+    category) counts, then item rollups — plus two 1-row scalar
+    broadcasts; nothing scales past the distinct (item, category)
+    pairs."""
+    counts = df.groupBy(item_col, category_col).agg(
+        F.count(F.lit(1)).alias("n_ik")
+    )
+    items = (
+        counts.groupBy(item_col)
+        .agg(
+            F.sum("n_ik").alias("n_i"),
+            F.sum(F.col("n_ik") * F.col("n_ik")).alias("sq"),
+        )
+        .filter(F.col("n_i") >= 2)
+    )
+    kept = counts.join(items.select(item_col), item_col, "left_semi")
+    p_bar = items.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_i").alias("n_ratings"),
+        F.avg(
+            (F.col("sq") - F.col("n_i"))
+            / (F.col("n_i") * (F.col("n_i") - 1))
+        ).alias("p_bar"),
+    )
+    total = F.sum("nk").over(Window.partitionBy(F.lit(1)))
+    p_e = (
+        kept.groupBy(category_col)
+        .agg(F.sum("n_ik").alias("nk"))
+        .select((F.col("nk") / total).alias("pk"))
+        .agg(F.sum(F.col("pk") * F.col("pk")).alias("p_e"))
+    )
+    return p_bar.join(F.broadcast(p_e)).select(
+        "n_items",
+        "n_ratings",
+        F.round("p_bar", 6).alias("p_bar"),
+        F.round("p_e", 6).alias("p_e"),
+        F.when(
+            F.col("p_e") < 1.0,
+            F.round((F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")), 6),
+        ).alias("kappa"),
+    )
 
 
 def majority_vote_accuracy(

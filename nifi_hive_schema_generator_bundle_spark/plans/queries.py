@@ -8873,6 +8873,53 @@ def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "events_fleiss_kappa",
+    oracle="""
+    WITH c AS (
+        SELECT event_id % 200 AS item, event_type AS cat,
+               count(*) AS n_ik
+        FROM events GROUP BY 1, 2
+    ), i AS (
+        SELECT item, sum(n_ik) AS n_i, sum(n_ik * n_ik) AS sq
+        FROM c GROUP BY item HAVING sum(n_ik) >= 2
+    ), pb AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(n_i) AS BIGINT) AS n_ratings,
+               avg((sq - n_i) * 1.0 / (n_i * (n_i - 1))) AS p_bar
+        FROM i
+    ), k AS (
+        SELECT c.cat, sum(c.n_ik) AS nk FROM c
+        WHERE c.item IN (SELECT item FROM i) GROUP BY c.cat
+    ), pe AS (
+        SELECT sum((1.0 * nk / t.t) * (1.0 * nk / t.t)) AS p_e
+        FROM k, (SELECT sum(nk) AS t FROM k) t
+    )
+    SELECT pb.n_items, pb.n_ratings, round(pb.p_bar, 6) AS p_bar,
+           round(pe.p_e, 6) AS p_e,
+           CASE WHEN pe.p_e < 1.0
+                THEN round((pb.p_bar - pe.p_e) / (1.0 - pe.p_e), 6)
+           END AS kappa
+    FROM pb, pe
+    """,
+)
+def events_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (``evals.fleiss_kappa``, the
+    generalized varying-n Fleiss' kappa — RLHF label QA): events as
+    ratings of 200 synthetic items (event_id % 200) with event_type as
+    the assigned category. Two partial aggregations + two 1-row scalar
+    broadcasts; the oracle replays P̄, P_e, and κ on the same kept-item
+    set."""
+    from ..operators.evals import fleiss_kappa
+
+    e = load_table(spark, sf_dir, "events")
+    ratings = e.select(
+        (F.col("event_id") % 200).alias("item_id"),
+        F.col("event_type").alias("category"),
+    )
+    return fleiss_kappa(ratings)
+
+
+@register_query(
     "embedding_decontamination",
     oracle="""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

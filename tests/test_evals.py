@@ -138,3 +138,57 @@ class TestCalibrationError:
             calibration_error(df).collect()
         with pytest.raises(ValueError):
             calibration_error(df, n_bins=0)
+
+
+class TestFleissKappa:
+    def test_textbook_example(self, spark):
+        # Fleiss (1971)-style fixture: 4 items, 3 raters each
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            fleiss_kappa,
+        )
+
+        ratings = [
+            # item 1: all agree 'x'  -> P_i = 1
+            (1, "x"), (1, "x"), (1, "x"),
+            # item 2: 2 'x', 1 'y'   -> P_i = (4+1-3)/6 = 1/3
+            (2, "x"), (2, "x"), (2, "y"),
+            # item 3: all different  -> P_i = (1+1+1-3)/6 = 0
+            (3, "x"), (3, "y"), (3, "z"),
+            # item 4: all agree 'y'
+            (4, "y"), (4, "y"), (4, "y"),
+            # item 5: single rating -> dropped entirely
+            (5, "z"),
+        ]
+        df = spark.createDataFrame(ratings, "item_id int, category string")
+        r = fleiss_kappa(df).collect()[0]
+        assert (r.n_items, r.n_ratings) == (4, 12)
+        p_bar = (1 + 1 / 3 + 0 + 1) / 4
+        px, py, pz = 6 / 12, 5 / 12, 1 / 12
+        p_e = px * px + py * py + pz * pz
+        kappa = (p_bar - p_e) / (1 - p_e)
+        assert r.p_bar == pytest.approx(round(p_bar, 6))
+        assert r.p_e == pytest.approx(round(p_e, 6))
+        assert r.kappa == pytest.approx(round(kappa, 6), abs=2e-6)
+
+    def test_unanimous_single_category_is_null(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            fleiss_kappa,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "x"), (2, "x"), (2, "x")],
+            "item_id int, category string",
+        )
+        r = fleiss_kappa(df).collect()[0]
+        assert r.p_e == 1.0 and r.kappa is None
+
+    def test_plan_jvm_only(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            fleiss_kappa,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "y")], "item_id int, category string"
+        )
+        plan = fleiss_kappa(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "BatchEval" not in plan

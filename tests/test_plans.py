@@ -244,6 +244,8 @@ BNLJ_ALLOWED = {
     # brute_force_topk composition: 10 eval vectors broadcast against
     # the training corpus, the ann_cosine_topk pattern
     "embedding_decontamination",
+    # two 1-row scalar broadcasts (P̄ row × P_e row), the q22 class
+    "events_fleiss_kappa",
     # same bounded broadcast-anchor scans as ann_cosine_topk
     "embedding_hard_negatives",
     "doc_hybrid_rrf",
