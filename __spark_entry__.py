@@ -186,6 +186,9 @@ DRIVER_PRIORITY = [
     "doc_lang_drift",
     "events_user_concentration",
     "curation_pipeline_v4",
+    # (doc_chat_validate stays out: same aggregate-fold-over-turns kernel
+    # as in-gate doc_chat_render, same struct-array synth; the rule CASE
+    # is locally oracle-checked)
     # (doc_host_pagerank stays out: its two kernels are both hash-checked
     # in-gate — part_supplier_pagerank runs the identical power iteration
     # on a much larger graph, doc_url_normalize covers the url_host

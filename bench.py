@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "events_win_rates",
     "embedding_decontamination",
     "events_fleiss_kappa",
+    "doc_chat_validate",
     "curation_pipeline_v4",
 ]
 

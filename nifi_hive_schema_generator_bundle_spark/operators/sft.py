@@ -26,7 +26,76 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["render_chat", "rendered_chat_frame", "preference_pairs"]
+__all__ = [
+    "render_chat",
+    "rendered_chat_frame",
+    "preference_pairs",
+    "validate_conversations",
+]
+
+_ROLES = ("system", "user", "assistant", "tool")
+
+
+def validate_conversations(
+    df: DataFrame,
+    turns_col: str = "turns",
+) -> DataFrame:
+    """Structural QA for conversation rows before rendering/training —
+    the malformed-sample gate every SFT ingest needs. Appends ``valid``
+    and ``violation`` (the FIRST failed rule's name, NULL when valid):
+
+    * ``empty``          — NULL or zero-turn conversation
+    * ``bad_role``       — a role outside system/user/assistant/tool
+    * ``empty_content``  — a NULL or '' content
+    * ``system_position``— a system turn anywhere but index 0
+    * ``no_alternation`` — consecutive user/user or assistant/assistant
+      turns; a tool turn resets the check (assistant → tool →
+      assistant is legal, and multiple tool results may run back to
+      back, as in the OpenAI messages format)
+
+    One JVM fold over the turns array carrying (prev_role, violation) —
+    no UDF, no shuffle, rule order fixed so the reported violation is
+    deterministic. Route with ``df.filter('valid')`` /
+    ``~valid`` exactly like the engine's JSON validity split."""
+    t = F.col(turns_col)
+    roles = F.array(*[F.lit(r) for r in _ROLES])
+
+    def step(acc, x):
+        # acc: struct(prev string, violation string); first rule wins
+        rule = (
+            F.when(
+                ~F.array_contains(roles, F.coalesce(x["role"], F.lit(""))),
+                F.lit("bad_role"),
+            )
+            .when(
+                F.coalesce(x["content"], F.lit("")) == "",
+                F.lit("empty_content"),
+            )
+            .when(
+                (x["role"] == "system") & (acc["prev"] != ""),
+                F.lit("system_position"),
+            )
+            .when(
+                x["role"].isin("user", "assistant")
+                & (x["role"] == acc["prev"]),
+                F.lit("no_alternation"),
+            )
+        )
+        return F.struct(
+            F.coalesce(x["role"], F.lit("?")).alias("prev"),
+            F.coalesce(acc["violation"], rule).alias("violation"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(None).cast("string").alias("violation")
+    )
+    folded = F.aggregate(t, init, step)
+    violation = F.when(
+        t.isNull() | (F.size(t) == 0), F.lit("empty")
+    ).otherwise(folded["violation"])
+    return df.withColumn("violation", violation).withColumn(
+        "valid", F.col("violation").isNull()
+    )
 
 _SPANS_T = "array<struct<s:int,e:int>>"
 

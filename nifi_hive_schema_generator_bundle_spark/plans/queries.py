@@ -8873,6 +8873,59 @@ def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_chat_validate",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 7) IN (0, 5, 6) AS valid,
+           CASE doc_id % 7
+               WHEN 1 THEN 'bad_role'
+               WHEN 2 THEN 'empty_content'
+               WHEN 3 THEN 'system_position'
+               WHEN 4 THEN 'no_alternation'
+           END AS violation
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_chat_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-structure QA (``sft.validate_conversations``): each
+    doc_id % 7 class plants one structural mode — valid 3-turn / bad
+    role / empty content / late system / broken alternation /
+    tool-reset flow / valid 2-turn — and the JVM fold must name exactly
+    the planted first violation. The oracle is the analytic CASE over
+    the same derivation (the fold can't self-confirm). One narrow
+    projection, zero shuffle."""
+    from ..operators.sft import validate_conversations
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def turn(role, content):
+        return F.struct(
+            F.lit(role).alias("role"), F.lit(content).alias("content")
+        )
+
+    m = F.col("doc_id") % 7
+    turns = (
+        F.when(m == 0, F.array(
+            turn("system", "s"), turn("user", "u"), turn("assistant", "a")
+        ))
+        .when(m == 1, F.array(turn("user", "u"), turn("robot", "r")))
+        .when(m == 2, F.array(turn("user", "u"), turn("assistant", "")))
+        .when(m == 3, F.array(turn("user", "u"), turn("system", "late")))
+        .when(m == 4, F.array(turn("user", "u"), turn("user", "again")))
+        .when(m == 5, F.array(
+            turn("user", "u"), turn("assistant", "a"),
+            turn("tool", "result"), turn("assistant", "done"),
+        ))
+        .otherwise(F.array(turn("user", "u"), turn("assistant", "a")))
+    )
+    return (
+        validate_conversations(docs.withColumn("turns", turns))
+        .select("doc_id", "valid", "violation")
+        .orderBy("doc_id")
+    )
+
+
+@register_query(
     "events_fleiss_kappa",
     oracle="""
     WITH c AS (

@@ -144,3 +144,62 @@ class TestPreferencePairs:
         )
         assert "Python" not in plan
         assert plan.count("Exchange") == 1  # one prompt-key shuffle, combined map-side
+
+
+class TestValidateConversations:
+    def _run(self, spark, rows):
+        from nifi_hive_schema_generator_bundle_spark.operators.sft import (
+            validate_conversations,
+        )
+
+        df = spark.createDataFrame(rows, f"conv_id int, turns {TURNS_T}")
+        return {
+            r.conv_id: (r.valid, r.violation)
+            for r in validate_conversations(df).collect()
+        }
+
+    def test_rules_hand_computed(self, spark):
+        got = self._run(spark, [
+            (1, [("system", "s"), ("user", "u"), ("assistant", "a")]),
+            (2, [("user", "u"), ("assistant", "a"), ("user", "u2")]),
+            (3, []),
+            (4, None),
+            (5, [("user", "u"), ("robot", "r")]),
+            (6, [("user", "u"), ("assistant", "")]),
+            (7, [("user", "u"), ("system", "late")]),
+            (8, [("user", "u"), ("user", "again")]),
+            # tool turns reset alternation: assistant-tool-assistant legal
+            (9, [("user", "u"), ("assistant", "a"),
+                 ("tool", "result"), ("tool", "result2"),
+                 ("assistant", "done")]),
+        ])
+        assert got[1] == (True, None)
+        assert got[2] == (True, None)
+        assert got[3] == (False, "empty")
+        assert got[4] == (False, "empty")
+        assert got[5] == (False, "bad_role")
+        assert got[6] == (False, "empty_content")
+        assert got[7] == (False, "system_position")
+        assert got[8] == (False, "no_alternation")
+        assert got[9] == (True, None)
+
+    def test_first_violation_wins(self, spark):
+        # bad role at turn 1 masks the later alternation problem
+        got = self._run(spark, [
+            (1, [("robot", "r"), ("user", "u"), ("user", "u")]),
+        ])
+        assert got[1] == (False, "bad_role")
+
+    def test_plan_jvm_only_no_shuffle(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.sft import (
+            validate_conversations,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [("user", "u")])], f"conv_id int, turns {TURNS_T}"
+        )
+        plan = (
+            validate_conversations(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "Exchange" not in plan
