@@ -186,6 +186,9 @@ DRIVER_PRIORITY = [
     "doc_lang_drift",
     "events_user_concentration",
     "curation_pipeline_v4",
+    # (doc_scaling_law_fit stays out: its var/covar moments kernel is the
+    # r3-verified lineitem_price_stats aggregate family; the guarded OLS
+    # algebra is locally oracle-checked)
     # (doc_chat_validate stays out: same aggregate-fold-over-turns kernel
     # as in-gate doc_chat_render, same struct-array synth; the rule CASE
     # is locally oracle-checked)

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "embedding_decontamination",
     "events_fleiss_kappa",
     "doc_chat_validate",
+    "doc_scaling_law_fit",
     "curation_pipeline_v4",
 ]
 

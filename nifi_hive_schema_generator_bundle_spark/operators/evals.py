@@ -25,7 +25,54 @@ __all__ = [
     "majority_vote_accuracy",
     "calibration_error",
     "fleiss_kappa",
+    "fit_power_law",
 ]
+
+
+def fit_power_law(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Scaling-law fit: OLS on (ln x, ln y), i.e. ``y ≈ e^intercept ·
+    x^slope`` — the log-log regression behind compute/data scaling
+    curves (loss vs tokens, quality vs corpus size). Returns one row
+    per group: (group…, n, slope, intercept, r2), all rounded to 6.
+    Rows with x ≤ 0, y ≤ 0, or NULLs are dropped (no log domain); a
+    group left with < 2 points or zero x-variance returns NULL slope.
+
+    One map-side-combinable aggregation — population covariance/
+    variance/correlation closed forms; nothing shuffles but the
+    per-group moment tuples."""
+    lx = F.log(F.col(x_col).cast("double"))
+    ly = F.log(F.col(y_col).cast("double"))
+    pts = df.filter(
+        (F.col(x_col) > 0) & (F.col(y_col) > 0)
+    ).select(*group_cols, lx.alias("lx"), ly.alias("ly"))
+    g = pts.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.var_pop("lx").alias("__vx"),
+        F.var_pop("ly").alias("__vy"),
+        F.covar_pop("lx", "ly").alias("__cxy"),
+        F.avg("lx").alias("__mx"),
+        F.avg("ly").alias("__my"),
+    )
+    # moments first, derivations guarded: ANSI mode makes a bare x/0
+    # raise, and a zero-variance group should read as NULL, not crash
+    slope = F.when(F.col("__vx") > 0, F.col("__cxy") / F.col("__vx"))
+    r2 = F.when(
+        (F.col("__vx") > 0) & (F.col("__vy") > 0),
+        (F.col("__cxy") * F.col("__cxy")) / (F.col("__vx") * F.col("__vy")),
+    )
+    return g.select(
+        *group_cols,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("__my") - slope * F.col("__mx"), 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
 
 
 def pass_at_k(

@@ -8873,6 +8873,52 @@ def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_scaling_law_fit",
+    oracle="""
+    WITH pts AS (
+        SELECT lang, ln(CAST(n_chars AS DOUBLE)) AS lx,
+               ln(3.0 * pow(CAST(n_chars AS DOUBLE), -0.5)
+                  * (1.0 + ((doc_id % 7) - 3) / 100.0)) AS ly
+        FROM documents WHERE n_chars > 0
+    ), g AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               var_pop(lx) AS vx, var_pop(ly) AS vy,
+               covar_pop(lx, ly) AS cxy, avg(lx) AS mx, avg(ly) AS my
+        FROM pts GROUP BY lang
+    )
+    SELECT lang, n,
+           round(CASE WHEN vx > 0 THEN cxy / vx END, 6) AS slope,
+           round(my - (CASE WHEN vx > 0 THEN cxy / vx END) * mx, 6)
+               AS intercept,
+           round(CASE WHEN vx > 0 AND vy > 0
+                 THEN (cxy * cxy) / (vx * vy) END, 6) AS r2
+    FROM g ORDER BY lang
+    """,
+)
+def doc_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaling-law fit (``evals.fit_power_law``): per-language log-log
+    OLS over a synthetic loss-vs-size curve — loss = 3·n^-0.5 times a
+    deterministic ±3% ripple (doc_id % 7), so the recovered slope sits
+    near −0.5 with r² < 1. One moments aggregate per group; the oracle
+    replays the var/covar closed form."""
+    from ..operators.evals import fit_power_law
+
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("n_tokens"),
+        (
+            3.0
+            * F.pow(F.col("n_chars").cast("double"), -0.5)
+            * (1.0 + ((F.col("doc_id") % 7) - 3) / 100.0)
+        ).alias("loss"),
+    )
+    return fit_power_law(pts, "n_tokens", "loss", group_cols=("lang",)).orderBy(
+        "lang"
+    )
+
+
+@register_query(
     "doc_chat_validate",
     oracle="""
     SELECT doc_id,

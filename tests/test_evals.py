@@ -192,3 +192,49 @@ class TestFleissKappa:
         )
         plan = fleiss_kappa(df)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestFitPowerLaw:
+    def test_recovers_exact_law(self, spark):
+        from math import log
+
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            fit_power_law,
+        )
+
+        rows = [(float(n), 3.0 * n ** -0.5) for n in (10, 100, 1000, 10000)]
+        df = spark.createDataFrame(rows, "n_tokens double, loss double")
+        r = fit_power_law(df, "n_tokens", "loss").collect()[0]
+        assert r.n == 4
+        assert r.slope == pytest.approx(-0.5, abs=1e-6)
+        assert r.intercept == pytest.approx(log(3.0), abs=1e-6)
+        assert r.r2 == pytest.approx(1.0, abs=1e-6)
+
+    def test_grouped_and_domain_filter(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            fit_power_law,
+        )
+
+        rows = (
+            [("a", float(n), 2.0 * n ** -1.0) for n in (10, 100, 1000)]
+            + [("b", float(n), 5.0 * n ** 0.25) for n in (10, 100, 1000)]
+            + [("a", -1.0, 1.0), ("a", 10.0, 0.0)]      # out of log domain
+        )
+        df = spark.createDataFrame(rows, "run string, x double, y double")
+        got = {
+            r.run: r for r in fit_power_law(df, "x", "y", group_cols=("run",)).collect()
+        }
+        assert got["a"].n == 3                          # bad rows dropped
+        assert got["a"].slope == pytest.approx(-1.0, abs=1e-6)
+        assert got["b"].slope == pytest.approx(0.25, abs=1e-6)
+
+    def test_degenerate_group_null_slope(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            fit_power_law,
+        )
+
+        df = spark.createDataFrame(
+            [(5.0, 2.0), (5.0, 3.0)], "x double, y double"
+        )
+        r = fit_power_law(df, "x", "y").collect()[0]
+        assert r.slope is None                          # zero x-variance
