@@ -186,6 +186,9 @@ DRIVER_PRIORITY = [
     "doc_lang_drift",
     "events_user_concentration",
     "curation_pipeline_v4",
+    # (doc_collocations stays out: its bigram partial-count + marginal
+    # kernel is in-gate via doc_bigram_logprob, its TakeOrdered top-k via
+    # the verified top-k family; PMI algebra is locally oracle-checked)
     # (doc_scaling_law_fit stays out: its var/covar moments kernel is the
     # r3-verified lineitem_price_stats aggregate family; the guarded OLS
     # algebra is locally oracle-checked)

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "events_fleiss_kappa",
     "doc_chat_validate",
     "doc_scaling_law_fit",
+    "doc_collocations",
     "curation_pipeline_v4",
 ]
 

@@ -16,7 +16,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_min_partitions
@@ -33,6 +33,7 @@ __all__ = [
     "ngram_repetition",
     "unigram_logprob_score",
     "bigram_logprob_score",
+    "collocations",
     "bm25_scores",
     "ngram_novelty",
     "split_sentences",
@@ -450,6 +451,84 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.round(F.sum("part"), 6).alias("bm25"))
     )
+
+
+def collocations(
+    df: DataFrame,
+    *,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    corpus-analysis report for multiword expressions ("new york",
+    "machine learning"): token pairs that co-occur far above chance.
+
+    Tokens are ``whitespace_tokens(lower(text))`` (the module's shared
+    convention); PMI treats the corpus bigram list as the event space:
+    ``pmi = ln(c2 · B / (c1_prev · c1_cur))`` with ``B`` the total
+    bigram count and the marginals summed from the bigram table itself
+    (so the distribution is self-consistent and Σp = 1). Pairs with
+    ``c2 < min_count`` are dropped BEFORE ranking — raw PMI is maximal
+    for hapax pairs, so unfiltered output is noise by construction.
+
+    Returns exactly ``top_k`` rows (fewer if the corpus is small):
+    (prev, cur, c2, pmi, rnk), ranked by (pmi desc, prev, cur) on the
+    6dp-rounded PMI — the rounding is part of the contract so ranks are
+    reproducible across engines and layouts.
+
+    Scale shape: per-doc (prev, cur) partial counts collapse Zipf-head
+    bigrams map-side; marginals re-aggregate the bigram table (never
+    the corpus); the 1-row total rides as a broadcast scalar; the
+    top-k is TakeOrdered (no global sort shuffle), and the final rank
+    window runs over ≤ top_k rows."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    df = ensure_min_partitions(df)
+    toks = df.select(
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    n = F.size("__toks")
+    pair_structs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("__toks"), i).alias("prev"),
+                F.element_at(F.col("__toks"), i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    big = (
+        toks.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    prev_m = big.groupBy("prev").agg(F.sum("c2").alias("c1p"))
+    cur_m = big.groupBy("cur").agg(F.sum("c2").alias("c1c"))
+    total = big.agg(F.sum("c2").cast("double").alias("b"))
+    pmi = F.round(
+        F.log(
+            F.col("c2").cast("double")
+            * F.col("b")
+            / (F.col("c1p").cast("double") * F.col("c1c").cast("double"))
+        ),
+        6,
+    )
+    top = (
+        big.filter(F.col("c2") >= min_count)
+        .join(prev_m, "prev")
+        .join(cur_m, "cur")
+        .join(F.broadcast(total))
+        .select("prev", "cur", "c2", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "prev", "cur")
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "prev", "cur")
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 def bigram_logprob_score(

@@ -8873,6 +8873,51 @@ def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_collocations",
+    oracle=r"""
+    WITH toks AS (
+        SELECT list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), pairs AS (
+        SELECT t[CAST(g.i AS INT)] AS prev, t[CAST(g.i AS INT)+1] AS cur
+        FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) AS g(i)
+        WHERE len(t) >= 2
+    ), big AS (
+        SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+        FROM pairs GROUP BY ALL
+    ), pm AS (SELECT prev, sum(c2) AS c1p FROM big GROUP BY prev),
+    cm AS (SELECT cur, sum(c2) AS c1c FROM big GROUP BY cur),
+    tot AS (SELECT CAST(sum(c2) AS DOUBLE) AS b FROM big),
+    scored AS (
+        SELECT big.prev, big.cur, big.c2,
+               round(ln(CAST(big.c2 AS DOUBLE) * tot.b
+                        / (CAST(pm.c1p AS DOUBLE) * CAST(cm.c1c AS DOUBLE))), 6)
+                   AS pmi
+        FROM big JOIN pm USING (prev) JOIN cm USING (cur) CROSS JOIN tot
+        WHERE big.c2 >= 5
+    )
+    SELECT prev, cur, c2, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, prev, cur) AS INTEGER)
+               AS rnk
+    FROM scored ORDER BY pmi DESC, prev, cur LIMIT 50
+    """,
+)
+def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI (``text.collocations``,
+    min_count 5) — the multiword-expression report. Ranked on the
+    6dp-rounded PMI with (prev, cur) tiebreak so the cut is
+    reproducible across engines; top-k is TakeOrdered, the rank window
+    runs over ≤ 50 rows. The oracle replays tokenization, the
+    self-consistent bigram event space, and the rank."""
+    from ..operators.text import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations(docs, min_count=5, top_k=50)
+
+
+@register_query(
     "doc_scaling_law_fit",
     oracle="""
     WITH pts AS (

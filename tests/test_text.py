@@ -787,3 +787,74 @@ class TestCorpusTopNgrams:
         assert [r.gram for r in out] == ["a b", "b a"]
         with _pytest.raises(ValueError):
             corpus_top_ngrams(df, n=0)
+
+
+class TestCollocations:
+    def test_planted_collocation_ranks_first(self, spark):
+        from math import log
+
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            collocations,
+        )
+
+        # "san francisco" always together; filler words change partners
+        variants = [
+            "one two san francisco three four",
+            "two one san francisco four three",
+            "one three san francisco two four",
+        ]
+        docs = [(i, variants[i % 3]) for i in range(6)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = collocations(df, min_count=2, top_k=5).collect()
+
+        # pure-python PMI replica over the same bigram event space
+        from collections import Counter
+
+        big = Counter()
+        for _, text in docs:
+            t = text.split()
+            big.update(zip(t, t[1:]))
+        B = sum(big.values())
+        c1p, c1c = Counter(), Counter()
+        for (p, c), n in big.items():
+            c1p[p] += n
+            c1c[c] += n
+        ref = sorted(
+            (
+                (round(log(n * B / (c1p[p] * c1c[c])), 6), p, c, n)
+                for (p, c), n in big.items()
+                if n >= 2
+            ),
+            key=lambda r: (-r[0], r[1], r[2]),
+        )[:5]
+        assert [(r.pmi, r.prev, r.cur, r.c2) for r in got] == [
+            (pytest.approx(pmi), p, c, n) for pmi, p, c, n in ref
+        ]
+        assert ("san", "francisco") in {(r.prev, r.cur) for r in got}
+        assert [r.rnk for r in got] == [1, 2, 3, 4, 5]
+
+    def test_min_count_filters_hapax(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            collocations,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "rare pair appears once"), (2, "common duo common duo")],
+            "doc_id long, text string",
+        )
+        got = collocations(df, min_count=2, top_k=10).collect()
+        assert all(r.c2 >= 2 for r in got)
+        assert ("rare", "pair") not in {(r.prev, r.cur) for r in got}
+
+    def test_validates_params(self, spark):
+        import pytest as _pytest
+
+        from nifi_hive_schema_generator_bundle_spark.operators.text import (
+            collocations,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            collocations(df, min_count=0)
+        with _pytest.raises(ValueError):
+            collocations(df, top_k=0)
