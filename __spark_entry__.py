@@ -115,7 +115,10 @@ DRIVER_PRIORITY = [
     "events_pass_at_k",
     "events_majority_vote",
     "minhash_near_dup_portable",
-    "curation_pipeline_v3",
+    # (curation_pipeline_v3 displaced by doc_fix_mojibake: in-gate
+    # curation_pipeline_v4 composes the same stage chain plus the newer
+    # ones; the Arrow codec repair is new code with no in-gate sibling)
+    "doc_fix_mojibake",
     # --- round-4d additions (never driver-verified, newest code = top risk) ---
     # (doc_clean_text displaced by doc_html_extract: same narrow
     # regexp-chain-projection kernel, html extraction is the newer code)

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "doc_chat_validate",
     "doc_scaling_law_fit",
     "doc_collocations",
+    "doc_fix_mojibake",
     "curation_pipeline_v4",
 ]
 

@@ -22,6 +22,7 @@ __all__ = [
     "pattern_count",
     "html_to_text",
     "compression_ratio",
+    "fix_mojibake",
 ]
 
 # A GPT-2-style pre-tokenizer shape: word pieces, numbers, punctuation runs.
@@ -170,6 +171,46 @@ def html_to_text(c: Column | str) -> Column:
     t = F.regexp_replace(t, r" *\n *", "\n")
     t = F.regexp_replace(t, r"\n{2,}", "\n")
     return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+def fix_mojibake(c: Column | str) -> Column:
+    """Repair latin-1/UTF-8 double-encoding mojibake — the classic crawl
+    corruption where 'café' arrives as 'cafÃ©' because UTF-8 bytes were
+    decoded as Latin-1 somewhere upstream (the core of what ftfy fixes).
+
+    The repair is the exact inverse dance: re-encode the string as
+    Latin-1 (recovering the original UTF-8 bytes) and decode as UTF-8.
+    It applies ONLY when (a) the string contains a mojibake signature
+    (a 'Ã'/'Â'-class lead byte followed by a continuation-range char —
+    plain Latin text round-trips unchanged, so the gate is just a cost
+    cut), (b) the round-trip encodes losslessly, and (c) the result
+    strictly shrinks (real mojibake always does: 2+ chars collapse to
+    1); otherwise the input passes through untouched, so the operator
+    is safe to run blanket over a corpus. Repeated application is
+    idempotent on repaired text. NULLs propagate.
+
+    Spark has no codec expression, so this is a declared Arrow-batched
+    stage (same contract as ``compression_ratio``); deterministic pure
+    byte math, unit-pinned against hand-corrupted fixtures."""
+    import pandas as pd  # noqa: F401  (worker-side dependency)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fix(s):  # type: ignore[no-untyped-def]
+        def one(v):
+            if v is None:
+                return None
+            if "Ã" not in v and "Â" not in v:
+                return v
+            try:
+                repaired = v.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return v
+            return repaired if len(repaired) < len(v) else v
+
+        return s.map(one)
+
+    return _fix(F.col(c) if isinstance(c, str) else c)
 
 
 def compression_ratio(c: Column | str, *, level: int = 6) -> Column:

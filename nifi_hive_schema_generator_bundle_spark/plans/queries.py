@@ -8873,6 +8873,45 @@ def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_fix_mojibake",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || ' café naïve — ok'
+                ELSE text END AS fixed,
+           doc_id % 3 = 0 AS was_corrupted
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (``textfns.fix_mojibake``): every 3rd document
+    gets a latin-1/UTF-8 double-encoded suffix planted (built by the
+    actual corrupting dance at plan time, multibyte dash included) and
+    the Arrow repair stage must restore the clean form EXACTLY; other
+    documents must pass through byte-identical. The oracle constructs
+    the expected clean text analytically — the encode/decode pair can't
+    self-confirm."""
+    from ..functions.textfns import fix_mojibake
+
+    clean_suffix = " café naïve — ok"
+    corrupted_suffix = clean_suffix.encode("utf-8").decode("latin-1")
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(corrupted_suffix)),
+        )
+        .otherwise(F.col("text"))
+        .alias("s"),
+    )
+    return planted.select(
+        "doc_id",
+        fix_mojibake(F.col("s")).alias("fixed"),
+        (F.col("doc_id") % 3 == 0).alias("was_corrupted"),
+    ).orderBy("doc_id")
+
+
+@register_query(
     "doc_collocations",
     oracle=r"""
     WITH toks AS (

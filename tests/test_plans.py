@@ -207,6 +207,9 @@ ARROW_BATCHED = {
     # the PQ encode pass is one Arrow stage; the ADC scan itself is
     # JVM element_at gathers, pinned single-Python-node in units
     "pq_ann_topk",
+    # the mojibake repair is a declared Arrow stage (codec work, the
+    # compression_ratio contract)
+    "doc_fix_mojibake",
 }
 
 PY_NODES = (
@@ -246,6 +249,9 @@ BNLJ_ALLOWED = {
     "embedding_decontamination",
     # two 1-row scalar broadcasts (P̄ row × P_e row), the q22 class
     "events_fleiss_kappa",
+    # 1-row scalar broadcast: the total-bigram count rides the PMI
+    # projection as one row, same class as tfidf's n_docs
+    "doc_collocations",
     # same bounded broadcast-anchor scans as ann_cosine_topk
     "embedding_hard_negatives",
     "doc_hybrid_rrf",
