@@ -258,6 +258,17 @@ def main() -> None:
     if len(line) > 1800:  # stay inside the driver's tail buffer
         compact["queries"] = {k: round(v, 1) for k, v in warm.items()}
         line = json.dumps(compact)
+    if len(line) > 1800:
+        # roster outgrew the buffer even at 1 decimal: keep the slowest
+        # entries (the ones a perf reader needs), point at the detail
+        # file for the rest — a clipped line is unparseable (r2 lesson)
+        slowest = dict(
+            sorted(warm.items(), key=lambda kv: -kv[1])[:40]
+        )
+        compact["queries"] = {k: round(v, 1) for k, v in slowest.items()}
+        compact["queries_truncated_to_slowest"] = len(slowest)
+        compact["full_detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(compact)
     print(line)
     spark.stop()
 
