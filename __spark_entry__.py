@@ -189,6 +189,9 @@ DRIVER_PRIORITY = [
     "doc_lang_drift",
     "events_user_concentration",
     "curation_pipeline_v4",
+    # (embedding_silhouette stays out: its literal-centroid narrow
+    # projection is the driver-verified kmeans_assign_embeddings kernel;
+    # the silhouette ratio is locally oracle-checked)
     # (doc_collocations stays out: its bigram partial-count + marginal
     # kernel is in-gate via doc_bigram_logprob, its TakeOrdered top-k via
     # the verified top-k family; PMI algebra is locally oracle-checked)

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "doc_scaling_law_fit",
     "doc_collocations",
     "doc_fix_mojibake",
+    "embedding_silhouette",
     "curation_pipeline_v4",
 ]
 

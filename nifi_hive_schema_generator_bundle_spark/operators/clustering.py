@@ -24,8 +24,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["assign_clusters", "kmeans_fit", "semantic_dedup",
-    "centroid_outlier_scores",
+    "centroid_outlier_scores", "simplified_silhouette",
 ]
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector simplified silhouette — the standard cluster-quality
+    score with the cluster means standing in for the pairwise terms:
+    ``s = (b − a) / max(a, b)`` where ``a`` is the distance to the
+    nearest centroid (the assignment) and ``b`` to the runner-up.
+    s → 1 means tight and well-separated, s → 0 means the vector sits
+    on a boundary; the per-cluster mean is the usual health report for
+    a k-means/SemDeDup blocking model. Returns (id, cluster, dist,
+    silhouette); the degenerate a = b = 0 case scores 0.
+
+    Determinism discipline (the ``centroid_outlier_scores`` recipe):
+    per-centroid distances round to 6dp BEFORE the argmin and the
+    ratio, ties break to the lower cluster id, and the ratio rounds to
+    6dp — cross-engine reproducible.
+
+    Scale shape: centroids are k×d literals riding the plan (the
+    ``assign_clusters`` contract), the whole score is ONE narrow
+    codegen'd projection — no join, no shuffle, no UDF; callers
+    aggregate the result however they like."""
+    if len(centroids) < 2:
+        raise ValueError("simplified_silhouette needs >= 2 centroids")
+    v = F.col(vec_col).cast("array<double>")
+    cells = []
+    for j, ctr in enumerate(centroids):
+        d = F.round(F.sqrt(_sq_dist(v, ctr)), 6)
+        cells.append(
+            F.struct(d.alias("d"), F.lit(j).alias("c"))
+        )
+    srt = F.sort_array(F.array(*cells))  # (dist, cluster) lexicographic
+    a, b = srt[0]["d"], srt[1]["d"]
+    sil = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+        F.round((b - a) / F.greatest(a, b), 6)
+    )
+    return df.select(
+        F.col(id_col),
+        srt[0]["c"].alias("cluster"),
+        a.alias("dist"),
+        sil.alias("silhouette"),
+    )
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:

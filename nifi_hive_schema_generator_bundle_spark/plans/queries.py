@@ -8873,6 +8873,68 @@ def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "embedding_silhouette",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cl, embedding AS ctr FROM embeddings
+        WHERE vec_id < 4
+    ), d AS (
+        SELECT e.vec_id, c.cl,
+               round(list_distance(e.embedding, c.ctr), 6) AS d
+        FROM embeddings e, c
+    ), r AS (
+        SELECT vec_id, cl, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+        FROM d
+    ), s AS (
+        SELECT a.vec_id, a.cl AS cluster,
+               CASE WHEN greatest(a.d, b.d) = 0 THEN 0.0
+                    ELSE round((b.d - a.d) / greatest(a.d, b.d), 6)
+               END AS sil
+        FROM r a JOIN r b
+          ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(sil AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_silhouette
+    FROM s GROUP BY cluster ORDER BY cluster
+    """,
+)
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality report (``clustering.simplified_silhouette``):
+    the first four embedding vectors serve as literal centroids (the
+    assign_clusters contract — a bounded driver collect at plan time),
+    every vector scores s = (b−a)/max(a,b) on 6dp-rounded distances in
+    ONE narrow projection, then a per-cluster DECIMAL-exact mean. The
+    oracle replays distances (list_distance), the (d, cluster)-ordered
+    argmin/runner-up, and the exact mean."""
+    from ..operators.clustering import simplified_silhouette
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    scored = simplified_silhouette(emb, cents)
+    return (
+        scored.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("silhouette").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register_query(
     "doc_fix_mojibake",
     oracle="""
     SELECT doc_id,

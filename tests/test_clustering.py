@@ -152,3 +152,45 @@ def test_semantic_dedup_threshold_boundary_rounds_to_6(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = semantic_dedup(df, [[1.0, 0.0]], threshold=0.95)
     assert sorted(r["vec_id"] for r in out.collect()) == [0]
+
+
+class TestSimplifiedSilhouette:
+    def test_hand_computed(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.clustering import (
+            simplified_silhouette,
+        )
+
+        cents = [[0.0, 0.0], [10.0, 0.0]]
+        rows = [
+            (1, [1.0, 0.0]),    # a=1, b=9 -> s=(9-1)/9
+            (2, [5.0, 0.0]),    # equidistant: a=b=5 -> s=0, tie -> cluster 0
+            (3, [10.0, 0.0]),   # a=0, b=10 -> s=1
+            (4, [0.0, 0.0]),    # a=0 at cluster 0
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r.vec_id: r for r in simplified_silhouette(df, cents).collect()}
+        import pytest as _p
+
+        assert got[1].cluster == 0
+        assert got[1].silhouette == _p.approx(round(8 / 9, 6))
+        assert got[2].cluster == 0 and got[2].silhouette == 0.0
+        assert got[3].cluster == 1 and got[3].silhouette == 1.0
+        assert got[4].cluster == 0 and got[4].silhouette == 1.0
+
+    def test_validates_and_plan(self, spark):
+        import pytest as _p
+
+        from nifi_hive_schema_generator_bundle_spark.operators.clustering import (
+            simplified_silhouette,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with _p.raises(ValueError):
+            simplified_silhouette(df, [[0.0, 0.0]])
+        plan = (
+            simplified_silhouette(df, [[0.0, 0.0], [1.0, 1.0]])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "Exchange" not in plan
