@@ -181,9 +181,9 @@ def fix_mojibake(c: Column | str) -> Column:
     The repair is the exact inverse dance: re-encode the string as
     Latin-1 (recovering the original UTF-8 bytes) and decode as UTF-8.
     It applies ONLY when (a) the string contains a mojibake signature
-    (a 'Ã'/'Â'-class lead byte followed by a continuation-range char —
-    plain Latin text round-trips unchanged, so the gate is just a cost
-    cut), (b) the round-trip encodes losslessly, and (c) the result
+    (a char in 'Â'..'ô' — the latin-1 images of UTF-8 lead bytes
+    0xC2-0xF4; the gate is just a cost cut, the real protection is the
+    guards), (b) the round-trip encodes losslessly, and (c) the result
     strictly shrinks (real mojibake always does: 2+ chars collapse to
     1); otherwise the input passes through untouched, so the operator
     is safe to run blanket over a corpus. Repeated application is
@@ -200,7 +200,7 @@ def fix_mojibake(c: Column | str) -> Column:
         def one(v):
             if v is None:
                 return None
-            if "Ã" not in v and "Â" not in v:
+            if not any("Â" <= ch <= "ô" for ch in v):
                 return v
             try:
                 repaired = v.encode("latin-1").decode("utf-8")
