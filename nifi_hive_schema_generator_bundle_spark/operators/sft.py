@@ -122,16 +122,21 @@ def render_chat(
     roles = F.array(*[F.lit(r) for r in train_roles])
 
     def step(acc, x):
-        header = F.concat(F.lit("<|"), x["role"], F.lit("|>\n"))
+        # NULL-total: a NULL role/content must not poison the fold
+        # (concat propagates NULL through every later turn) — malformed
+        # turns are validate_conversations' job, rendering stays total
+        role = F.coalesce(x["role"], F.lit(""))
+        content = F.coalesce(x["content"], F.lit(""))
+        header = F.concat(F.lit("<|"), role, F.lit("|>\n"))
         start = (F.length(acc["text"]) + F.length(header) + 1).cast("int")
-        end = (start + F.length(x["content"]) - 1).cast("int")
+        end = (start + F.length(content) - 1).cast("int")
         span = F.array(F.struct(start.alias("s"), end.alias("e")))
         return F.struct(
-            F.concat(acc["text"], header, x["content"], F.lit("\n")).alias(
+            F.concat(acc["text"], header, content, F.lit("\n")).alias(
                 "text"
             ),
             F.when(
-                F.array_contains(roles, x["role"]),
+                F.array_contains(roles, role),
                 F.concat(acc["spans"], span),
             )
             .otherwise(acc["spans"])

@@ -54,23 +54,28 @@ CHAT_SCHEMA = StructType(
 )
 
 
-def read_chat_ndjson(spark: SparkSession, path: str) -> DataFrame:
+def read_chat_ndjson(
+    spark: SparkSession, path: str, *, cache: bool = True
+) -> DataFrame:
     """Parse chat NDJSON into (conversation_id, turns, _corrupt_record).
     Malformed lines keep the raw text in ``_corrupt_record`` with NULLs
     elsewhere (PERMISSIVE mode — one scan, no validate-then-parse double
-    pass). The frame is cached because the standard next step filters on
-    the corrupt column alone (SPARK-21610, as in ``read_ndjson``)."""
+    pass). Cached by default because the standard next step filters on
+    the corrupt column alone (SPARK-21610, as in ``read_ndjson``);
+    pass ``cache=False`` for single-pass pipelines that manage their
+    own persistence."""
     df = (
         spark.read.option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(CHAT_SCHEMA)
         .json(path)
     )
-    return df.select(
+    out = df.select(
         "conversation_id",
         F.col("messages").alias("turns"),
         CORRUPT_COL,
-    ).cache()
+    )
+    return out.cache() if cache else out
 
 
 def split_chat_validity(

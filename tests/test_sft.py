@@ -203,3 +203,21 @@ class TestValidateConversations:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_render_chat_null_turn_fields_stay_total(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.sft import (
+        render_chat,
+    )
+
+    rows = [(1, [(None, "x"), ("assistant", None), ("assistant", "ok")])]
+    df = spark.createDataFrame(rows, f"conv_id int, turns {TURNS_T}")
+    r = df.select(render_chat("turns").alias("r")).collect()[0].r
+    # NULL role/content render as empty, never poison the fold
+    assert r.text == "<||>\nx\n<|assistant|>\n\n<|assistant|>\nok\n"
+    # NULL-content assistant turn yields an empty span (e = s - 1)
+    assert len(r.spans) == 2
+    s0, e0 = r.spans[0]
+    assert e0 == s0 - 1
+    s1, e1 = r.spans[1]
+    assert r.text[s1 - 1:e1] == "ok"
