@@ -1,0 +1,67 @@
+"""Meta-consistency of the three rosters (registry / bench / gate) and a
+no-Spark DuckDB binder pass over every oracle — catches a renamed query,
+a bench typo, or an oracle that stopped parsing WITHOUT paying a Spark
+session."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from bench import BENCH_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_bench_roster_subset_of_registry_and_unique():
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import QUERIES
+
+    assert len(BENCH_QUERIES) == len(set(BENCH_QUERIES))
+    unknown = [n for n in BENCH_QUERIES if n not in QUERIES]
+    assert not unknown, f"bench names missing from registry: {unknown}"
+
+
+def test_oracle_keys_subset_of_registry():
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import (
+        ORACLE_SQL,
+        QUERIES,
+    )
+
+    unknown = [n for n in ORACLE_SQL if n not in QUERIES]
+    assert not unknown, f"oracle keys missing from registry: {unknown}"
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_every_oracle_binds_in_duckdb(ddb):
+    """EXPLAIN runs DuckDB's binder (names, types, functions) without
+    executing — a syntax-or-schema break in ANY oracle fails here in
+    milliseconds instead of at the driver's gate."""
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import (
+        ORACLE_SQL,
+    )
+
+    broken = []
+    for name, sql in ORACLE_SQL.items():
+        try:
+            ddb.sql("EXPLAIN " + sql)
+        except Exception as e:          # noqa: BLE001 - report all binder errors
+            broken.append((name, str(e).splitlines()[0]))
+    assert not broken, f"oracles failing DuckDB bind: {broken}"
