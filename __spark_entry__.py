@@ -154,7 +154,11 @@ DRIVER_PRIORITY = [
     # simhash_near_dup_portable ~ in-gate minhash_near_dup_portable
     # banding shape and doc_sentence_dedup ~ in-gate doc_sentences split
     # + doc_paragraph_dedup corpus-wide-dedup kernel) ---
-    "documents_fingerprint",
+    # (documents_fingerprint displaced by sft_prep_pipeline: its md5/
+    # sha-projection kernel is the r-verified doc_fingerprints family;
+    # the validate→render composition is newer code and an integration
+    # check like in-gate curation_pipeline_v4 / training_prep_pipeline)
+    "sft_prep_pipeline",
     "doc_url_normalize",
     "doc_unicode_normalize",
     # --- round-4h/4i additions (newest code = top risk; displacing

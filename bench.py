@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "doc_collocations",
     "doc_fix_mojibake",
     "embedding_silhouette",
+    "sft_prep_pipeline",
     "curation_pipeline_v4",
 ]
 

@@ -8873,6 +8873,107 @@ def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "sft_prep_pipeline",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, doc_id % 4 AS m,
+               substring(text, 1, 20) AS u1a, substring(text, 21, 30) AS a1a,
+               substring(text, 1, 15) AS u1b, substring(text, 16, 25) AS a1b,
+               'more ' || CAST(doc_id AS VARCHAR) AS u2b,
+               substring(text, 41, 20) AS a2b
+        FROM documents
+    ), spans AS (
+        SELECT doc_id, CAST(0 AS INTEGER) AS span_idx,
+               47 + length(u1a) + 1 AS s,
+               47 + length(u1a) + length(a1a) AS e,
+               a1a AS piece,
+               47 + length(u1a) + length(a1a) + 1 AS text_len
+        FROM t WHERE m = 0 AND length(a1a) > 0
+        UNION ALL
+        SELECT doc_id, CAST(0 AS INTEGER),
+               24 + length(u1b) + 1,
+               24 + length(u1b) + length(a1b),
+               a1b,
+               49 + length(u1b) + length(a1b) + length(u2b)
+                  + length(a2b) + 1
+        FROM t WHERE m = 3 AND length(a1b) > 0 AND length(a2b) > 0
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INTEGER),
+               49 + length(u1b) + length(a1b) + length(u2b) + 1,
+               49 + length(u1b) + length(a1b) + length(u2b) + length(a2b),
+               a2b,
+               49 + length(u1b) + length(a1b) + length(u2b)
+                  + length(a2b) + 1
+        FROM t WHERE m = 3 AND length(a1b) > 0 AND length(a2b) > 0
+    )
+    SELECT doc_id, CAST(text_len AS BIGINT) AS text_len, span_idx,
+           CAST(s AS INTEGER) AS s, CAST(e AS INTEGER) AS e, piece
+    FROM spans ORDER BY doc_id, span_idx
+    """,
+)
+def sft_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SFT data prep (the instruction-tuning sibling of
+    ``training_prep_pipeline``): synthesize conversations in four
+    structural modes (doc_id % 4 — a valid 3-turn, a bad-role, a
+    broken-alternation, a valid 5-turn), route them through
+    ``sft.validate_conversations`` (the two invalid modes AND any
+    conversation whose derived content comes up empty are dropped by
+    the SAME rule set production ingest uses), then render survivors
+    with ``sft.rendered_chat_frame`` into the flat loss-span manifest.
+    The oracle rebuilds the surviving set and every span's char
+    arithmetic analytically — validation AND rendering cross-checked in
+    one pass."""
+    from ..operators.sft import rendered_chat_frame, validate_conversations
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def turn(role, content):
+        return F.struct(F.lit(role).alias("role"), content.alias("content"))
+
+    m = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    turns = (
+        F.when(m == 0, F.array(
+            turn("system", F.lit("Be concise.")),
+            turn("user", F.substring("text", 1, 20)),
+            turn("assistant", F.substring("text", 21, 30)),
+        ))
+        .when(m == 1, F.array(
+            turn("user", F.substring("text", 1, 10)),
+            turn("robot", F.lit("nope")),
+        ))
+        .when(m == 2, F.array(
+            turn("user", F.substring("text", 1, 10)),
+            turn("user", F.substring("text", 11, 10)),
+        ))
+        .otherwise(F.array(
+            turn("user", F.substring("text", 1, 15)),
+            turn("assistant", F.substring("text", 16, 25)),
+            turn("user", F.concat(F.lit("more "), did)),
+            turn("assistant", F.substring("text", 41, 20)),
+        ))
+    )
+    convs = docs.select("doc_id", turns.alias("turns"))
+    valid = (
+        validate_conversations(convs)
+        .filter(F.col("valid"))
+        .drop("valid", "violation")
+    )
+    return (
+        rendered_chat_frame(valid)
+        .select(
+            "doc_id",
+            F.col("text_len").cast("long").alias("text_len"),
+            "span_idx",
+            "s",
+            "e",
+            "piece",
+        )
+        .orderBy("doc_id", "span_idx")
+    )
+
+
+@register_query(
     "embedding_silhouette",
     oracle="""
     WITH c AS (
