@@ -193,6 +193,8 @@ DRIVER_PRIORITY = [
     "doc_lang_drift",
     "events_user_concentration",
     "curation_pipeline_v4",
+    # (doc_grouped_split stays out: hash_split's md5-nibble kernel is
+    # the r1-r3-verified doc_holdout_split with the key column swapped)
     # (embedding_silhouette stays out: its literal-centroid narrow
     # projection is the driver-verified kmeans_assign_embeddings kernel;
     # the silhouette ratio is locally oracle-checked)

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "doc_fix_mojibake",
     "embedding_silhouette",
     "sft_prep_pipeline",
+    "doc_grouped_split",
     "curation_pipeline_v4",
 ]
 

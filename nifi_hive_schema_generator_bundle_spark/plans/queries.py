@@ -8873,6 +8873,48 @@ def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_grouped_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, source,
+               CASE WHEN substr(md5(source), 1, 1) IN ('0', '1', '2', '3')
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM documents
+    ), per_group AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+               min(split) AS split
+        FROM tagged GROUP BY source
+    )
+    SELECT source, split, n_docs, n_splits FROM per_group ORDER BY source
+    """,
+)
+def doc_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-keyed (leakage-safe) split: ``hash_split`` on the SOURCE
+    column instead of the row id, so every document of a domain lands
+    in the same split — the standard control against near-duplicate
+    train/test leakage (domain-correlated duplicates can't straddle the
+    boundary by construction). The output proves it: ``n_splits`` = 1
+    for every group, pinned by the oracle's count(DISTINCT split) over
+    the same md5 assignment. Still a pure narrow projection — no stored
+    assignment, no shuffle beyond the report's group-by."""
+    from ..functions.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "source", holdout_sixteenths=4)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.min("split").alias("split"),
+        )
+        .select("source", "split", "n_docs", "n_splits")
+        .orderBy("source")
+    )
+
+
+@register_query(
     "sft_prep_pipeline",
     oracle="""
     WITH t AS (
