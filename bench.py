@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "embedding_silhouette",
     "sft_prep_pipeline",
     "doc_grouped_split",
+    "pq_index_search",
     "curation_pipeline_v4",
 ]
 

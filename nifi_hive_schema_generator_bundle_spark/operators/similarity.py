@@ -31,8 +31,11 @@ __all__ = [
     "ivf_topk",
     "build_ivf_index",
     "ivf_search",
+    "ivf_index_append",
     "quantized_rerank_topk",
     "pq_topk",
+    "build_pq_index",
+    "pq_search",
     "random_hyperplane_bucket",
     "hard_negatives",
     "reciprocal_rank_fusion",
@@ -327,6 +330,52 @@ def build_ivf_index(
     )
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Incremental maintenance of a ``build_ivf_index`` index: assign a
+    batch of NEW vectors to the EXISTING centroids (one Arrow argmin
+    pass — the quantizer is never refit, the standard IVF maintenance
+    contract) and append them to the cell-partitioned postings.
+    Searches pick the new vectors up immediately; returns the number of
+    rows appended.
+
+    The append is ``mode("append")`` into the same ``cell=`` partition
+    layout, so partition pruning keeps working and old files are never
+    rewritten. Callers who ingest continuously should periodically
+    ``build_ivf_index`` afresh: appended mass drifts the true cell
+    means away from the frozen centroids, degrading probe recall (the
+    usual rebuild-on-drift tradeoff — this function is the cheap path
+    between rebuilds, not a replacement). Duplicate ids are the
+    caller's concern, as with any append-only store."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    if not cent_rows:
+        raise ValueError(f"no centroids at {path}/centroids")
+    cents = np.stack(
+        [np.asarray(r["centroid"]) for r in sorted(cent_rows, key=lambda r: r["cell"])]
+    )
+    c = ensure_min_partitions(new_vectors).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    assigned = _ivf_assign(c, cents)
+    n = assigned.count()
+    (
+        assigned.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/postings")
+    )
+    return n
+
+
 def ivf_search(
     spark,
     path: str,
@@ -610,6 +659,133 @@ def _pq_fit(
     return np.stack(books)
 
 
+def _pq_encode(c: DataFrame, books) -> DataFrame:
+    """ONE Arrow-batched pass assigning every (c_id, c_vec) row its m
+    codes under the codebook tensor (which rides the closure); bodies
+    stream through numpy argmin matmuls."""
+    m, _, dsub = books.shape
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        bnorm2 = [(books[j] * books[j]).sum(1)[None, :] for j in range(m)]
+        for pdf in batches:
+            M = np.stack(pdf["c_vec"].to_numpy())
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(M), m), dtype="int32")
+            for j in range(m):
+                sub = M[:, j * dsub:(j + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2.0 * (sub @ books[j].T)
+                    + bnorm2[j]
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "c_id": pdf["c_id"],
+                    "c_vec": pdf["c_vec"],
+                    "codes": list(codes),
+                }
+            )
+
+    return c.mapInPandas(
+        encode, schema="c_id long, c_vec array<double>, codes array<int>"
+    )
+
+
+def _pq_book_df(spark, books) -> DataFrame:
+    """Codebook tensor → the (j, cc, sub) row table the LUT join and the
+    persisted index share."""
+    m, ks, _ = books.shape
+    rows = [
+        (j, g, [float(x) for x in books[j][g]])
+        for j in range(m)
+        for g in range(ks)
+    ]
+    return spark.createDataFrame(rows, "j int, cc int, sub array<double>")
+
+
+def _pq_luts(
+    queries: DataFrame,
+    book_df: DataFrame,
+    *,
+    dsub: int,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """(query_id, q_vec, lut): the per-query ADC lookup table, built
+    DISTRIBUTED by joining the broadcast codebook rows and folding with
+    ``sort_array`` over (j, cc) structs — lut[j·ks + cc] = q̂_j · sub."""
+    qn = queries.select(
+        F.col(query_id_col),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("q_vec"),
+    )
+    ip = F.expr(
+        f"aggregate(zip_with(slice(q_vec, j * {dsub} + 1, {dsub}), sub,"
+        " (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        qn.join(F.broadcast(book_df))
+        .select(query_id_col, "q_vec", "j", "cc", ip.alias("ip"))
+        .groupBy(query_id_col)
+        .agg(
+            F.first("q_vec").alias("q_vec"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "cc", "ip"))),
+                lambda s: s["ip"],
+            ).alias("lut"),
+        )
+    )
+
+
+def _pq_adc_expr(m: int, ks: int):
+    """The pure-JVM ADC scan: element_at gathers + a fold over m codes."""
+    return F.expr(
+        f"aggregate(zip_with(codes, sequence(0, {m - 1}),"
+        f" (cd, j) -> element_at(lut, j * {ks} + cd + 1)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+
+
+def _pq_rank(
+    encoded: DataFrame,
+    luts: DataFrame,
+    *,
+    m: int,
+    ks: int,
+    k: int,
+    candidate_k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """ADC candidate cut → exact-cosine re-rank (the shared tail of the
+    inline and persisted PQ paths). ``encoded`` must carry c_id, c_vec,
+    codes."""
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").desc(), F.col("c_id").asc()
+    )
+    cands = (
+        encoded.join(F.broadcast(luts))
+        .withColumn("adc", _pq_adc_expr(m, ks))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= candidate_k)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cands.select(
+            query_id_col,
+            F.col("c_id").alias(id_col),
+            F.round(cosine_similarity("c_vec", "q_vec"), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -668,83 +844,119 @@ def pq_topk(
             [], f"{query_id_col} {q_t}, {id_col} {id_t}, cosine double, rank int"
         )
     dsub = books.shape[2]
-
-    def encode(batches):
-        import numpy as np
-        import pandas as pd
-
-        bnorm2 = [(books[j] * books[j]).sum(1)[None, :] for j in range(m)]
-        for pdf in batches:
-            M = np.stack(pdf["c_vec"].to_numpy())
-            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-            codes = np.empty((len(M), m), dtype="int32")
-            for j in range(m):
-                sub = M[:, j * dsub:(j + 1) * dsub]
-                d2 = (
-                    (sub * sub).sum(1)[:, None]
-                    - 2.0 * (sub @ books[j].T)
-                    + bnorm2[j]
-                )
-                codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame(
-                {
-                    "c_id": pdf["c_id"],
-                    "c_vec": pdf["c_vec"],
-                    "codes": list(codes),
-                }
-            )
-
     # encode once, cache: the codes column is the persisted "index";
     # re-encoding per query join would redo the whole corpus pass
-    encoded = c.mapInPandas(
-        encode, schema="c_id long, c_vec array<double>, codes array<int>"
-    ).cache()
+    encoded = _pq_encode(c, books).cache()
+    luts = _pq_luts(
+        queries,
+        _pq_book_df(spark, books),
+        dsub=dsub,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    return _pq_rank(
+        encoded,
+        luts,
+        m=m,
+        ks=ks,
+        k=k,
+        candidate_k=candidate_k,
+        id_col=id_col,
+        query_id_col=query_id_col,
+    )
 
-    book_rows = [
-        (j, g, [float(x) for x in books[j][g]])
-        for j in range(m)
-        for g in range(ks)
-    ]
-    book_df = spark.createDataFrame(book_rows, "j int, cc int, sub array<double>")
-    qn = queries.select(
-        F.col(query_id_col),
-        l2_normalize(F.col(vec_col).cast("array<double>")).alias("q_vec"),
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    m: int = 8,
+    ks: int = 256,
+    max_iter: int = 8,
+    fit_sample: int = 100_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize a PQ index on disk: ``{path}/codebook`` (m·ks tiny
+    rows) + ``{path}/codes`` — m int codes per vector, the dim·8/m-times
+    smaller artifact that IS the point of PQ (the float vectors stay in
+    the source table; searches only touch them for the final re-rank).
+    Build once, search many; deterministic given (corpus, params):
+    rebuilding yields the identical index (the ``build_ivf_index``
+    contract)."""
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
-    ip = F.expr(
-        f"aggregate(zip_with(slice(q_vec, j * {dsub} + 1, {dsub}), sub,"
-        " (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+    books = _pq_fit(
+        c, m=m, ks=ks, max_iter=max_iter, fit_sample=fit_sample, seed=seed
     )
-    luts = (
-        qn.join(F.broadcast(book_df))
-        .select(query_id_col, "q_vec", "j", "cc", ip.alias("ip"))
-        .groupBy(query_id_col)
-        .agg(
-            F.first("q_vec").alias("q_vec"),
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("j", "cc", "ip"))),
-                lambda s: s["ip"],
-            ).alias("lut"),
-        )
+    if books is None:
+        raise ValueError("cannot build a PQ index over an empty corpus")
+    spark = corpus.sparkSession
+    _pq_book_df(spark, books).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebook"
     )
-    adc = F.expr(
-        f"aggregate(zip_with(codes, sequence(0, {m - 1}),"
-        f" (cd, j) -> element_at(lut, j * {ks} + cd + 1)),"
-        " 0D, (acc, x) -> acc + x)"
+    (
+        _pq_encode(c, books)
+        .select("c_id", "codes")
+        .write.mode("overwrite")
+        .parquet(f"{path}/codes")
     )
+
+
+def pq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    candidate_k: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a ``build_pq_index`` index: the ADC scan reads ONLY the
+    persisted codes (m ints/vector — the bandwidth win survives the
+    round-trip to disk), then the candidate cut re-ranks with exact
+    cosine against ``corpus``'s float vectors via one broadcast equi-join
+    of the (queries × candidate_k)-row candidate set — the corpus never
+    shuffles. Same output contract as ``pq_topk``; with the same
+    params/seed it returns the same rows (pinned in units)."""
+    candidate_k = candidate_k or 4 * k
+    book_df = spark.read.parquet(f"{path}/codebook")
+    mk = book_df.agg(
+        F.max("j").alias("mj"), F.max("cc").alias("mc"),
+        F.max(F.size("sub")).alias("dsub"),
+    ).collect()[0]
+    m, ks, dsub = mk["mj"] + 1, mk["mc"] + 1, mk["dsub"]
+    luts = _pq_luts(
+        queries, book_df, dsub=dsub, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    codes = spark.read.parquet(f"{path}/codes")
     wc = Window.partitionBy(query_id_col).orderBy(
         F.col("adc").desc(), F.col("c_id").asc()
     )
     cands = (
-        encoded.join(F.broadcast(luts))
-        .withColumn("adc", adc)
+        codes.join(F.broadcast(luts))
+        .withColumn("adc", _pq_adc_expr(m, ks))
         .withColumn("crank", F.row_number().over(wc))
         .filter(F.col("crank") <= candidate_k)
+        .select(query_id_col, "c_id", "q_vec")
+    )
+    floats = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return (
-        cands.select(
+        floats.join(F.broadcast(cands), "c_id")
+        .select(
             query_id_col,
             F.col("c_id").alias(id_col),
             F.round(cosine_similarity("c_vec", "q_vec"), 6).alias("cosine"),

@@ -8872,6 +8872,40 @@ def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_win_rates(battles).orderBy("model", "opponent")
 
 
+_PQ_INDEX_CACHE: dict = {}
+
+
+@register_query("pq_index_search")
+def pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted PQ index (``similarity.build_pq_index``/``pq_search``):
+    the on-disk artifact is m int codes per vector (the dim·8/m
+    compression IS the index); the ADC scan reads only the codes file
+    and the exact re-rank broadcast-joins the candidate set back to the
+    source floats. Built once per (session, corpus) and reused, like
+    ``ivf_index_search`` — warm runs measure the production search
+    path. Rows-only (per-subspace KMeans is iterative); persisted ==
+    inline equality is unit-pinned."""
+    import tempfile
+
+    from ..operators.similarity import build_pq_index, pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _PQ_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pq_gate_")
+        build_pq_index(emb, path)
+        _PQ_INDEX_CACHE[key] = path
+    return (
+        pq_search(spark, path, q, emb, k=10, candidate_k=40)
+        .select("query_id", "vec_id", F.col("rank").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )
+
+
 @register_query(
     "doc_grouped_split",
     oracle="""

@@ -247,6 +247,9 @@ BNLJ_ALLOWED = {
     # brute_force_topk composition: 10 eval vectors broadcast against
     # the training corpus, the ann_cosine_topk pattern
     "embedding_decontamination",
+    # persisted-PQ search: the per-query LUT frame and the bounded
+    # candidate set ride as broadcast-anchor scans, the pq_ann_topk class
+    "pq_index_search",
     # two 1-row scalar broadcasts (P̄ row × P_e row), the q22 class
     "events_fleiss_kappa",
     # 1-row scalar broadcast: the total-bigram count rides the PMI

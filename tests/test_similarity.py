@@ -507,3 +507,116 @@ class TestProductQuantization:
         plan = pq_topk(emb, q, k=5)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("MapInPandas") == 1
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestIvfIndexAppend:
+    def test_appended_vectors_found_and_equal_to_rebuild(self, spark, sf_smoke_dir, tmp_path):
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_index_append,
+            ivf_search,
+        )
+
+        emb = spark.read.parquet(
+            os.path.join(sf_smoke_dir, "embeddings.parquet")
+        )
+        first = emb.filter(F.col("vec_id") < 400)
+        rest = emb.filter(F.col("vec_id") >= 400)
+        path = str(tmp_path / "ivf")
+        build_ivf_index(first, path, n_centroids=8, fit_sample=1000)
+        n = ivf_index_append(spark, path, rest)
+        assert n == rest.count()
+
+        # searching for an appended vector's own id returns it at rank 1
+        q = rest.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = {
+            (r.query_id, r.rank): r.vec_id
+            for r in ivf_search(spark, path, q, k=3, nprobe=8).collect()
+        }
+        for (qid, rank), vid in got.items():
+            if rank == 1:
+                assert vid == qid
+
+        # full-probe search over the appended index == the same search
+        # over an index built from all vectors with the SAME quantizer
+        # (fit on `first` both times, so assignments are identical)
+        res_appended = sorted(
+            tuple(r) for r in ivf_search(spark, path, q, k=5, nprobe=8).collect()
+        )
+        path2 = str(tmp_path / "ivf2")
+        build_ivf_index(first, path2, n_centroids=8, fit_sample=1000)
+        ivf_index_append(spark, path2, rest)
+        res_rebuilt = sorted(
+            tuple(r) for r in ivf_search(spark, path2, q, k=5, nprobe=8).collect()
+        )
+        assert res_appended == res_rebuilt
+
+    def test_missing_index_raises(self, spark, tmp_path):
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            ivf_index_append,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0] * 8)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception):
+            ivf_index_append(spark, str(tmp_path / "nope"), df)
+
+
+class TestPqIndex:
+    def test_persisted_search_matches_inline(self, spark, sf_smoke_dir, tmp_path):
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            build_pq_index,
+            pq_search,
+            pq_topk,
+        )
+
+        emb = spark.read.parquet(
+            os.path.join(sf_smoke_dir, "embeddings.parquet")
+        )
+        q = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        path = str(tmp_path / "pq")
+        build_pq_index(emb, path, m=8, ks=64, fit_sample=1000, seed=7)
+        persisted = sorted(
+            tuple(r)
+            for r in pq_search(
+                spark, path, q, emb, k=5, candidate_k=40
+            ).collect()
+        )
+        inline = sorted(
+            tuple(r)
+            for r in pq_topk(
+                emb, q, k=5, m=8, ks=64, candidate_k=40,
+                fit_sample=1000, seed=7,
+            ).collect()
+        )
+        assert persisted == inline
+
+    def test_codes_are_compact(self, spark, sf_smoke_dir, tmp_path):
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            build_pq_index,
+        )
+
+        emb = spark.read.parquet(
+            os.path.join(sf_smoke_dir, "embeddings.parquet")
+        )
+        path = str(tmp_path / "pq2")
+        build_pq_index(emb, path, m=8, ks=16, fit_sample=1000)
+        codes = spark.read.parquet(f"{path}/codes")
+        assert codes.columns == ["c_id", "codes"]
+        row = codes.limit(1).collect()[0]
+        assert len(row.codes) == 8
+        assert all(0 <= c < 16 for c in row.codes)
+
+    def test_empty_corpus_build_raises(self, spark, tmp_path):
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            build_pq_index,
+        )
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="empty"):
+            build_pq_index(df, str(tmp_path / "pq3"))
