@@ -835,6 +835,54 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_shard(args) -> int:
+    """Export a parquet table as deterministic training shards +
+    manifest (sources/shards.write_training_shards)."""
+    from .sources.shards import write_training_shards
+
+    spark = _session(args)
+    df = spark.read.parquet(args.input)
+    manifest = write_training_shards(
+        df,
+        args.output,
+        key=args.key,
+        n_shards=args.n_shards,
+        seed=args.seed,
+        token_col=args.token_col,
+    )
+    for r in manifest.collect():
+        print(f"shard={r['shard']} rows={r['n_rows']} tokens={r['n_tokens']}")
+    return 0
+
+
+def cmd_chatcheck(args) -> int:
+    """Validate a chat NDJSON corpus (sources/chat.py): counts per
+    channel, violation breakdown, optional quarantine writes."""
+    from pyspark.sql import functions as F
+
+    from .sources.chat import read_chat_ndjson, split_chat_validity
+
+    spark = _session(args)
+    good, bad_json, invalid = split_chat_validity(
+        read_chat_ndjson(spark, args.input)
+    )
+    invalid = invalid.cache()
+    n_good, n_bad, n_inv = good.count(), bad_json.count(), invalid.count()
+    print(f"good={n_good} bad_json={n_bad} invalid={n_inv}")
+    for r in (
+        invalid.groupBy("violation").count().orderBy(F.desc("count")).collect()
+    ):
+        print(f"  violation={r['violation']} n={r['count']}")
+    if args.quarantine:
+        bad_json.write.mode("overwrite").json(f"{args.quarantine}/bad_json")
+        invalid.drop("turns").write.mode("overwrite").json(
+            f"{args.quarantine}/invalid"
+        )
+        print(f"-- quarantined under {args.quarantine}", file=sys.stderr)
+    invalid.unpersist()
+    return 0
+
+
 def cmd_explain(args) -> int:
     from .plans.queries import QUERIES
 
@@ -1192,6 +1240,25 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--decontam-k", type=int, default=8)
     pq.add_argument("--holdout-sixteenths", type=int, default=2)
     pq.set_defaults(fn=cmd_prep)
+
+    psh = sub.add_parser(
+        "shard", help="export parquet as deterministic training shards"
+    )
+    psh.add_argument("input")
+    psh.add_argument("output")
+    psh.add_argument("--key", required=True, help="id column the md5 shuffle keys on")
+    psh.add_argument("--n-shards", type=int, required=True)
+    psh.add_argument("--seed", default="")
+    psh.add_argument("--token-col", default=None)
+    psh.set_defaults(fn=cmd_shard)
+
+    pcc = sub.add_parser(
+        "chatcheck", help="validate a chat NDJSON corpus (messages layout)"
+    )
+    pcc.add_argument("input")
+    pcc.add_argument("--quarantine", default=None,
+                     help="write bad_json/ and invalid/ under this dir")
+    pcc.set_defaults(fn=cmd_chatcheck)
 
     psql = sub.add_parser("sql", help="ad-hoc SQL over a dir of parquet tables")
     psql.add_argument("statement")

@@ -703,3 +703,40 @@ def test_cli_htmlextract(spark, tmp_path):
     rows = {r.id: r.text for r in spark.read.parquet(out).collect()}
     assert rows[1] == "Hello & goodbye."
     assert rows[2] == "visible\nline"
+
+
+def test_cli_shard(spark, sf_smoke_dir, tmp_path, capsys):
+    rc = main([
+        "shard", f"{sf_smoke_dir}/documents.parquet", str(tmp_path / "sh"),
+        "--key", "doc_id", "--n-shards", "3", "--token-col", "n_chars",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [ln for ln in out.splitlines() if ln.startswith("shard=")]
+    assert len(lines) == 3
+    assert sum(int(ln.split("rows=")[1].split()[0]) for ln in lines) == 500
+
+
+def test_cli_chatcheck(spark, tmp_path, capsys):
+    import json
+
+    src = tmp_path / "chats.jsonl"
+    src.write_text("\n".join([
+        json.dumps({"conversation_id": "a", "messages": [
+            {"role": "user", "content": "x"},
+            {"role": "assistant", "content": "y"}]}),
+        "broken {",
+        json.dumps({"conversation_id": "b", "messages": [
+            {"role": "user", "content": "x"},
+            {"role": "user", "content": "again"}]}),
+    ]) + "\n")
+    q = str(tmp_path / "quar")
+    rc = main(["chatcheck", str(src), "--quarantine", q])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "good=1 bad_json=1 invalid=1" in out
+    assert "violation=no_alternation n=1" in out
+    import glob
+
+    assert glob.glob(f"{q}/bad_json/part-*")
+    assert glob.glob(f"{q}/invalid/part-*")
