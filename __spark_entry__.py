@@ -195,6 +195,10 @@ DRIVER_PRIORITY = [
     "curation_pipeline_v4",
     # (doc_grouped_split stays out: hash_split's md5-nibble kernel is
     # the r1-r3-verified doc_holdout_split with the key column swapped)
+    # (doc_rank_correlation stays out: its rank windows are the in-gate
+    # doc_ccnet_buckets per-group rank kernel and its moments aggregate
+    # the r3-verified lineitem_price_stats family; the tie-averaging
+    # join is locally oracle-checked)
     # (embedding_silhouette stays out: its literal-centroid narrow
     # projection is the driver-verified kmeans_assign_embeddings kernel;
     # the silhouette ratio is locally oracle-checked)

@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "sft_prep_pipeline",
     "doc_grouped_split",
     "pq_index_search",
+    "doc_rank_correlation",
     "curation_pipeline_v4",
 ]
 

@@ -26,7 +26,59 @@ __all__ = [
     "calibration_error",
     "fleiss_kappa",
     "fit_power_law",
+    "rank_correlation",
 ]
+
+
+def rank_correlation(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    monotonic-association check behind "does this quality signal track
+    that one" (compression ratio vs perplexity, heuristic score vs
+    classifier score). Tie-aware: tied values share their AVERAGE rank
+    (the textbook treatment), then ρ is the Pearson correlation of the
+    rank columns via population moments. Returns one row per group:
+    (group…, n, spearman_rho), ρ rounded to 6; NULL when either column
+    is constant (zero rank variance). Rows with a NULL in either column
+    are dropped.
+
+    Scale shape: two window sorts (one per column, partitioned by the
+    group) produce row numbers; the average-rank-per-tie is a (group,
+    value)-keyed aggregate joined back — all shuffles on narrow keys —
+    and the final ρ is one moments aggregate. No O(n²) pair scan
+    (Kendall's τ is deliberately absent: its exact pair counting
+    doesn't distribute without a merge-sort pass)."""
+    pts = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(*group_cols, F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+
+    def avg_ranks(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(
+            *[F.col(g) for g in group_cols] if group_cols else [F.lit(1)]
+        ).orderBy(F.col(col))
+        rn = frame.withColumn("__rn", F.row_number().over(w))
+        avg = rn.groupBy(*group_cols, col).agg(
+            F.avg("__rn").alias(out)
+        )
+        return frame.join(avg, [*group_cols, col])
+
+    ranked = avg_ranks(avg_ranks(pts, "__a", "__ra"), "__b", "__rb")
+    g = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.var_pop("__ra").alias("__va"),
+        F.var_pop("__rb").alias("__vb"),
+        F.covar_pop("__ra", "__rb").alias("__cab"),
+    )
+    rho = F.when(
+        (F.col("__va") > 0) & (F.col("__vb") > 0),
+        F.col("__cab") / F.sqrt(F.col("__va") * F.col("__vb")),
+    )
+    return g.select(*group_cols, "n", F.round(rho, 6).alias("spearman_rho"))
 
 
 def fit_power_law(

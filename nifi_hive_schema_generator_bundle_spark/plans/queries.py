@@ -8872,6 +8872,62 @@ def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_win_rates(battles).orderBy("model", "opponent")
 
 
+@register_query(
+    "doc_rank_correlation",
+    oracle="""
+    WITH pts AS (
+        SELECT lang, CAST(n_chars AS DOUBLE) AS a,
+               CAST(n_chars % 89 AS DOUBLE) AS b
+        FROM documents
+    ), na AS (
+        SELECT lang, a, b,
+               row_number() OVER (PARTITION BY lang ORDER BY a) AS rna
+        FROM pts
+    ), aa AS (
+        SELECT lang, a, avg(rna) AS ra FROM na GROUP BY lang, a
+    ), j1 AS (
+        SELECT na.lang, na.a, na.b, aa.ra
+        FROM na JOIN aa ON na.lang = aa.lang AND na.a = aa.a
+    ), nb AS (
+        SELECT lang, b, ra,
+               row_number() OVER (PARTITION BY lang ORDER BY b) AS rnb
+        FROM j1
+    ), bb AS (
+        SELECT lang, b, avg(rnb) AS rb FROM nb GROUP BY lang, b
+    ), j2 AS (
+        SELECT nb.lang, nb.ra, bb.rb
+        FROM nb JOIN bb ON nb.lang = bb.lang AND nb.b = bb.b
+    ), g AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               var_pop(ra) AS va, var_pop(rb) AS vb,
+               covar_pop(ra, rb) AS cab
+        FROM j2 GROUP BY lang
+    )
+    SELECT lang, n,
+           round(CASE WHEN va > 0 AND vb > 0
+                 THEN cab / sqrt(va * vb) END, 6) AS spearman_rho
+    FROM g ORDER BY lang
+    """,
+)
+def doc_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Spearman rank correlation
+    (``evals.rank_correlation``) between document length and a derived
+    modular signal (ties guaranteed, association weak by construction)
+    — tie-aware average ranks from window row numbers + a (group,
+    value) aggregate join, then one moments aggregate. The oracle
+    replays rank assignment, tie averaging, and the moments formula."""
+    from ..operators.evals import rank_correlation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("double").alias("len_signal"),
+        (F.col("n_chars") % 89).cast("double").alias("mod_signal"),
+    )
+    return rank_correlation(
+        docs, "len_signal", "mod_signal", group_cols=("lang",)
+    ).orderBy("lang")
+
+
 _PQ_INDEX_CACHE: dict = {}
 
 

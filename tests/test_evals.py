@@ -238,3 +238,67 @@ class TestFitPowerLaw:
         )
         r = fit_power_law(df, "x", "y").collect()[0]
         assert r.slope is None                          # zero x-variance
+
+
+class TestRankCorrelation:
+    def test_matches_scipy_free_reference(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            rank_correlation,
+        )
+
+        # hand data with ties; reference = textbook average-rank Spearman
+        a = [1.0, 2.0, 2.0, 3.0, 5.0, 4.0]
+        b = [2.0, 1.0, 4.0, 3.0, 6.0, 6.0]
+
+        def avg_ranks(xs):
+            order = sorted(range(len(xs)), key=lambda i: xs[i])
+            ranks = [0.0] * len(xs)
+            i = 0
+            while i < len(order):
+                j = i
+                while j + 1 < len(order) and xs[order[j + 1]] == xs[order[i]]:
+                    j += 1
+                r = (i + j) / 2 + 1
+                for t in range(i, j + 1):
+                    ranks[order[t]] = r
+                i = j + 1
+            return ranks
+
+        ra, rb = avg_ranks(a), avg_ranks(b)
+        n = len(a)
+        ma, mb = sum(ra) / n, sum(rb) / n
+        cov = sum((x - ma) * (y - mb) for x, y in zip(ra, rb)) / n
+        va = sum((x - ma) ** 2 for x in ra) / n
+        vb = sum((y - mb) ** 2 for y in rb) / n
+        want = round(cov / (va * vb) ** 0.5, 6)
+
+        df = spark.createDataFrame(list(zip(a, b)), "a double, b double")
+        r = rank_correlation(df, "a", "b").collect()[0]
+        assert r.n == 6
+        assert r.spearman_rho == pytest.approx(want, abs=1e-6)
+
+    def test_perfect_and_inverse_and_constant(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            rank_correlation,
+        )
+
+        rows = [(float(i), float(i * 2), float(10 - i), 1.0) for i in range(8)]
+        df = spark.createDataFrame(rows, "x double, up double, down double, c double")
+        assert rank_correlation(df, "x", "up").collect()[0].spearman_rho == 1.0
+        assert rank_correlation(df, "x", "down").collect()[0].spearman_rho == -1.0
+        assert rank_correlation(df, "x", "c").collect()[0].spearman_rho is None
+
+    def test_grouped(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            rank_correlation,
+        )
+
+        rows = [("g1", float(i), float(i)) for i in range(5)] + [
+            ("g2", float(i), float(-i)) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "g string, a double, b double")
+        got = {
+            r.g: r.spearman_rho
+            for r in rank_correlation(df, "a", "b", group_cols=("g",)).collect()
+        }
+        assert got == {"g1": 1.0, "g2": -1.0}
