@@ -195,6 +195,10 @@ DRIVER_PRIORITY = [
     "curation_pipeline_v4",
     # (doc_grouped_split stays out: hash_split's md5-nibble kernel is
     # the r1-r3-verified doc_holdout_split with the key column swapped)
+    # (events_bootstrap_ci stays out: md5-fraction draws are the
+    # r1-r3-verified doc_mixture_sample kernel and the order-statistic
+    # cut the in-gate doc_ccnet_buckets percentile family; the Poisson
+    # thresholds are locally oracle-checked)
     # (doc_rank_correlation stays out: its rank windows are the in-gate
     # doc_ccnet_buckets per-group rank kernel and its moments aggregate
     # the r3-verified lineitem_price_stats family; the tie-averaging

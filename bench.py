@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "doc_grouped_split",
     "pq_index_search",
     "doc_rank_correlation",
+    "events_bootstrap_ci",
     "curation_pipeline_v4",
 ]
 

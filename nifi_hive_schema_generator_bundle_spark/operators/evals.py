@@ -27,7 +27,111 @@ __all__ = [
     "fleiss_kappa",
     "fit_power_law",
     "rank_correlation",
+    "bootstrap_mean_ci",
 ]
+
+# Poisson(1) CDF thresholds for k = 0..7 (k=8+ mass ~1e-5 folds into 7):
+# the md5-uniform u maps to a weight by inverse CDF — deterministic,
+# engine-portable bootstrap weights without any RNG state
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_boot: int = 64,
+    seed: str = "",
+    id_col: str | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the mean
+    of ``value_col`` — the resampling-free bootstrap production systems
+    use at scale: replica b gives every row a Poisson(1) weight derived
+    from ``md5(seed, b, id)`` by inverse CDF (no RNG state, identical
+    on any layout, engine-replayable), the replica mean is the weighted
+    mean, and the CI is taken from the replica distribution. Returns
+    ONE row: (n, mean, ci_lo, ci_hi, n_boot).
+
+    The interval is DISCRETE order statistics of the replica means —
+    the ⌈α/2·B⌉-th and ⌈(1−α/2)·B⌉-th smallest (the winsorize
+    precedent) — not an interpolated percentile, so two engines agree
+    exactly. NULL values are dropped; an empty input returns an empty
+    frame.
+
+    Scale shape: one explode to B row-replicas feeds a B-group
+    partial aggregate (map-side combined to ≤ B rows per partition —
+    the shuffle carries B×partitions rows regardless of data volume),
+    then the B-row replica table sorts trivially. ``id_col`` defaults
+    to the value column itself (fine when values are near-unique; pass
+    a real id for heavily-repeated values so rows draw independent
+    weights)."""
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    key = id_col or value_col
+    pts = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("__x"),
+        F.col(key).cast("string").alias("__k"),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.lit("|"), F.col("b").cast("string"),
+                               F.lit("|"), F.col("__k"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(7)
+    for kk in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS1_CDF[kk], F.lit(kk)).otherwise(w)
+    reps = (
+        pts.select("__x", "__k", b)
+        .withColumn("__w", w)
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("__w") * F.col("__x")) / F.sum("__w")).alias("__m")
+        )
+    )
+    import math
+
+    lo_k = max(1, math.ceil(alpha / 2 * n_boot))
+    hi_k = min(n_boot, math.ceil((1 - alpha / 2) * n_boot))
+    ordered = reps.select(
+        "__m",
+        F.row_number().over(Window.orderBy(F.col("__m").asc(), F.col("b"))).alias(
+            "__r"
+        ),
+    )
+    stats = pts.agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("__x"), 6).alias("mean")
+    )
+    ci = ordered.agg(
+        F.round(F.min(F.when(F.col("__r") == lo_k, F.col("__m"))), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.min(F.when(F.col("__r") == hi_k, F.col("__m"))), 6).alias(
+            "ci_hi"
+        ),
+    )
+    return (
+        stats.join(F.broadcast(ci))
+        .withColumn("n_boot", F.lit(n_boot))
+        .filter(F.col("n") > 0)
+    )
 
 
 def rank_correlation(

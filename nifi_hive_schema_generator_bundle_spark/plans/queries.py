@@ -8873,6 +8873,65 @@ def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "events_bootstrap_ci",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(value AS DOUBLE) AS x,
+               CAST(event_id AS VARCHAR) AS k
+        FROM events WHERE value IS NOT NULL
+    ), reps AS (
+        SELECT b.b,
+               sum(w.w * pts.x) / sum(w.w) AS m
+        FROM pts
+        CROSS JOIN generate_series(0, 31) b(b)
+        CROSS JOIN LATERAL (
+            SELECT CASE
+                WHEN u < 0.36787944117144233 THEN 0
+                WHEN u < 0.7357588823428847 THEN 1
+                WHEN u < 0.9196986029286058 THEN 2
+                WHEN u < 0.9810118431238462 THEN 3
+                WHEN u < 0.9963401531726563 THEN 4
+                WHEN u < 0.9994058151824183 THEN 5
+                WHEN u < 0.9999167588507119 THEN 6
+                ELSE 7 END AS w
+            FROM (SELECT CAST(concat('0x', substring(
+                      md5('ci' || '|' || CAST(b.b AS VARCHAR) || '|' || pts.k),
+                      1, 8)) AS BIGINT) / 4294967296.0 AS u)
+        ) w
+        GROUP BY b.b
+    ), ordered AS (
+        SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS r FROM reps
+    ), ci AS (
+        SELECT round(min(CASE WHEN r = 1 THEN m END), 6) AS ci_lo,
+               round(min(CASE WHEN r = 32 THEN m END), 6) AS ci_hi
+        FROM ordered
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, round(avg(x), 6) AS mean
+        FROM pts
+    )
+    SELECT stats.n, stats.mean, ci.ci_lo, ci.ci_hi,
+           CAST(32 AS INTEGER) AS n_boot
+    FROM stats, ci
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI (``evals.bootstrap_mean_ci``,
+    B=32, α=0.05) for the mean event value: replica weights come from
+    md5 inverse-CDF draws (no RNG state — identical on any layout and
+    in DuckDB, which replays every threshold), the interval is discrete
+    order statistics of the replica means (⌈α/2·B⌉ = 1st and
+    ⌈(1−α/2)·B⌉ = 32nd smallest — no interpolation to disagree on).
+    One explode→B-group partial aggregate; the shuffle carries
+    B×partitions rows regardless of data volume."""
+    from ..operators.evals import bootstrap_mean_ci
+
+    e = load_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        e, "value", n_boot=32, seed="ci", id_col="event_id"
+    )
+
+
+@register_query(
     "doc_rank_correlation",
     oracle="""
     WITH pts AS (

@@ -302,3 +302,67 @@ class TestRankCorrelation:
             for r in rank_correlation(df, "a", "b", group_cols=("g",)).collect()
         }
         assert got == {"g1": 1.0, "g2": -1.0}
+
+
+class TestBootstrapMeanCI:
+    def test_matches_python_replica_and_brackets_mean(self, spark):
+        import hashlib
+
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            _POIS1_CDF,
+            bootstrap_mean_ci,
+        )
+
+        vals = [float(v) for v in range(1, 41)]  # mean 20.5
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        r = bootstrap_mean_ci(df, "x", n_boot=32, seed="s").collect()[0]
+        assert r.n == 40 and r.mean == 20.5 and r.n_boot == 32
+        assert r.ci_lo <= 20.5 <= r.ci_hi
+        assert r.ci_lo < r.ci_hi
+
+        # pure-python replica of the deterministic weights + interval
+        def weight(seed, b, k):
+            u = int(
+                hashlib.md5(f"{seed}|{b}|{k}".encode()).hexdigest()[:8], 16
+            ) / 4294967296.0
+            for kk, t in enumerate(_POIS1_CDF):
+                if u < t:
+                    return kk
+            return 7
+
+        means = []
+        for b in range(32):
+            ws = [weight("s", b, f"{v:.1f}") for v in vals]
+            means.append(sum(w * v for w, v in zip(ws, vals)) / sum(ws))
+        means.sort()
+        import math
+
+        lo = round(means[max(1, math.ceil(0.025 * 32)) - 1], 6)
+        hi = round(means[min(32, math.ceil(0.975 * 32)) - 1], 6)
+        assert (r.ci_lo, r.ci_hi) == (pytest.approx(lo), pytest.approx(hi))
+
+    def test_determinism_across_layouts(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            bootstrap_mean_ci,
+        )
+
+        vals = [(float(v),) for v in range(100)]
+        a = bootstrap_mean_ci(
+            spark.createDataFrame(vals, "x double"), "x", n_boot=16
+        ).collect()[0]
+        b = bootstrap_mean_ci(
+            spark.createDataFrame(vals, "x double").repartition(13),
+            "x", n_boot=16,
+        ).collect()[0]
+        assert tuple(a) == tuple(b)
+
+    def test_validates(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            bootstrap_mean_ci,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError):
+            bootstrap_mean_ci(df, "x", n_boot=1)
+        with pytest.raises(ValueError):
+            bootstrap_mean_ci(df, "x", alpha=0.0)
