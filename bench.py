@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "pq_index_search",
     "doc_rank_correlation",
     "events_bootstrap_ci",
+    "events_ab_test",
     "curation_pipeline_v4",
 ]
 

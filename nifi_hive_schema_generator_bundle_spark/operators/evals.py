@@ -28,7 +28,30 @@ __all__ = [
     "fit_power_law",
     "rank_correlation",
     "bootstrap_mean_ci",
+    "bootstrap_diff_ci",
 ]
+
+def _order_stat_ci(ordered: DataFrame, col: str, alpha: float) -> DataFrame:
+    """1-row (ci_lo, ci_hi): the ⌈α/2·R⌉-th and ⌈(1−α/2)·R⌉-th smallest
+    of R surviving replicas (``ordered`` carries ``__r`` row numbers) —
+    discrete order statistics, scaled to however many replicas survived
+    the zero-weight drop, computed without a driver round-trip."""
+    total = F.max("__r").over(Window.partitionBy(F.lit(1)))
+    lo = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(alpha / 2) * total))
+    hi = F.least(total.cast("long"), F.ceil(F.lit(1 - alpha / 2) * total))
+    return (
+        ordered.withColumn("__lo", lo)
+        .withColumn("__hi", hi)
+        .agg(
+            F.round(
+                F.min(F.when(F.col("__r") == F.col("__lo"), F.col(col))), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.min(F.when(F.col("__r") == F.col("__hi"), F.col(col))), 6
+            ).alias("ci_hi"),
+        )
+    )
+
 
 # Poisson(1) CDF thresholds for k = 0..7 (k=8+ mass ~1e-5 folds into 7):
 # the md5-uniform u maps to a weight by inverse CDF — deterministic,
@@ -103,13 +126,15 @@ def bootstrap_mean_ci(
         .withColumn("__w", w)
         .groupBy("b")
         .agg(
-            (F.sum(F.col("__w") * F.col("__x")) / F.sum("__w")).alias("__m")
+            # a replica can draw weight 0 everywhere on tiny inputs —
+            # NULL (dropped) instead of an ANSI divide-by-zero
+            F.when(
+                F.sum("__w") > 0,
+                F.sum(F.col("__w") * F.col("__x")) / F.sum("__w"),
+            ).alias("__m")
         )
+        .filter(F.col("__m").isNotNull())
     )
-    import math
-
-    lo_k = max(1, math.ceil(alpha / 2 * n_boot))
-    hi_k = min(n_boot, math.ceil((1 - alpha / 2) * n_boot))
     ordered = reps.select(
         "__m",
         F.row_number().over(Window.orderBy(F.col("__m").asc(), F.col("b"))).alias(
@@ -119,14 +144,7 @@ def bootstrap_mean_ci(
     stats = pts.agg(
         F.count(F.lit(1)).alias("n"), F.round(F.avg("__x"), 6).alias("mean")
     )
-    ci = ordered.agg(
-        F.round(F.min(F.when(F.col("__r") == lo_k, F.col("__m"))), 6).alias(
-            "ci_lo"
-        ),
-        F.round(F.min(F.when(F.col("__r") == hi_k, F.col("__m"))), 6).alias(
-            "ci_hi"
-        ),
-    )
+    ci = _order_stat_ci(ordered, "__m", alpha)
     return (
         stats.join(F.broadcast(ci))
         .withColumn("n_boot", F.lit(n_boot))
@@ -183,6 +201,118 @@ def rank_correlation(
         F.col("__cab") / F.sqrt(F.col("__va") * F.col("__vb")),
     )
     return g.select(*group_cols, "n", F.round(rho, 6).alias("spearman_rho"))
+
+
+def bootstrap_diff_ci(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    n_boot: int = 64,
+    seed: str = "",
+    id_col: str | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Two-sample bootstrap: CI for ``mean(A) − mean(B)`` — the A/B
+    analysis behind "is model A's score actually higher". Same
+    deterministic Poisson-weight machinery as ``bootstrap_mean_ci``
+    (md5 inverse-CDF draws, layout/engine-portable), each replica
+    resamples BOTH groups independently (the id feeds the hash, so a
+    row's weight doesn't depend on its group), and the interval is
+    discrete order statistics of the replica differences. Returns ONE
+    row: (n_a, n_b, mean_a, mean_b, diff, ci_lo, ci_hi, significant) —
+    ``significant`` = the CI excludes 0.
+
+    Same scale shape as the one-sample form: one explode to B
+    row-replicas, a (b, group) partial aggregate (≤ 2B rows out), a
+    tiny pivot + sort."""
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    key = id_col or value_col
+    pts = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin(group_a, group_b)
+    ).select(
+        F.col(value_col).cast("double").alias("__x"),
+        F.col(group_col).alias("__g"),
+        F.col(key).cast("string").alias("__k"),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed), F.lit("|"), F.col("b").cast("string"),
+                        F.lit("|"), F.col("__k"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(7)
+    for kk in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS1_CDF[kk], F.lit(kk)).otherwise(w)
+    reps = (
+        pts.select("__x", "__g", "__k", b)
+        .withColumn("__w", w)
+        .groupBy("b", "__g")
+        .agg(
+            F.when(
+                F.sum("__w") > 0,
+                F.sum(F.col("__w") * F.col("__x")) / F.sum("__w"),
+            ).alias("__m")
+        )
+    )
+    diffs = (
+        reps.groupBy("b")
+        .agg(
+            (
+                F.min(F.when(F.col("__g") == group_a, F.col("__m")))
+                - F.min(F.when(F.col("__g") == group_b, F.col("__m")))
+            ).alias("__d")
+        )
+        .filter(F.col("__d").isNotNull())  # replica emptied a group: drop
+    )
+    ordered = diffs.select(
+        "__d",
+        F.row_number().over(
+            Window.orderBy(F.col("__d").asc(), F.col("b"))
+        ).alias("__r"),
+    )
+    ci = _order_stat_ci(ordered, "__d", alpha)
+    stats = pts.agg(
+        F.sum((F.col("__g") == group_a).cast("long")).alias("n_a"),
+        F.sum((F.col("__g") == group_b).cast("long")).alias("n_b"),
+        F.round(
+            F.avg(F.when(F.col("__g") == group_a, F.col("__x"))), 6
+        ).alias("mean_a"),
+        F.round(
+            F.avg(F.when(F.col("__g") == group_b, F.col("__x"))), 6
+        ).alias("mean_b"),
+    )
+    return (
+        stats.join(F.broadcast(ci))
+        .select(
+            "n_a",
+            "n_b",
+            "mean_a",
+            "mean_b",
+            F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("diff"),
+            "ci_lo",
+            "ci_hi",
+            ((F.col("ci_lo") > 0) | (F.col("ci_hi") < 0)).alias(
+                "significant"
+            ),
+        )
+    )
 
 
 def fit_power_law(

@@ -8932,6 +8932,92 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "events_ab_test",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(value AS DOUBLE)
+                   + CASE WHEN event_id % 2 = 0 THEN 10.0 ELSE 0.0 END AS x,
+               CASE WHEN event_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+               CAST(event_id AS VARCHAR) AS k
+        FROM events WHERE value IS NOT NULL
+    ), reps AS (
+        SELECT b.b, pts.g,
+               CASE WHEN sum(w.w) > 0
+                    THEN sum(w.w * pts.x) / sum(w.w) END AS m
+        FROM pts
+        CROSS JOIN generate_series(0, 31) b(b)
+        CROSS JOIN LATERAL (
+            SELECT CASE
+                WHEN u < 0.36787944117144233 THEN 0
+                WHEN u < 0.7357588823428847 THEN 1
+                WHEN u < 0.9196986029286058 THEN 2
+                WHEN u < 0.9810118431238462 THEN 3
+                WHEN u < 0.9963401531726563 THEN 4
+                WHEN u < 0.9994058151824183 THEN 5
+                WHEN u < 0.9999167588507119 THEN 6
+                ELSE 7 END AS w
+            FROM (SELECT CAST(concat('0x', substring(
+                      md5('ab' || '|' || CAST(b.b AS VARCHAR) || '|' || pts.k),
+                      1, 8)) AS BIGINT) / 4294967296.0 AS u)
+        ) w
+        GROUP BY b.b, pts.g
+    ), diffs AS (
+        SELECT b, min(CASE WHEN g = 'A' THEN m END)
+                  - min(CASE WHEN g = 'B' THEN m END) AS d
+        FROM reps GROUP BY b
+        HAVING min(CASE WHEN g = 'A' THEN m END) IS NOT NULL
+           AND min(CASE WHEN g = 'B' THEN m END) IS NOT NULL
+    ), ordered AS (
+        SELECT d, row_number() OVER (ORDER BY d ASC, b ASC) AS r FROM diffs
+    ), tot AS (SELECT max(r) AS t FROM ordered),
+    ci AS (
+        SELECT round(min(CASE WHEN o.r = greatest(1, CAST(ceil(0.025 * tot.t)
+                   AS BIGINT)) THEN o.d END), 6) AS ci_lo,
+               round(min(CASE WHEN o.r = least(tot.t, CAST(ceil(0.975 * tot.t)
+                   AS BIGINT)) THEN o.d END), 6) AS ci_hi
+        FROM ordered o, tot
+    ), stats AS (
+        SELECT CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               round(avg(CASE WHEN g = 'A' THEN x END), 6) AS mean_a,
+               round(avg(CASE WHEN g = 'B' THEN x END), 6) AS mean_b
+        FROM pts
+    )
+    SELECT stats.n_a, stats.n_b, stats.mean_a, stats.mean_b,
+           round(stats.mean_a - stats.mean_b, 6) AS diff,
+           ci.ci_lo, ci.ci_hi,
+           (ci.ci_lo > 0 OR ci.ci_hi < 0) AS significant
+    FROM stats, ci
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B analysis (``evals.bootstrap_diff_ci``, B=32): even events get
+    a +10 treatment lift, and the deterministic two-sample Poisson
+    bootstrap must call the difference significant (CI excluding 0).
+    Same md5 inverse-CDF weights and discrete order-statistic interval
+    as ``events_bootstrap_ci``, resampling both arms independently; the
+    oracle replays every stage including the survivor-scaled rank
+    cuts."""
+    from ..operators.evals import bootstrap_diff_ci
+
+    e = load_table(spark, sf_dir, "events")
+    samples = e.filter(F.col("value").isNotNull()).select(
+        (
+            F.col("value").cast("double")
+            + F.when(F.col("event_id") % 2 == 0, F.lit(10.0)).otherwise(0.0)
+        ).alias("score"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        F.col("event_id"),
+    )
+    return bootstrap_diff_ci(
+        samples, "score", "arm", "A", "B",
+        n_boot=32, seed="ab", id_col="event_id",
+    )
+
+
+@register_query(
     "doc_rank_correlation",
     oracle="""
     WITH pts AS (

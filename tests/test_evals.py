@@ -366,3 +366,51 @@ class TestBootstrapMeanCI:
             bootstrap_mean_ci(df, "x", n_boot=1)
         with pytest.raises(ValueError):
             bootstrap_mean_ci(df, "x", alpha=0.0)
+
+
+class TestBootstrapDiffCI:
+    def test_clear_separation_is_significant(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            bootstrap_diff_ci,
+        )
+
+        rows = [("A", 10.0 + (i % 5) / 10, float(i)) for i in range(40)] + [
+            ("B", 5.0 + (i % 5) / 10, float(100 + i)) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "model string, score double, rid double")
+        r = bootstrap_diff_ci(
+            df, "score", "model", "A", "B", n_boot=32, id_col="rid"
+        ).collect()[0]
+        assert (r.n_a, r.n_b) == (40, 40)
+        assert r.diff == pytest.approx(5.0, abs=0.01)
+        assert r.ci_lo <= r.diff <= r.ci_hi
+        assert r.significant and r.ci_lo > 0
+
+    def test_identical_groups_not_significant(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            bootstrap_diff_ci,
+        )
+
+        rows = [(g, float(i % 10), float(i) + (0.5 if g == "B" else 0.0))
+                for g in ("A", "B") for i in range(60)]
+        df = spark.createDataFrame(rows, "model string, score double, rid double")
+        r = bootstrap_diff_ci(
+            df, "score", "model", "A", "B", n_boot=32, id_col="rid"
+        ).collect()[0]
+        assert r.diff == 0.0
+        assert r.ci_lo <= 0.0 <= r.ci_hi
+        assert not r.significant
+
+    def test_other_groups_ignored_and_validation(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            bootstrap_diff_ci,
+        )
+
+        rows = [("A", 1.0, 1.0), ("B", 2.0, 2.0), ("C", 99.0, 3.0)]
+        df = spark.createDataFrame(rows, "model string, score double, rid double")
+        r = bootstrap_diff_ci(
+            df, "score", "model", "A", "B", n_boot=4, id_col="rid"
+        ).collect()[0]
+        assert (r.n_a, r.n_b) == (1, 1)      # C excluded
+        with pytest.raises(ValueError):
+            bootstrap_diff_ci(df, "score", "model", "A", "B", n_boot=1)
