@@ -195,6 +195,9 @@ DRIVER_PRIORITY = [
     "curation_pipeline_v4",
     # (doc_grouped_split stays out: hash_split's md5-nibble kernel is
     # the r1-r3-verified doc_holdout_split with the key column swapped)
+    # (doc_langid_report stays out: it composes the r-verified
+    # language_id heuristic with label-keyed count aggregates; the
+    # scorecard algebra is locally oracle-checked)
     # (events_bootstrap_ci stays out: md5-fraction draws are the
     # r1-r3-verified doc_mixture_sample kernel and the order-statistic
     # cut the in-gate doc_ccnet_buckets percentile family; the Poisson

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "doc_rank_correlation",
     "events_bootstrap_ci",
     "events_ab_test",
+    "doc_langid_report",
     "curation_pipeline_v4",
 ]
 

@@ -29,7 +29,59 @@ __all__ = [
     "rank_correlation",
     "bootstrap_mean_ci",
     "bootstrap_diff_ci",
+    "classification_report",
 ]
+
+
+def classification_report(
+    df: DataFrame,
+    gold_col: str = "gold",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Per-class precision/recall/F1 from a (gold, pred) table — the
+    standard scorecard for any classifier in the pipeline (language ID,
+    quality gates, license detection). One row per class appearing in
+    EITHER column: (label, n_gold, n_pred, tp, precision, recall, f1),
+    6dp, NULL where undefined (no predictions → no precision, no gold →
+    no recall, both → no F1; F1 is also NULL when p + r = 0).
+
+    Three map-side-combinable aggregates over label keys (tp from the
+    gold = pred diagonal, marginals from each column) joined outer on
+    the tiny label dimension — the data-sized scan never shuffles more
+    than its distinct labels."""
+    tp = (
+        df.filter(F.col(gold_col) == F.col(pred_col))
+        .groupBy(F.col(gold_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    n_gold = df.groupBy(F.col(gold_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_gold")
+    )
+    n_pred = df.groupBy(F.col(pred_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = (
+        n_gold.join(n_pred, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    r = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold"))
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r))
+    return j.select(
+        "label",
+        "n_gold",
+        "n_pred",
+        "tp",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
 
 def _order_stat_ci(ordered: DataFrame, col: str, alpha: float) -> DataFrame:
     """1-row (ci_lo, ci_hi): the ⌈α/2·R⌉-th and ⌈(1−α/2)·R⌉-th smallest

@@ -8932,6 +8932,76 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_langid_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))) AS BIGINT) AS h_de,
+        CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','that','for','it'], x))) AS BIGINT) AS h_en,
+        CAST(len(list_filter(t, x -> list_contains(['el','la','los','las','es','un','una','para','con','que'], x))) AS BIGINT) AS h_es,
+        CAST(len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une','pour','dans','que'], x))) AS BIGINT) AS h_fr
+      FROM toks
+    ), preds AS (
+      SELECT lang AS gold,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS pred
+      FROM hits
+    ), tp AS (
+      SELECT gold AS label, CAST(count(*) AS BIGINT) AS tp
+      FROM preds WHERE gold = pred GROUP BY gold
+    ), ng AS (
+      SELECT gold AS label, CAST(count(*) AS BIGINT) AS n_gold
+      FROM preds GROUP BY gold
+    ), np AS (
+      SELECT pred AS label, CAST(count(*) AS BIGINT) AS n_pred
+      FROM preds GROUP BY pred
+    ), j AS (
+      SELECT coalesce(ng.label, np.label) AS label,
+             coalesce(ng.n_gold, 0) AS n_gold,
+             coalesce(np.n_pred, 0) AS n_pred,
+             coalesce(tp.tp, 0) AS tp
+      FROM ng FULL OUTER JOIN np ON ng.label = np.label
+      LEFT JOIN tp ON coalesce(ng.label, np.label) = tp.label
+    )
+    SELECT label, n_gold, n_pred, tp,
+           round(CASE WHEN n_pred > 0 THEN 1.0 * tp / n_pred END, 6)
+               AS precision,
+           round(CASE WHEN n_gold > 0 THEN 1.0 * tp / n_gold END, 6)
+               AS recall,
+           round(CASE WHEN (CASE WHEN n_pred > 0 THEN 1.0 * tp / n_pred END)
+                           + (CASE WHEN n_gold > 0 THEN 1.0 * tp / n_gold END)
+                           > 0
+                 THEN 2.0 * (1.0 * tp / n_pred) * (1.0 * tp / n_gold)
+                      / (1.0 * tp / n_pred + 1.0 * tp / n_gold) END, 6)
+               AS f1
+    FROM j ORDER BY label
+    """,
+)
+def doc_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the language-ID heuristic
+    (``evals.classification_report`` over ``text.language_id``'s
+    predictions vs the planted ``lang`` labels): per-class
+    precision/recall/F1 from three label-keyed partial aggregates +
+    a tiny full-outer label join. The oracle replays the heuristic AND
+    the scorecard algebra — the classifier can't grade itself."""
+    from ..operators.evals import classification_report
+    from ..operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    preds = language_id(d).select(
+        F.col("lang").alias("gold"), F.col("pred_lang").alias("pred")
+    )
+    return classification_report(preds).orderBy("label")
+
+
+@register_query(
     "events_ab_test",
     oracle="""
     WITH pts AS (

@@ -414,3 +414,45 @@ class TestBootstrapDiffCI:
         assert (r.n_a, r.n_b) == (1, 1)      # C excluded
         with pytest.raises(ValueError):
             bootstrap_diff_ci(df, "score", "model", "A", "B", n_boot=1)
+
+
+class TestClassificationReport:
+    def test_hand_computed(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            classification_report,
+        )
+
+        rows = [
+            ("a", "a"), ("a", "a"), ("a", "b"),       # a: 2 tp of 3 gold
+            ("b", "b"), ("b", "a"),                   # b: 1 tp of 2 gold
+            ("c", "a"),                               # c never predicted
+        ]
+        df = spark.createDataFrame(rows, "gold string, pred string")
+        got = {r.label: r for r in classification_report(df).collect()}
+        a = got["a"]
+        assert (a.n_gold, a.n_pred, a.tp) == (3, 4, 2)
+        assert a.precision == pytest.approx(0.5)
+        assert a.recall == pytest.approx(round(2 / 3, 6))
+        p, r = 0.5, 2 / 3
+        assert a.f1 == pytest.approx(round(2 * p * r / (p + r), 6))
+        c = got["c"]
+        assert (c.n_gold, c.n_pred, c.tp) == (1, 0, 0)
+        assert c.precision is None and c.recall == 0.0 and c.f1 is None
+
+    def test_pred_only_class_and_plan(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            classification_report,
+        )
+
+        df = spark.createDataFrame(
+            [("x", "y")], "gold string, pred string"
+        )
+        got = {r.label: r for r in classification_report(df).collect()}
+        y = got["y"]
+        assert (y.n_gold, y.n_pred, y.tp) == (0, 1, 0)
+        assert y.recall is None and y.precision == 0.0
+        plan = (
+            classification_report(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
