@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "events_bootstrap_ci",
     "events_ab_test",
     "doc_langid_report",
+    "doc_zipf_fit",
     "curation_pipeline_v4",
 ]
 

@@ -8932,6 +8932,70 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_zipf_fit",
+    oracle=r"""
+    WITH toks AS (
+        SELECT list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), freq AS (
+        SELECT u.tok, CAST(count(*) AS DOUBLE) AS f
+        FROM (SELECT unnest(t) AS tok FROM toks) u GROUP BY u.tok
+    ), ranked AS (
+        SELECT f, CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE)
+                   AS r
+        FROM freq
+    ), pts AS (
+        SELECT ln(r) AS lx, ln(f) AS ly FROM ranked
+        WHERE r > 0 AND f > 0
+    ), g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               var_pop(lx) AS vx, var_pop(ly) AS vy,
+               covar_pop(lx, ly) AS cxy, avg(lx) AS mx, avg(ly) AS my
+        FROM pts
+    )
+    SELECT n,
+           round(CASE WHEN vx > 0 THEN cxy / vx END, 6) AS slope,
+           round(my - (CASE WHEN vx > 0 THEN cxy / vx END) * mx, 6)
+               AS intercept,
+           round(CASE WHEN vx > 0 AND vy > 0
+                 THEN (cxy * cxy) / (vx * vy) END, 6) AS r2
+    FROM g
+    """,
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token frequency distribution — the
+    classic text-statistics health check (natural language slopes near
+    −1; synthetic/templated corpora deviate): corpus token counts →
+    frequency rank (count-desc, token tiebreak) → ``evals.
+    fit_power_law`` on (rank, frequency). One token-keyed partial
+    count, one rank window over the vocabulary (not the corpus), one
+    moments aggregate; the oracle replays all three stages."""
+    from pyspark.sql import Window as _W
+
+    from ..functions.textfns import whitespace_tokens
+    from ..operators.evals import fit_power_law
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(_W.orderBy(F.col("f").desc(), F.col("tok")))
+        .cast("double")
+        .alias("r"),
+    )
+    return fit_power_law(ranked, "r", "f")
+
+
+@register_query(
     "doc_langid_report",
     oracle="""
     WITH toks AS (
