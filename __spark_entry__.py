@@ -195,6 +195,10 @@ DRIVER_PRIORITY = [
     "curation_pipeline_v4",
     # (doc_grouped_split stays out: hash_split's md5-nibble kernel is
     # the r1-r3-verified doc_holdout_split with the key column swapped)
+    # (events_chi_square / doc_zipf_fit stay out: contingency counts and
+    # the moments-OLS kernel are in-gate via events_fleiss_kappa's
+    # (item, category) counts and the verified stats family; the
+    # statistic algebra is locally oracle-checked)
     # (doc_langid_report stays out: it composes the r-verified
     # language_id heuristic with label-keyed count aggregates; the
     # scorecard algebra is locally oracle-checked)

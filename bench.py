@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "events_ab_test",
     "doc_langid_report",
     "doc_zipf_fit",
+    "events_chi_square",
     "curation_pipeline_v4",
 ]
 

@@ -30,7 +30,86 @@ __all__ = [
     "bootstrap_mean_ci",
     "bootstrap_diff_ci",
     "classification_report",
+    "chi_square_independence",
 ]
+
+# Upper-tail 95% critical values of χ²(dof), dof = 1..30 (standard table;
+# literals so the significance flag replays on any engine with no CDF)
+_CHI2_CRIT_95 = (
+    3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507, 16.919,
+    18.307, 19.675, 21.026, 22.362, 23.685, 24.996, 26.296, 27.587,
+    28.869, 30.144, 31.410, 32.671, 33.924, 35.172, 36.415, 37.652,
+    38.885, 40.113, 41.337, 42.557, 43.773,
+)
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson χ² test of independence between two categorical columns
+    — "does quality verdict depend on source", "does language predict
+    the dedup outcome". Returns ONE row: (n, n_rows, n_cols, dof, chi2,
+    critical_95, significant) with ``chi2 = Σ (observed − expected)² /
+    expected`` over the contingency table and ``significant`` = chi2 >
+    the 95% critical value (a literal table for dof ≤ 30; larger tables
+    get NULL critical/flag — bring your own threshold). Cells that
+    never co-occur contribute through their expected counts, as the
+    statistic requires.
+
+    Scale shape: one (row, col) partial count, two marginal
+    re-aggregations of that tiny table, a marginal×marginal join to
+    enumerate ALL cells (bounded by category-pair count, never data),
+    and a 1-row total broadcast. NULL categories are excluded."""
+    pts = df.filter(
+        F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+    ).select(F.col(row_col).alias("__r"), F.col(col_col).alias("__c"))
+    obs = pts.groupBy("__r", "__c").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rm = obs.groupBy("__r").agg(F.sum("o").alias("nr"))
+    cm = obs.groupBy("__c").agg(F.sum("o").alias("nc"))
+    tot = obs.agg(F.sum("o").alias("t"))  # 1-row broadcast
+    cells = (
+        rm.join(cm)  # all (row, col) cells, zero-observed included
+        .join(obs, ["__r", "__c"], "left")
+        .join(F.broadcast(tot))
+        .select(
+            (F.col("nr") * F.col("nc") / F.col("t")).alias("e"),
+            F.coalesce("o", F.lit(0.0)).alias("o"),
+        )
+    )
+    stat = cells.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 6
+        ).alias("chi2")
+    )
+    dims = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("__r").alias("n_rows"),
+        F.countDistinct("__c").alias("n_cols"),
+    )
+    crit = F.lit(None).cast("double")
+    dof_c = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    for d, v in enumerate(_CHI2_CRIT_95, start=1):
+        crit = F.when(dof_c == d, F.lit(v)).otherwise(crit)
+    return (
+        dims.join(F.broadcast(stat))
+        .withColumn("dof", dof_c.cast("long"))
+        .withColumn("critical_95", crit)
+        .withColumn(
+            "significant",
+            F.when(
+                F.col("critical_95").isNotNull(),
+                F.col("chi2") > F.col("critical_95"),
+            ),
+        )
+        .select(
+            "n", "n_rows", "n_cols", "dof", "chi2",
+            "critical_95", "significant",
+        )
+    )
 
 
 def classification_report(

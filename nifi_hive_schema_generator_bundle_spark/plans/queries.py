@@ -8932,6 +8932,66 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "events_chi_square",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type AS r, 'u' || CAST(user_id % 4 AS VARCHAR) AS c
+        FROM events
+    ), obs AS (
+        SELECT r, c, CAST(count(*) AS DOUBLE) AS o FROM pts GROUP BY r, c
+    ), rm AS (SELECT r, sum(o) AS nr FROM obs GROUP BY r),
+    cm AS (SELECT c, sum(o) AS nc FROM obs GROUP BY c),
+    tot AS (SELECT sum(o) AS t FROM obs),
+    cells AS (
+        SELECT rm.nr * cm.nc / tot.t AS e, coalesce(obs.o, 0.0) AS o
+        FROM rm CROSS JOIN cm CROSS JOIN tot
+        LEFT JOIN obs ON obs.r = rm.r AND obs.c = cm.c
+    ), stat AS (
+        SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2 FROM cells
+    ), dims AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT c) AS BIGINT) AS n_cols
+        FROM pts
+    )
+    SELECT dims.n, dims.n_rows, dims.n_cols,
+           CAST((dims.n_rows - 1) * (dims.n_cols - 1) AS BIGINT) AS dof,
+           stat.chi2,
+           CAST(CASE (dims.n_rows - 1) * (dims.n_cols - 1)
+                WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+                WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+                WHEN 7 THEN 14.067 WHEN 8 THEN 15.507 WHEN 9 THEN 16.919
+                WHEN 10 THEN 18.307 WHEN 11 THEN 19.675 WHEN 12 THEN 21.026
+           END AS DOUBLE) AS critical_95,
+           stat.chi2 > CASE (dims.n_rows - 1) * (dims.n_cols - 1)
+                WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+                WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+                WHEN 7 THEN 14.067 WHEN 8 THEN 15.507 WHEN 9 THEN 16.919
+                WHEN 10 THEN 18.307 WHEN 11 THEN 19.675 WHEN 12 THEN 21.026
+           END AS significant
+    FROM dims, stat
+    """,
+)
+def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test (``evals.chi_square_independence``)
+    between event type and a synthetic user cohort (user_id % 4) —
+    uniform synth data should land NOT significant at 95%. One
+    contingency partial count + marginal joins bounded by category
+    pairs; the oracle replays the statistic and the literal
+    critical-value ladder."""
+    from ..operators.evals import chi_square_independence
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.concat(F.lit("u"), (F.col("user_id") % 4).cast("string")).alias(
+            "cohort"
+        ),
+    )
+    return chi_square_independence(pts, "event_type", "cohort")
+
+
+@register_query(
     "doc_zipf_fit",
     oracle=r"""
     WITH toks AS (

@@ -456,3 +456,61 @@ class TestClassificationReport:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan
+
+
+class TestChiSquare:
+    def test_matches_python_replica(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            chi_square_independence,
+        )
+
+        # dependent table: outcome skews with group
+        rows = (
+            [("g1", "yes")] * 30 + [("g1", "no")] * 10
+            + [("g2", "yes")] * 10 + [("g2", "no")] * 30
+        )
+        df = spark.createDataFrame(rows, "g string, y string")
+        r = chi_square_independence(df, "g", "y").collect()[0]
+
+        from collections import Counter
+
+        obs = Counter(rows)
+        rmarg = Counter(g for g, _ in rows)
+        cmarg = Counter(y for _, y in rows)
+        n = len(rows)
+        chi2 = sum(
+            (obs.get((g, y), 0) - rmarg[g] * cmarg[y] / n) ** 2
+            / (rmarg[g] * cmarg[y] / n)
+            for g in rmarg for y in cmarg
+        )
+        assert r.chi2 == pytest.approx(round(chi2, 6))
+        assert (r.n, r.n_rows, r.n_cols, r.dof) == (80, 2, 2, 1)
+        assert r.critical_95 == 3.841 and r.significant
+
+    def test_independent_table_not_significant(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            chi_square_independence,
+        )
+
+        rows = [(g, y) for g in ("a", "b") for y in ("x", "z") for _ in range(25)]
+        df = spark.createDataFrame(rows, "g string, y string")
+        r = chi_square_independence(df, "g", "y").collect()[0]
+        assert r.chi2 == 0.0 and r.significant is False
+
+    def test_zero_cell_and_large_dof(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            chi_square_independence,
+        )
+
+        # g1 never produces 'no': the zero cell still contributes e
+        rows = [("g1", "yes")] * 10 + [("g2", "yes")] * 5 + [("g2", "no")] * 5
+        df = spark.createDataFrame(rows, "g string, y string")
+        r = chi_square_independence(df, "g", "y").collect()[0]
+        assert r.chi2 > 0 and r.dof == 1
+
+        big = spark.createDataFrame(
+            [(f"r{i}", f"c{j}") for i in range(8) for j in range(8)],
+            "g string, y string",
+        )
+        rb = chi_square_independence(big, "g", "y").collect()[0]
+        assert rb.dof == 49 and rb.critical_95 is None and rb.significant is None
