@@ -195,6 +195,8 @@ DRIVER_PRIORITY = [
     "curation_pipeline_v4",
     # (doc_grouped_split stays out: hash_split's md5-nibble kernel is
     # the r1-r3-verified doc_holdout_split with the key column swapped)
+    # (events_mann_whitney stays out: its pooled-rank machinery is the
+    # doc_rank_correlation kernel, oracle-checked locally with it)
     # (events_chi_square / doc_zipf_fit stay out: contingency counts and
     # the moments-OLS kernel are in-gate via events_fleiss_kappa's
     # (item, category) counts and the verified stats family; the

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "doc_langid_report",
     "doc_zipf_fit",
     "events_chi_square",
+    "events_mann_whitney",
     "curation_pipeline_v4",
 ]
 

@@ -31,7 +31,79 @@ __all__ = [
     "bootstrap_diff_ci",
     "classification_report",
     "chi_square_independence",
+    "mann_whitney_u",
 ]
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric "is A
+    stochastically larger than B", robust to the heavy-tailed score
+    distributions where the t-test assumptions die. Returns ONE row:
+    (n_a, n_b, u, z, significant): ``U = R_A − n_A(n_A+1)/2`` from A's
+    rank sum in the POOLED sample (ties share average ranks), ``z`` the
+    normal approximation with the standard tie-corrected variance
+    ``n_A n_B/12 · (N+1 − Σ(t³−t)/(N(N−1)))``, ``significant`` =
+    |z| > ``z_crit`` (NULL when a group is empty or the variance is 0 —
+    every value tied). z > 0 means A ranks higher.
+
+    Scale shape — the Spearman machinery: one pooled rank window + a
+    (value)-keyed tie aggregate joined back, then single-row moment
+    aggregates; no pairwise comparisons (the O(n_A·n_B) definition
+    never materializes)."""
+    pts = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin(group_a, group_b)
+    ).select(
+        F.col(value_col).cast("double").alias("__x"),
+        F.col(group_col).alias("__g"),
+    )
+    w = Window.orderBy(F.col("__x"))
+    rn = pts.withColumn("__rn", F.row_number().over(w))
+    avg = rn.groupBy("__x").agg(
+        F.avg("__rn").alias("__rank"), F.count(F.lit(1)).alias("__t")
+    )
+    ranked = rn.join(avg, "__x")
+    stats = ranked.agg(
+        F.sum((F.col("__g") == group_a).cast("long")).alias("n_a"),
+        F.sum((F.col("__g") == group_b).cast("long")).alias("n_b"),
+        F.sum(
+            F.when(F.col("__g") == group_a, F.col("__rank"))
+        ).alias("__ra"),
+    )
+    ties = avg.agg(
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).alias(
+            "__tsum"
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("__ra") - na * (na + 1) / 2
+    var = (
+        na * nb / 12.0
+        * ((n + 1) - F.col("__tsum") / (n * (n - 1)))
+    )
+    z = F.when(var > 0, (u - na * nb / 2) / F.sqrt(var))
+    return (
+        stats.join(F.broadcast(ties))
+        .select(
+            "n_a",
+            "n_b",
+            F.when((na > 0) & (nb > 0), F.round(u, 6)).alias("u"),
+            F.when((na > 0) & (nb > 0), F.round(z, 6)).alias("z"),
+            F.when(
+                (na > 0) & (nb > 0) & z.isNotNull(),
+                F.abs(z) > z_crit,
+            ).alias("significant"),
+        )
+    )
 
 # Upper-tail 95% critical values of χ²(dof), dof = 1..30 (standard table;
 # literals so the significance flag replays on any engine with no CDF)

@@ -8932,6 +8932,72 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "events_mann_whitney",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(value AS DOUBLE)
+                   + CASE WHEN event_id % 2 = 0 THEN 10.0 ELSE 0.0 END AS x,
+               CASE WHEN event_id % 2 = 0 THEN 'A' ELSE 'B' END AS g
+        FROM events WHERE value IS NOT NULL
+    ), rn AS (
+        SELECT x, g, row_number() OVER (ORDER BY x) AS r FROM pts
+    ), avg_r AS (
+        SELECT x, avg(r) AS rank, CAST(count(*) AS DOUBLE) AS t
+        FROM rn GROUP BY x
+    ), ranked AS (
+        SELECT rn.g, avg_r.rank FROM rn JOIN avg_r ON rn.x = avg_r.x
+    ), s AS (
+        SELECT CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               sum(CASE WHEN g = 'A' THEN rank END) AS ra
+        FROM ranked
+    ), ties AS (
+        SELECT sum(t * t * t - t) AS tsum FROM avg_r
+    )
+    SELECT s.n_a, s.n_b,
+           round(s.ra - s.n_a * (s.n_a + 1) / 2.0, 6) AS u,
+           round((s.ra - s.n_a * (s.n_a + 1) / 2.0
+                  - 1.0 * s.n_a * s.n_b / 2)
+                 / sqrt(1.0 * s.n_a * s.n_b / 12
+                        * ((s.n_a + s.n_b + 1)
+                           - ties.tsum
+                             / ((s.n_a + s.n_b)
+                                * (s.n_a + s.n_b - 1.0)))), 6) AS z,
+           abs((s.ra - s.n_a * (s.n_a + 1) / 2.0
+                - 1.0 * s.n_a * s.n_b / 2)
+               / sqrt(1.0 * s.n_a * s.n_b / 12
+                      * ((s.n_a + s.n_b + 1)
+                         - ties.tsum
+                           / ((s.n_a + s.n_b)
+                              * (s.n_a + s.n_b - 1.0))))) > 1.96
+               AS significant
+    FROM s, ties
+    """,
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (``evals.mann_whitney_u``) on the
+    same +10-lift A/B arms as ``events_ab_test`` — the nonparametric
+    twin must also call the shift significant. Pooled average ranks
+    (tie groups share), tie-corrected variance, no O(n_A·n_B) pair
+    scan; the oracle replays ranks, ties, U, and z."""
+    from ..operators.evals import mann_whitney_u
+
+    e = load_table(spark, sf_dir, "events")
+    samples = e.filter(F.col("value").isNotNull()).select(
+        (
+            F.col("value").cast("double")
+            + F.when(F.col("event_id") % 2 == 0, F.lit(10.0)).otherwise(0.0)
+        ).alias("score"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    )
+    return mann_whitney_u(samples, "score", "arm", "A", "B")
+
+
+@register_query(
     "events_chi_square",
     oracle="""
     WITH pts AS (

@@ -514,3 +514,67 @@ class TestChiSquare:
         )
         rb = chi_square_independence(big, "g", "y").collect()[0]
         assert rb.dof == 49 and rb.critical_95 is None and rb.significant is None
+
+
+class TestMannWhitneyU:
+    def test_matches_python_replica_with_ties(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            mann_whitney_u,
+        )
+
+        a_vals = [1.0, 2.0, 2.0, 5.0, 7.0, 7.0]
+        b_vals = [2.0, 3.0, 3.0, 4.0]
+        rows = [("A", v) for v in a_vals] + [("B", v) for v in b_vals]
+        df = spark.createDataFrame(rows, "g string, x double")
+        r = mann_whitney_u(df, "x", "g", "A", "B").collect()[0]
+
+        # textbook replica: pooled average ranks, tie-corrected variance
+        pooled = sorted(a_vals + b_vals)
+        from collections import Counter
+
+        cnt = Counter(pooled)
+        first = {}
+        pos = 1
+        for v in sorted(cnt):
+            first[v] = pos
+            pos += cnt[v]
+        rank = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+        ra = sum(rank[v] for v in a_vals)
+        na, nb = len(a_vals), len(b_vals)
+        n = na + nb
+        u = ra - na * (na + 1) / 2
+        tsum = sum(t ** 3 - t for t in cnt.values())
+        var = na * nb / 12 * ((n + 1) - tsum / (n * (n - 1)))
+        z = (u - na * nb / 2) / var ** 0.5
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert r.u == pytest.approx(round(u, 6))
+        assert r.z == pytest.approx(round(z, 6), abs=2e-6)
+
+    def test_clear_shift_significant_direction(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            mann_whitney_u,
+        )
+
+        rows = [("A", 100.0 + i) for i in range(30)] + [
+            ("B", float(i)) for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "g string, x double")
+        r = mann_whitney_u(df, "x", "g", "A", "B").collect()[0]
+        assert r.z > 1.96 and r.significant    # A stochastically larger
+
+    def test_all_tied_and_empty_group(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            mann_whitney_u,
+        )
+
+        tied = spark.createDataFrame(
+            [("A", 1.0), ("B", 1.0), ("A", 1.0)], "g string, x double"
+        )
+        r = mann_whitney_u(tied, "x", "g", "A", "B").collect()[0]
+        assert r.z is None and r.significant is None   # zero variance
+
+        one_sided = spark.createDataFrame(
+            [("A", 1.0), ("A", 2.0)], "g string, x double"
+        )
+        r2 = mann_whitney_u(one_sided, "x", "g", "A", "B").collect()[0]
+        assert r2.n_b == 0 and r2.u is None and r2.significant is None
