@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "interval_join"]
 
 
 def asof_join(
@@ -131,3 +131,70 @@ def range_join(
     if extra_cond is not None:
         cond = cond & extra_cond
     return lb.join(rb, on="__b").filter(cond).drop("__b")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: Column,
+    closed: bool = False,
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """Overlap-join two INTERVAL sets (interval × interval, the sibling of
+    ``range_join``'s point × interval): emit one row per (left, right)
+    pair whose intervals overlap — half-open ``[s, e)`` semantics by
+    default (``l_start < r_end AND r_start < l_end``), or closed
+    ``[s, e]`` with ``closed=True`` (``<=`` on both comparisons). The
+    session-vs-campaign / downtime-vs-deploy / stay-vs-promotion shape
+    that a plain equi-join cannot express.
+
+    Physical plan: both sides explode to the fixed-width tiles
+    (``floor(t / bucket)``) their interval covers, and the would-be
+    cartesian inequality join becomes an equi-join on the tile id plus a
+    residual overlap filter. A pair overlapping across k shared tiles
+    would match k times, so each pair is CLAIMED exactly once, by the
+    first tile the two intervals share — ``tile ==
+    greatest(floor(l_start/b), floor(r_start/b))`` — the standard
+    tile-dedup rule; no downstream ``distinct`` (and hence no extra
+    shuffle) is needed.
+
+    At scale: shuffle volume is rows × tiles-per-interval, so pick
+    ``bucket`` near the MEDIAN interval length (a long-tail interval
+    costs its own length/bucket tiles, nothing more). Both sides
+    partition by tile id, so co-located tiles join locally; AQE handles
+    tile skew (hot hours) and broadcasts a small dim side outright.
+    """
+    b = bucket
+    lb = left.withColumn(
+        "__lsb", (F.col(left_start) / b).cast("long")
+    ).withColumn("__b", F.explode(F.sequence(
+        F.col("__lsb"), (F.col(left_end) / b).cast("long")
+    )))
+    rb = right.withColumn(
+        "__rsb", (F.col(right_start) / b).cast("long")
+    ).withColumn("__b", F.explode(F.sequence(
+        F.col("__rsb"), (F.col(right_end) / b).cast("long")
+    )))
+    if closed:
+        cond = (F.col(left_start) <= F.col(right_end)) & (
+            F.col(right_start) <= F.col(left_end)
+        )
+    else:
+        cond = (F.col(left_start) < F.col(right_end)) & (
+            F.col(right_start) < F.col(left_end)
+        )
+    # first-shared-tile claim: exactly one of the k shared tiles keeps
+    # the pair, so no distinct pass
+    cond = cond & (F.col("__b") == F.greatest(F.col("__lsb"), F.col("__rsb")))
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return (
+        lb.join(rb, on="__b")
+        .filter(cond)
+        .drop("__b", "__lsb", "__rsb")
+    )

@@ -3267,6 +3267,78 @@ def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "events_campaign_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(ts) AS s, max(ts) AS e
+        FROM events GROUP BY user_id, day
+    )
+    SELECT c.campaign, count(*) AS n_intervals,
+           count(DISTINCT iv.user_id) AS n_users
+    FROM iv JOIN (VALUES
+            ('launch',  TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-05 00:00:00'),
+            ('midweek', TIMESTAMP '2024-01-10 06:00:00', TIMESTAMP '2024-01-12 18:00:00'),
+            ('weekend', TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-21 23:59:59'),
+            ('closer',  TIMESTAMP '2024-01-28 12:00:00', TIMESTAMP '2024-01-31 00:00:00'))
+         AS c(campaign, cs, ce)
+      ON iv.s <= c.ce AND c.cs <= iv.e
+    GROUP BY c.campaign ORDER BY c.campaign
+    """,
+)
+def events_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join surface (operators/joins.interval_join —
+    interval × interval, vs range_join's point × interval): per-user
+    DAILY ACTIVITY INTERVALS [first event, last event] overlap-joined to
+    campaign time windows, the "which sessions saw the promo" shape.
+    Closed-interval semantics so a single-event day (s == e) still
+    counts. Tiled at 6 h: a user-day interval covers ≤ 5 tiles, the
+    pair is claimed by its first shared tile (no distinct pass), and
+    the 4-row campaign side broadcasts. Timestamps compare as
+    microsecond-epoch LONGS engine-side (unix_micros, the NTZ-safe
+    recipe every temporal entry here uses) — an exact, monotonic image
+    of the oracle's native timestamp comparison."""
+    from ..operators.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min(us).alias("s"), F.max(us).alias("e")
+    )
+    camp = spark.createDataFrame(
+        [
+            ("launch", "2024-01-02 00:00:00", "2024-01-05 00:00:00"),
+            ("midweek", "2024-01-10 06:00:00", "2024-01-12 18:00:00"),
+            ("weekend", "2024-01-20 00:00:00", "2024-01-21 23:59:59"),
+            ("closer", "2024-01-28 12:00:00", "2024-01-31 00:00:00"),
+        ],
+        "campaign string, cs string, ce string",
+    ).select(
+        "campaign",
+        F.unix_micros(F.col("cs").cast("timestamp")).alias("cs"),
+        F.unix_micros(F.col("ce").cast("timestamp")).alias("ce"),
+    )
+    joined = interval_join(
+        iv,
+        F.broadcast(camp),
+        left_start="s",
+        left_end="e",
+        right_start="cs",
+        right_end="ce",
+        bucket=F.lit(21_600_000_000),
+        closed=True,
+    )
+    return (
+        joined.groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("campaign")
+    )
+
+
+@register_query(
     "customer_balance_percentiles",
     oracle="""
     SELECT c_custkey, c_mktsegment,

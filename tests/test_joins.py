@@ -105,3 +105,75 @@ def test_salted_join_matches_plain_join(spark):
         for r in salted_join(big, small2, "k", how="left", n_salts=8).collect()
     )
     assert salted_l == plain_l
+
+
+def _interval_naive(l, r, closed):
+    if closed:
+        c = (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+    else:
+        c = (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le"))
+    return l.crossJoin(r).filter(c)
+
+
+def test_interval_join_matches_naive_both_semantics(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.joins import (
+        interval_join,
+    )
+
+    # irregular lengths (including zero-length and multi-bucket spans)
+    left = spark.createDataFrame(
+        [(i, float(i * 11 % 97), float(i * 11 % 97 + i % 13)) for i in range(60)],
+        "lid int, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(j, float(j * 17 % 89), float(j * 17 % 89 + (j % 5) * 6)) for j in range(25)],
+        "rid int, rs double, re double",
+    )
+    for closed in (False, True):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_join(
+                left, right, left_start="ls", left_end="le",
+                right_start="rs", right_end="re",
+                bucket=F.lit(7.0), closed=closed,
+            ).collect()
+        )
+        want = sorted(
+            (r["lid"], r["rid"])
+            for r in _interval_naive(left, right, closed).collect()
+        )
+        assert got == want and len(got) > 0
+        # first-shared-tile claim: each overlapping pair exactly once
+        assert len(got) == len(set(got))
+
+
+def test_interval_join_zero_length_and_touching(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.joins import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, 0.0, 5.0)], "lid int, ls double, le double"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, 12.0), (2, 5.0, 8.0)], "rid int, rs double, re double"
+    )
+    half = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bucket=F.lit(4.0),
+        ).collect()
+    )
+    # half-open: zero-length [10,10) is empty; touching [0,5)x[5,8) misses
+    assert half == []
+    closed = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bucket=F.lit(4.0),
+            closed=True,
+        ).collect()
+    )
+    # closed: the point interval lands on [10,12]'s start; 5 touches both
+    assert closed == [(1, 1), (2, 2)]
