@@ -25,6 +25,7 @@ __all__ = [
     "triangle_count",
     "label_propagation",
     "link_graph_edges",
+    "k_core",
 ]
 
 
@@ -381,3 +382,80 @@ def label_propagation(
         labels = labels.localCheckpoint(eager=True)
     und.unpersist()
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    *,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    nodes of degree < ``k`` (and their edges) until every survivor has
+    ≥ k neighbors inside the surviving subgraph. The density primitive
+    next to pagerank (centrality), connected_components (reachability),
+    triangle_count (local clustering) and label_propagation
+    (communities): cores isolate tightly-knit regions — link farms and
+    citation cliques in crawl curation, loyal-cohort product groups in
+    market baskets — that raw degree can't see (a hub touching k
+    leaves has degree k but dies in the 2-core).
+
+    Input is an edge list read as an UNDIRECTED simple graph
+    (self-loops dropped, direction and multiplicity ignored). Returns
+    ``(node, deg)`` for core members, ``deg`` = the node's degree
+    WITHIN the core (≥ k whenever peeling reached its fixpoint; if
+    ``max_rounds`` cut an adversarially deep peel short, the survivors
+    are a superset of the true core).
+
+    Scale shape: each round is one (node, count) partial-agg over the
+    surviving edge list plus two semi-joins filtering edges to
+    surviving endpoints — everything keyed on narrow node ids, AQE
+    picks broadcast vs shuffle as the frontier shrinks. Peeling stops
+    at the first round that deletes nothing (the fixpoint), probed by
+    the same count that materializes the round, and ``max_rounds``
+    bounds adversarial chains (a path graph peels O(diameter) rounds).
+    Per-round lineage is truncated eagerly — the edge frontier only
+    shrinks, so each materialization is no larger than the last.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .na.drop()
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()  # the same action that materializes the round
+        converged = n2 == n_edges
+        e, n_edges = e2, n2
+        if converged:
+            break
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

@@ -5086,6 +5086,75 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "part_copurchase_kcore",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 40
+    ), e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p
+    ), k1 AS (
+        SELECT node FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY node HAVING count(*) >= 2
+    ), e1 AS (
+        SELECT u, v FROM e0
+        WHERE u IN (SELECT node FROM k1) AND v IN (SELECT node FROM k1)
+    ), k2 AS (
+        SELECT node FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+        GROUP BY node HAVING count(*) >= 2
+    ), e2 AS (
+        SELECT u, v FROM e1
+        WHERE u IN (SELECT node FROM k2) AND v IN (SELECT node FROM k2)
+    ), k3 AS (
+        SELECT node FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+        GROUP BY node HAVING count(*) >= 2
+    ), e3 AS (
+        SELECT u, v FROM e2
+        WHERE u IN (SELECT node FROM k3) AND v IN (SELECT node FROM k3)
+    ), k4 AS (
+        SELECT node FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        GROUP BY node HAVING count(*) >= 2
+    ), e4 AS (
+        SELECT u, v FROM e3
+        WHERE u IN (SELECT node FROM k4) AND v IN (SELECT node FROM k4)
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+    GROUP BY node ORDER BY node
+    """,
+)
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the market-basket co-purchase graph
+    (operators/graph.k_core) — the density primitive: peeling away
+    degree-1 periphery until a fixpoint leaves only parts embedded in
+    cycles of shared orders, the link-farm / loyal-cohort detector
+    degree alone can't express (a hub with k leaf neighbors survives a
+    degree filter but not the core). Same edge construction as the
+    triangle entry. The gate pins ``max_rounds=4`` and the oracle
+    unrolls exactly 4 peel rounds — equality is structural: whichever
+    round reaches the fixpoint first, the remaining unrolled rounds are
+    no-ops on both engines, and a non-converged 4-round cut matches
+    round-for-round."""
+    from ..operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") >= 40)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = ps.select(F.col("o"), F.col("p").alias("p2"))
+    edges = (
+        ps.join(b, "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return k_core(edges, k=2, max_rounds=4).orderBy("node")
+
+
+@register_query(
     "doc_bigram_logprob",
     oracle=r"""
     WITH toks AS (

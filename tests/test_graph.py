@@ -190,3 +190,65 @@ class TestLinkGraphEdges:
         assert out.count() == 1
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestKCore:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src int, dst int")
+
+    def test_cycle_survives_pendant_chain_peels(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.graph import k_core
+
+        # triangle 1-2-3 with a pendant chain 3-4-5: the chain peels
+        # over TWO rounds (5 first, then 4), the triangle stays at deg 2
+        e = self._edges(
+            spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+        )
+        got = {
+            r["node"]: r["deg"] for r in k_core(e, k=2).collect()
+        }
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_star_two_core_is_empty(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.graph import k_core
+
+        # hub of degree 5 dies in the 2-core once its leaves peel —
+        # the raw-degree-vs-core distinction the docstring claims
+        e = self._edges(spark, [(0, i) for i in range(1, 6)])
+        assert k_core(e, k=2).count() == 0
+
+    def test_k4_three_core_complete(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.graph import k_core
+
+        e = self._edges(
+            spark,
+            [(a, b) for a in range(4) for b in range(4) if a < b],
+        )
+        got = {r["node"]: r["deg"] for r in k_core(e, k=3).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_direction_multiplicity_selfloops_ignored(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.graph import k_core
+
+        e = self._edges(
+            spark,
+            [(1, 2), (2, 1), (2, 3), (2, 3), (1, 3), (7, 7)],
+        )
+        got = {r["node"]: r["deg"] for r in k_core(e, k=2).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_max_rounds_cuts_deep_peel(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.graph import k_core
+
+        # path 0-1-2-...-6 peels one endpoint pair per round; a
+        # 1-round cut leaves the inner path (superset of the empty core)
+        e = self._edges(spark, [(i, i + 1) for i in range(6)])
+        assert k_core(e, k=2, max_rounds=1).count() == 5
+        assert k_core(e, k=2).count() == 0
+
+    def test_validates_k(self, spark):
+        import pytest as _pytest
+        from nifi_hive_schema_generator_bundle_spark.operators.graph import k_core
+
+        with _pytest.raises(ValueError):
+            k_core(self._edges(spark, [(1, 2)]), k=0)
