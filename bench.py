@@ -171,6 +171,9 @@ BENCH_QUERIES = [
     "events_chi_square",
     "events_mann_whitney",
     "curation_pipeline_v4",
+    "events_campaign_overlap",
+    "part_copurchase_kcore",
+    "embedding_random_projection",
 ]
 
 

@@ -18,6 +18,8 @@ __all__ = [
     "cosine_similarity",
     "quantize_int8",
     "dequantize_int8",
+    "random_projection",
+    "random_projection_signs",
 ]
 
 
@@ -85,3 +87,76 @@ def dequantize_int8(c: Column | str) -> Column:
     return F.transform(
         c.getField("q"), lambda q: q.cast("double") * scale / 127.0
     )
+
+
+def random_projection_signs(
+    in_dims: int, out_dims: int, *, seed_tag: str = "rp"
+) -> list[list[float]]:
+    """The deterministic Rademacher (±1) projection matrix used by
+    ``random_projection``, materialized driver-side: ``out_dims`` rows
+    of ``in_dims`` signs, sign(j, i) = +1 iff the first hex nibble of
+    ``md5("{seed_tag}:{j}:{i}")`` is 0-7. md5 rather than a seeded RNG
+    for the same reason the sampling module hashes keys: every engine
+    that agrees on md5 agrees on the matrix, so a SQL oracle (or a
+    later re-run on different hardware) replays it exactly."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(
+                f"{seed_tag}:{j}:{i}".encode()
+            ).hexdigest()[0] in "01234567"
+            else -1.0
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def random_projection(
+    vec: Column | str,
+    *,
+    in_dims: int,
+    out_dims: int,
+    seed_tag: str = "rp",
+) -> Column:
+    """Johnson-Lindenstrauss dimensionality reduction as a pure JVM
+    expression: project an ``in_dims`` embedding onto ``out_dims``
+    deterministic Rademacher directions, scaled by 1/√out_dims (the
+    Achlioptas database-friendly construction — ±1 entries preserve
+    pairwise distances with the same JL guarantee as Gaussians, and
+    cost additions instead of multiplications).
+
+    The workhorse in front of every quadratic-ish embedding stage:
+    shrink 1024-dim vectors to 16-64 dims before LSH banding, k-means,
+    SemDeDup or coarse ANN, then verify survivors at full width. Purely
+    narrow — the sign matrix rides the plan as ``out_dims`` array
+    literals (no broadcast join, no shuffle, no Python), so at 100 TB
+    it fuses into whatever scan feeds it.
+
+    Each output component folds the input ONCE via zip_with against its
+    literal sign row — out_dims independent O(in_dims) expressions, not
+    a nested HOF over both axes (the inlining trap SCALE.md documents).
+    Vectors shorter than ``in_dims`` yield NULL components (zip_with
+    pads, null propagates through the fold) — surfaced, not silently
+    truncated."""
+    v = _as_double_array(vec)
+    signs = random_projection_signs(in_dims, out_dims, seed_tag=seed_tag)
+    scale = 1.0 / (out_dims ** 0.5)
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(s) for s in row]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale)
+        ).alias(f"p{j}")
+        for j, row in enumerate(signs)
+    ]
+    return F.array(*comps)

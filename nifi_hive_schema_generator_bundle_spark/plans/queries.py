@@ -834,6 +834,47 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query(
+    "embedding_random_projection",
+    oracle="""
+    SELECT vec_id, j,
+           round(list_sum(list_transform(embedding::DOUBLE[], (x, i) ->
+                 x * CASE WHEN substring(md5('rp:' || CAST(j AS VARCHAR)
+                                        || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)
+                          BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END))
+                 * (1.0 / sqrt(8)), 6) AS proj
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
+    WHERE vec_id < 40
+    ORDER BY vec_id, j
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection
+    (functions/vectors.random_projection): 64-dim embeddings down to 8
+    deterministic Rademacher components — the shrink-then-verify front
+    end for LSH banding / k-means / SemDeDup at scale. Entirely narrow
+    JVM expressions (the ±1 matrix rides as array literals; no
+    broadcast, no shuffle, no Python); the oracle rebuilds the
+    identical matrix from md5 nibbles cell by cell. Exploded to
+    (vec_id, j, proj) so the driver hash-checks every component; the
+    vec_id cap keeps the gate row count civil without changing the
+    operator's plan shape."""
+    from ..functions.vectors import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(
+        "embedding", in_dims=64, out_dims=8, seed_tag="rp"
+    )
+    return (
+        emb.filter(F.col("vec_id") < 40)
+        .select("vec_id", F.posexplode(proj).alias("j", "proj"))
+        .select("vec_id", F.col("j").cast("long").alias("j"),
+                F.round("proj", 6).alias("proj"))
+        .orderBy("vec_id", "j")
+    )
+
+
 # --- rows-only entries (non-SQL-expressible; driver records weaker check) --
 
 @register_query("minhash_near_dup")

@@ -322,6 +322,19 @@ BNLJ_ALLOWED = {
     # same documented all-pairs verification kernel as ngram_jaccard_docs
     "doc_duplicate_clusters",
     "doc_near_dedup_exact",
+    # 1-row global-stats row × 1-row order-statistic CI row at the very
+    # end of the bootstrap (the fleiss_kappa two-scalar class); the
+    # replicate aggregation itself is an ordinary partial agg
+    "events_bootstrap_ci",
+    "events_ab_test",
+    # contingency-table scalar crosses: the 1-row (n, n_rows, n_cols)
+    # grand total plus the |rows|-row × |cols|-row marginal tables
+    # building expected counts — all bounded by the CATEGORY domain
+    # (dataset_overlap_matrix class), never by data rows
+    "events_chi_square",
+    # 1-row (n_a, n_b, rank-sum, tie-term) stats row joined to the
+    # significance projection, the q22 scalar class
+    "events_mann_whitney",
 }
 
 

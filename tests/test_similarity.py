@@ -620,3 +620,85 @@ class TestPqIndex:
         df = spark.createDataFrame([], "vec_id long, embedding array<double>")
         with pytest.raises(ValueError, match="empty"):
             build_pq_index(df, str(tmp_path / "pq3"))
+
+
+class TestRandomProjection:
+    def test_signs_match_md5_convention(self):
+        import hashlib
+        from nifi_hive_schema_generator_bundle_spark.functions.vectors import (
+            random_projection_signs,
+        )
+
+        signs = random_projection_signs(5, 3, seed_tag="rp")
+        assert len(signs) == 3 and all(len(r) == 5 for r in signs)
+        for j in (0, 2):
+            for i in (0, 4):
+                nib = hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0]
+                want = 1.0 if nib in "01234567" else -1.0
+                assert signs[j][i] == want
+
+    def test_projection_values_and_determinism(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.vectors import (
+            random_projection,
+            random_projection_signs,
+        )
+
+        vecs = [(0, [1.0, 2.0, -3.0, 0.5]), (1, [0.0, 0.0, 1.0, 1.0])]
+        df = spark.createDataFrame(vecs, "id int, v array<double>")
+        expr = random_projection("v", in_dims=4, out_dims=2)
+        got = {r["id"]: r["p"] for r in df.select("id", expr.alias("p")).collect()}
+        signs = random_projection_signs(4, 2)
+        import math
+
+        for rid, v in vecs:
+            want = [
+                sum(x * s for x, s in zip(v, signs[j])) / math.sqrt(2)
+                for j in range(2)
+            ]
+            assert got[rid] == pytest.approx(want, abs=1e-12)
+        got2 = {r["id"]: r["p"] for r in df.select("id", expr.alias("p")).collect()}
+        assert got == got2
+
+    def test_pairwise_distances_roughly_preserved(self, spark):
+        import math
+        import random
+
+        from nifi_hive_schema_generator_bundle_spark.functions.vectors import (
+            random_projection,
+        )
+
+        rng = random.Random(7)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(12)]
+        df = spark.createDataFrame(rows, "id int, v array<double>")
+        proj = {
+            r["id"]: r["p"]
+            for r in df.select(
+                "id", random_projection("v", in_dims=64, out_dims=32).alias("p")
+            ).collect()
+        }
+
+        def d2(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+
+        orig = dict(zip((r[0] for r in rows), (r[1] for r in rows)))
+        ratios = [
+            d2(proj[a], proj[b]) / d2(orig[a], orig[b])
+            for a in orig
+            for b in orig
+            if a < b
+        ]
+        # JL with 32 dims: distortion concentrated near 1; the loose
+        # envelope below fails loudly if the sign matrix or scaling broke
+        assert all(0.25 < r < 4.0 for r in ratios)
+        assert 0.6 < sum(ratios) / len(ratios) < 1.7
+
+    def test_short_vector_yields_null_components(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.functions.vectors import (
+            random_projection,
+        )
+
+        df = spark.createDataFrame([(0, [1.0, 2.0])], "id int, v array<double>")
+        out = df.select(
+            random_projection("v", in_dims=4, out_dims=3).alias("p")
+        ).collect()[0]["p"]
+        assert out == [None, None, None]
