@@ -113,16 +113,20 @@ DRIVER_PRIORITY = [
     # events_props_extract; pass@k's fold + majority-vote's argmax
     # are newer code)
     "events_pass_at_k",
-    "events_majority_vote",
+    # (events_majority_vote displaced by the round-4k graph/join
+    # operators below: its per-item argmax is the verified top-k window
+    # family over the same (item, category) counts events_fleiss_kappa
+    # keeps in-gate; the vote-count algebra is locally oracle-checked)
     "minhash_near_dup_portable",
     # (curation_pipeline_v3 displaced by doc_fix_mojibake: in-gate
     # curation_pipeline_v4 composes the same stage chain plus the newer
     # ones; the Arrow codec repair is new code with no in-gate sibling)
     "doc_fix_mojibake",
     # --- round-4d additions (never driver-verified, newest code = top risk) ---
-    # (doc_clean_text displaced by doc_html_extract: same narrow
-    # regexp-chain-projection kernel, html extraction is the newer code)
-    "doc_html_extract",
+    # (doc_clean_text and its replacement doc_html_extract both
+    # displaced: the narrow regexp-chain-projection kernel is in-gate
+    # via customers_pii_scrub / doc_c4_line_filter; the round-4k
+    # operators below are newer code with no in-gate sibling)
     "events_daily_gap_fill",
     "customer_balance_imputed",
     # (doc_sentences displaced by doc_preference_pairs: its regex-split +
@@ -228,6 +232,15 @@ DRIVER_PRIORITY = [
     # in-gate — part_supplier_pagerank runs the identical power iteration
     # on a much larger graph, doc_url_normalize covers the url_host
     # extraction; the glue (explode + distinct) is everywhere above)
+    # --- round-4k additions (newest code = top risk): interval-tiling
+    # with the first-shared-tile claim and the iterative peel loop are
+    # kernels with no in-gate sibling (range_join's point-tiling and the
+    # pagerank/CC iterations differ structurally)
+    # (embedding_random_projection stays out: its zip_with fold is the
+    # driver-verified dot kernel from ann_cosine_topk/embedding_near_dup;
+    # the md5 sign-matrix literals are locally oracle-checked)
+    "events_campaign_overlap",
+    "part_copurchase_kcore",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",
