@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "events_campaign_overlap",
     "part_copurchase_kcore",
     "embedding_random_projection",
+    "events_touch_attribution",
 ]
 
 

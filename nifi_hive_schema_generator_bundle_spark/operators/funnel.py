@@ -18,10 +18,10 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "funnel_counts"]
+__all__ = ["funnel_steps", "funnel_counts", "position_attribution"]
 
 
 def funnel_steps(
@@ -104,4 +104,106 @@ def funnel_counts(
         .groupBy("step", "step_name")
         .agg(F.sum("n").alias("n_users"))
         .orderBy("step")
+    )
+
+
+def position_attribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    touch_types: list[str] | None = None,
+    purchase_type: str = "purchase",
+    first_weight: float = 0.4,
+    last_weight: float = 0.4,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every touch
+    event is assigned to the user's NEXT purchase (the journey), and the
+    purchase's value is split across the journey's touches — ``first_
+    weight`` to the first touch, ``last_weight`` to the last, the
+    remainder evenly over the middle (a single touch takes 1.0, a pair
+    splits first/last proportionally). The marketing-analytics sibling
+    of the as-of join: asof_join answers "which single touch preceded
+    this purchase", this answers "how much credit does each CHANNEL get
+    for it".
+
+    Returns (channel, n_touches, credited_value) per touch type.
+
+    Scale shape — no touch × purchase pair join anywhere: the
+    journey key is a FORWARD conditional window (min purchase
+    timestamp over the following frame per user), so each touch maps
+    to exactly one journey in the same single per-user sort the
+    sessionizer uses. Position/count ride one more window over the
+    (user, journey) partition, purchase values come back via an
+    equi-join on (user, purchase_ts), and the final rollup is a
+    |channels|-row aggregate. Whale users cost a big sort partition,
+    never a quadratic pair set — the funnel module's rule.
+    """
+    if touch_types is not None and not touch_types:
+        raise ValueError("touch_types must be None or non-empty")
+    tw = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    is_purchase = F.col(type_col) == purchase_type
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        tw.alias("__t"),
+        F.col(type_col).alias("__c"),
+        F.col(value_col).cast("double").alias("__v"),
+        is_purchase.alias("__p"),
+    )
+    if touch_types is not None:
+        ev = ev.filter(
+            F.col("__p") | F.col("__c").isin(*touch_types)
+        )
+    # journey id: earliest purchase at-or-after this event (a purchase
+    # belongs to its own journey, closing it). RANGE frame, not ROWS: a
+    # touch and a purchase sharing a timestamp must see each other
+    # regardless of how the sort broke the tie
+    w_fwd = (
+        Window.partitionBy("__u")
+        .orderBy("__t")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev = ev.withColumn(
+        "__j", F.min(F.when(F.col("__p"), F.col("__t"))).over(w_fwd)
+    ).filter(F.col("__j").isNotNull())
+    touches = ev.filter(~F.col("__p")).select("__u", "__t", "__c", "__j")
+    purchases = ev.filter(F.col("__p")).select(
+        F.col("__u"), F.col("__t").alias("__j"), F.col("__v")
+    )
+    # channel tiebreak: same-instant touches order deterministically;
+    # same-(ts, channel) dupes may swap positions but their weights land
+    # in the same channel bucket either way
+    w_j = Window.partitionBy("__u", "__j").orderBy("__t", "__c")
+    w_jn = Window.partitionBy("__u", "__j")
+    mid = F.lit(1.0 - first_weight - last_weight)
+    credit = (
+        F.when(F.col("__k") == 1, F.lit(1.0))
+        .when(
+            F.col("__k") == 2,
+            F.when(
+                F.col("__pos") == 1,
+                F.lit(first_weight / (first_weight + last_weight)),
+            ).otherwise(F.lit(last_weight / (first_weight + last_weight))),
+        )
+        .when(F.col("__pos") == 1, F.lit(first_weight))
+        .when(F.col("__pos") == F.col("__k"), F.lit(last_weight))
+        .otherwise(mid / (F.col("__k") - 2))
+    )
+    credited = (
+        touches.withColumn("__pos", F.row_number().over(w_j))
+        .withColumn("__k", F.count(F.lit(1)).over(w_jn))
+        .join(purchases, ["__u", "__j"])
+        .select(
+            F.col("__c").alias("channel"),
+            (credit * F.col("__v")).alias("__cv"),
+        )
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("__cv"), 4).alias("credited_value"),
+        )
     )

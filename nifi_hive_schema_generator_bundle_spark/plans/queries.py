@@ -4894,6 +4894,60 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "events_touch_attribution",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id AS u, epoch_us(ts) AS t, event_type AS c,
+               CAST(value AS DOUBLE) AS v,
+               event_type = 'purchase' AS p
+        FROM events
+        WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+    ), j AS (
+        SELECT *, min(CASE WHEN p THEN t END) OVER
+            (PARTITION BY u ORDER BY t
+             RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS jk
+        FROM ev
+    ), touches AS (
+        SELECT u, c, jk,
+               row_number() OVER (PARTITION BY u, jk ORDER BY t, c) AS pos,
+               count(*) OVER (PARTITION BY u, jk) AS k
+        FROM j WHERE NOT p AND jk IS NOT NULL
+    ), purchases AS (
+        SELECT u, t AS jk, v FROM j WHERE p
+    ), credited AS (
+        SELECT tc.c AS channel,
+               CASE WHEN tc.k = 1 THEN 1.0
+                    WHEN tc.k = 2 THEN 0.5
+                    WHEN tc.pos = 1 THEN 0.4
+                    WHEN tc.pos = tc.k THEN 0.4
+                    ELSE 0.2 / (tc.k - 2) END * pu.v AS cv
+        FROM touches tc JOIN purchases pu ON tc.u = pu.u AND tc.jk = pu.jk
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           round(sum(cv), 4) AS credited_value
+    FROM credited GROUP BY channel ORDER BY channel
+    """,
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution
+    (operators/funnel.position_attribution): view/click/signup touches
+    split each purchase's value 40/20/40 across the journey ending at
+    the user's next purchase. The journey key is a FORWARD conditional
+    RANGE window — each touch maps to exactly one purchase inside the
+    same per-user sort the sessionizer uses, so there is no touch ×
+    purchase pair join anywhere; purchase values come back via a plain
+    equi-join on (user, purchase_ts) and the rollup is a
+    |channels|-row aggregate. The oracle replays the identical window
+    chain."""
+    from ..operators.funnel import position_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    return position_attribution(
+        e, touch_types=["view", "click", "signup"]
+    ).orderBy("channel")
+
+
+@register_query(
     "events_cohort_retention",
     oracle="""
     WITH firsts AS (

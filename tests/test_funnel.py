@@ -118,3 +118,80 @@ def test_cohort_retention_shape(spark, sf_correct_dir):
         assert 0 in weeks, f"cohort {cohort} missing week-0"
         assert all(off >= 0 for off in weeks)
         assert all(n <= weeks[0] for n in weeks.values())
+
+
+class TestPositionAttribution:
+    def _ev(self, spark, rows):
+        base = dt.datetime(2026, 1, 1)
+        data = [
+            (u, t, base + dt.timedelta(minutes=m), float(v))
+            for (u, t, m, v) in rows
+        ]
+        return spark.createDataFrame(
+            data, "user_id long, event_type string, ts timestamp, value double"
+        )
+
+    def _run(self, spark, rows, **kw):
+        from nifi_hive_schema_generator_bundle_spark.operators.funnel import (
+            position_attribution,
+        )
+
+        out = position_attribution(self._ev(spark, rows), **kw).collect()
+        return {r["channel"]: (r["n_touches"], r["credited_value"]) for r in out}
+
+    def test_u_shape_weights(self, spark):
+        # 4 touches before one 100.0 purchase: 0.4 / 0.1 / 0.1 / 0.4
+        rows = [
+            (1, "view", 0, 0),
+            (1, "click", 1, 0),
+            (1, "click", 2, 0),
+            (1, "signup", 3, 0),
+            (1, "purchase", 4, 100.0),
+        ]
+        got = self._run(spark, rows)
+        assert got["view"] == (1, 40.0)
+        assert got["click"] == (2, 20.0)
+        assert got["signup"] == (1, 40.0)
+
+    def test_single_and_pair_journeys(self, spark):
+        rows = [
+            (1, "view", 0, 0), (1, "purchase", 1, 50.0),   # single -> 1.0
+            (2, "view", 0, 0), (2, "click", 1, 0),
+            (2, "purchase", 2, 80.0),                       # pair -> 0.5/0.5
+        ]
+        got = self._run(spark, rows)
+        assert got["view"] == (2, 50.0 + 40.0)
+        assert got["click"] == (1, 40.0)
+
+    def test_touches_after_last_purchase_dropped(self, spark):
+        rows = [
+            (1, "view", 0, 0), (1, "purchase", 1, 10.0),
+            (1, "click", 2, 0),  # orphan: no later purchase
+        ]
+        got = self._run(spark, rows)
+        assert got == {"view": (1, 10.0)}
+
+    def test_journeys_split_at_each_purchase(self, spark):
+        rows = [
+            (1, "view", 0, 0), (1, "purchase", 1, 10.0),
+            (1, "click", 2, 0), (1, "purchase", 3, 30.0),
+        ]
+        got = self._run(spark, rows)
+        assert got == {"view": (1, 10.0), "click": (1, 30.0)}
+
+    def test_touch_type_filter_and_validation(self, spark):
+        rows = [
+            (1, "view", 0, 0), (1, "error", 1, 0),
+            (1, "purchase", 2, 100.0),
+        ]
+        got = self._run(spark, rows, touch_types=["view"])
+        assert got == {"view": (1, 100.0)}
+        with pytest.raises(ValueError):
+            self._run(spark, rows, touch_types=[])
+
+    def test_same_instant_touch_sees_purchase(self, spark):
+        # RANGE frame: a touch at the purchase's exact timestamp joins
+        # that journey instead of silently dropping
+        rows = [(1, "view", 5, 0), (1, "purchase", 5, 60.0)]
+        got = self._run(spark, rows)
+        assert got == {"view": (1, 60.0)}
