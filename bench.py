@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "part_copurchase_kcore",
     "embedding_random_projection",
     "events_touch_attribution",
+    "events_krippendorff_alpha",
 ]
 
 

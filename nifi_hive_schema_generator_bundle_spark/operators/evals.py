@@ -25,6 +25,7 @@ __all__ = [
     "majority_vote_accuracy",
     "calibration_error",
     "fleiss_kappa",
+    "krippendorff_alpha",
     "fit_power_law",
     "rank_correlation",
     "bootstrap_mean_ci",
@@ -721,6 +722,76 @@ def fleiss_kappa(
             F.col("p_e") < 1.0,
             F.round((F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")), 6),
         ).alias("kappa"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str = "item_id",
+    category_col: str = "category",
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) — the agreement
+    coefficient built for MISSING data: unlike Fleiss' κ it needs no
+    fixed rater panel, weighting every item by the rating pairs it
+    actually has, so it is the right statistic for crowdsourced /
+    partially-overlapping annotation (the common RLHF labeling shape).
+
+    From the coincidence-matrix formulation, everything reduces to
+    closed-form aggregates over (item, category) counts n_uc with
+    m_u = Σ_c n_uc, over items with m_u ≥ 2:
+
+        agree   = Σ_u Σ_c n_uc(n_uc − 1)/(m_u − 1)   (Σ_c o_cc)
+        n       = Σ_u m_u                             (total coincidences)
+        n_c     = Σ_u n_uc                            (category marginals)
+        D_o     = n − agree
+        D_e     = (n² − Σ_c n_c²)/(n − 1)
+        alpha   = 1 − D_o/D_e
+
+    Returns ONE row: (n_items, n_ratings, d_o, d_e, alpha); alpha is
+    NULL when D_e = 0 (all kept ratings in a single category —
+    agreement is vacuous). Same scale shape as ``fleiss_kappa``: two
+    map-side-combinable aggregations plus 1-row scalar broadcasts,
+    nothing scales past the distinct (item, category) pairs.
+    """
+    counts = df.groupBy(item_col, category_col).agg(
+        F.count(F.lit(1)).alias("n_uc")
+    )
+    items = (
+        counts.groupBy(item_col)
+        .agg(
+            F.sum("n_uc").alias("m_u"),
+            F.sum(F.col("n_uc") * (F.col("n_uc") - 1)).alias("pairs"),
+        )
+        .filter(F.col("m_u") >= 2)
+    )
+    kept = counts.join(items.select(item_col), item_col, "left_semi")
+    obs = items.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("m_u").alias("n_ratings"),
+        F.sum(F.col("pairs") / (F.col("m_u") - 1)).alias("agree"),
+    )
+    marg = (
+        kept.groupBy(category_col)
+        .agg(F.sum("n_uc").alias("n_c"))
+        .agg(F.sum(F.col("n_c") * F.col("n_c")).alias("sq_marg"))
+    )
+    # doubles for the D_e algebra: n² on a 100 TB rating table can
+    # overflow a long (n ≳ 3·10⁹); the oracle does the same 1.0· lift
+    n = F.col("n_ratings").cast("double")
+    d_o = n - F.col("agree")
+    d_e = (n * n - F.col("sq_marg")) / (n - 1)
+    return (
+        obs.join(F.broadcast(marg))
+        .filter(F.col("n_ratings") >= 2)
+        .select(
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col("n_ratings").cast("long").alias("n_ratings"),
+            F.round(d_o, 6).alias("d_o"),
+            F.round(d_e, 6).alias("d_e"),
+            F.when(d_e > 0, F.round(F.lit(1.0) - d_o / d_e, 6)).alias(
+                "alpha"
+            ),
+        )
     )
 
 

@@ -10039,6 +10039,59 @@ def events_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "events_krippendorff_alpha",
+    oracle="""
+    WITH c AS (
+        SELECT event_id % 250 AS item, event_type AS cat,
+               count(*) AS n_uc
+        FROM events GROUP BY 1, 2
+    ), i AS (
+        SELECT item, sum(n_uc) AS m_u,
+               sum(n_uc * (n_uc - 1)) AS pairs
+        FROM c GROUP BY item HAVING sum(n_uc) >= 2
+    ), obs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(m_u) AS BIGINT) AS n_ratings,
+               sum(pairs * 1.0 / (m_u - 1)) AS agree
+        FROM i
+    ), marg AS (
+        SELECT sum(1.0 * nc * nc) AS sq FROM (
+            SELECT sum(n_uc) AS nc FROM c
+            WHERE item IN (SELECT item FROM i) GROUP BY cat
+        )
+    )
+    SELECT n_items, n_ratings,
+           round(n_ratings - agree, 6) AS d_o,
+           round((1.0 * n_ratings * n_ratings - sq) / (n_ratings - 1), 6)
+               AS d_e,
+           CASE WHEN (1.0 * n_ratings * n_ratings - sq)
+                     / (n_ratings - 1) > 0
+                THEN round(1.0 - (n_ratings - agree)
+                     / ((1.0 * n_ratings * n_ratings - sq)
+                        / (n_ratings - 1)), 6) END AS alpha
+    FROM obs, marg
+    """,
+)
+def events_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (``evals.krippendorff_alpha``, nominal
+    metric) — the missing-data-tolerant agreement coefficient next to
+    Fleiss' κ: no fixed rater panel, items weighted by the rating
+    pairs they actually carry (the crowdsourced/partial-overlap RLHF
+    labeling shape). Events as ratings of 250 synthetic items. Same
+    scale shape as the κ entry — two partial aggregations over (item,
+    category) counts plus 1-row scalar broadcasts; the oracle replays
+    the coincidence algebra term for term."""
+    from ..operators.evals import krippendorff_alpha
+
+    e = load_table(spark, sf_dir, "events")
+    ratings = e.select(
+        (F.col("event_id") % 250).alias("item_id"),
+        F.col("event_type").alias("category"),
+    )
+    return krippendorff_alpha(ratings)
+
+
+@register_query(
     "embedding_decontamination",
     oracle="""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

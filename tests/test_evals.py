@@ -194,6 +194,102 @@ class TestFleissKappa:
         assert "Python" not in plan and "BatchEval" not in plan
 
 
+class TestKrippendorffAlpha:
+    def _alpha_reference(self, ratings):
+        # independent closed-form computation from the coincidence
+        # algebra (nominal metric), for cross-checking the Spark plan
+        from collections import Counter, defaultdict
+
+        per_item = defaultdict(Counter)
+        for item, cat in ratings:
+            per_item[item][cat] += 1
+        kept = {u: c for u, c in per_item.items() if sum(c.values()) >= 2}
+        n = sum(sum(c.values()) for c in kept.values())
+        agree = sum(
+            sum(v * (v - 1) for v in c.values()) / (sum(c.values()) - 1)
+            for c in kept.values()
+        )
+        marg = Counter()
+        for c in kept.values():
+            marg.update(c)
+        sq = sum(v * v for v in marg.values())
+        d_o = n - agree
+        d_e = (n * n - sq) / (n - 1)
+        return n, agree, d_o, d_e, 1 - d_o / d_e
+
+    def test_matches_reference_on_mixed_fixture(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            krippendorff_alpha,
+        )
+
+        # varying raters per item incl. a dropped single-rating item —
+        # the missing-data shape alpha exists for
+        ratings = [
+            (1, "x"), (1, "x"), (1, "x"),
+            (2, "x"), (2, "y"),
+            (3, "x"), (3, "y"), (3, "z"), (3, "z"),
+            (4, "y"), (4, "y"),
+            (5, "z"),  # dropped
+        ]
+        df = spark.createDataFrame(ratings, "item_id int, category string")
+        r = krippendorff_alpha(df).collect()[0]
+        n, agree, d_o, d_e, alpha = self._alpha_reference(ratings)
+        assert (r.n_items, r.n_ratings) == (4, n)
+        assert r.d_o == pytest.approx(round(d_o, 6), abs=2e-6)
+        assert r.d_e == pytest.approx(round(d_e, 6), abs=2e-6)
+        assert r.alpha == pytest.approx(round(alpha, 6), abs=2e-6)
+
+    def test_perfect_agreement_is_one(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            krippendorff_alpha,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "x"), (2, "y"), (2, "y"), (2, "y")],
+            "item_id int, category string",
+        )
+        r = krippendorff_alpha(df).collect()[0]
+        assert r.d_o == 0.0 and r.alpha == 1.0
+
+    def test_single_category_alpha_null(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            krippendorff_alpha,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "x"), (2, "x"), (2, "x")],
+            "item_id int, category string",
+        )
+        r = krippendorff_alpha(df).collect()[0]
+        assert r.d_e == 0.0 and r.alpha is None
+
+    def test_all_singletons_empty_frame(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            krippendorff_alpha,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "y")], "item_id int, category string"
+        )
+        assert krippendorff_alpha(df).count() == 0
+
+    def test_plan_jvm_only(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+            krippendorff_alpha,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "y")], "item_id int, category string"
+        )
+        plan = (
+            krippendorff_alpha(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan and "BatchEval" not in plan
+
+
 class TestFitPowerLaw:
     def test_recovers_exact_law(self, spark):
         from math import log

@@ -252,6 +252,8 @@ BNLJ_ALLOWED = {
     "pq_index_search",
     # two 1-row scalar broadcasts (P̄ row × P_e row), the q22 class
     "events_fleiss_kappa",
+    # same two-scalar shape: observed-coincidence row × marginal row
+    "events_krippendorff_alpha",
     # 1-row scalar broadcast: the total-bigram count rides the PMI
     # projection as one row, same class as tfidf's n_docs
     "doc_collocations",
