@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "embedding_random_projection",
     "events_touch_attribution",
     "events_krippendorff_alpha",
+    "events_dow_anomaly",
 ]
 
 

@@ -22,6 +22,7 @@ __all__ = [
     "time_decay_sum",
     "rolling_distinct_count",
     "trailing_zscore",
+    "seasonal_zscore",
     "daily_distinct_sketches",
     "rolling_distinct_count_approx",
     "forward_fill",
@@ -328,4 +329,71 @@ def rolling_distinct_count_approx(
             ).alias(out_col)
         )
         .select(F.col("__report_day").alias("day"), out_col)
+    )
+
+
+def seasonal_zscore(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    min_history: int = 3,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Day-of-week seasonal anomaly detection — the weekly-seasonality
+    complement of ``trailing_zscore``: each day's event count is
+    z-scored against the OTHER days sharing its weekday, so a quiet
+    Sunday is judged against Sundays and stops tripping the trend
+    detector every weekend (and a spike on a normally-quiet weekday
+    stands out even when the trailing week absorbs it).
+
+    Leave-one-out baseline: the day under test is excluded from its own
+    weekday's mean/std (same no-self-contamination contract as the
+    trailing window). Weekdays with fewer than ``min_history`` OTHER
+    observations yield NULL z. Determinism: baselines derive from the
+    exact integer (n, Σx, Σx²) per weekday via the explicit
+    sample-variance formula — identical doubles on every engine.
+
+    Scale shape: the raw scan collapses to one row per day, the weekday
+    model is a SEVEN-row aggregate broadcast back onto the daily table,
+    and the leave-one-out algebra is a narrow projection — no window at
+    all, unlike the trailing variant. Weekday indexing is pinned to
+    days-since-a-known-Sunday mod 7 (0 = Sunday), not to an engine's
+    dayofweek() convention.
+    """
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    dow = F.pmod(
+        F.datediff(F.col("day"), F.to_date(F.lit("2024-01-07"))), F.lit(7)
+    ).cast("int")
+    d = daily.withColumn("dow", dow)
+    model = d.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum("n_events").alias("s_d"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss_d"),
+    )
+    x = F.col("n_events").cast("double")
+    n1 = (F.col("n_d") - 1).cast("double")  # peers excluding this day
+    s1 = F.col("s_d").cast("double") - x
+    ss1 = F.col("ss_d").cast("double") - x * x
+    mean = s1 / n1
+    var = (ss1 - s1 * s1 / n1) / (n1 - 1)
+    # guard on var, not std: sqrt of the -1e-12 a zero-variance weekday
+    # can round to is NaN here but an ERROR on engines that replay this
+    z = F.when(
+        (n1 >= min_history) & (var > 0),
+        F.round((x - mean) / F.sqrt(var), 6),
+    )
+    return (
+        d.join(F.broadcast(model), "dow")
+        .select(
+            "day",
+            F.col("dow"),
+            F.col("n_events"),
+            n1.cast("int").alias("n_peers"),
+            z.alias("z_score"),
+            F.coalesce(F.abs(z) > threshold, F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
     )

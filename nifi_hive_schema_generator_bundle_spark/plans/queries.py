@@ -5892,6 +5892,56 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trailing_zscore(events, lookback=7).orderBy("day")
 
 
+@register_query(
+    "events_dow_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    ), d AS (
+        SELECT *, CAST(((day - DATE '2024-01-07') % 7 + 7) % 7
+                       AS INTEGER) AS dow
+        FROM daily
+    ), model AS (
+        SELECT dow, count(*) AS n_d, sum(n_events) AS s_d,
+               sum(n_events * n_events) AS ss_d
+        FROM d GROUP BY dow
+    ), loo AS (
+        SELECT day, dow, n_events,
+               CAST(n_d - 1 AS DOUBLE) AS n1,
+               CAST(s_d AS DOUBLE) - n_events AS s1,
+               CAST(ss_d AS DOUBLE) - 1.0 * n_events * n_events AS ss1
+        FROM d JOIN model USING (dow)
+    ), scored AS (
+        SELECT day, dow, n_events, CAST(n1 AS INTEGER) AS n_peers,
+               CASE WHEN n1 >= 3
+                     AND (ss1 - s1 * s1 / n1) / (n1 - 1) > 0
+                    THEN round((n_events - s1 / n1)
+                         / sqrt((ss1 - s1 * s1 / n1) / (n1 - 1)), 6)
+               END AS z_score
+        FROM loo
+    )
+    SELECT day, dow, n_events, n_peers, z_score,
+           coalesce(abs(z_score) > 2.0, FALSE) AS is_anomaly
+    FROM scored ORDER BY day
+    """,
+)
+def events_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal anomaly detection
+    (functions/timeseries.seasonal_zscore): each day z-scored against
+    the OTHER days sharing its weekday via a leave-one-out baseline —
+    the weekly-seasonality complement of the trailing-window detector,
+    which flags every weekend on weekly-cyclic traffic. No window at
+    all: daily rollup, a 7-row weekday model broadcast back, narrow
+    LOO algebra; weekday index pinned to days-since-a-Sunday mod 7 so
+    no engine's dayofweek() convention enters the comparison."""
+    from ..functions.timeseries import seasonal_zscore
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonal_zscore(events).orderBy("day")
+
+
 @register_query("ann_recall_eval")
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of every approximate index — hyperplane LSH, IVF,

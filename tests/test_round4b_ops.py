@@ -883,3 +883,60 @@ class TestDpNoisyCounts:
             dp_noisy_counts(df, ["g"], epsilon=0)
         with pytest.raises(ValueError):
             dp_noisy_counts(df, ["g"], sensitivity=0)
+
+
+# ---------------------------------------------------------------------------
+# seasonal_zscore (day-of-week leave-one-out)
+# ---------------------------------------------------------------------------
+
+def test_seasonal_zscore_hand_computed_loo(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.timeseries import (
+        seasonal_zscore,
+    )
+
+    # 5 Mondays (Jan 2024: 1, 8, 15, 22, 29): four quiet, one spiking;
+    # interleave quiet Tuesdays so other weekdays exist
+    mon = {1: 10, 8: 12, 15: 11, 22: 9, 29: 55}
+    rows = [
+        (d * 1000 + i, _ts(d)) for d, c in mon.items() for i in range(c)
+    ]
+    rows += [(90000 + d * 100 + i, _ts(d)) for d in (2, 9, 16, 23) for i in range(7)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r["day"]: r for r in seasonal_zscore(df).collect()}
+    spike = out[datetime.date(2024, 1, 29)]
+    peers = [10, 12, 11, 9]  # the OTHER Mondays — leave-one-out
+    mean = sum(peers) / 4
+    var = sum((x - mean) ** 2 for x in peers) / 3
+    assert spike["dow"] == 1 and spike["n_peers"] == 4
+    assert spike["z_score"] == round((55 - mean) / math.sqrt(var), 6)
+    assert spike["is_anomaly"]
+    # a quiet Monday is NOT anomalous against its peers
+    assert not out[datetime.date(2024, 1, 8)]["is_anomaly"]
+
+
+def test_seasonal_zscore_min_history_and_zero_variance(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.timeseries import (
+        seasonal_zscore,
+    )
+
+    # 3 Wednesdays of identical counts: n_peers = 2 < 3 -> NULL z; and
+    # even with min_history=1 the zero variance keeps z NULL
+    rows = [(d * 1000 + i, _ts(d)) for d in (3, 10, 17) for i in range(5)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = seasonal_zscore(df).collect()
+    assert all(r["z_score"] is None and not r["is_anomaly"] for r in out)
+    out2 = seasonal_zscore(df, min_history=1).collect()
+    assert all(r["z_score"] is None for r in out2)
+
+
+def test_seasonal_zscore_dow_pinned_to_sunday_zero(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.timeseries import (
+        seasonal_zscore,
+    )
+
+    # 2024-01-07 was a Sunday; 2024-01-01 a Monday
+    rows = [(i, _ts(7)) for i in range(3)] + [(100 + i, _ts(1)) for i in range(3)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r["day"]: r["dow"] for r in seasonal_zscore(df).collect()}
+    assert out[datetime.date(2024, 1, 7)] == 0
+    assert out[datetime.date(2024, 1, 1)] == 1
