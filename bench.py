@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "events_touch_attribution",
     "events_krippendorff_alpha",
     "events_dow_anomaly",
+    "part_hierarchy_flatten",
 ]
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "label_propagation",
     "link_graph_edges",
     "k_core",
+    "flatten_hierarchy",
 ]
 
 
@@ -458,4 +459,88 @@ def k_core(
         .unionAll(e.select(F.col("v")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def flatten_hierarchy(
+    edges: DataFrame,
+    *,
+    child: str = "child",
+    parent: str = "parent",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Flatten a parent-child forest to (node, root, depth) — the
+    ``WITH RECURSIVE`` ancestry query (org charts, category trees,
+    reply threads, directory hierarchies) that Spark SQL has no native
+    operator for.
+
+    POINTER JUMPING, not per-level walking: every node starts with its
+    depth-1 parent link, and each round the jump table composes with
+    ITSELF — jt(n) ← jt(jt(n)), depths adding — so a depth-d chain
+    settles in ⌈log₂ d⌉ rounds instead of d. At 100 TB that is the
+    difference between 20 shuffles and a thousand for deep trees;
+    each round is one self-equi-join of a (node, anc, depth) table,
+    AQE-planned, lineage truncated eagerly per round. The fixpoint
+    probe (did any pointer jump this round?) rides the same count that
+    materializes the round.
+
+    Emits one row per CHILD node (roots have no row; a root is any
+    ``parent`` value that never appears as a ``child``). Input must be
+    a forest — at most one parent per child (duplicate child links
+    raise) — and acyclic: a cycle never reaches a root, so its nodes
+    still carry an in-cycle ancestor after ``max_rounds`` and are
+    returned as-is with ``settled = false``; the column doubles as the
+    truncation flag for legitimately-deeper-than-2^max_rounds chains.
+    """
+    jt = (
+        edges.select(
+            F.col(child).alias("node"),
+            F.col(parent).alias("anc"),
+            F.lit(1).cast("long").alias("depth"),
+        )
+        .filter(F.col("node").isNotNull() & F.col("anc").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        jt.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"flatten_hierarchy: {dup} child node(s) have multiple parents"
+        )
+    for _ in range(max_rounds):
+        nxt = jt.alias("a").join(
+            jt.select(
+                F.col("node").alias("__n"),
+                F.col("anc").alias("__a"),
+                F.col("depth").alias("__d"),
+            ),
+            F.col("a.anc") == F.col("__n"),
+            "left",
+        )
+        jumped = nxt.select(
+            F.col("a.node").alias("node"),
+            F.coalesce(F.col("__a"), F.col("a.anc")).alias("anc"),
+            (F.col("a.depth") + F.coalesce(F.col("__d"), F.lit(0))).alias(
+                "depth"
+            ),
+            F.col("__n").isNotNull().alias("__jumped"),
+        ).localCheckpoint(eager=True)
+        n_jumped = jumped.filter(F.col("__jumped")).count()
+        jt = jumped.drop("__jumped")
+        if n_jumped == 0:
+            break
+    # settled ⟺ the final ancestor is a true root (has no parent link)
+    parents = jt.select(F.col("node").alias("__p"))
+    return (
+        jt.join(parents, jt.anc == F.col("__p"), "left")
+        .select(
+            "node",
+            F.col("anc").alias("root"),
+            "depth",
+            F.col("__p").isNull().alias("settled"),
+        )
     )

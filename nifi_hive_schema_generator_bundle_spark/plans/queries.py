@@ -5250,6 +5250,45 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "part_hierarchy_flatten",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT p_partkey AS child, p_partkey // 4 AS parent
+        FROM part WHERE p_partkey >= 4
+    ), up AS (
+        SELECT child AS node, parent AS anc, CAST(1 AS BIGINT) AS depth
+        FROM e
+        UNION ALL
+        SELECT up.node, e.parent, up.depth + 1
+        FROM up JOIN e ON up.anc = e.child
+    )
+    SELECT node, anc AS root, depth, TRUE AS settled
+    FROM up WHERE anc NOT IN (SELECT child FROM e)
+    ORDER BY node
+    """,
+)
+def part_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive ancestry flattening (operators/graph.flatten_hierarchy)
+    — the WITH RECURSIVE query Spark has no native operator for,
+    exercised on a synthetic category forest over part (parent =
+    partkey/4, so depth grows with log of the key space and the 10×
+    replica adds exactly one level). POINTER JUMPING: the jump table
+    composes with itself each round — ⌈log₂ depth⌉ self-joins instead
+    of depth-many level walks — with the fixpoint probe riding the
+    materializing count. The oracle walks the same forest with a true
+    recursive CTE; at the fixpoint both describe each node's root and
+    exact depth, so equality is semantic, not round-for-round."""
+    from ..operators.graph import flatten_hierarchy
+
+    p = load_table(spark, sf_dir, "part")
+    edges = p.filter(F.col("p_partkey") >= 4).select(
+        F.col("p_partkey").alias("child"),
+        F.floor(F.col("p_partkey") / 4).cast("long").alias("parent"),
+    )
+    return flatten_hierarchy(edges).orderBy("node")
+
+
+@register_query(
     "doc_bigram_logprob",
     oracle=r"""
     WITH toks AS (

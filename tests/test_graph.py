@@ -252,3 +252,69 @@ class TestKCore:
 
         with _pytest.raises(ValueError):
             k_core(self._edges(spark, [(1, 2)]), k=0)
+
+
+class TestFlattenHierarchy:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "child long, parent long")
+
+    def test_forest_roots_and_depths(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.graph import (
+            flatten_hierarchy,
+        )
+
+        # two trees: 1<-2<-3, 1<-4 and 10<-11
+        e = self._edges(spark, [(2, 1), (3, 2), (4, 1), (11, 10)])
+        got = {
+            r["node"]: (r["root"], r["depth"], r["settled"])
+            for r in flatten_hierarchy(e).collect()
+        }
+        assert got == {
+            2: (1, 1, True),
+            3: (1, 2, True),
+            4: (1, 1, True),
+            11: (10, 1, True),
+        }
+
+    def test_pointer_jumping_is_logarithmic(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.graph import (
+            flatten_hierarchy,
+        )
+
+        # chain 1->2->...->9 (depth 8): 3 doubling rounds reach 2^3 = 8,
+        # 2 rounds only reach 4 — pins the log-round contract
+        e = self._edges(spark, [(i, i + 1) for i in range(1, 9)])
+        full = {
+            r["node"]: (r["root"], r["depth"], r["settled"])
+            for r in flatten_hierarchy(e, max_rounds=3).collect()
+        }
+        assert full[1] == (9, 8, True)
+        assert all(v[0] == 9 and v[2] for v in full.values())
+        cut = {
+            r["node"]: r["settled"]
+            for r in flatten_hierarchy(e, max_rounds=2).collect()
+        }
+        assert cut[1] is False  # depth-8 pointer stuck at distance 4
+        assert cut[8] is True   # depth-1 node settled in round 1
+
+    def test_cycle_flagged_unsettled(self, spark):
+        from nifi_hive_schema_generator_bundle_spark.operators.graph import (
+            flatten_hierarchy,
+        )
+
+        e = self._edges(spark, [(1, 2), (2, 1), (5, 1)])
+        got = {
+            r["node"]: r["settled"]
+            for r in flatten_hierarchy(e, max_rounds=4).collect()
+        }
+        assert got == {1: False, 2: False, 5: False}
+
+    def test_multi_parent_raises(self, spark):
+        import pytest as _pytest
+        from nifi_hive_schema_generator_bundle_spark.operators.graph import (
+            flatten_hierarchy,
+        )
+
+        e = self._edges(spark, [(1, 2), (1, 3)])
+        with _pytest.raises(ValueError, match="multiple parents"):
+            flatten_hierarchy(e)
