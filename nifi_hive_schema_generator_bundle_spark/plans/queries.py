@@ -9220,8 +9220,8 @@ def events_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN u < 0.9999167588507119 THEN 6
                 ELSE 7 END AS w
             FROM (SELECT CAST(concat('0x', substring(
-                      md5('ci' || '|' || CAST(b.b AS VARCHAR) || '|' || pts.k),
-                      1, 8)) AS BIGINT) / 4294967296.0 AS u)
+                      md5('ci' || '|' || CAST(b.b // 4 AS VARCHAR) || '|' || pts.k),
+                      1 + 8 * (b.b % 4), 8)) AS BIGINT) / 4294967296.0 AS u)
         ) w
         GROUP BY b.b
     ), ordered AS (
@@ -9542,8 +9542,8 @@ def doc_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN u < 0.9999167588507119 THEN 6
                 ELSE 7 END AS w
             FROM (SELECT CAST(concat('0x', substring(
-                      md5('ab' || '|' || CAST(b.b AS VARCHAR) || '|' || pts.k),
-                      1, 8)) AS BIGINT) / 4294967296.0 AS u)
+                      md5('ab' || '|' || CAST(b.b // 4 AS VARCHAR) || '|' || pts.k),
+                      1 + 8 * (b.b % 4), 8)) AS BIGINT) / 4294967296.0 AS u)
         ) w
         GROUP BY b.b, pts.g
     ), diffs AS (

@@ -418,9 +418,9 @@ class TestBootstrapMeanCI:
 
         # pure-python replica of the deterministic weights + interval
         def weight(seed, b, k):
-            u = int(
-                hashlib.md5(f"{seed}|{b}|{k}".encode()).hexdigest()[:8], 16
-            ) / 4294967296.0
+            # lane draw: uniform b is 8 hex chars of md5(seed|b//4|k)
+            digest = hashlib.md5(f"{seed}|{b // 4}|{k}".encode()).hexdigest()
+            u = int(digest[8 * (b % 4):8 * (b % 4) + 8], 16) / 4294967296.0
             for kk, t in enumerate(_POIS1_CDF):
                 if u < t:
                     return kk
