@@ -10408,3 +10408,55 @@ def media_audio_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "sample_rate", "duration_ms", "keep")
         .orderBy("media_id")
     )
+
+
+@register_query(
+    "part_entity_resolution",
+    oracle="""
+    WITH RECURSIVE reps AS (
+        SELECT p_name, min(p_partkey) AS rep_id
+        FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+    ), pairs AS (
+        SELECT a.rep_id AS id_a, b.rep_id AS id_b
+        FROM reps a JOIN reps b
+          ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+         AND a.rep_id < b.rep_id
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(n, m) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ), rep_comp AS (
+        SELECT n AS rep_id, least(n, min(m)) AS entity
+        FROM reach GROUP BY n
+    ), rep_entity AS (
+        SELECT r.p_name, r.rep_id,
+               coalesce(c.entity, r.rep_id) AS entity_id
+        FROM reps r LEFT JOIN rep_comp c ON r.rep_id = c.rep_id
+    )
+    SELECT p.p_partkey, CAST(e.entity_id AS BIGINT) AS entity_id,
+           canon.p_name AS canonical_name
+    FROM part p
+    JOIN rep_entity e ON p.p_name = e.p_name
+    JOIN reps canon ON canon.rep_id = e.entity_id
+    ORDER BY p.p_partkey
+    """,
+)
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names (operators/entity.
+    resolve_entities): exact-name collapse to min-id representatives,
+    noun-blocked levenshtein<=2 pairing over representatives only (the
+    distance-0 clique blowup never happens), transitive closure via
+    min-label connected components, canonical name = the min-id row's.
+    The oracle replays blocking + levenshtein + a recursive-CTE
+    closure independently."""
+    from ..operators.entity import resolve_entities
+
+    p = load_table(spark, sf_dir, "part")
+    return (
+        resolve_entities(p, "p_partkey", "p_name", max_dist=2)
+        .orderBy("p_partkey")
+    )
