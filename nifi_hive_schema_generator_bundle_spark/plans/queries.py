@@ -10460,3 +10460,62 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_entities(p, "p_partkey", "p_name", max_dist=2)
         .orderBy("p_partkey")
     )
+
+
+@register_query(
+    "doc_token_heavy_hitters",
+    oracle="""
+    WITH w AS (
+        SELECT word FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word <> ''
+    ), cells AS (
+        SELECT r AS hash_row,
+               CAST(concat('0x', substring(
+                    md5(concat(CAST(r AS VARCHAR), ':', word)), 1, 8))
+                    AS BIGINT) % 256 AS bucket,
+               count(*) AS cnt
+        FROM w, generate_series(0, 3) AS t(r)
+        GROUP BY 1, 2
+    ), cand AS (
+        SELECT word, count(*) AS exact_count FROM w GROUP BY word
+    ), probe AS (
+        SELECT c.word, min(coalesce(cells.cnt, 0)) AS est_count
+        FROM (SELECT word, r FROM cand, generate_series(0, 3) AS t(r)) c
+        LEFT JOIN cells
+          ON cells.hash_row = c.r
+         AND cells.bucket = CAST(concat('0x', substring(
+                 md5(concat(CAST(c.r AS VARCHAR), ':', c.word)), 1, 8))
+                 AS BIGINT) % 256
+        GROUP BY c.word
+    )
+    SELECT cand.word, CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(est_count AS BIGINT) AS est_count
+    FROM cand JOIN probe USING (word)
+    ORDER BY est_count DESC, word LIMIT 20
+    """,
+)
+def doc_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketches): the token
+    stream folds into a 4×256 grid (ONE map-side-combinable aggregate,
+    output ≤ 1024 rows no matter the corpus), candidate tokens probe it
+    with the broadcast grid, and the report carries exact counts next
+    to the sketch estimates so the CMS overestimate is visible. The md5
+    bucket derivation is engine-portable, so the oracle replays the
+    whole sketch — grid, probe, min — bit-for-bit in SQL (most sketches
+    are only property-testable; this one is value-hash checkable)."""
+    from ..operators.sketches import cms_build, cms_lookup
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    grid = cms_build(words, "word", depth=4, width=256)
+    cand = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        cms_lookup(grid, cand, "word", depth=4, width=256)
+        .select("word", "exact_count", "est_count")
+        .orderBy(F.desc("est_count"), "word")
+        .limit(20)
+    )
