@@ -10519,3 +10519,34 @@ def doc_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "word")
         .limit(20)
     )
+
+
+@register_query(
+    "part_pareto_frontier",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+      )
+    ORDER BY p.p_partkey
+    """,
+)
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (operators/skyline.pareto_frontier): parts no
+    other part beats on both price (min) and size (max). The oracle is
+    the textbook quadratic NOT EXISTS; the engine's plan is the
+    O(n log n) level-collapse + strictly-cheaper running max + join
+    back — the 100 TB-safe formulation of the same predicate."""
+    from ..operators.skyline import pareto_frontier
+
+    p = load_table(spark, sf_dir, "part")
+    return (
+        pareto_frontier(p, "p_retailprice", "p_size")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
