@@ -10550,3 +10550,58 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_size", "p_retailprice")
         .orderBy("p_partkey")
     )
+
+
+@register_query(
+    "embedding_covariance",
+    oracle="""
+    WITH x AS (
+        SELECT embedding AS e FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ), grid AS (
+        SELECT s.i, t.j
+        FROM generate_series(1, 64) s(i), generate_series(1, 64) t(j)
+        WHERE s.i <= t.j
+    )
+    SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+           round((sum(CAST(e[i] AS DOUBLE) * CAST(e[j] AS DOUBLE))
+                  - sum(CAST(e[i] AS DOUBLE)) * sum(CAST(e[j] AS DOUBLE))
+                    / count(*))
+                 / (count(*) - 1), 6) AS cov
+    FROM x, grid GROUP BY i, j ORDER BY i, j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance matrix of the embedding components
+    (operators/pca.covariance_matrix): the Arrow-batched BLAS Gram
+    stage reduces the corpus to d(d+1)/2 + d + 1 moment rows — bounded
+    state at any row count, the distributed half of PCA. The oracle
+    recomputes every upper-triangle entry from the raw arrays with the
+    same exact-moment formula."""
+    from ..operators.pca import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding", dim=64).orderBy("i", "j")
+
+
+@register_query("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit + projection (operators/pca): covariance moments →
+    driver-side eigh (d×d, control-path) → per-row projection onto the
+    top-2 literal component arrays, pure JVM zip_with folds. The
+    eigendecomposition isn't SQL-replayable: rows-only here; the
+    variance-ordering, orthogonality, and sklearn-free reconstruction
+    properties are unit-tested."""
+    from ..operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=2, dim=64)
+    return (
+        pca_project(emb, "embedding", model)
+        .select(
+            "vec_id",
+            F.round("pc0", 6).alias("pc0"),
+            F.round("pc1", 6).alias("pc1"),
+        )
+        .orderBy("vec_id")
+    )

@@ -210,6 +210,12 @@ ARROW_BATCHED = {
     # the mojibake repair is a declared Arrow stage (codec work, the
     # compression_ratio contract)
     "doc_fix_mojibake",
+    # PCA's Gram partials are one Arrow BLAS stage (operators/pca),
+    # the blocked-matmul contract; everything downstream is d²-row JVM.
+    # (embedding_pca_project is NOT here: its Arrow stage runs eagerly
+    # inside pca_fit during construction — the returned projection plan
+    # is the pure-JVM literal fold and must stay Python-free.)
+    "embedding_covariance",
 }
 
 PY_NODES = (
@@ -337,6 +343,10 @@ BNLJ_ALLOWED = {
     # 1-row (n_a, n_b, rank-sum, tie-term) stats row joined to the
     # significance projection, the q22 scalar class
     "events_mann_whitney",
+    # the 1-row vector-count scalar rides the d²-row covariance grid
+    # as a broadcast (q11-threshold class); the grid itself is bounded
+    # by dim², never by data rows
+    "embedding_covariance",
 }
 
 
