@@ -1,0 +1,178 @@
+"""Streaming count-min accumulation — bounded-state frequency counts
+over an unbounded key stream.
+
+Exact streaming key counts need O(distinct keys) state — unbounded on
+a token stream. The count-min grid (`operators/sketches`) is the
+bounded alternative: each micro-batch folds into ≤ depth × width
+cells, and grid **linearity** (per-cell addition) makes the store an
+accumulator across batches, runs, and restarts.
+
+Replay safety follows `incremental_dedup.py`'s contract exactly: the
+store is partitioned by ``batch_id``, each batch dynamic-partition-
+overwrites ONLY its own delta partition, so a crash-replay rewrites
+the same bytes instead of double-counting; a batch id behind the
+store's max means the streaming checkpoint was reset against a live
+store, and raises. Estimates fold every batch delta per-cell — the
+order never matters — and ``compact_cms_store`` periodically collapses
+history partitions into one (per-cell sums preserve every estimate
+bit-for-bit: linearity again).
+
+State: O(batches × depth × width) between compactions, O(depth ×
+width) after — never O(distinct keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.sketches import cms_build, cms_lookup
+from ..sources.formats import overwrite_partitions
+
+__all__ = [
+    "cms_batch_update",
+    "run_cms_stream",
+    "cms_store_grid",
+    "cms_store_estimate",
+    "compact_cms_store",
+]
+
+
+def _read_store(spark, store_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(store_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return None
+
+
+def cms_batch_update(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> int:
+    """Fold one micro-batch into the grid store; returns cells written.
+
+    Reusable from any ``foreachBatch`` or batch loop with monotonic
+    batch numbering."""
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return 0
+    store = _read_store(spark, store_dir)
+    if store is not None:
+        top = store.agg(F.max("batch_id")).collect()[0][0]
+        if top is not None and batch_id < top:
+            raise ValueError(
+                f"batch_id {batch_id} is behind the store's max {top}: "
+                "the streaming checkpoint was reset against an existing "
+                "store. Resume with the original checkpoint or use a "
+                "fresh store_dir."
+            )
+    delta = cms_build(
+        batch_df, key_col, depth=depth, width=width, weight_col=weight_col
+    ).withColumn("batch_id", F.lit(batch_id))
+    n = delta.count()
+    overwrite_partitions(delta, store_dir, ["batch_id"], fmt="parquet")
+    return n
+
+
+def run_cms_stream(
+    stream_df: DataFrame,
+    *,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the accumulation query: every micro-batch's grid delta
+    lands in its own store partition."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms_batch_update(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            key_col=key_col,
+            depth=depth,
+            width=width,
+            weight_col=weight_col,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cms_store_grid(spark, store_dir: str) -> DataFrame:
+    """The whole-history grid: per-cell sum over every batch delta."""
+    store = _read_store(spark, store_dir)
+    if store is None:
+        raise FileNotFoundError(f"no CMS store at {store_dir}")
+    return store.groupBy("hash_row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_store_estimate(
+    spark,
+    store_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """``keys`` + ``est_count`` over everything ever accumulated."""
+    return cms_lookup(
+        cms_store_grid(spark, store_dir),
+        keys,
+        key_col,
+        depth=depth,
+        width=width,
+    )
+
+
+def compact_cms_store(spark, store_dir: str, *, keep_last: int = 1) -> int:
+    """Collapse all batch partitions strictly below the newest
+    ``keep_last`` into the ``max − keep_last`` partition via per-cell
+    sums (estimates unchanged: linearity). Returns cells after
+    compaction. Same safety argument as
+    ``incremental_dedup.compact_fingerprint_store``: future ids are
+    monotonic, and a replay of the live max batch only rewrites its
+    own partition."""
+    import shutil
+
+    store = spark.read.parquet(store_dir)
+    ids = sorted(r[0] for r in store.select("batch_id").distinct().collect())
+    if len(ids) <= keep_last + 1:
+        return 0
+    cut = ids[-keep_last] if keep_last else ids[-1] + 1
+    fold_to = cut - 1
+    folded = (
+        store.filter(F.col("batch_id") < cut)
+        .groupBy("hash_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("batch_id", F.lit(fold_to))
+        .persist()
+    )
+    n = folded.count()  # materialize BEFORE overwriting what it reads
+    try:
+        overwrite_partitions(folded, store_dir, ["batch_id"], fmt="parquet")
+    finally:
+        folded.unpersist()
+    for i in ids:
+        if i < fold_to:
+            shutil.rmtree(f"{store_dir}/batch_id={i}", ignore_errors=True)
+    return n
