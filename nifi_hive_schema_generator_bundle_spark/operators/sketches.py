@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_merge", "cms_lookup"]
+__all__ = [
+    "cms_build",
+    "cms_merge",
+    "cms_lookup",
+    "cms_join_size_estimate",
+]
 
 
 def _bucket(key: Column, row: Column, width: int) -> Column:
@@ -110,3 +115,36 @@ def cms_lookup(
     return keys.join(est, key_col, "left").withColumn(
         "est_count", F.coalesce("est_count", F.lit(0))
     )
+
+
+def cms_join_size_estimate(
+    grid_a: DataFrame, grid_b: DataFrame, *, depth: int | None = None
+) -> DataFrame:
+    """1-row estimate of ``|A ⋈_k B|`` from the two sides' CMS grids:
+    ``min_r Σ_b gridA[r][b] · gridB[r][b]`` (the CMS inner product —
+    Cormode & Muthukrishnan's join-size application). Each hash row's
+    inner product overestimates the true join size (colliding keys
+    multiply); the min over rows tightens it. The whole estimate costs
+    one equi-join of two ≤ depth × width tables — no scan of either
+    input — which is what query planners want cardinality estimates
+    for. Returns (est_join_size BIGINT). ``depth`` is only a sanity
+    check that both grids cover the same hash rows."""
+    b = grid_b.select(
+        F.col("hash_row"),
+        F.col("bucket"),
+        F.col("cnt").alias("__cnt_b"),
+    )
+    prods = grid_a.join(b, ["hash_row", "bucket"]).select(
+        "hash_row", (F.col("cnt") * F.col("__cnt_b")).alias("__p")
+    )
+    per_row = prods.groupBy("hash_row").agg(F.sum("__p").alias("__ip"))
+    if depth is not None:
+        # a hash row missing from the product table means one side had
+        # no keys at all in that row — the inner product there is 0
+        rows = per_row.sparkSession.range(depth).select(
+            F.col("id").cast("int").alias("hash_row")
+        )
+        per_row = rows.join(per_row, "hash_row", "left").fillna(
+            0, subset=["__ip"]
+        )
+    return per_row.agg(F.min("__ip").cast("long").alias("est_join_size"))

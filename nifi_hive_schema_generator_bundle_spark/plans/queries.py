@@ -10605,3 +10605,51 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register_query(
+    "orders_join_size_estimate",
+    oracle="""
+    WITH ga AS (
+        SELECT r AS hash_row,
+               CAST(concat('0x', substring(md5(concat(
+                    CAST(r AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR))),
+                    1, 8)) AS BIGINT) % 512 AS bucket,
+               count(*) AS cnt
+        FROM orders, generate_series(0, 3) t(r) GROUP BY 1, 2
+    ), gb AS (
+        SELECT r AS hash_row,
+               CAST(concat('0x', substring(md5(concat(
+                    CAST(r AS VARCHAR), ':', CAST(l_orderkey AS VARCHAR))),
+                    1, 8)) AS BIGINT) % 512 AS bucket,
+               count(*) AS cnt
+        FROM lineitem, generate_series(0, 3) t(r) GROUP BY 1, 2
+    ), ip AS (
+        SELECT ga.hash_row, sum(ga.cnt * gb.cnt) AS ip
+        FROM ga JOIN gb USING (hash_row, bucket) GROUP BY 1
+    )
+    SELECT (SELECT CAST(min(ip) AS BIGINT) FROM ip) AS est_join_size,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+               AS exact_join_size
+    """,
+)
+def orders_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches (operators/sketches.
+    cms_join_size_estimate): |orders ⋈ lineitem| predicted as the min
+    over hash rows of the two CMS grids' inner product — the cost-based-
+    optimizer statistic, computed from two bounded 4×512 grids without
+    ever joining the tables. The exact size rides along so the
+    overestimate is visible; the oracle replays grids, inner product,
+    min, and the exact join independently."""
+    from ..operators.sketches import cms_build, cms_join_size_estimate
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ga = cms_build(o.select(F.col("o_orderkey").alias("k")), "k", depth=4, width=512)
+    gb = cms_build(li.select(F.col("l_orderkey").alias("k")), "k", depth=4, width=512)
+    est = cms_join_size_estimate(ga, gb, depth=4)
+    exact = o.join(li, o.o_orderkey == li.l_orderkey).agg(
+        F.count(F.lit(1)).alias("exact_join_size")
+    )
+    return est.join(F.broadcast(exact))  # two 1-row scalars

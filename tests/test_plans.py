@@ -347,6 +347,9 @@ BNLJ_ALLOWED = {
     # as a broadcast (q11-threshold class); the grid itself is bounded
     # by dim², never by data rows
     "embedding_covariance",
+    # 1-row sketch estimate × 1-row exact count at the very end (the
+    # fleiss_kappa two-scalar class); the grids are bounded 4×512
+    "orders_join_size_estimate",
 }
 
 

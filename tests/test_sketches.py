@@ -99,3 +99,35 @@ def test_weighted_build_and_null_keys_skipped(spark):
     # the NULL key contributed nothing anywhere
     total = grid.agg(F.sum("cnt")).collect()[0][0]
     assert total == 4 * 16
+
+
+def test_join_size_estimate_upper_bounds_exact(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.sketches import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    a = _tokens(spark, ["k1"] * 3 + ["k2"] * 2 + ["k9"])
+    b = _tokens(spark, ["k1"] * 4 + ["k2"] + ["k7"] * 5)
+    # exact: 3*4 + 2*1 = 14 (k9/k7 don't match)
+    ga = cms_build(a, "tok", depth=4, width=64)
+    gb = cms_build(b, "tok", depth=4, width=64)
+    est = cms_join_size_estimate(ga, gb, depth=4).collect()[0].est_join_size
+    assert est >= 14
+    # wide grid, 4 keys: collisions vanish -> estimate is exact
+    ga_w = cms_build(a, "tok", depth=4, width=8192)
+    gb_w = cms_build(b, "tok", depth=4, width=8192)
+    est_w = cms_join_size_estimate(ga_w, gb_w, depth=4).collect()[0]
+    assert est_w.est_join_size == 14
+
+
+def test_join_size_estimate_disjoint_keys_zero(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.sketches import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    ga = cms_build(_tokens(spark, ["a", "b"]), "tok", depth=3, width=4096)
+    gb = cms_build(_tokens(spark, ["c", "d"]), "tok", depth=3, width=4096)
+    est = cms_join_size_estimate(ga, gb, depth=3).collect()[0]
+    assert est.est_join_size == 0
