@@ -21,7 +21,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "funnel_counts", "position_attribution"]
+__all__ = [
+    "funnel_steps",
+    "funnel_counts",
+    "position_attribution",
+    "transition_matrix",
+]
 
 
 def funnel_steps(
@@ -206,4 +211,47 @@ def position_attribution(
             F.count(F.lit(1)).alias("n_touches"),
             F.round(F.sum("__cv"), 4).alias("credited_value"),
         )
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+    *,
+    terminal: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition statistics over per-key event
+    sequences: (from_state, to_state, n_transitions, p), where ``p``
+    row-normalizes the counts over each from_state (rounded to 6).
+
+    ``to_state`` comes from ONE ``lead()`` within the key's ordered
+    window — the whole sequence model costs a single shuffle on
+    ``key_col`` (the window sort), then a map-side-combinable pair
+    count whose output is bounded by |states|², never by events. Pass
+    ``order_cols`` with a total-order tiebreak (e.g. ``["ts",
+    "event_id"]``) or equal timestamps make lead() nondeterministic.
+    Each key's last event transitions to ``terminal`` if given (so
+    rows(p) sums to 1 including sequence ends) or is dropped if None.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    nxt = F.lead(state_col).over(w)
+    pairs = df.select(
+        F.col(state_col).alias("from_state"),
+        (
+            F.coalesce(nxt, F.lit(terminal)) if terminal is not None else nxt
+        ).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_tot = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "p",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(row_tot),
+            6,
+        ),
     )

@@ -10653,3 +10653,39 @@ def orders_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("exact_join_size")
     )
     return est.join(F.broadcast(exact))  # two 1-row scalars
+
+
+@register_query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_state
+        FROM events
+    ), pairs AS (
+        SELECT from_state, coalesce(to_state, 'END') AS to_state FROM seq
+    )
+    SELECT from_state, to_state,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY from_state), 6) AS p
+    FROM pairs GROUP BY from_state, to_state
+    ORDER BY from_state, to_state
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/funnel.transition_matrix): one lead() window
+    (single shuffle on user_id, event_id tiebreak for equal
+    timestamps), then a pair count bounded by |event types|² + the
+    'END' terminal so each row of the matrix sums to 1. The behavioral-
+    model statistic session-analysis pipelines derive before anything
+    fancier (next-action prediction, bot detection)."""
+    from ..operators.funnel import transition_matrix
+
+    events = load_table(spark, sf_dir, "events")
+    return transition_matrix(
+        events, "user_id", ["ts", "event_id"], "event_type", terminal="END"
+    ).orderBy("from_state", "to_state")

@@ -195,3 +195,75 @@ class TestPositionAttribution:
         rows = [(1, "view", 5, 0), (1, "purchase", 5, 60.0)]
         got = self._run(spark, rows)
         assert got == {"view": (1, 60.0)}
+
+
+# ---------------------------------------------------------------------------
+# transition_matrix
+# ---------------------------------------------------------------------------
+
+
+def _seq_events(spark):
+    rows = [
+        # user 1: A -> B -> A
+        (1, 1, 10, "A"), (2, 1, 20, "B"), (3, 1, 30, "A"),
+        # user 2: A -> A
+        (4, 2, 10, "A"), (5, 2, 20, "A"),
+        # user 3: single event, only a terminal transition
+        (6, 3, 10, "B"),
+    ]
+    return spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    )
+
+
+def test_transition_matrix_counts_and_rows_sum_to_one(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    out = transition_matrix(
+        _seq_events(spark), "user_id", ["ts", "event_id"], "event_type",
+        terminal="END",
+    ).collect()
+    got = {(r.from_state, r.to_state): (r.n_transitions, r.p) for r in out}
+    # A: A->B (u1), A->A (u1? no: u1 A@10->B, B->A, A@30->END; u2 A->A, A->END)
+    assert got[("A", "B")][0] == 1
+    assert got[("A", "A")][0] == 1
+    assert got[("A", "END")][0] == 2
+    assert got[("B", "A")][0] == 1
+    assert got[("B", "END")][0] == 1
+    # row-normalization: each from_state's p sums to 1
+    sums: dict = {}
+    for (f, _t), (_n, p) in got.items():
+        sums[f] = round(sums.get(f, 0.0) + p, 6)
+    assert set(sums.values()) == {1.0}
+    assert got[("A", "END")][1] == 0.5
+
+
+def test_transition_matrix_without_terminal_drops_ends(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    out = transition_matrix(
+        _seq_events(spark), "user_id", ["ts", "event_id"], "event_type"
+    ).collect()
+    got = {(r.from_state, r.to_state) for r in out}
+    assert got == {("A", "B"), ("B", "A"), ("A", "A")}
+
+
+def test_transition_matrix_tiebreak_is_deterministic(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    # two events at the SAME ts: event_id tiebreak orders 7 before 8
+    df = spark.createDataFrame(
+        [(7, 1, 10, "X"), (8, 1, 10, "Y")],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    out = transition_matrix(
+        df, "user_id", ["ts", "event_id"], "event_type", terminal="END"
+    ).collect()
+    got = {(r.from_state, r.to_state) for r in out}
+    assert got == {("X", "Y"), ("Y", "END")}
