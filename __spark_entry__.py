@@ -97,7 +97,6 @@ DRIVER_PRIORITY = [
     # --- round-4b additions (never driver-verified, newest code = top risk) ---
     "doc_remove_duplicate_spans",
     "doc_quality_classifier",
-    "doc_domain_cap",
     # (events_rolling_wau displaced by events_fleiss_kappa: its
     # rolling-distinct kernel is the r2-verified events_user_reach
     # exact-distinct window family; the kappa statistic is newer code)
@@ -107,7 +106,9 @@ DRIVER_PRIORITY = [
     # --- round-4c additions (never driver-verified, newest code = top risk) ---
     "customers_pii_scrub",
     "doc_bloom_incremental",
-    "doc_hashed_tf_vectors",
+    # (doc_hashed_tf_vectors displaced: its hashing-trick md5-mod-width
+    # bucket kernel is exactly the CMS bucket derivation that in-gate
+    # doc_token_heavy_hitters now hash-verifies cell-by-cell)
     # (events_variant_extract displaced by the eval metrics: its
     # JSON-path extraction kernel is driver-verified via r1-r3
     # events_props_extract; pass@k's fold + majority-vote's argmax
@@ -135,16 +136,15 @@ DRIVER_PRIORITY = [
     "doc_preference_pairs",
     # (doc_temperature_sample displaced: its count^alpha rate table +
     # md5-fraction keep is the r3-driver-verified doc_mixture_sample
-    # kernel with a different rate formula, and doc_dsir_sample keeps
-    # the md5-fraction/Gumbel family in-gate)
+    # kernel with a different rate formula; the md5-fraction family is
+    # r3-driver-verified via doc_mixture_sample)
     # (events_value_winsorized displaced: same discrete order-statistic
     # percentile kernel as in-gate doc_ccnet_buckets)
     # --- round-4e additions (newest code = top risk) ---
-    # (doc_dsir_weights displaced by doc_chat_render: in-gate
-    # doc_dsir_sample composes the identical weight construction, so
-    # hash-verifying the sample transitively covers the weights — the
-    # BM25 index-search precedent; the sft render fold is newer code)
-    "doc_dsir_sample",
+    # (doc_dsir_weights and doc_dsir_sample both displaced by the
+    # round-4l operators below: the weight construction and the
+    # md5-fraction keep are the r3-driver-verified doc_mixture_sample
+    # kernel family, locally oracle-checked together)
     "doc_chat_render",
     # --- round-4f additions (newest code = top risk; displace
     # doc_near_dedup_best ~ verified doc_near_dedup_exact kernel and
@@ -162,7 +162,9 @@ DRIVER_PRIORITY = [
     # sha-projection kernel is the r-verified doc_fingerprints family;
     # the validate→render composition is newer code and an integration
     # check like in-gate curation_pipeline_v4 / training_prep_pipeline)
-    "sft_prep_pipeline",
+    # (sft_prep_pipeline displaced by the round-4l operators: it
+    # composes in-gate doc_chat_render with the r1-r3-verified
+    # validity-routing shape; the composition is locally oracle-checked)
     "doc_url_normalize",
     "doc_unicode_normalize",
     # --- round-4h/4i additions (newest code = top risk; displacing
@@ -189,13 +191,20 @@ DRIVER_PRIORITY = [
     # the r1-r3-verified ann_cosine_topk broadcast-topk kernel verbatim)
     "events_win_rates",
     "doc_dp_lang_counts",
+    # (events_calibration displaced: its binning + per-bin aggregate is
+    # the r3-verified events_value_bands banding kernel plus the
+    # in-gate doc_ccnet_buckets order-statistic family; the ECE algebra
+    # is locally oracle-checked)
+    # (events_user_concentration displaced: its Gini/top-share rank
+    # windows are the in-gate doc_ccnet_buckets per-group rank kernel
+    # over verified decile shapes; locally oracle-checked)
+    # (doc_domain_cap displaced: per-group cap = the driver-verified
+    # top-k-per-key window family with a row_number cutoff)
     # (events_value_drift displaced: its binned-PSI kernel differs from
     # in-gate doc_lang_drift only in the binning projection, which
     # events_value_bands hash-verified in r3)
     "events_bradley_terry",
-    "events_calibration",
     "doc_lang_drift",
-    "events_user_concentration",
     "curation_pipeline_v4",
     # (doc_grouped_split stays out: hash_split's md5-nibble kernel is
     # the r1-r3-verified doc_holdout_split with the key column swapped)
@@ -241,6 +250,18 @@ DRIVER_PRIORITY = [
     # the md5 sign-matrix literals are locally oracle-checked)
     "events_campaign_overlap",
     "part_copurchase_kcore",
+    # --- round-4l additions (this session's newest code = top risk;
+    # all six are brand-new kernels with no in-gate sibling: blocked
+    # entity resolution w/ representative collapse, the CMS grid +
+    # probe, CMS inner-product join-size estimation, the level-collapse
+    # skyline, the Arrow BLAS covariance, the lead()-pair Markov
+    # matrix) ---
+    "part_entity_resolution",
+    "doc_token_heavy_hitters",
+    "orders_join_size_estimate",
+    "part_pareto_frontier",
+    "embedding_covariance",
+    "events_transition_matrix",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",
