@@ -85,7 +85,9 @@ DRIVER_PRIORITY = [
     # BM25 formula + oracle; the persisted-index path is the newer code
     # and hash-verifying it transitively covers the inline formula)
     "doc_bm25_index_search",
-    "doc_duplicate_clusters",
+    # (doc_duplicate_clusters displaced by part_seed_distances below:
+    # its min-label CC closure stays in-gate inside doc_near_dedup_exact,
+    # which composes the identical connected_components call)
     "doc_near_dedup_exact",
     "doc_semantic_dedup",
     # --- never driver-verified: graph ---
@@ -262,6 +264,7 @@ DRIVER_PRIORITY = [
     "part_pareto_frontier",
     "embedding_covariance",
     "events_transition_matrix",
+    "part_seed_distances",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",

@@ -178,6 +178,14 @@ BENCH_QUERIES = [
     "events_krippendorff_alpha",
     "events_dow_anomaly",
     "part_hierarchy_flatten",
+    "part_entity_resolution",
+    "doc_token_heavy_hitters",
+    "orders_join_size_estimate",
+    "part_pareto_frontier",
+    "embedding_covariance",
+    "embedding_pca_project",
+    "events_transition_matrix",
+    "part_seed_distances",
 ]
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "link_graph_edges",
     "k_core",
     "flatten_hierarchy",
+    "shortest_paths",
 ]
 
 
@@ -544,3 +545,95 @@ def flatten_hierarchy(
             F.col("__p").isNull().alias("settled"),
         )
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_hops: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source shortest paths by frontier-limited Bellman-Ford:
+    (node, dist) = the minimum path cost from ANY source over paths of
+    at most ``max_hops`` edges. The reachability-with-cost primitive
+    the family still lacked (CC answers "connected?", this answers
+    "how far?") — distance-to-seed labeling for crawl-frontier
+    prioritization, influence radii, taxonomy proximity.
+
+    ``sources``: a DataFrame whose FIRST column holds seed node ids
+    (dist 0). ``weight``: an edge-cost column (default: every edge
+    costs 1.0, i.e. hop distance). Negative weights are rejected —
+    with a hop cap the result would still be defined, but "shortest"
+    stops meaning anything useful. Undirected inputs (the default) are
+    symmetrized once up front.
+
+    Scale shape: the classic SSSP frontier loop — each round joins
+    ONLY the frontier (nodes improved last round) against the edge
+    list, partial-aggregates candidate distances per neighbor
+    (map-side combinable), and min-merges them into the running label
+    table via one full-outer join on node id. Rounds stop at the first
+    empty frontier (fixpoint, probed by the count that materializes
+    the round) or at ``max_hops``; per-round lineage is truncated
+    eagerly, the k_core contract. With unit weights the fixpoint
+    arrives after (eccentricity) rounds — on small-world graphs a
+    handful regardless of node count.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    w_expr = (
+        F.col(weight).cast("double") if weight else F.lit(1.0)
+    ).alias("w")
+    e = edges.select(
+        F.col(src).alias("es"), F.col(dst).alias("ed"), w_expr
+    ).na.drop()
+    if not directed:
+        e = e.unionAll(
+            e.select(
+                F.col("ed").alias("es"), F.col("es").alias("ed"), "w"
+            )
+        )
+    e = e.groupBy("es", "ed").agg(F.min("w").alias("w"))  # simple graph
+    if weight is not None:
+        neg = e.filter(F.col("w") < 0).limit(1).count()
+        if neg:
+            raise ValueError("shortest_paths requires non-negative weights")
+    e = e.localCheckpoint(eager=True)
+
+    seed_col = sources.columns[0]
+    dist = (
+        sources.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    n_frontier = frontier.count()
+    for _ in range(max_hops):
+        if n_frontier == 0:
+            break
+        cand = (
+            frontier.join(e, frontier.node == e.es)
+            .select(
+                F.col("ed").alias("node"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        merged = dist.join(cand, "node", "full").select(
+            "node",
+            F.least(F.col("dist"), F.col("cand")).alias("dist"),
+            # improved = new label strictly better than the old (or new)
+            (
+                F.col("dist").isNull()
+                | (F.col("cand") < F.col("dist"))
+            ).alias("__improved"),
+        ).localCheckpoint(eager=True)
+        frontier = merged.filter(F.col("__improved")).select("node", "dist")
+        n_frontier = frontier.count()
+        dist = merged.select("node", "dist")
+    return dist

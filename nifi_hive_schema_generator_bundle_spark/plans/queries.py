@@ -10689,3 +10689,64 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(
         events, "user_id", ["ts", "event_id"], "event_type", terminal="END"
     ).orderBy("from_state", "to_state")
+
+
+@register_query(
+    "part_seed_distances",
+    oracle="""
+    WITH RECURSIVE ps AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 40
+    ), e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p
+    ), edges AS (
+        SELECT u AS s, v AS d FROM e0 UNION SELECT v, u FROM e0
+    ), seeds AS (
+        SELECT node FROM (
+            SELECT DISTINCT u AS node FROM e0 UNION SELECT v FROM e0
+        ) ORDER BY node LIMIT 5
+    ), walk(n, dist, h) AS (
+        SELECT node, 0, 0 FROM seeds
+        UNION
+        SELECT e.d, w.dist + 1, w.h + 1
+        FROM walk w JOIN edges e ON w.n = e.s
+        WHERE w.h < 4
+    )
+    SELECT n AS node, CAST(min(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY n ORDER BY node
+    """,
+)
+def part_seed_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded-hop shortest paths (operators/graph.
+    shortest_paths): hop distance from the 5 smallest co-purchase-graph
+    parts over paths of ≤ 4 edges — frontier-limited Bellman-Ford, one
+    frontier⋈edges join + min-merge per round, fixpoint early-stop.
+    max_hops is pinned to 4 on both engines so the recursive-CTE oracle
+    (hop-bounded walk + min) computes the identical quantity."""
+    from ..operators.graph import shortest_paths
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") >= 40)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = ps.select(F.col("o"), F.col("p").alias("p2"))
+    edges = (
+        ps.join(b, "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(5)
+    return (
+        shortest_paths(edges, seeds, max_hops=4)
+        .select("node", F.col("dist").cast("long").alias("dist"))
+        .orderBy("node")
+    )

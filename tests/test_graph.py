@@ -318,3 +318,63 @@ class TestFlattenHierarchy:
         e = self._edges(spark, [(1, 2), (1, 3)])
         with _pytest.raises(ValueError, match="multiple parents"):
             flatten_hierarchy(e)
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths
+# ---------------------------------------------------------------------------
+
+
+def _sp(spark, edges, seeds, **kw):
+    from nifi_hive_schema_generator_bundle_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    s = spark.createDataFrame([(x,) for x in seeds], ["node"])
+    out = shortest_paths(e, s, **kw)
+    return {r.node: r.dist for r in out.collect()}
+
+
+def test_shortest_paths_hop_distances(spark):
+    # path 1-2-3-4-5 plus a shortcut 1-4
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 5, 1.0), (1, 4, 1.0)]
+    got = _sp(spark, edges, [1], max_hops=10)
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 1.0, 5: 2.0}
+
+
+def test_shortest_paths_weighted_prefers_cheap_detour(spark):
+    # direct edge costs 5, two-hop detour costs 2
+    edges = [(1, 3, 5.0), (1, 2, 1.0), (2, 3, 1.0)]
+    got = _sp(spark, edges, [1], weight="w", max_hops=10)
+    assert got[3] == 2.0
+    # with max_hops=1 only the direct edge is allowed
+    got1 = _sp(spark, edges, [1], weight="w", max_hops=1)
+    assert got1[3] == 5.0
+
+
+def test_shortest_paths_multi_source_and_unreachable(spark):
+    edges = [(1, 2, 1.0), (3, 4, 1.0), (10, 11, 1.0)]
+    got = _sp(spark, edges, [1, 3], max_hops=5)
+    assert got == {1: 0.0, 2: 1.0, 3: 0.0, 4: 1.0}
+    assert 10 not in got and 11 not in got  # unreachable island absent
+
+
+def test_shortest_paths_directed_one_way(spark):
+    edges = [(1, 2, 1.0), (2, 3, 1.0)]
+    got = _sp(spark, edges, [3], directed=True, max_hops=5)
+    assert got == {3: 0.0}  # nothing flows against edge direction
+    got_u = _sp(spark, edges, [3], directed=False, max_hops=5)
+    assert got_u == {3: 0.0, 2: 1.0, 1: 2.0}
+
+
+def test_shortest_paths_negative_weight_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-negative"):
+        _sp(spark, [(1, 2, -1.0)], [1], weight="w")
+
+
+def test_shortest_paths_max_hops_zero_is_seeds_only(spark):
+    got = _sp(spark, [(1, 2, 1.0)], [1], max_hops=0)
+    assert got == {1: 0.0}
