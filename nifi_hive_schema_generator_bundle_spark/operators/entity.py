@@ -105,6 +105,11 @@ def resolve_entities(
         base.filter(F.col(name_col).isNotNull())
         .groupBy(name_col)
         .agg(F.min(id_col).alias("__rep_id"))
+        # reps feeds three consumers (pair join, entity mapping, canon
+        # names); materialize the distinct-name table once instead of
+        # re-scanning the input per branch — it's dedup-sized, and the
+        # CC loop below forces actions anyway
+        .localCheckpoint(eager=True)
     )
     pairs = blocked_edit_pairs(
         reps.select(F.col("__rep_id").alias(id_col), name_col),
