@@ -218,3 +218,79 @@ def test_enrich_stream_rejects_right_join(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """leftOuter stream-stream join: an impression with no click inside
+    its window is held in state until BOTH watermarks pass the window
+    end, then emitted once with a NULL click — the state-eviction
+    semantics that make outer stream joins bounded."""
+    imp_src, clk_src = tmp_path / "imp", tmp_path / "clk"
+    ckpt = str(tmp_path / "cko")
+    _write_batch(
+        imp_src / "b0.json",
+        [
+            (10, "2024-01-01 09:00:00", 1, "imp"),  # will be clicked
+            (11, "2024-01-01 09:00:00", 2, "imp"),  # never clicked
+        ],
+    )
+    _write_batch(
+        clk_src / "b0.json",
+        [(20, "2024-01-01 09:30:00", 1, "clk")],
+    )
+
+    def run():
+        imps = (
+            spark.readStream.schema(SCHEMA)
+            .json(str(imp_src))
+            .selectExpr("event_id AS imp_id", "ts AS imp_ts", "user_id")
+        )
+        clks = (
+            spark.readStream.schema(SCHEMA)
+            .json(str(clk_src))
+            .selectExpr("event_id AS clk_id", "ts AS clk_ts", "user_id")
+        )
+        joined = interval_join_streams(
+            imps,
+            clks,
+            "user_id",
+            left_ts="imp_ts",
+            right_ts="clk_ts",
+            within="1 hour",
+            left_watermark="30 minutes",
+            right_watermark="30 minutes",
+            how="leftOuter",
+        )
+        # memory sink can't recover a checkpoint across restarts; the
+        # two-drain shape needs a real (parquet) sink
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    out = str(tmp_path / "outp")
+    first = {(r.imp_id, r.clk_id) for r in run()}
+    assert (10, 20) in first  # the match emits immediately
+    # the unmatched impression may not emit yet: watermark hasn't passed
+    assert (11, None) not in first
+    # advance event time far past 09:00 + within + watermark on BOTH
+    # sides so user 2's impression is provably unmatchable
+    _write_batch(
+        imp_src / "b1.json", [(12, "2024-01-01 13:00:00", 9, "imp")]
+    )
+    _write_batch(
+        clk_src / "b1.json", [(21, "2024-01-01 13:00:00", 9, "clk")]
+    )
+    second = {(r.imp_id, r.clk_id) for r in run()}
+    assert (11, None) in second  # evicted from state as a null match
+    # and the matched pair never re-emits
+    all_imp11 = [p for p in first | second if p[0] == 11]
+    assert all_imp11 == [(11, None)]
