@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "embedding_pca_project",
     "events_transition_matrix",
     "part_seed_distances",
+    "orders_cuped_ab",
 ]
 
 

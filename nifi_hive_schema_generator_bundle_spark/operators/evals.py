@@ -33,6 +33,7 @@ __all__ = [
     "classification_report",
     "chi_square_independence",
     "mann_whitney_u",
+    "cuped_adjust",
 ]
 
 
@@ -851,4 +852,62 @@ def majority_vote_accuracy(
             "n_samples",
             (F.col("vote_answer") == F.col("__g")).alias("is_correct"),
         )
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    arm_col: str,
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): per experiment arm,
+    compare the raw metric against ``y − θ·(x − x̄)`` where ``x`` is a
+    pre-experiment covariate and ``θ = cov(x, y)/var(x)`` is fit on the
+    POOLED units (arm-agnostic, so the adjustment is unbiased under
+    randomized assignment). The workhorse of modern A/B platforms:
+    same point estimates in expectation, substantially tighter
+    confidence intervals when x predicts y.
+
+    Returns one row per arm: (arm, n, mean_raw, var_raw, mean_adj,
+    var_adj, theta), variances sample (n−1), everything rounded to
+    ``decimals``. Rows with NULL metric, covariate, or arm are dropped.
+    θ with zero covariate variance degrades to 0 (no adjustment).
+
+    Spark shape: one pooled moments aggregate (1 row, broadcast back as
+    a scalar) + one per-arm aggregate over moment sums — two map-side-
+    combinable shuffles total, nothing wider than the unit table's
+    (arm, doubles) rows."""
+    pts = df.select(
+        F.col(arm_col).alias("arm"),
+        F.col(metric_col).cast("double").alias("y"),
+        F.col(covariate_col).cast("double").alias("x"),
+    ).na.drop()
+    pooled = pts.agg(
+        F.covar_pop("x", "y").alias("__cxy"),
+        F.var_pop("x").alias("__vx"),
+        F.avg("x").alias("__mx"),
+    ).select(
+        F.when(
+            F.col("__vx") > 0, F.col("__cxy") / F.col("__vx")
+        ).otherwise(F.lit(0.0)).alias("__theta"),
+        "__mx",
+    )
+    adj = pts.join(F.broadcast(pooled)).withColumn(
+        "y_adj",
+        F.col("y") - F.col("__theta") * (F.col("x") - F.col("__mx")),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("y"), decimals).alias("mean_raw"),
+            F.round(F.var_samp("y"), decimals).alias("var_raw"),
+            F.round(F.avg("y_adj"), decimals).alias("mean_adj"),
+            F.round(F.var_samp("y_adj"), decimals).alias("var_adj"),
+            F.round(F.first("__theta"), decimals).alias("theta"),
+        )
+        .orderBy("arm")
     )

@@ -10750,3 +10750,79 @@ def part_seed_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("dist").cast("long").alias("dist"))
         .orderBy("node")
     )
+
+
+@register_query(
+    "orders_cuped_ab",
+    oracle="""
+    WITH units AS (
+        SELECT o_custkey AS cust,
+               sum(CASE WHEN o_orderdate <  TIMESTAMP '1998-01-01'
+                        THEN o_totalprice ELSE 0 END) AS x,
+               sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                        THEN o_totalprice ELSE 0 END) AS y
+        FROM orders GROUP BY o_custkey
+    ), pts AS (
+        SELECT CASE WHEN substr(md5(CAST(cust AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'treat' ELSE 'control' END AS arm,
+               x, y
+        FROM units
+    ), pooled AS (
+        SELECT CASE WHEN var_pop(x) > 0
+                    THEN covar_pop(x, y) / var_pop(x) ELSE 0.0 END AS theta,
+               avg(x) AS mx
+        FROM pts
+    ), adj AS (
+        SELECT arm, y, y - theta * (x - mx) AS y_adj, theta
+        FROM pts, pooled
+    )
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           round(avg(y), 6) AS mean_raw,
+           round(avg(y_adj), 6) AS mean_adj,
+           round(any_value(theta), 6) AS theta,
+           round(var_samp(y_adj) / var_samp(y), 6) AS var_reduction
+    FROM adj GROUP BY arm ORDER BY arm
+    """,
+)
+def orders_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (operators/evals.
+    cuped_adjust): per-customer 1998+ spend as the metric, pre-1998
+    spend as the covariate, arms by the md5 hash split. θ is fit pooled
+    (unbiased under randomization); the report carries raw and adjusted
+    means plus var_adj/var_raw — the variance-reduction ratio — instead
+    of the raw ~5e11-magnitude variances, whose float summation noise
+    exceeds 6-decimal rounding across engines (the ratio's relative
+    noise is ~1e-15). One unit rollup + a 1-row pooled-θ broadcast +
+    one per-arm aggregate."""
+    from ..functions.sampling import hash_bucket
+    from ..operators.evals import cuped_adjust
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    units = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < cut, F.col("o_totalprice"))
+            .otherwise(F.lit(0.0))
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= cut, F.col("o_totalprice"))
+            .otherwise(F.lit(0.0))
+        ).alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(hash_bucket("cust") < 8, F.lit("treat")).otherwise(
+            F.lit("control")
+        ),
+    )
+    out = cuped_adjust(units, "y", "x", "arm")
+    return out.select(
+        "arm",
+        "n",
+        "mean_raw",
+        "mean_adj",
+        "theta",
+        F.round(F.col("var_adj") / F.col("var_raw"), 6).alias(
+            "var_reduction"
+        ),
+    ).orderBy("arm")

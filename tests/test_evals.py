@@ -674,3 +674,57 @@ class TestMannWhitneyU:
         )
         r2 = mann_whitney_u(one_sided, "x", "g", "A", "B").collect()[0]
         assert r2.n_b == 0 and r2.u is None and r2.significant is None
+
+
+# ---------------------------------------------------------------------------
+# cuped_adjust
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    import numpy as np
+
+    from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+        cuped_adjust,
+    )
+
+    rng = np.random.RandomState(11)
+    x = rng.normal(100, 20, 400)
+    y = 2.0 * x + rng.normal(0, 5, 400)  # strongly covariate-predicted
+    arm = np.where(np.arange(400) % 2 == 0, "treat", "control")
+    y = y + np.where(arm == "treat", 1.5, 0.0)  # small true effect
+    df = spark.createDataFrame(
+        [(str(a), float(yy), float(xx)) for a, yy, xx in zip(arm, y, x)],
+        ["arm", "y", "x"],
+    )
+    out = {r.arm: r for r in cuped_adjust(df, "y", "x", "arm").collect()}
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    assert out["treat"].theta == pytest.approx(theta, abs=1e-6)
+    y_adj = y - theta * (x - x.mean())
+    for a in ("treat", "control"):
+        m = arm == a
+        assert out[a].n == int(m.sum())
+        assert out[a].mean_adj == pytest.approx(y_adj[m].mean(), abs=1e-5)
+        assert out[a].var_adj == pytest.approx(
+            y_adj[m].var(ddof=1), rel=1e-6
+        )
+        # the point of CUPED: adjusted variance collapses
+        assert out[a].var_adj < 0.1 * out[a].var_raw
+    # effect estimate preserved (within noise)
+    eff = out["treat"].mean_adj - out["control"].mean_adj
+    assert eff == pytest.approx(1.5, abs=1.0)
+
+
+def test_cuped_constant_covariate_is_noop(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+        cuped_adjust,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 7.0), ("a", 3.0, 7.0), ("b", 2.0, 7.0), ("b", None, 7.0)],
+        ["arm", "y", "x"],
+    )
+    out = {r.arm: r for r in cuped_adjust(df, "y", "x", "arm").collect()}
+    assert out["a"].theta == 0.0
+    assert out["a"].mean_adj == out["a"].mean_raw == 2.0
+    assert out["b"].n == 1  # NULL metric row dropped
