@@ -184,7 +184,10 @@ DRIVER_PRIORITY = [
     # ratio-feature narrow projection is the in-gate doc_quality_classifier
     # feature kernel, and doc_gopher_repetition keeps the Gopher family's
     # aggregation side in-gate)
-    "doc_gopher_repetition",
+    # (doc_gopher_repetition displaced by doc_jaccard_join below: its
+    # line/paragraph dup-fraction kernels are in-gate via
+    # doc_paragraph_dedup + doc_remove_duplicate_spans; the prefix-
+    # filter candidate rule is brand-new code with no sibling)
     "doc_c4_line_filter",
     # (doc_license_detect displaced by events_win_rates: its regex
     # presence-mapping kernel is the in-gate customers_pii_scrub /
@@ -265,6 +268,7 @@ DRIVER_PRIORITY = [
     "embedding_covariance",
     "events_transition_matrix",
     "part_seed_distances",
+    "doc_jaccard_join",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",

@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "events_transition_matrix",
     "part_seed_distances",
     "orders_cuped_ab",
+    "doc_jaccard_join",
 ]
 
 

@@ -57,6 +57,7 @@ __all__ = [
     "signature_agreement",
     "contaminated_ids",
     "decontaminate",
+    "jaccard_threshold_join",
 ]
 
 
@@ -1279,3 +1280,117 @@ def url_dedup(
         .select(id_col, "url_canon", "n_crawls")
     )
     return df.join(winners, id_col, "inner")
+
+
+def jaccard_threshold_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.5,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT token-set Jaccard θ-join via prefix filtering (the
+    PPJoin/AllPairs candidate rule — Chaudhuri et al. 2006, Xiao et
+    al. 2008): all pairs with ``J(tokens_a, tokens_b) ≥ threshold``,
+    no false negatives. The deterministic complement of the MinHash
+    path: banding trades recall for speed probabilistically, the
+    prefix filter prunes PROVABLY — J ≥ θ forces |A∩B| ≥ ⌈θ·|x|⌉ for
+    each side x, so the (|x| − ⌈θ·|x|⌉ + 1)-prefixes under one global
+    token order must share a token.
+
+    Ordering tokens rarest-first (global document frequency, token
+    tiebreak) makes prefix tokens maximally selective: candidate fan-in
+    per token ≈ its df, and common words never enter short prefixes.
+    A size filter (θ·|A| ≤ |B| ≤ |A|/θ, necessary for J ≥ θ) rides the
+    candidate join. Verification is exact: shared-token counts per
+    candidate pair → J = shared/(|A|+|B|−shared).
+
+    ``k``: None compares unigram token SETS; ``k ≥ 2`` compares
+    distinct word-k-gram (shingle) sets — the right granularity for
+    near-duplicate text, where unigram sets collapse (documents off a
+    shared template share nearly all their vocabulary while sharing
+    few 3-grams).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    to 6. Empty token sets never pair (J undefined/0). Scale: one df
+    aggregate (vocab-sized), one rank window keyed by doc, the
+    candidate equi-join keyed by prefix token — everything narrow ids
+    + short tokens; no all-pairs stage anywhere."""
+    from pyspark.sql import Window
+
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    words = whitespace_tokens(F.lower(F.col(text_col)))
+    if k is None:
+        elems = F.array_distinct(words)
+        toks = df.select(
+            F.col(id_col).alias("id"), F.explode(elems).alias("tok")
+        )
+    else:
+        # materialize tokens first — shingles_from_tokens's O(len²)
+        # HOF-inlining contract (see its docstring)
+        toks = df.select(
+            F.col(id_col).alias("id"), words.alias("__toks")
+        ).select(
+            "id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("__toks"), k))
+            ).alias("tok"),
+        )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "tok", "sz")
+    pb = prefix.select(
+        F.col("id").alias("id_b"),
+        F.col("tok"),
+        F.col("sz").alias("sz_b"),
+    )
+    cand = (
+        prefix.join(
+            pb,
+            (prefix.tok == pb.tok)
+            & (prefix.id < pb.id_b)
+            # size filter: θ|A| ≤ |B| ≤ |A|/θ is necessary for J ≥ θ
+            & (pb.sz_b * threshold <= prefix.sz)
+            & (prefix.sz * threshold <= pb.sz_b),
+        )
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(
+        F.col("id").alias("__idb"), F.col("tok").alias("__tokb")
+    )
+    shared = (
+        cand.join(ta, "id_a")
+        .join(
+            tb,
+            (F.col("id_b") == F.col("__idb"))
+            & (F.col("tok") == F.col("__tokb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -10826,3 +10826,48 @@ def orders_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction"
         ),
     ).orderBy("arm")
+
+
+@register_query(
+    "doc_jaccard_join",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                       ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), t AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' '))) END AS s
+        FROM toks
+    ), ne AS (
+        SELECT * FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / len(list_distinct(a.s || b.s)) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity θ-join via prefix filtering
+    (operators/dedup.jaccard_threshold_join): every document pair with
+    3-gram-shingle-set Jaccard ≥ 0.5, zero false negatives — the provable
+    complement of the probabilistic MinHash banding path. Candidates
+    come only from shared rarest-first prefix tokens + a size-ratio
+    filter; the quadratic form exists only in the oracle."""
+    from ..operators.dedup import jaccard_threshold_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_threshold_join(docs, threshold=0.5, k=3).orderBy(
+        "id_a", "id_b"
+    )

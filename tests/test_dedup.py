@@ -421,3 +421,115 @@ class TestUrlDedup:
         )
         got = sorted(r.doc_id for r in url_dedup(df).collect())
         assert got == [3, 9]
+
+
+# ---------------------------------------------------------------------------
+# jaccard_threshold_join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def _jac(a, b):
+    sa, sb = set(a.lower().split()), set(b.lower().split())
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def _brute_pairs(rows, threshold):
+    out = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1:]:
+            if not set(ta.split()) or not set(tb.split()):
+                continue
+            j = _jac(ta, tb)
+            if j >= threshold:
+                out[(min(ia, ib), max(ia, ib))] = round(j, 6)
+    return out
+
+
+def test_jaccard_threshold_join_equals_brute_force(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        jaccard_threshold_join,
+    )
+
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.sample(vocab, rng.randint(3, 12))))
+        for i in range(60)
+    ]
+    rows.append((60, ""))  # empty set never pairs
+    rows.append((61, rows[0][1]))  # exact duplicate: J = 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for threshold in (0.3, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_threshold_join(
+                df, threshold=threshold
+            ).collect()
+        }
+        assert got == _brute_pairs(rows, threshold), f"θ={threshold}"
+
+
+def test_jaccard_threshold_join_repeated_tokens_are_set_semantics(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        jaccard_threshold_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b b b")],  # sets both {a, b}: J = 1
+        ["doc_id", "text"],
+    )
+    got = jaccard_threshold_join(df, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+
+def test_jaccard_threshold_join_bad_threshold(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        jaccard_threshold_join,
+    )
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        jaccard_threshold_join(df, threshold=0.0)
+
+
+def test_jaccard_threshold_join_shingle_mode_equals_brute_force(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        jaccard_threshold_join,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for i in range(40)
+    ]
+
+    def sh(text, k=3):
+        t = text.lower().split()
+        if len(t) < k:
+            return {" ".join(t)}
+        return {" ".join(t[i:i + k]) for i in range(len(t) - k + 1)}
+
+    def brute(th):
+        out = {}
+        for i, (ia, ta) in enumerate(rows):
+            for ib, tb in rows[i + 1:]:
+                a, b = sh(ta), sh(tb)
+                j = len(a & b) / len(a | b)
+                if j >= th:
+                    out[(ia, ib)] = round(j, 6)
+        return out
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for th in (0.4, 0.7):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_threshold_join(df, threshold=th, k=3).collect()
+        }
+        assert got == brute(th), f"θ={th}"
