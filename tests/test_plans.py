@@ -350,6 +350,9 @@ BNLJ_ALLOWED = {
     # 1-row sketch estimate × 1-row exact count at the very end (the
     # fleiss_kappa two-scalar class); the grids are bounded 4×512
     "orders_join_size_estimate",
+    # CUPED's pooled θ/x̄ is a 1-row scalar broadcast riding the unit
+    # table (q11-threshold class)
+    "orders_cuped_ab",
 }
 
 
