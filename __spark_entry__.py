@@ -131,11 +131,15 @@ DRIVER_PRIORITY = [
     # via customers_pii_scrub / doc_c4_line_filter; the round-4k
     # operators below are newer code with no in-gate sibling)
     "events_daily_gap_fill",
-    "customer_balance_imputed",
-    # (doc_sentences displaced by doc_preference_pairs: its regex-split +
-    # posexplode shape is in-gate via doc_paragraph_dedup's split+explode
-    # dedup; the struct-min/max preference kernel is the newer code)
-    "doc_preference_pairs",
+    # (customer_balance_imputed displaced by events_activity_spans
+    # below: its per-group DECIMAL-mean + coalesce-fill kernels are the
+    # r3-verified lineitem_price_stats aggregate family plus in-gate
+    # events_daily_gap_fill's fill projection)
+    # (doc_sentences and doc_preference_pairs both displaced: the
+    # regex-split + posexplode shape is in-gate via doc_paragraph_dedup,
+    # and the struct-extremum kernel is in-gate via the newer
+    # customers_golden_record below, which hash-verifies the identical
+    # max-of-(order, value)-struct construction per field)
     # (doc_temperature_sample displaced: its count^alpha rate table +
     # md5-fraction keep is the r3-driver-verified doc_mixture_sample
     # kernel with a different rate formula; the md5-fraction family is
@@ -269,6 +273,8 @@ DRIVER_PRIORITY = [
     "events_transition_matrix",
     "part_seed_distances",
     "doc_jaccard_join",
+    "customers_golden_record",
+    "events_activity_spans",
     # --- canary overlap with round 3's verified gate ---
     "infer_props_schema",
     "q1_pricing_summary",

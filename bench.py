@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "part_seed_distances",
     "orders_cuped_ab",
     "doc_jaccard_join",
+    "customers_golden_record",
+    "events_activity_spans",
 ]
 
 

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_edit_pairs", "resolve_entities"]
+__all__ = ["blocked_edit_pairs", "resolve_entities", "golden_record"]
 
 
 def blocked_edit_pairs(
@@ -140,3 +140,41 @@ def resolve_entities(
     return labeled.join(
         canon, labeled.entity_id == canon.__canon_id, "left"
     ).select(id_col, "entity_id", "canonical_name")
+
+
+def golden_record(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Survivorship: one golden row per ``key_col`` where each field in
+    ``value_cols`` independently takes its MOST RECENT NON-NULL value
+    by ``order_col`` — the master-data-management merge rule applied
+    after entity resolution assigns shared keys (a newer row with a
+    NULL phone must not erase the older known phone).
+
+    One aggregation: per field, ``max_by(value, struct(order, value
+    IS NOT NULL ordered first))`` — expressed as max of a (is_null-
+    last, order, value) struct so NULLs lose to ANY non-null
+    regardless of recency, and ties on ``order_col`` break
+    deterministically by value. Also returns ``n_versions`` and
+    ``last_seen`` (max order) per key. Map-side combinable, single
+    shuffle on the key, no window."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max(order_col).alias("last_seen"),
+    ]
+    for c in value_cols:
+        picked = F.max(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    F.lit(1).alias("has"),
+                    F.col(order_col).alias("o"),
+                    F.col(c).alias("v"),
+                ),
+            )
+        )
+        aggs.append(picked.getField("v").alias(c))
+    return df.groupBy(key_col).agg(*aggs)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "interval_join"]
+__all__ = ["asof_join", "range_join", "interval_join", "coalesce_intervals"]
 
 
 def asof_join(
@@ -197,4 +197,60 @@ def interval_join(
         lb.join(rb, on="__b")
         .filter(cond)
         .drop("__b", "__lsb", "__rsb")
+    )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    touching_merge: bool = True,
+) -> DataFrame:
+    """Merge overlapping intervals per key — the gaps-and-islands
+    primitive (user activity spans from per-event windows, campaign
+    flight consolidation, on-call coverage). Returns one row per
+    merged island: (key, ``start_col`` = min start, ``end_col`` = max
+    end, n_merged).
+
+    Island detection is the classic prefix trick: within each key
+    ordered by (start, end), an interval opens a NEW island iff its
+    start exceeds the running max end of every EARLIER interval (an
+    interval can be swallowed by a predecessor that is not its
+    immediate neighbor, so ``lag(end)`` alone is wrong — the running
+    max is the correct witness). ``touching_merge``: [1,2] and [2,3]
+    merge when True (closed-interval reading), stay separate when
+    False (half-open reading). NULL keys/bounds are dropped.
+
+    Scale: ONE window over (key, start, end) — a single shuffle on the
+    key — then a map-side-combinable island aggregate. No join, no
+    self-comparison; per-key skew is the window sort, same profile as
+    sessionize."""
+    pts = df.select(
+        F.col(key_col), F.col(start_col), F.col(end_col)
+    ).na.drop()
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = (
+        F.col(start_col) > prev_max
+        if touching_merge
+        else F.col(start_col) >= prev_max
+    )
+    flagged = pts.withColumn(
+        "__new", F.when(prev_max.isNull() | opens, 1).otherwise(0)
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(key_col, "__island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island")
     )

@@ -10871,3 +10871,108 @@ def doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_threshold_join(docs, threshold=0.5, k=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@register_query(
+    "customers_golden_record",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_versions,
+               max(o_orderdate) AS last_seen
+        FROM orders GROUP BY o_custkey
+    ), s1 AS (
+        SELECT o_custkey, o_orderstatus,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderstatus DESC
+               ) AS rn
+        FROM orders WHERE o_orderstatus IS NOT NULL
+    ), s2 AS (
+        SELECT o_custkey, o_orderpriority,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderpriority DESC
+               ) AS rn
+        FROM orders WHERE o_orderpriority IS NOT NULL
+    )
+    SELECT b.o_custkey, b.n_versions, b.last_seen,
+           s1.o_orderstatus, s2.o_orderpriority
+    FROM base b
+    LEFT JOIN s1 ON s1.o_custkey = b.o_custkey AND s1.rn = 1
+    LEFT JOIN s2 ON s2.o_custkey = b.o_custkey AND s2.rn = 1
+    ORDER BY b.o_custkey
+    """,
+)
+def customers_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/entity.golden_record):
+    per customer, each field independently takes its most recent
+    non-null value by order date (value tiebreak on equal dates so
+    both engines agree) — the MDM merge rule downstream of entity
+    resolution. ONE map-side-combinable aggregate (max of a
+    (non-null, order, value) struct per field); the oracle replays
+    each field with an independent ranked window."""
+    from ..operators.entity import golden_record
+
+    o = load_table(spark, sf_dir, "orders")
+    return golden_record(
+        o, "o_custkey", "o_orderdate", ["o_orderstatus", "o_orderpriority"]
+    ).withColumnRenamed("o_orderdate", "last_seen").orderBy("o_custkey")
+
+
+@register_query(
+    "events_activity_spans",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+        FROM events
+    ), flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                     OR s > max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), isl AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    )
+    SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM isl GROUP BY user_id, island
+    ORDER BY user_id, span_start
+    """,
+)
+def events_activity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing / gaps-and-islands (operators/joins.
+    coalesce_intervals): each event opens a 30-minute activity window;
+    overlapping windows per user merge into activity spans. Island
+    witness is the running-max end over earlier intervals (lag(end)
+    alone misses swallowed intervals). One key-partitioned window +
+    one aggregate; the oracle replays the identical prefix logic."""
+    from ..operators.joins import coalesce_intervals
+
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    return (
+        coalesce_intervals(iv, "user_id", "s", "e")
+        .select(
+            "user_id",
+            F.col("s").alias("span_start"),
+            F.col("e").alias("span_end"),
+            "n_merged",
+        )
+        .orderBy("user_id", "span_start")
+    )

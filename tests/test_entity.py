@@ -97,3 +97,43 @@ def test_every_row_labeled_once(spark):
     out = resolve_entities(_parts(spark), "id", "name")
     assert out.count() == _parts(spark).count()
     assert out.select("id").distinct().count() == out.count()
+
+
+# ---------------------------------------------------------------------------
+# golden_record
+# ---------------------------------------------------------------------------
+
+
+def test_golden_record_latest_non_null_per_field(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.entity import (
+        golden_record,
+    )
+
+    rows = [
+        # key, order, phone, email
+        (1, 10, "111", None),
+        (1, 20, None, "a@x"),   # newer but NULL phone: phone stays 111
+        (1, 30, "333", None),   # newest phone wins
+        (2, 10, None, None),    # all null: fields stay NULL
+        (3, 10, "900", "z@x"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "o", "phone", "email"])
+    got = {
+        r.k: (r.n_versions, r.last_seen, r.phone, r.email)
+        for r in golden_record(df, "k", "o", ["phone", "email"]).collect()
+    }
+    assert got[1] == (3, 30, "333", "a@x")
+    assert got[2] == (1, 10, None, None)
+    assert got[3] == (1, 10, "900", "z@x")
+
+
+def test_golden_record_tie_breaks_by_value(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.entity import (
+        golden_record,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "b"), (1, 10, "a")], ["k", "o", "v"]
+    )
+    got = golden_record(df, "k", "o", ["v"]).collect()[0]
+    assert got.v == "b"  # max value on equal order

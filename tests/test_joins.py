@@ -177,3 +177,70 @@ def test_interval_join_zero_length_and_touching(spark):
     )
     # closed: the point interval lands on [10,12]'s start; 5 touches both
     assert closed == [(1, 1), (2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# coalesce_intervals
+# ---------------------------------------------------------------------------
+
+
+def _coalesce(spark, rows, **kw):
+    from nifi_hive_schema_generator_bundle_spark.operators.joins import (
+        coalesce_intervals,
+    )
+
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    out = coalesce_intervals(df, "k", "s", "e", **kw).collect()
+    return sorted((r.k, r.s, r.e, r.n_merged) for r in out)
+
+
+def test_coalesce_intervals_swallowed_interval(spark):
+    # [1,10] swallows [2,3]; [4,5] still inside; [11,12] separate.
+    # lag(end) alone would wrongly reopen at [4,5] (prev end = 3).
+    rows = [(1, 1, 10), (1, 2, 3), (1, 4, 5), (1, 11, 12)]
+    assert _coalesce(spark, rows) == [(1, 1, 10, 3), (1, 11, 12, 1)]
+
+
+def test_coalesce_intervals_touching_semantics(spark):
+    rows = [(1, 1, 2), (1, 2, 3)]
+    assert _coalesce(spark, rows, touching_merge=True) == [(1, 1, 3, 2)]
+    assert _coalesce(spark, rows, touching_merge=False) == [
+        (1, 1, 2, 1),
+        (1, 2, 3, 1),
+    ]
+
+
+def test_coalesce_intervals_per_key_and_nulls(spark):
+    rows = [(1, 1, 5), (2, 1, 5), (1, 3, 8), (None, 0, 9), (2, 99, 100)]
+    got = _coalesce(spark, rows)
+    assert got == [(1, 1, 8, 2), (2, 1, 5, 1), (2, 99, 100, 1)]
+
+
+def test_coalesce_intervals_brute_force_random(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for k in (1, 2):
+        for _ in range(40):
+            s = rng.randint(0, 100)
+            rows.append((k, s, s + rng.randint(0, 12)))
+
+    def brute(key_rows):
+        ivs = sorted((s, e) for _, s, e in key_rows)
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += 1
+            else:
+                merged.append([s, e, 1])
+        return merged
+
+    got = _coalesce(spark, rows)
+    exp = sorted(
+        (k, s, e, n)
+        for k in (1, 2)
+        for s, e, n in brute([r for r in rows if r[0] == k])
+    )
+    assert got == exp
