@@ -8811,18 +8811,30 @@ def media_min_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = [(8, 8), (32, 24), (64, 48)]
 
     def synth(it):
-        for pdf in it:
-            payloads = []
-            for i in pdf["doc_id"]:
-                w, h = sizes[int(i) % 3]
+        # payload bytes depend only on (doc_id % 3, doc_id % 256) — the
+        # pixel fill is (i + j) % 256 — so memoize the ≤768 distinct
+        # encodes instead of re-running zlib per row (the audio gate's
+        # memoization contract; 5.9 s → sub-second warm at sf0.1)
+        cache: dict = {}
+
+        def make(i: int) -> bytes:
+            key = (i % 3, i % 256)
+            png = cache.get(key)
+            if png is None:
+                w, h = sizes[key[0]]
                 raw = bytes(
-                    bytearray(
-                        (int(i) + j) % 256 for j in range(w * h * 3)
-                    )
+                    bytearray((key[1] + j) % 256 for j in range(w * h * 3))
                 )
-                payloads.append(png_encode(raw, w, h, 3))
+                png = png_encode(raw, w, h, 3)
+                cache[key] = png
+            return png
+
+        for pdf in it:
             yield pd.DataFrame(
-                {"media_id": pdf["doc_id"], "payload": payloads}
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [make(int(i)) for i in pdf["doc_id"]],
+                }
             )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
