@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "doc_jaccard_join",
     "customers_golden_record",
     "events_activity_spans",
+    "part_clustering_coefficient",
+    "events_isotonic_calibration",
 ]
 
 

@@ -34,6 +34,8 @@ __all__ = [
     "chi_square_independence",
     "mann_whitney_u",
     "cuped_adjust",
+    "isotonic_fit",
+    "isotonic_apply",
 ]
 
 
@@ -911,3 +913,87 @@ def cuped_adjust(
         )
         .orderBy("arm")
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    bins: int = 1000,
+) -> dict:
+    """Isotonic calibration fit: the non-parametric, monotonicity-
+    constrained mapping score → P(label=1) (pool-adjacent-violators),
+    the standard post-hoc calibrator when Platt's sigmoid is too rigid.
+
+    Distributed shape: scores (clamped to [0,1]) quantize onto a fixed
+    ``bins``-point grid and ONE map-side-combinable aggregate reduces
+    the corpus to ≤ bins+1 (weight, mean-label) rows; PAV runs on the
+    driver over that bounded table (the ≤100 K quantizer-fit
+    contract) — exact for the binned problem at any corpus size.
+    Returns {"bins": n, "values": [n+1 floats]} — the right-continuous
+    step function; grid points left of the first observation inherit
+    the first block, gaps inherit the block to their left."""
+    b = F.least(
+        F.floor(
+            F.greatest(F.least(F.col(score_col), F.lit(1.0)), F.lit(0.0))
+            * bins
+        ).cast("int"),
+        F.lit(bins),
+    )
+    rows = (
+        df.select(b.alias("__b"), F.col(label_col).cast("double").alias("__y"))
+        .na.drop()
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("w"), F.avg("__y").alias("m"))
+        .orderBy("__b")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("isotonic_fit: no (score, label) rows")
+    # weighted PAV: pool adjacent blocks while the mean sequence violates
+    # non-decreasing order
+    blocks: list[list[float]] = []  # [start_bin, weight, mean]
+    for r in rows:
+        blocks.append([float(r["__b"]), float(r["w"]), float(r["m"])])
+        while len(blocks) >= 2 and blocks[-2][2] >= blocks[-1][2]:
+            s2, w2, m2 = blocks.pop()
+            blocks[-1][2] = (
+                blocks[-1][1] * blocks[-1][2] + w2 * m2
+            ) / (blocks[-1][1] + w2)
+            blocks[-1][1] += w2
+    values = [0.0] * (bins + 1)
+    cur = blocks[0][2]
+    bi = 0
+    for start, _w, mean in blocks:
+        while bi < start:
+            values[bi] = cur
+            bi += 1
+        cur = mean
+    while bi <= bins:
+        values[bi] = cur
+        bi += 1
+    return {"bins": bins, "values": values}
+
+
+def isotonic_apply(
+    df: DataFrame,
+    score_col: str,
+    model: dict,
+    *,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Apply an ``isotonic_fit`` model: the step function rides the
+    plan as ONE literal array and each row does an ``element_at``
+    gather on its grid index — pure narrow JVM, no join, no shuffle,
+    no Python (the PQ-ADC gather shape)."""
+    bins = model["bins"]
+    idx = F.least(
+        F.floor(
+            F.greatest(F.least(F.col(score_col), F.lit(1.0)), F.lit(0.0))
+            * bins
+        ).cast("int"),
+        F.lit(bins),
+    )
+    table = F.array(*[F.lit(v) for v in model["values"]])
+    return df.withColumn(out_col, F.element_at(table, idx + 1))

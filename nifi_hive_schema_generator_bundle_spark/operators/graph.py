@@ -28,6 +28,7 @@ __all__ = [
     "k_core",
     "flatten_hierarchy",
     "shortest_paths",
+    "clustering_coefficient",
 ]
 
 
@@ -637,3 +638,48 @@ def shortest_paths(
         n_frontier = frontier.count()
         dist = merged.select("node", "dist")
     return dist
+
+
+def clustering_coefficient(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: ``2·T(v) / (deg(v) ·
+    (deg(v) − 1))`` — how close a node's neighborhood is to a clique
+    (1 = clique member, 0 = pure hub/star center). The standard
+    derived signal over the triangle and degree primitives this module
+    already hardens: link-farm detection reads high coefficient at
+    high degree, organic hubs read low.
+
+    Returns (node, deg, n_triangles, coefficient) for every node;
+    degree-1 nodes get coefficient NULL (undefined, not 0 — a leaf has
+    no possible wedge). Cost = ``triangle_count`` (the O(m^1.5)
+    oriented wedge join) + one degree aggregate + an equi-join."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .na.drop()
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count(e, src="u", dst="v")
+    return deg.join(tri, "node").select(
+        "node",
+        "deg",
+        "n_triangles",
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0 * F.col("n_triangles")
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ),
+        ).alias("coefficient"),
+    )

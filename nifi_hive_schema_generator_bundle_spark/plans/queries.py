@@ -10988,3 +10988,83 @@ def events_activity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "span_start")
     )
+
+
+@register_query(
+    "part_clustering_coefficient",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 40
+    ), e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    ), tri AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT unnest([e1.u, e1.v, e2.v]) AS node
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ) GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           coalesce(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.deg >= 2
+                THEN round(2.0 * coalesce(t.n_triangles, 0)
+                           / (d.deg * (d.deg - 1)), 6) END AS coefficient
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    ORDER BY d.node
+    """,
+)
+def part_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the co-purchase graph
+    (operators/graph.clustering_coefficient): 2T/(d(d−1)) per part —
+    the clique-ness signal over the already-hardened triangle + degree
+    kernels; leaves (deg 1) read NULL, not 0. The oracle counts
+    triangles by id-ordered closure (u<v<w enumerates each once) and
+    rebuilds the ratio independently."""
+    from ..operators.graph import clustering_coefficient
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") >= 40)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = ps.select(F.col("o"), F.col("p").alias("p2"))
+    edges = (
+        ps.join(b, "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return clustering_coefficient(edges).orderBy("node")
+
+
+@register_query("events_isotonic_calibration")
+def events_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration over the same synthetic
+    confidence/correctness construction as events_calibration
+    (operators/evals.isotonic_fit/apply): corpus reduces to ≤101
+    binned (weight, mean) rows, PAV pools violators on the driver
+    (control-path), and the fitted step function is applied as one
+    literal-array gather. PAV's sequential pooling is not
+    SQL-expressible: rows-only; monotonicity, hand-PAV parity, and
+    the anti-monotone → global-mean property are unit-tested."""
+    from ..operators.evals import isotonic_apply, isotonic_fit
+
+    events = load_table(spark, sf_dir, "events")
+    scored = events.select(
+        ((F.col("event_id") % 101) / 100.0).alias("conf"),
+        F.when(F.col("event_id") % 3 == 0, 1.0).otherwise(0.0).alias("corr"),
+    )
+    model = isotonic_fit(scored, "conf", "corr", bins=100)
+    return (
+        isotonic_apply(scored, "conf", model)
+        .select("conf", F.round("calibrated", 6).alias("calibrated"))
+        .distinct()
+        .orderBy("conf")
+    )

@@ -728,3 +728,94 @@ def test_cuped_constant_covariate_is_noop(spark):
     assert out["a"].theta == 0.0
     assert out["a"].mean_adj == out["a"].mean_raw == 2.0
     assert out["b"].n == 1  # NULL metric row dropped
+
+
+# ---------------------------------------------------------------------------
+# isotonic calibration
+# ---------------------------------------------------------------------------
+
+
+def _pav_brute(pairs):
+    """Reference weighted PAV over (weight, mean) blocks."""
+    blocks = [[w, m] for w, m in pairs]
+    i = 0
+    changed = True
+    while changed:
+        changed = False
+        out = []
+        for w, m in blocks:
+            out.append([w, m])
+            while len(out) >= 2 and out[-2][1] >= out[-1][1]:
+                w2, m2 = out.pop()
+                out[-1][1] = (out[-1][0] * out[-1][1] + w2 * m2) / (
+                    out[-1][0] + w2
+                )
+                out[-1][0] += w2
+                changed = True
+        blocks = out
+    return blocks
+
+
+def test_isotonic_monotone_and_matches_hand_pav(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+        isotonic_apply,
+        isotonic_fit,
+    )
+
+    # scores quantize to bins 1, 3, 5, 7 of a 10-bin grid; bin means
+    # 0.8, 0.2, 0.5, 1.0 -> PAV pools (0.8,0.2,0.5) into 0.5
+    rows = (
+        [(0.15, 1.0)] * 4 + [(0.15, 0.0)] * 1   # bin 1: mean 0.8, w 5
+        + [(0.35, 1.0)] * 1 + [(0.35, 0.0)] * 4  # bin 3: mean 0.2, w 5
+        + [(0.55, 1.0)] * 5 + [(0.55, 0.0)] * 5  # bin 5: mean 0.5, w 10
+        + [(0.75, 1.0)] * 5                      # bin 7: mean 1.0, w 5
+    )
+    df = spark.createDataFrame(rows, ["score", "label"])
+    model = isotonic_fit(df, "score", "label", bins=10)
+    v = model["values"]
+    assert all(a <= b + 1e-12 for a, b in zip(v, v[1:]))  # monotone
+    exp = _pav_brute([(5, 0.8), (5, 0.2), (10, 0.5), (5, 1.0)])
+    assert exp[0][1] == pytest.approx(0.5) and exp[1][1] == 1.0
+    assert v[1] == pytest.approx(0.5)  # pooled block
+    assert v[5] == pytest.approx(0.5)
+    assert v[7] == 1.0
+    assert v[0] == pytest.approx(0.5)  # left of first obs: first block
+    assert v[10] == 1.0  # right tail: last block
+    out = {r.score: r.calibrated for r in isotonic_apply(df, "score", model).collect()}
+    assert out[0.15] == pytest.approx(0.5) and out[0.75] == 1.0
+
+
+def test_isotonic_already_monotone_is_identityish(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+        isotonic_fit,
+    )
+
+    rows = []
+    for b, p in [(0.1, 0.1), (0.5, 0.5), (0.9, 0.9)]:
+        rows += [(b, 1.0)] * int(p * 10) + [(b, 0.0)] * (10 - int(p * 10))
+    df = spark.createDataFrame(rows, ["score", "label"])
+    v = isotonic_fit(df, "score", "label", bins=10)["values"]
+    assert v[1] == pytest.approx(0.1)
+    assert v[5] == pytest.approx(0.5)
+    assert v[9] == pytest.approx(0.9)
+
+
+def test_isotonic_anti_monotone_pools_to_global_mean(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+        isotonic_fit,
+    )
+
+    rows = [(0.1, 1.0)] * 3 + [(0.9, 0.0)] * 3 + [(0.9, 1.0)] * 0
+    df = spark.createDataFrame(rows, ["score", "label"])
+    v = isotonic_fit(df, "score", "label", bins=10)["values"]
+    assert all(x == pytest.approx(0.5) for x in v)
+
+
+def test_isotonic_empty_raises(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.evals import (
+        isotonic_fit,
+    )
+
+    df = spark.createDataFrame([], "score double, label double")
+    with pytest.raises(ValueError):
+        isotonic_fit(df, "score", "label")

@@ -378,3 +378,29 @@ def test_shortest_paths_negative_weight_raises(spark):
 def test_shortest_paths_max_hops_zero_is_seeds_only(spark):
     got = _sp(spark, [(1, 2, 1.0)], [1], max_hops=0)
     assert got == {1: 0.0}
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_planted(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    # K3 triangle {1,2,3} + pendant 4 on node 1 + star center 5 with
+    # leaves 6,7 (no edges between leaves)
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4), (5, 6), (5, 7)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.node: (r.deg, r.n_triangles, r.coefficient)
+        for r in clustering_coefficient(df).collect()
+    }
+    assert got[2] == (2, 1, 1.0)  # pure triangle member
+    assert got[3] == (2, 1, 1.0)
+    # node 1: deg 3, 1 triangle -> 2*1/(3*2) = 1/3
+    assert got[1] == (3, 1, 0.333333)
+    assert got[4] == (1, 0, None)  # leaf: undefined, not 0
+    assert got[5] == (2, 0, 0.0)  # star center: defined and 0
