@@ -10574,47 +10574,131 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.i, t.j
         FROM generate_series(1, 64) s(i), generate_series(1, 64) t(j)
         WHERE s.i <= t.j
+    ), m AS (
+        SELECT i, j,
+               sum(CAST(floor((CAST(e[i] AS DOUBLE) * CAST(e[j] AS DOUBLE))
+                              * 1e10) AS HUGEINT)) AS sxy,
+               sum(CAST(floor(CAST(e[i] AS DOUBLE) * 1e10)
+                        AS HUGEINT)) AS sxi,
+               sum(CAST(floor(CAST(e[j] AS DOUBLE) * 1e10)
+                        AS HUGEINT)) AS sxj,
+               count(*) AS n
+        FROM x, grid GROUP BY i, j
     )
     SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
-           round((sum(CAST(e[i] AS DOUBLE) * CAST(e[j] AS DOUBLE))
-                  - sum(CAST(e[i] AS DOUBLE)) * sum(CAST(e[j] AS DOUBLE))
-                    / count(*))
-                 / (count(*) - 1), 6) AS cov
-    FROM x, grid GROUP BY i, j ORDER BY i, j
+           ((CAST(sxy AS DOUBLE) / 1e10)
+            - ((CAST(sxi AS DOUBLE) / 1e10) * (CAST(sxj AS DOUBLE) / 1e10))
+              / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) AS cov
+    FROM m ORDER BY i, j
     """,
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample covariance matrix of the embedding components
-    (operators/pca.covariance_matrix): the Arrow-batched BLAS Gram
-    stage reduces the corpus to d(d+1)/2 + d + 1 moment rows — bounded
-    state at any row count, the distributed half of PCA. The oracle
-    recomputes every upper-triangle entry from the raw arrays with the
-    same exact-moment formula."""
+    (operators/pca.covariance_matrix): the Arrow-batched Gram stage
+    reduces the corpus to d(d+1)/2 + d + 1 moment rows — bounded state
+    at any row count, the distributed half of PCA.
+
+    Hash-determinism (the round-4 red row, fixed): every SUMMED term is
+    ``floor((e_i·e_j)·1e10)`` — exact int64 (float32 products are exact
+    in float64; ×1e10 + floor are single IEEE ops identical in numpy,
+    Spark and DuckDB) — summed as DECIMAL/HUGEINT, then ONE float64
+    expression with identical parenthesization on both sides. No
+    rounding step: the doubles are bit-equal by construction."""
     from ..operators.pca import covariance_matrix
 
     emb = load_table(spark, sf_dir, "embeddings")
     return covariance_matrix(emb, "embedding", dim=64).orderBy("i", "j")
 
 
-@register_query("embedding_pca_project")
+def _pca_project_oracle() -> str | None:
+    """DuckDB twin for ``embedding_pca_project``, generated at import.
+
+    The eigendecomposition is driver-side control path, not SQL — but
+    with the exact-integer moment pipeline (operators/pca) the fitted
+    model at a given dataset is fully deterministic, so the top-2
+    components can ride the oracle as float literals (repr() round-trips
+    doubles exactly) and the projection becomes SQL: the same quantized
+    per-element fold the engine runs (floor(((x−m)·w)·1e8) as BIGINT,
+    exact integer sum, one final IEEE division).
+
+    The literals are fit here with plain numpy+pyarrow — an independent
+    replay of the engine's moment math — on the tables at the scale the
+    oracles will run at: sf0.01, the driver-gate contract (TESTDATA.md),
+    overridable via ORACLE_SF for the local sf0.001 gate
+    (tests/conftest.py pins it before this module loads). If the fixture
+    is unavailable the entry degrades to rows-only."""
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"),
+        os.environ.get("ORACLE_SF", "sf0.01"),
+        "embeddings.parquet",
+    )
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ..operators.pca import MOMENT_SCALE, fit_from_moments
+
+        rows = (
+            pq.read_table(path, columns=["embedding"])
+            .column("embedding")
+            .to_pylist()
+        )
+        x = np.asarray(
+            [v for v in rows if v is not None and len(v) == 64],
+            dtype=np.float64,
+        )
+        unit = float(10**MOMENT_SCALE)
+        iu0, iu1 = np.triu_indices(64)
+        tri = (
+            np.floor(x[:, iu0] * x[:, iu1] * unit).astype(np.int64).sum(axis=0)
+        )
+        s_x = np.floor(x * unit).astype(np.int64).sum(axis=0)
+        s_xy = np.zeros((64, 64))
+        s_xy[iu0, iu1] = tri
+        s_xy[iu1, iu0] = tri
+        model = fit_from_moments(s_xy, s_x, float(x.shape[0]), 2)
+    except Exception:  # missing fixture / degenerate data → rows-only
+        return None
+
+    def comp_sum(ci: int) -> str:
+        terms = [
+            "CAST(floor(((CAST(embedding[{k}] AS DOUBLE) - ({m})) * ({w}))"
+            " * 1e8) AS BIGINT)".format(
+                k=kk + 1,
+                m=repr(model["mean"][kk]),
+                w=repr(model["components"][ci][kk]),
+            )
+            for kk in range(64)
+        ]
+        return "(" + "\n             + ".join(terms) + ")"
+
+    return f"""
+    SELECT vec_id,
+           CASE WHEN len(embedding) = 64
+                THEN {comp_sum(0)} / 1e8 END AS pc0,
+           CASE WHEN len(embedding) = 64
+                THEN {comp_sum(1)} / 1e8 END AS pc1
+    FROM embeddings ORDER BY vec_id
+    """
+
+
+@register_query("embedding_pca_project", oracle=_pca_project_oracle())
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA fit + projection (operators/pca): covariance moments →
-    driver-side eigh (d×d, control-path) → per-row projection onto the
-    top-2 literal component arrays, pure JVM zip_with folds. The
-    eigendecomposition isn't SQL-replayable: rows-only here; the
-    variance-ordering, orthogonality, and sklearn-free reconstruction
-    properties are unit-tested."""
+    """PCA fit + projection (operators/pca): exact-integer covariance
+    moments → driver-side eigh (d×d, control-path, deterministic) →
+    per-row projection onto the top-2 literal component arrays, pure
+    JVM zip_with folds with per-element integer quantization. The
+    oracle replays the identical fold over the identical fitted
+    literals (see ``_pca_project_oracle``), promoting this entry from
+    rows-only to hash-verified."""
     from ..operators.pca import pca_fit, pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
     model = pca_fit(emb, "embedding", k=2, dim=64)
     return (
-        pca_project(emb, "embedding", model)
-        .select(
-            "vec_id",
-            F.round("pc0", 6).alias("pc0"),
-            F.round("pc1", 6).alias("pc1"),
-        )
+        pca_project(emb, "embedding", model, quantize_scale=8)
+        .select("vec_id", "pc0", "pc1")
         .orderBy("vec_id")
     )
 

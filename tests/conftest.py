@@ -7,6 +7,13 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The local oracle gate (test_oracle.py) replays at sf0.001 for suite speed;
+# data-derived oracle literals (embedding_pca_project's fitted components)
+# must be generated at the SAME scale the oracles run at. The driver gate
+# imports __spark_entry__ without this variable and gets its sf0.01 default.
+# Must be set before any test module imports plans/queries.
+os.environ.setdefault("ORACLE_SF", "sf0.001")
+
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 SF_SMOKE = os.path.join(TESTDATA, "sf0.001")
 SF_CORRECT = os.path.join(TESTDATA, "sf0.01")
