@@ -1289,6 +1289,8 @@ def jaccard_threshold_join(
     *,
     threshold: float = 0.5,
     k: int | None = None,
+    max_bucket: int | None = 1000,
+    expand_duplicates: bool = True,
 ) -> DataFrame:
     """EXACT token-set Jaccard θ-join via prefix filtering (the
     PPJoin/AllPairs candidate rule — Chaudhuri et al. 2006, Xiao et
@@ -1310,34 +1312,64 @@ def jaccard_threshold_join(
     distinct word-k-gram (shingle) sets — the right granularity for
     near-duplicate text, where unigram sets collapse (documents off a
     shared template share nearly all their vocabulary while sharing
-    few 3-grams).
+    few 3-grams). Sub-k-token documents compare by their whole joined
+    text as one shingle (so in shingle mode two EMPTY documents share
+    the '' shingle and pair at J = 1 — the whole-text granularity, not
+    a bug); in unigram mode empty token sets never pair.
+
+    Degenerate-corpus guards (true duplicate cliques are inherently
+    quadratic in the OUTPUT, but must not be quadratic in the JOIN):
+
+    * **Exact-duplicate collapse**: documents with identical element
+      SETS (md5 of the sorted set) collapse to one min-id
+      representative BEFORE candidate generation, so 10 K identical
+      docs cost the prefix join exactly one node. Pairs re-expand
+      afterwards through two narrow fingerprint equi-joins —
+      within-group pairs at J = 1, cross-group pairs inherit the
+      representative pair's J (identical sets ⇒ identical J). Set
+      ``expand_duplicates=False`` to return representative pairs only
+      (bounded output even on a pure-duplicate corpus).
+    * **Prefix-bucket cap** (``max_bucket``, the
+      `minhash_lsh_pairs`/`packed_hamming_pairs` convention): prefix
+      tokens shared by more than ``max_bucket`` REPRESENTATIVES are
+      dropped from candidate generation. With the duplicate collapse
+      in front, a bucket that large means >max_bucket genuinely
+      distinct near-identical sets — cap it or go quadratic. The cap
+      can drop true pairs in that pathological regime only; pass
+      ``max_bucket=None`` for the provably-exact mode.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
-    to 6. Empty token sets never pair (J undefined/0). Scale: one df
-    aggregate (vocab-sized), one rank window keyed by doc, the
-    candidate equi-join keyed by prefix token — everything narrow ids
-    + short tokens; no all-pairs stage anywhere."""
+    to 6. Scale: one df aggregate (vocab-sized), one rank window keyed
+    by doc, the candidate equi-join keyed by capped prefix tokens, the
+    re-expansion keyed by 16-byte set fingerprints — everything narrow
+    ids + short tokens; no all-pairs stage anywhere."""
     from pyspark.sql import Window
 
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
     words = whitespace_tokens(F.lower(F.col(text_col)))
+    # tokens materialize into a real column first — shingles_from_tokens'
+    # O(len²) HOF-inlining contract (see its docstring)
+    base = df.select(F.col(id_col).alias("id"), words.alias("__toks"))
     if k is None:
-        elems = F.array_distinct(words)
-        toks = df.select(
-            F.col(id_col).alias("id"), F.explode(elems).alias("tok")
-        )
+        elems = F.array_distinct(F.col("__toks"))
     else:
-        # materialize tokens first — shingles_from_tokens's O(len²)
-        # HOF-inlining contract (see its docstring)
-        toks = df.select(
-            F.col(id_col).alias("id"), words.alias("__toks")
-        ).select(
-            "id",
-            F.explode(
-                F.array_distinct(shingles_from_tokens(F.col("__toks"), k))
-            ).alias("tok"),
-        )
+        elems = F.array_distinct(shingles_from_tokens(F.col("__toks"), k))
+    # set fingerprint: \x01 can't survive whitespace tokenization, so it
+    # is an unambiguous element separator even for space-joined shingles
+    docs = base.select("id", F.array_sort(elems).alias("__set")).select(
+        "id",
+        F.md5(F.concat_ws("\x01", F.col("__set"))).alias("fp"),
+        F.size("__set").alias("ssz"),
+        "__set",
+    )
+    groups = docs.groupBy("fp").agg(
+        F.min("id").alias("rep"), F.count(F.lit(1)).alias("n_members")
+    )
+    reps = docs.join(groups, (docs.fp == groups.fp) & (docs.id == groups.rep)) \
+        .select(docs.id, docs["__set"])
+
+    toks = reps.select("id", F.explode("__set").alias("tok"))
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "tok")
@@ -1350,6 +1382,14 @@ def jaccard_threshold_join(
         F.col("rnk")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).select("id", "tok", "sz")
+    if max_bucket is not None:
+        # degenerate-bucket guard: candidate fan-in per prefix token is
+        # quadratic in its representative-df; cap it (file convention)
+        bucket_sizes = prefix.groupBy("tok").count()
+        prefix = prefix.join(
+            bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
+            "tok",
+        )
     pb = prefix.select(
         F.col("id").alias("id_b"),
         F.col("tok"),
@@ -1383,7 +1423,7 @@ def jaccard_threshold_join(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    rep_pairs = (
         shared.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -1392,5 +1432,68 @@ def jaccard_threshold_join(
             / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", "jaccard")
+    )
+    if not expand_duplicates:
+        return rep_pairs.select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    members = docs.select("fp", "id")
+    rep_fp = groups.select(F.col("rep"), F.col("fp"))
+    # cross-group expansion: identical sets within a group ⇒ every
+    # member pair across (A, B) has exactly the representatives' J
+    cross = (
+        rep_pairs.join(
+            rep_fp.select(
+                F.col("rep").alias("id_a"), F.col("fp").alias("__fpa")
+            ),
+            "id_a",
+        )
+        .join(
+            rep_fp.select(
+                F.col("rep").alias("id_b"), F.col("fp").alias("__fpb")
+            ),
+            "id_b",
+        )
+        .join(
+            members.select(F.col("fp").alias("__fpa"), F.col("id").alias("__ma")),
+            "__fpa",
+        )
+        .join(
+            members.select(F.col("fp").alias("__fpb"), F.col("id").alias("__mb")),
+            "__fpb",
+        )
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # within-group expansion: exact duplicates pair at J = 1 (skipping
+    # empty sets, which never pair in unigram mode)
+    dup_fp = (
+        groups.join(
+            docs.select("fp", "ssz").dropDuplicates(["fp"]), "fp"
+        )
+        .filter((F.col("n_members") >= 2) & (F.col("ssz") >= 1))
+        .select("fp")
+    )
+    ma = members.join(dup_fp, "fp").select("fp", F.col("id").alias("__ma"))
+    mb = members.join(dup_fp, "fp").select(
+        F.col("fp").alias("__fp2"), F.col("id").alias("__mb")
+    )
+    within = (
+        ma.join(
+            mb,
+            (ma.fp == mb.__fp2) & (F.col("__ma") < F.col("__mb")),
+        )
+        .select(
+            F.col("__ma").alias("id_a"),
+            F.col("__mb").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

@@ -169,16 +169,19 @@ def interval_join(
     partition by tile id, so co-located tiles join locally; AQE handles
     tile skew (hot hours) and broadcasts a small dim side outright.
     """
+    # floor (not cast) so negative coordinates — pre-1970 epoch micros —
+    # tile at the documented fixed width; cast truncates toward zero,
+    # which doubles the zero-straddling bucket (correct but skew-prone)
     b = bucket
     lb = left.withColumn(
-        "__lsb", (F.col(left_start) / b).cast("long")
+        "__lsb", F.floor(F.col(left_start) / b).cast("long")
     ).withColumn("__b", F.explode(F.sequence(
-        F.col("__lsb"), (F.col(left_end) / b).cast("long")
+        F.col("__lsb"), F.floor(F.col(left_end) / b).cast("long")
     )))
     rb = right.withColumn(
-        "__rsb", (F.col(right_start) / b).cast("long")
+        "__rsb", F.floor(F.col(right_start) / b).cast("long")
     ).withColumn("__b", F.explode(F.sequence(
-        F.col("__rsb"), (F.col(right_end) / b).cast("long")
+        F.col("__rsb"), F.floor(F.col(right_end) / b).cast("long")
     )))
     if closed:
         cond = (F.col(left_start) <= F.col(right_end)) & (

@@ -533,3 +533,88 @@ def test_jaccard_threshold_join_shingle_mode_equals_brute_force(spark):
             for r in jaccard_threshold_join(df, threshold=th, k=3).collect()
         }
         assert got == brute(th), f"θ={th}"
+
+
+def test_jaccard_threshold_join_duplicate_groups_expand_exactly(spark):
+    """Exact-duplicate cliques collapse to representatives for the join,
+    then re-expand: within-group pairs at J=1, cross-group pairs inherit
+    the representative J — equal to brute force over the full corpus."""
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        jaccard_threshold_join,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma delta") for i in range(0, 4)]  # group A ×4
+        + [(i, "alpha beta gamma epsilon") for i in range(10, 13)]  # B ×3
+        + [(20, "zeta eta theta")]  # unrelated
+        + [(21, "")]  # empty: never pairs (unigram mode)
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_threshold_join(df, threshold=0.5).collect()
+    }
+    assert got == _brute_pairs(rows, 0.5)
+    # and the collapsed mode returns representative pairs only
+    reps = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_threshold_join(
+            df, threshold=0.5, expand_duplicates=False
+        ).collect()
+    }
+    assert reps == {(0, 10): 0.6}  # min-id representatives, J = 3/5
+
+
+def test_jaccard_threshold_join_degenerate_corpus_bounded(spark):
+    """10 K identical short docs: the candidate join sees ONE node after
+    duplicate collapse — representative output is empty and fast; the
+    expanded output is the true quadratic clique, checked by count."""
+    import time
+
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        jaccard_threshold_join,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("spam spam offer now").alias("text")
+    )
+    t0 = time.monotonic()
+    reps = jaccard_threshold_join(
+        df, threshold=0.5, expand_duplicates=False
+    ).collect()
+    elapsed = time.monotonic() - t0
+    assert reps == []  # one group, no cross-representative pairs
+    assert elapsed < 60  # the pre-fix prefix join was ~10^8 candidates
+    # expansion on a small clique is the full n·(n−1)/2 at J = 1
+    small = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("spam spam offer now").alias("text")
+    )
+    out = jaccard_threshold_join(small, threshold=0.5)
+    assert out.count() == 50 * 49 // 2
+    assert out.agg(F.min("jaccard"), F.max("jaccard")).collect()[0] == (
+        1.0,
+        1.0,
+    )
+
+
+def test_jaccard_threshold_join_bucket_cap_drops_only_when_capped(spark):
+    """max_bucket guards the prefix join against >cap genuinely distinct
+    sets sharing one prefix token; None restores the provably-exact mode."""
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        jaccard_threshold_join,
+    )
+
+    # 30 distinct 2-token sets {rare, common_i}: the rarest-first prefix
+    # of every doc is its unique rare token EXCEPT the shared one
+    rows = [(i, f"shared w{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = jaccard_threshold_join(df, threshold=0.5, max_bucket=None)
+    capped = jaccard_threshold_join(df, threshold=0.5, max_bucket=5)
+    n_exact, n_capped = exact.count(), capped.count()
+    assert n_exact == 0  # J({shared,wi},{shared,wj}) = 1/3 < 0.5
+    assert n_capped == 0
+    # now a threshold where sharing one of two tokens qualifies
+    exact2 = jaccard_threshold_join(df, threshold=1 / 3, max_bucket=None)
+    capped2 = jaccard_threshold_join(df, threshold=1 / 3, max_bucket=5)
+    assert exact2.count() == 30 * 29 // 2  # all pairs share 'shared'
+    assert capped2.count() < exact2.count()  # cap trades exactness, loudly

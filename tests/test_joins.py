@@ -244,3 +244,34 @@ def test_coalesce_intervals_brute_force_random(spark):
         for s, e, n in brute([r for r in rows if r[0] == k])
     )
     assert got == exp
+
+
+def test_interval_join_negative_coordinates(spark):
+    """Pre-1970-style negative coordinates tile with floor(), so the
+    zero-straddling bucket keeps the documented fixed width and pairs
+    whose first shared tile is negative are still claimed exactly once."""
+    from nifi_hive_schema_generator_bundle_spark.operators.joins import (
+        interval_join,
+    )
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, -25, -5), (2, -3, 4), (3, 5, 9)], ["lid", "ls", "le"]
+    )
+    right = spark.createDataFrame(
+        [(10, -30, -20), (11, -6, -1), (12, 2, 7)], ["rid", "rs", "re"]
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bucket=F.lit(10),
+        ).collect()
+    )
+    naive = sorted(
+        (lr.lid, rr.rid)
+        for lr in left.collect()
+        for rr in right.collect()
+        if lr.ls < rr.re and rr.rs < lr.le
+    )
+    assert got == naive  # exactly once per overlapping pair, no dups
