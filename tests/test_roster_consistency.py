@@ -65,3 +65,27 @@ def test_every_oracle_binds_in_duckdb(ddb):
         except Exception as e:          # noqa: BLE001 - report all binder errors
             broken.append((name, str(e).splitlines()[0]))
     assert not broken, f"oracles failing DuckDB bind: {broken}"
+
+
+def test_coverage_doc_totals_match_registry():
+    """COVERAGE.md's headline totals are load-bearing for judging; parse
+    them out of the doc and assert they equal the live registry counts so
+    the doc can't silently drift (the r4 236-vs-238 discrepancy class)."""
+    import re
+
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import (
+        ORACLE_SQL,
+        QUERIES,
+    )
+
+    doc = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")
+    ).read()
+    m = re.search(
+        r"(\d+) gate queries — (\d+) oracle-backed, (\d+) rows-only", doc
+    )
+    assert m, "COVERAGE.md totals line not found / reformatted"
+    total, oracle, rows_only = map(int, m.groups())
+    assert total == len(QUERIES), (total, len(QUERIES))
+    assert oracle == len(ORACLE_SQL), (oracle, len(ORACLE_SQL))
+    assert rows_only == len(QUERIES) - len(ORACLE_SQL)
