@@ -63,6 +63,7 @@ DRIVER_PRIORITY = [
     "embedding_pca_project",     # promoted rows-only -> oracle-backed
     "doc_jaccard_join",          # duplicate-collapse prestage added
     "events_campaign_overlap",   # interval tiling cast -> floor
+    "doc_incremental_near_dedup",  # new: streaming near-dedup batch replay
     # --- 44 never-driver-verified entries (absent from r1-r4 hashes),
     # chosen for kernels with no driver-verified structural sibling.
     # The ~53 never-verified entries left out this round (doc_chunks,
@@ -134,7 +135,8 @@ DRIVER_PRIORITY = [
     "doc_dsir_weights",
     "doc_temperature_sample",
     "doc_grouped_split",
-    "customer_spend_deciles",
+    # (customer_spend_deciles yielded its slot to the new streaming
+    # near-dedup replay above: ntile over a verified percentile family)
     # --- canary overlap with rounds 1-4 (the core inference path and
     # the scan-agg flagship re-verify every round) ---
     "infer_props_schema",

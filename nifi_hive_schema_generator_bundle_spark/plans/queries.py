@@ -583,6 +583,160 @@ def doc_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_incremental_near_dedup",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' ')))
+               END AS shingles
+        FROM toks
+    ), mh AS (
+        SELECT doc_id, r.i AS i,
+               min(CAST(concat('0x', substring(md5(u.sh || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT)) AS h
+        FROM sh, LATERAL unnest(shingles) AS u(sh)
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS i) r
+        GROUP BY doc_id, r.i
+    ), sigs AS (
+        SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch,
+               list(h ORDER BY i) AS sig
+        FROM mh GROUP BY doc_id
+    ), bandx AS (
+        SELECT doc_id, batch, b.b AS band,
+               array_to_string(sig[CAST(b.b*4+1 AS INT):CAST(b.b*4+4 AS INT)], ':') AS bucket
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), est AS (
+        SELECT c.id_a, c.id_b, c.batch_a, c.batch_b,
+               len(list_filter(
+                   list_transform(generate_series(1, 16),
+                       i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END),
+                   v -> v = 1)) / 16.0 AS e
+        FROM (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                   x.batch AS batch_a, y.batch AS batch_b
+            FROM bandx x JOIN bandx y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id
+        ) c
+        JOIN sigs sa ON sa.doc_id = c.id_a
+        JOIN sigs sb ON sb.doc_id = c.id_b
+    ), e0 AS (
+        SELECT id_a AS a, id_b AS b FROM est
+        WHERE batch_a = 0 AND batch_b = 0 AND e >= 0.5
+        UNION SELECT id_b, id_a FROM est
+        WHERE batch_a = 0 AND batch_b = 0 AND e >= 0.5
+    ), r0(n, m) AS (
+        SELECT a, b FROM e0
+        UNION SELECT r.n, e.b FROM r0 r JOIN e0 e ON r.m = e.a
+    ), e1 AS (
+        SELECT id_a AS a, id_b AS b FROM est
+        WHERE batch_a = 1 AND batch_b = 1 AND e >= 0.5
+        UNION SELECT id_b, id_a FROM est
+        WHERE batch_a = 1 AND batch_b = 1 AND e >= 0.5
+    ), r1(n, m) AS (
+        SELECT a, b FROM e1
+        UNION SELECT r.n, e.b FROM r1 r JOIN e1 e ON r.m = e.a
+    ), e2 AS (
+        SELECT id_a AS a, id_b AS b FROM est
+        WHERE batch_a = 2 AND batch_b = 2 AND e >= 0.5
+        UNION SELECT id_b, id_a FROM est
+        WHERE batch_a = 2 AND batch_b = 2 AND e >= 0.5
+    ), r2(n, m) AS (
+        SELECT a, b FROM e2
+        UNION SELECT r.n, e.b FROM r2 r JOIN e2 e ON r.m = e.a
+    ), kept0 AS (
+        SELECT doc_id FROM sigs WHERE batch = 0 AND doc_id NOT IN
+            (SELECT n FROM r0 GROUP BY n HAVING min(m) < n)
+    ), kept1 AS (
+        SELECT doc_id FROM sigs WHERE batch = 1 AND doc_id NOT IN
+            (SELECT n FROM r1 GROUP BY n HAVING min(m) < n)
+    ), kept2 AS (
+        SELECT doc_id FROM sigs WHERE batch = 2 AND doc_id NOT IN
+            (SELECT n FROM r2 GROUP BY n HAVING min(m) < n)
+    ), surv0 AS (
+        SELECT doc_id FROM kept0
+    ), surv1 AS (
+        SELECT doc_id FROM kept1 WHERE doc_id NOT IN (
+            SELECT CASE WHEN batch_a = 1 THEN id_a ELSE id_b END
+            FROM est WHERE e >= 0.5 AND (
+                (batch_a = 1 AND batch_b = 0
+                 AND id_a IN (SELECT doc_id FROM kept1)
+                 AND id_b IN (SELECT doc_id FROM surv0))
+             OR (batch_a = 0 AND batch_b = 1
+                 AND id_b IN (SELECT doc_id FROM kept1)
+                 AND id_a IN (SELECT doc_id FROM surv0))))
+    ), surv2 AS (
+        SELECT doc_id FROM kept2 WHERE doc_id NOT IN (
+            SELECT CASE WHEN batch_a = 2 THEN id_a ELSE id_b END
+            FROM est WHERE e >= 0.5 AND (
+                (batch_a = 2 AND batch_b < 2
+                 AND id_a IN (SELECT doc_id FROM kept2)
+                 AND (id_b IN (SELECT doc_id FROM surv0)
+                      OR id_b IN (SELECT doc_id FROM surv1)))
+             OR (batch_a < 2 AND batch_b = 2
+                 AND id_b IN (SELECT doc_id FROM kept2)
+                 AND (id_a IN (SELECT doc_id FROM surv0)
+                      OR id_a IN (SELECT doc_id FROM surv1)))))
+    )
+    SELECT doc_id, 0 AS ingest_batch FROM surv0
+    UNION ALL SELECT doc_id, 1 FROM surv1
+    UNION ALL SELECT doc_id, 2 FROM surv2
+    ORDER BY doc_id
+    """,
+)
+def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-run NEAR-dedup, batch-replayed (streaming/
+    incremental_near_dedup.near_dedup_batch_against_store — the exact
+    foreachBatch body run_incremental_near_dedup streams through): the
+    corpus arrives as 3 batches (doc_id % 3); each batch near-dedups
+    within itself (portable MinHash-LSH candidates → CC keep-min), then
+    checks its survivors' band keys against the persistent band store
+    of strictly-earlier batches and drops docs whose signature agreement
+    with ANY historical survivor reaches the threshold; true survivors
+    append to the corpus and both stores (dynamic partition overwrite —
+    the replay-safe exactly-once discipline). hash_fn='md5' + 16 perms ×
+    4 bands makes every stage SQL-portable, so the oracle replays the
+    full three-batch history — the same promotion the exact-fingerprint
+    sibling got via doc_bloom_incremental. Returns (doc_id,
+    ingest_batch) for every document the whole run kept."""
+    import tempfile
+
+    from ..streaming.incremental_near_dedup import (
+        near_dedup_batch_against_store,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="incnd_gate_")
+    for b in range(3):
+        near_dedup_batch_against_store(
+            d.filter(F.col("doc_id") % 3 == b),
+            b,
+            store_dir=f"{work}/store",
+            out_dir=f"{work}/corpus",
+            threshold=0.5,
+            num_perm=16,
+            bands=4,
+            max_bucket=10**9,
+            hash_fn="md5",
+        )
+    return (
+        spark.read.parquet(f"{work}/corpus")
+        .select(
+            "doc_id", F.col("ingest_batch").cast("int").alias("ingest_batch")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register_query(
     "doc_paragraph_dedup",
     oracle="""
     WITH toks AS (

@@ -81,10 +81,17 @@ def near_dedup_batch_against_store(
     bands: int = 16,
     max_bucket: int = 1000,
     fmt: str = "parquet",
+    hash_fn: str = "xxhash64",
 ) -> int:
     """One micro-batch of the incremental near-dedup; returns survivors
     kept. Reusable from any ``foreachBatch`` or a batch loop with its
-    own monotonic batch numbering."""
+    own monotonic batch numbering.
+
+    ``hash_fn="md5"`` switches signatures AND band keys to the
+    engine-portable forms (the `minhash_lsh_pairs` contract), making the
+    whole multi-batch run — within-batch CC dedup, store band join,
+    signature-agreement verify — replayable by a SQL oracle
+    (`doc_incremental_near_dedup` in plans/queries.py)."""
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return 0
@@ -112,17 +119,19 @@ def near_dedup_batch_against_store(
         bands=bands,
         threshold=threshold,
         max_bucket=max_bucket,
+        hash_fn=hash_fn,
     )
     batch_kept = dedup_keep_min(batch_df, pairs, id_col)
 
     # (2)+(3) candidates vs strictly-earlier history, verified on
     # signature agreement — no text ever leaves the batch
+    portable = hash_fn == "md5"
     sig = minhash_signatures(
-        batch_kept, text_col, id_col, k=k, num_perm=num_perm
+        batch_kept, text_col, id_col, k=k, num_perm=num_perm, hash_fn=hash_fn
     ).persist()
-    my_bands = band_keys(sig, bands=bands, num_perm=num_perm).select(
-        "id", "band", "bucket"
-    )
+    my_bands = band_keys(
+        sig, bands=bands, num_perm=num_perm, portable=portable
+    ).select("id", "band", "bucket")
     survivors_ids = sig.select("id")
     band_store = _read_store(spark, bands_dir)
     if band_store is not None and sig_store is not None:
@@ -166,7 +175,9 @@ def near_dedup_batch_against_store(
         kept_sigs = sig.join(survivors_ids, "id", "semi").persist()
         n = kept_sigs.count()
         new_bands = (
-            band_keys(kept_sigs, bands=bands, num_perm=num_perm)
+            band_keys(
+                kept_sigs, bands=bands, num_perm=num_perm, portable=portable
+            )
             .select("id", "band", "bucket")
             .withColumn("batch_id", F.lit(batch_id))
         )
