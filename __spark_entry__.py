@@ -48,15 +48,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # caps at 50 entries (observed: CORRECTNESS_r01-r04 each recorded exactly
 # the first 50 of the then-current registry). Rounds 1-4 hash-verified 109
 # distinct entries, leaving 101 oracle-backed entries never driver-verified;
-# this round's 50 slots = 4 changed-or-new-code entries that must (re)verify
+# this round's 50 slots = 7 changed-or-new-code entries that must (re)verify
 # (embedding_covariance was r4's one hash-red row, now exact-integer;
 # embedding_pca_project is newly oracle-backed; doc_jaccard_join gained the
 # duplicate-collapse prestage; events_campaign_overlap's interval tiling
-# switched to floor) + 44 never-verified entries chosen for kernels WITHOUT
-# a driver-verified structural sibling + 2 canaries overlapping every prior
-# round. Round 6 takes the ~53 remaining never-verified entries. Rows-only
-# entries (no SQL oracle) sort last; everything stays in the registry and
-# the local oracle gate still runs all of it.
+# switched to floor; doc_incremental_near_dedup / doc_pii_audit /
+# dedup_lsh_recall_eval are new this round) + 41 never-verified entries
+# chosen for kernels WITHOUT a driver-verified structural sibling + 2
+# canaries overlapping every prior round. Round 6 takes the ~56 remaining
+# never-verified entries. Rows-only entries (no SQL oracle) sort last;
+# everything stays in the registry and the local oracle gate still runs
+# all of it.
 DRIVER_PRIORITY = [
     # --- changed-or-new-code this round: must (re)verify ---
     "embedding_covariance",      # r4's hash-red row, now exact-integer
@@ -64,6 +66,8 @@ DRIVER_PRIORITY = [
     "doc_jaccard_join",          # duplicate-collapse prestage added
     "events_campaign_overlap",   # interval tiling cast -> floor
     "doc_incremental_near_dedup",  # new: streaming near-dedup batch replay
+    "doc_pii_audit",             # new: Luhn-validated card PII audit
+    "dedup_lsh_recall_eval",     # new: LSH vs exact-Jaccard recall readout
     # --- 44 never-driver-verified entries (absent from r1-r4 hashes),
     # chosen for kernels with no driver-verified structural sibling.
     # The ~53 never-verified entries left out this round (doc_chunks,
@@ -133,10 +137,11 @@ DRIVER_PRIORITY = [
     "customers_k_anonymity",
     "user_scd2_history",
     "doc_dsir_weights",
-    "doc_temperature_sample",
-    "doc_grouped_split",
-    # (customer_spend_deciles yielded its slot to the new streaming
-    # near-dedup replay above: ntile over a verified percentile family)
+    # (customer_spend_deciles, doc_temperature_sample and
+    # doc_grouped_split yielded their slots to this round's new
+    # operators above: ntile/md5-fraction/md5-nibble kernels all have
+    # r1-r3-verified siblings — deciles ~ the percentile window family,
+    # temperature ~ doc_mixture_sample, grouped_split ~ doc_holdout_split)
     # --- canary overlap with rounds 1-4 (the core inference path and
     # the scan-agg flagship re-verify every round) ---
     "infer_props_schema",

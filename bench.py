@@ -16,6 +16,15 @@ os.getloadavg() at start/end reported in BENCH_DETAIL.json so a loaded
 capture is distinguishable from a code regression. Round-over-round
 deltas should compare warm medians only, sanity-checked against spread
 and loadavg.
+
+Session sharding ($SPARK_GRAFT_BENCH_SHARDS, default 4): the roster is
+split into contiguous chunks, each run SEQUENTIALLY in its own fresh
+python+JVM subprocess (r4 lesson: a single 159-query session drifted
+~1.4-2x slower in its tail — JIT code-cache and GC churn accumulate over
+thousands of stages; four fresh sessions kill that while each chunk still
+gets the warm-up pass and per-shape cold/warm discipline). The merged
+result is still ONE stdout JSON line + one BENCH_DETAIL.json. Set
+SHARDS=1 to reproduce the old single-session capture.
 """
 
 from __future__ import annotations
@@ -192,10 +201,16 @@ BENCH_QUERIES = [
     "events_activity_spans",
     "part_clustering_coefficient",
     "events_isotonic_calibration",
+    "doc_incremental_near_dedup",
+    "doc_pii_audit",
+    "dedup_lsh_recall_eval",
 ]
 
 
-def main() -> None:
+def run_chunk(names: list[str]) -> dict:
+    """Run one roster chunk in THIS process's Spark session: warm-up,
+    then cold + warm-median passes per query. Returns the raw detail
+    fragment (cold/warm/spread/loadavg)."""
     from nifi_hive_schema_generator_bundle_spark.session import get_session
     from nifi_hive_schema_generator_bundle_spark.plans.queries import QUERIES
 
@@ -235,7 +250,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     load_start = os.getloadavg()
-    for name in BENCH_QUERIES:
+    for name in names:
         cold[name] = round(run(name), 3)
         reps = sorted(run(name) for _ in range(n_warm))
         warm[name] = round(reps[len(reps) // 2], 3)  # median
@@ -245,6 +260,59 @@ def main() -> None:
             "max": round(reps[-1], 3),
         }
     load_end = os.getloadavg()
+    spark.stop()
+    return {
+        "queries": warm,
+        "queries_cold": cold,
+        "queries_spread": spread,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "n_warm": n_warm,
+    }
+
+
+def main() -> None:
+    shards = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SHARDS", "4")))
+    shard_ix = os.environ.get("SPARK_GRAFT_BENCH_SHARD")
+
+    if shard_ix is not None:
+        # child mode: run this contiguous chunk, emit the raw fragment as
+        # the last stdout line for the parent to merge
+        i = int(shard_ix)
+        lo = (len(BENCH_QUERIES) * i) // shards
+        hi = (len(BENCH_QUERIES) * (i + 1)) // shards
+        print(json.dumps(run_chunk(BENCH_QUERIES[lo:hi])))
+        return
+
+    if shards == 1:
+        frags = [run_chunk(BENCH_QUERIES)]
+    else:
+        # parent mode: one fresh python+JVM per chunk, run sequentially
+        # so shards never contend with each other
+        import subprocess
+
+        frags = []
+        for i in range(shards):
+            env = dict(os.environ, SPARK_GRAFT_BENCH_SHARD=str(i))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                text=True,
+                check=True,
+            )
+            frags.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
+    for f in frags:
+        warm.update(f["queries"])
+        cold.update(f["queries_cold"])
+        spread.update(f["queries_spread"])
+    load_start = frags[0]["loadavg_start"]
+    load_end = frags[-1]["loadavg_end"]
+    n_warm = frags[0]["n_warm"]
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -265,9 +333,13 @@ def main() -> None:
         # adjudication context: a median far above its min, or loadavg
         # well above the 32 cores, marks an ambient-contention capture
         # (the r3 lesson: two "regressions" were load artifacts)
-        "loadavg_start": [round(x, 2) for x in load_start],
-        "loadavg_end": [round(x, 2) for x in load_end],
-        "protocol": f"warm median of {n_warm}; cold pass separate",
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "protocol": (
+            f"warm median of {n_warm}; cold pass separate; "
+            f"{shards} fresh session(s)"
+        ),
+        "shards": shards,
         "sf": sf_val,
     }
     try:
@@ -302,7 +374,6 @@ def main() -> None:
         compact["full_detail"] = "BENCH_DETAIL.json"
         line = json.dumps(compact)
     print(line)
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -130,6 +130,66 @@ def pattern_count(c: Column | str, kind: str) -> Column:
     return F.regexp_count(c, F.lit(REDACT_PATTERNS[kind]))
 
 
+# 13-19 digits with optional single space/dash separators between groups —
+# the PAN (payment-card number) candidate shape. Validation is Luhn,
+# below; a bare \d{16} match alone false-positives on ids/timestamps.
+CARD_CANDIDATE_RE = r"\b(?:[0-9][ -]?){12,18}[0-9]\b"
+
+
+def luhn_valid(c: Column | str) -> Column:
+    """True iff the digit string (separators already stripped) passes the
+    Luhn mod-10 checksum — the validity gate every card-shaped digit run
+    must clear before a PII audit counts it (ISO/IEC 7812; the classic
+    check: double every second digit from the right, subtract 9 when the
+    double exceeds 9, total ≡ 0 mod 10).
+
+    Pure JVM fold: reverse the string, per-position digit transform via
+    ``transform`` over the char array, one ``aggregate`` sum — no Python,
+    no shuffle, fuses into the consuming scan. NULL/empty → false."""
+    c = F.col(c) if isinstance(c, str) else c
+    digits = F.split(F.reverse(c), "")
+    # split('abc', '') yields ['a','b','c'] (no trailing '' in Spark 3+)
+    terms = F.transform(
+        digits,
+        lambda ch, i: F.when(
+            i % 2 == 1,
+            # doubled position: 2d - 9·[2d > 9]  ==  2d mod 9 except d=9
+            F.when(ch.cast("int") * 2 > 9, ch.cast("int") * 2 - 9).otherwise(
+                ch.cast("int") * 2
+            ),
+        ).otherwise(ch.cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return F.when(
+        c.isNotNull() & (F.length(c) >= 13) & c.rlike("^[0-9]+$"),
+        total % 10 == 0,
+    ).otherwise(F.lit(False))
+
+
+def card_numbers(c: Column | str, *, validated: bool = True) -> Column:
+    """Array of payment-card numbers found in free text: candidate digit
+    runs (13–19 digits, optional space/dash group separators) filtered
+    through the Luhn checksum when ``validated`` — the difference between
+    "contains 16 digits" and "contains a plausibly real card", which is
+    what a PII audit must report. Returns the normalized (separator-free)
+    numbers; narrow JVM projection."""
+    c = F.col(c) if isinstance(c, str) else c
+    cands = F.transform(
+        # idx=0: the whole match (the pattern's only group is
+        # non-capturing; Spark defaults idx to 1 and would throw)
+        F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_RE), 0),
+        lambda m: F.regexp_replace(m, "[ -]", ""),
+    )
+    # re-check length post-normalization: the separator-tolerant regex
+    # can overcount separators inside the 13-19 digit budget
+    cands = F.filter(
+        cands, lambda d: (F.length(d) >= 13) & (F.length(d) <= 19)
+    )
+    if not validated:
+        return cands
+    return F.filter(cands, luhn_valid)
+
+
 def html_to_text(c: Column | str) -> Column:
     """HTML → visible-text extraction (the WET-file / boilerplate-strip
     stage every web-scrape pipeline runs before quality filtering).

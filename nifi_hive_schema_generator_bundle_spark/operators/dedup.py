@@ -1356,20 +1356,22 @@ def jaccard_threshold_join(
     else:
         elems = F.array_distinct(shingles_from_tokens(F.col("__toks"), k))
     # set fingerprint: \x01 can't survive whitespace tokenization, so it
-    # is an unambiguous element separator even for space-joined shingles
-    docs = base.select("id", F.array_sort(elems).alias("__set")).select(
+    # is an unambiguous element separator even for space-joined shingles.
+    # Element arrays themselves NEVER enter a join/shuffle — only the
+    # 16-byte fp and the exploded (id, tok) rows do (the first cut of
+    # this rework shipped the arrays through the reps join and measured
+    # 2× slower at sf0.1).
+    docs = base.select(
         "id",
-        F.md5(F.concat_ws("\x01", F.col("__set"))).alias("fp"),
-        F.size("__set").alias("ssz"),
-        "__set",
+        F.md5(F.concat_ws("\x01", F.array_sort(elems))).alias("fp"),
+        F.size(elems).alias("ssz"),
     )
+    toks_all = base.select("id", F.explode(elems).alias("tok"))
     groups = docs.groupBy("fp").agg(
         F.min("id").alias("rep"), F.count(F.lit(1)).alias("n_members")
     )
-    reps = docs.join(groups, (docs.fp == groups.fp) & (docs.id == groups.rep)) \
-        .select(docs.id, docs["__set"])
-
-    toks = reps.select("id", F.explode("__set").alias("tok"))
+    rep_ids = groups.select(F.col("rep").alias("id"))
+    toks = toks_all.join(rep_ids, "id", "semi")
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "tok")

@@ -1107,6 +1107,119 @@ def minhash_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register_query(
+    "dedup_lsh_recall_eval",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' ')))
+               END AS shingles
+        FROM toks
+    ), exact AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                   / len(list_distinct(a.shingles || b.shingles)) AS j
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE j >= 0.5
+    ), mh AS (
+        SELECT doc_id, r.i AS i,
+               min(CAST(concat('0x', substring(md5(u.sh || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT)) AS h
+        FROM sh, LATERAL unnest(shingles) AS u(sh)
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS i) r
+        GROUP BY doc_id, r.i
+    ), sigs AS (
+        SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id
+    ), bandx AS (
+        SELECT doc_id, b.b AS band,
+               array_to_string(sig[CAST(b.b*4+1 AS INT):CAST(b.b*4+4 AS INT)], ':') AS bucket
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), lsh AS (
+        SELECT id_a, id_b FROM (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM bandx x JOIN bandx y
+              ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ) c
+        WHERE (SELECT len(list_filter(
+                   list_transform(generate_series(1, 16),
+                       i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END),
+                   v -> v = 1)) / 16.0
+               FROM sigs sa, sigs sb
+               WHERE sa.doc_id = c.id_a AND sb.doc_id = c.id_b) >= 0.5
+    ), counts AS (
+        SELECT (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM lsh) AS n_lsh,
+               (SELECT count(*) FROM exact JOIN lsh USING (id_a, id_b))
+                   AS n_common
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_lsh AS BIGINT) AS n_lsh,
+           CAST(n_common AS BIGINT) AS n_common,
+           CASE WHEN n_exact > 0
+                THEN CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE)
+           END AS recall,
+           CASE WHEN n_lsh > 0
+                THEN CAST(n_common AS DOUBLE) / CAST(n_lsh AS DOUBLE)
+           END AS precision
+    FROM counts
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical recall/precision of the MinHash-LSH near-dup path
+    against the EXACT prefix-filter Jaccard join on the same corpus,
+    same θ, same shingle granularity — the measure-don't-guess readout
+    for the probabilistic/exact trade (banding drops true pairs whose
+    signatures straddle bands; the estimator passes some sub-θ pairs).
+    Composes two independently hash-verified kernels
+    (operators/dedup.jaccard_threshold_join + minhash_lsh_pairs
+    portable) and reduces to ONE row of counts + two IEEE divisions of
+    exact integers — bit-equal across engines. At 100 TB this runs on a
+    SAMPLE (both kernels are bounded, but the exact join's verify cost
+    only pays off corpus-wide when you actually ship it); the eval's
+    job is to pick bands/perms before committing the full run."""
+    from ..operators.dedup import jaccard_threshold_join, minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = jaccard_threshold_join(d, threshold=0.5, k=3).select(
+        "id_a", "id_b"
+    )
+    lsh = minhash_lsh_pairs(
+        d, num_perm=16, bands=4, threshold=0.5,
+        max_bucket=10**9, hash_fn="md5",
+    ).select("id_a", "id_b")
+    common = exact.join(lsh, ["id_a", "id_b"])
+    # one declarative plan: three 1-row aggregates joined as scalar
+    # broadcasts (the engine's standard scalar-combine shape)
+    row = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(F.broadcast(lsh.agg(F.count(F.lit(1)).alias("n_lsh"))))
+        .join(F.broadcast(common.agg(F.count(F.lit(1)).alias("n_common"))))
+    )
+    return row.select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_common").cast("double")
+            / F.col("n_exact").cast("double"),
+        ).alias("recall"),
+        F.when(
+            F.col("n_lsh") > 0,
+            F.col("n_common").cast("double") / F.col("n_lsh").cast("double"),
+        ).alias("precision"),
+    )
+
+
 @register_query("simhash_near_dup")
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming ≤ 3."""
@@ -11121,6 +11234,131 @@ def doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_threshold_join(docs, threshold=0.5, k=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@register_query(
+    "doc_pii_audit",
+    oracle=r"""
+    WITH synth AS (
+        SELECT doc_id,
+               translate(substring(md5(CAST(doc_id AS VARCHAR)), 1, 15),
+                         'abcdef', '012345') AS base
+        FROM documents
+    ), checked AS (
+        SELECT doc_id, base,
+               list_sum(list_transform(generate_series(1, 15),
+                   i -> CASE WHEN i % 2 = 1
+                             THEN CASE WHEN CAST(base[i] AS INT) * 2 > 9
+                                       THEN CAST(base[i] AS INT) * 2 - 9
+                                       ELSE CAST(base[i] AS INT) * 2 END
+                             ELSE CAST(base[i] AS INT) END)) AS s
+        FROM synth
+    ), card AS (
+        SELECT c.doc_id,
+               c.base || CAST(
+                   CASE WHEN c.doc_id % 2 = 0
+                        THEN (10 - s % 10) % 10
+                        ELSE ((10 - s % 10) % 10 + 1) % 10 END
+                   AS VARCHAR) AS pan
+        FROM checked c
+    ), txt AS (
+        SELECT card.doc_id,
+               d.text || ' pay ' || substring(pan, 1, 4) || ' ' ||
+               substring(pan, 5, 4) || ' ' || substring(pan, 9, 4) || ' ' ||
+               substring(pan, 13, 4) AS t
+        FROM card JOIN documents d ON d.doc_id = card.doc_id
+    ), found AS (
+        SELECT doc_id, t,
+               list_filter(
+                   list_transform(
+                       regexp_extract_all(t, '\b(?:[0-9][ -]?){12,18}[0-9]\b'),
+                       m -> regexp_replace(m, '[ -]', '', 'g')),
+                   d -> len(d) >= 13 AND len(d) <= 19) AS cands
+        FROM txt
+    )
+    SELECT doc_id,
+           CAST(len(cands) AS INT) AS n_candidates,
+           CAST(len(list_filter(cands,
+               nr -> len(nr) >= 13
+                 AND regexp_matches(nr, '^[0-9]+$')
+                 AND list_sum(list_transform(generate_series(1, len(nr)),
+                     i -> CASE WHEN i % 2 = 0
+                          THEN CASE WHEN CAST(reverse(nr)[i] AS INT) * 2 > 9
+                                    THEN CAST(reverse(nr)[i] AS INT) * 2 - 9
+                                    ELSE CAST(reverse(nr)[i] AS INT) * 2 END
+                          ELSE CAST(reverse(nr)[i] AS INT) END)) % 10 = 0
+           )) AS INT) AS n_cards_valid,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS INT) AS n_emails
+    FROM found ORDER BY doc_id
+    """,
+)
+def doc_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validated payment-card PII audit (functions/textfns.card_numbers
+    / luhn_valid): candidate PAN-shaped digit runs are only COUNTED
+    after clearing the Luhn mod-10 checksum — the difference between
+    "16 digits appeared" and "a plausibly real card leaked", which is
+    what a release gate must report. The synthetic corpus carries no
+    digits, so the query plants one deterministic separator-formatted
+    candidate per document (md5-derived 15-digit base + a computed
+    check digit, correct for even doc_ids, off-by-one for odd), making
+    the expected valid-count exactly the even half. Everything is one
+    narrow JVM regexp/fold projection — no Python, no shuffle; the
+    oracle re-implements candidate extraction AND the checksum
+    independently in SQL. Real-world card fixtures (Visa/MC test
+    numbers, separators, near-misses) are pinned in
+    tests/test_textfns_pii.py."""
+    from ..functions.textfns import REDACT_PATTERNS, card_numbers
+
+    d = load_table(spark, sf_dir, "documents")
+    base = F.translate(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+        "abcdef",
+        "012345",
+    )
+    s = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda i: F.when(
+                i % 2 == 1,
+                F.when(
+                    F.substring(base, i, 1).cast("int") * 2 > 9,
+                    F.substring(base, i, 1).cast("int") * 2 - 9,
+                ).otherwise(F.substring(base, i, 1).cast("int") * 2),
+            ).otherwise(F.substring(base, i, 1).cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    check = F.when(
+        F.col("doc_id") % 2 == 0, (10 - s % 10) % 10
+    ).otherwise(((10 - s % 10) % 10 + 1) % 10)
+    pan = F.concat(base, check.cast("string"))
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" pay "),
+        F.substring(pan, 1, 4),
+        F.lit(" "),
+        F.substring(pan, 5, 4),
+        F.lit(" "),
+        F.substring(pan, 9, 4),
+        F.lit(" "),
+        F.substring(pan, 13, 4),
+    )
+    t = d.select("doc_id", synth.alias("t"))
+    return t.select(
+        "doc_id",
+        F.size(card_numbers(F.col("t"), validated=False)).alias(
+            "n_candidates"
+        ),
+        F.size(card_numbers(F.col("t"), validated=True)).alias(
+            "n_cards_valid"
+        ),
+        F.regexp_count(F.col("t"), F.lit(REDACT_PATTERNS["email"])).alias(
+            "n_emails"
+        ),
+    ).orderBy("doc_id")
 
 
 @register_query(
