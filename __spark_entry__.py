@@ -48,14 +48,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # caps at 50 entries (observed: CORRECTNESS_r01-r04 each recorded exactly
 # the first 50 of the then-current registry). Rounds 1-4 hash-verified 109
 # distinct entries, leaving 101 oracle-backed entries never driver-verified;
-# this round's 50 slots = 7 changed-or-new-code entries that must (re)verify
+# this round's 50 slots = 8 changed-or-new-code entries that must (re)verify
 # (embedding_covariance was r4's one hash-red row, now exact-integer;
 # embedding_pca_project is newly oracle-backed; doc_jaccard_join gained the
 # duplicate-collapse prestage; events_campaign_overlap's interval tiling
 # switched to floor; doc_incremental_near_dedup / doc_pii_audit /
-# dedup_lsh_recall_eval are new this round) + 41 never-verified entries
-# chosen for kernels WITHOUT a driver-verified structural sibling + 2
-# canaries overlapping every prior round. Round 6 takes the ~56 remaining
+# dedup_lsh_recall_eval / embedding_bitext_mine are new this round) + 40
+# never-verified entries chosen for kernels WITHOUT a driver-verified
+# structural sibling + 2 canaries overlapping every prior round. Round 6 takes the remaining
 # never-verified entries. Rows-only entries (no SQL oracle) sort last;
 # everything stays in the registry and the local oracle gate still runs
 # all of it.
@@ -68,9 +68,10 @@ DRIVER_PRIORITY = [
     "doc_incremental_near_dedup",  # new: streaming near-dedup batch replay
     "doc_pii_audit",             # new: Luhn-validated card PII audit
     "dedup_lsh_recall_eval",     # new: LSH vs exact-Jaccard recall readout
-    # --- 44 never-driver-verified entries (absent from r1-r4 hashes),
+    "embedding_bitext_mine",     # new: margin-based parallel-pair mining
+    # --- 40 never-driver-verified entries (absent from r1-r4 hashes),
     # chosen for kernels with no driver-verified structural sibling.
-    # The ~53 never-verified entries left out this round (doc_chunks,
+    # The ~57 never-verified entries left out this round (doc_chunks,
     # doc_word_counts, the TPC-H q11/q12/q15/q16/q20 family shapes,
     # moving-avg/lag/decile/percentile windows, the md5-fraction
     # samplers, doc_bm25_scores, curation_v2/v3, doc_sentences,
@@ -92,7 +93,9 @@ DRIVER_PRIORITY = [
     # entry has a driver hash.
     # TPC-H remainder with distinct shapes:
     "q17_small_quantity_revenue",   # correlated per-group avg, decorrelated
-    "q12_late_shipment_priority",   # two-bucket CASE + non-equi residual
+    # (q12_late_shipment_priority yielded its slot to embedding_bitext_mine:
+    # its two-bucket CASE + non-equi residual shape is the r3-verified
+    # q4/q14 conditional-aggregate family)
     # evals / statistics (algebra never driver-hashed):
     "orders_cuped_ab",
     "events_krippendorff_alpha",

@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "doc_incremental_near_dedup",
     "doc_pii_audit",
     "dedup_lsh_recall_eval",
+    "embedding_bitext_mine",
 ]
 
 

@@ -1,0 +1,183 @@
+"""Margin-based bitext (parallel-pair) mining over embedding columns.
+
+The standard recipe for mining aligned sentence/document pairs from two
+unaligned multilingual corpora (Artetxe & Schwenk 2019, "Margin-based
+Parallel Corpus Mining with Multilingual Sentence Embeddings"; the
+LASER/CCMatrix construction): raw cosine is a bad threshold because hub
+vectors are close to everything, so each candidate pair (x, y) is scored
+by the RATIO MARGIN
+
+    margin(x, y) = cos(x, y) / ( mean_{z in NN_k(x)} cos(x, z)/2
+                               + mean_{w in NN_k(y)} cos(w, y)/2 )
+
+— the pair's similarity relative to what each side's neighborhood
+considers normal. Pairs are kept at ``margin ≥ threshold`` and
+optionally restricted to mutual best matches (the high-precision mode
+used for training-corpus construction).
+
+Spark shape: the gate entry runs the EXACT form — a broadcast cross of
+the two sides with a narrow JVM quantized-dot expression, then two
+row_number windows (per-src and per-tgt top-k) — which is the right
+plan for the ≤10⁵-row per-language-pair samples where thresholds are
+tuned. At corpus scale the all-pairs stage is replaced by ANN candidate
+generation (``candidates=``: any (src_id, tgt_id) frame, e.g.
+`similarity.ivf_topk` output per direction); margin scoring and the
+mutual-best filter are unchanged — exact rescoring over candidates, the
+FAISS-mine pattern.
+
+Hash-determinism (the exact-integer discipline from `operators/pca`):
+dot products are folds of ``floor((x·y)·1e8)`` int64 terms (scale
+cancels in the cosine, so cos is one IEEE expression over exact ints);
+per-neighborhood cosine sums are quantized to 1e-9 ints before
+averaging (float sums of the top-k would be association-order-dependent
+across engines). Every ranking carries an id tiebreak. A SQL engine
+replaying the same expressions is bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["quantized_cosine", "bitext_margin_scores", "mine_bitext_pairs"]
+
+_DOT_SCALE = 8  # floor((x·y)·1e8) per element — exact int64 terms
+_COS_SCALE = 9  # floor(cos·1e9) before neighborhood sums
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    """Exact-integer quantized dot product: Σ floor((aᵢ·bᵢ)·1e8) as
+    long — order-independent, bit-equal across engines (single IEEE
+    multiply chain per term, integer sum)."""
+    q = F.lit(float(10**_DOT_SCALE))
+    terms = F.zip_with(
+        a, b, lambda x, y: F.floor((x.cast("double") * y.cast("double")) * q).cast("long")
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
+def quantized_cosine(a: Column, b: Column) -> Column:
+    """cos(a, b) from quantized integer dots: qd/sqrt(qa·qb). The 1e8
+    scale cancels between numerator and denominator, so the value is the
+    true cosine up to 1e-8-level quantization — and bit-equal in any
+    engine replaying the same integer-then-IEEE expression."""
+    qd = _qdot(a, b).cast("double")
+    qa = _qdot(a, a).cast("double")
+    qb = _qdot(b, b).cast("double")
+    return qd / F.sqrt(qa * qb)
+
+
+def bitext_margin_scores(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(src_id, tgt_id, cos, margin) for every scored pair.
+
+    ``candidates``: optional (src_id, tgt_id) frame restricting which
+    pairs are scored AND which pairs define each side's neighborhood
+    (the ANN-mining contract: neighborhoods are the retrieved top-k).
+    Without it, all pairs are scored via a broadcast cross — the
+    exact/sample path; the k-nearest neighborhoods are then true
+    nearest neighbors.
+
+    Scale: cos is a narrow JVM fold (no Python); the two neighborhood
+    aggregates shuffle (id, long) pairs only; windows are per-id top-k
+    with id tiebreaks. All-pairs cost appears only in the exact path —
+    pass ``candidates`` beyond sample scale."""
+    # norms once per row, not once per pair (3× fewer folds in the cross)
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("__sv"),
+        _qdot(F.col(vec_col), F.col(vec_col)).alias("__sn"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("__tv"),
+        _qdot(F.col(vec_col), F.col(vec_col)).alias("__tn"),
+    )
+    if candidates is None:
+        pairs = s.crossJoin(F.broadcast(t))
+    else:
+        pairs = (
+            candidates.select("src_id", "tgt_id")
+            .join(s, "src_id")
+            .join(F.broadcast(t), "tgt_id")
+        )
+    cos = _qdot(F.col("__sv"), F.col("__tv")).cast("double") / F.sqrt(
+        F.col("__sn").cast("double") * F.col("__tn").cast("double")
+    )
+    scored = pairs.select("src_id", "tgt_id", cos.alias("cos"))
+    qcos = F.floor(F.col("cos") * F.lit(float(10**_COS_SCALE))).cast("long")
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("cos").desc(), F.col("tgt_id").asc()
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos").desc(), F.col("src_id").asc()
+    )
+    ranked = scored.select(
+        "src_id",
+        "tgt_id",
+        "cos",
+        qcos.alias("__qc"),
+        F.row_number().over(wf).alias("__rf"),
+        F.row_number().over(wb).alias("__rb"),
+    )
+    # neighborhood denominators: exact-int sums of the top-k quantized
+    # cosines per side (float top-k sums differ by association order
+    # across engines; integer sums don't)
+    fsum = (
+        ranked.filter(F.col("__rf") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("__qc").alias("__fs"), F.count(F.lit(1)).alias("__fn"))
+    )
+    bsum = (
+        ranked.filter(F.col("__rb") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("__qc").alias("__bs"), F.count(F.lit(1)).alias("__bn"))
+    )
+    unit = F.lit(float(10**_COS_SCALE))
+    denom = (
+        F.col("__fs").cast("double") / (F.col("__fn") * unit)
+        + F.col("__bs").cast("double") / (F.col("__bn") * unit)
+    ) / F.lit(2.0)
+    return (
+        ranked.join(fsum, "src_id")
+        .join(bsum, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos",
+            (F.col("cos") / denom).alias("margin"),
+            F.col("__rf").alias("fwd_rank"),
+            F.col("__rb").alias("bwd_rank"),
+        )
+    )
+
+
+def mine_bitext_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 1.0,
+    mutual_best: bool = True,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Mined pairs: margin ≥ threshold, optionally mutual best
+    (fwd_rank = bwd_rank = 1 — each side is the other's nearest). The
+    production corpus-construction mode; relax ``mutual_best`` for the
+    recall-oriented max-margin variant."""
+    scored = bitext_margin_scores(
+        src, tgt, id_col=id_col, vec_col=vec_col, k=k, candidates=candidates
+    )
+    out = scored.filter(F.col("margin") >= threshold)
+    if mutual_best:
+        out = out.filter((F.col("fwd_rank") == 1) & (F.col("bwd_rank") == 1))
+    return out.select("src_id", "tgt_id", "cos", "margin")

@@ -10950,6 +10950,83 @@ def _pca_project_oracle() -> str | None:
     """
 
 
+@register_query(
+    "embedding_bitext_mine",
+    oracle=r"""
+    WITH s AS (
+        SELECT vec_id AS src_id, embedding AS v,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(floor((CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)) * 1e8) AS BIGINT)))
+                   AS qn
+        FROM embeddings
+        WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
+          AND len(embedding) = 64
+    ), t AS (
+        SELECT vec_id AS tgt_id, embedding AS v,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(floor((CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)) * 1e8) AS BIGINT)))
+                   AS qn
+        FROM embeddings
+        WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
+          AND len(embedding) = 64
+    ), scored AS (
+        SELECT s.src_id, t.tgt_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(floor((CAST(s.v[i] AS DOUBLE)
+                        * CAST(t.v[i] AS DOUBLE)) * 1e8) AS BIGINT)))
+                   AS DOUBLE)
+               / sqrt(CAST(s.qn AS DOUBLE) * CAST(t.qn AS DOUBLE)) AS cos
+        FROM s, t
+    ), ranked AS (
+        SELECT src_id, tgt_id, cos,
+               CAST(floor(cos * 1e9) AS BIGINT) AS qc,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY cos DESC, tgt_id ASC) AS rf,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY cos DESC, src_id ASC) AS rb
+        FROM scored
+    ), fsum AS (
+        SELECT src_id, sum(qc) AS fs, count(*) AS fn
+        FROM ranked WHERE rf <= 4 GROUP BY src_id
+    ), bsum AS (
+        SELECT tgt_id, sum(qc) AS bs, count(*) AS bn
+        FROM ranked WHERE rb <= 4 GROUP BY tgt_id
+    )
+    SELECT r.src_id, r.tgt_id, r.cos,
+           r.cos / ((CAST(fs AS DOUBLE) / (fn * 1e9)
+                     + CAST(bs AS DOUBLE) / (bn * 1e9)) / 2.0) AS margin
+    FROM ranked r JOIN fsum USING (src_id) JOIN bsum USING (tgt_id)
+    WHERE r.cos / ((CAST(fs AS DOUBLE) / (fn * 1e9)
+                    + CAST(bs AS DOUBLE) / (bn * 1e9)) / 2.0) >= 1.05
+      AND r.rf = 1 AND r.rb = 1
+    ORDER BY src_id
+    """,
+)
+def embedding_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/bitext.mine_bitext_pairs —
+    the Artetxe & Schwenk 2019 ratio-margin criterion): even vec_ids
+    play the source language, odd the target; pairs are kept when they
+    are MUTUAL nearest neighbors whose cosine exceeds what each side's
+    k=4 neighborhood considers normal (margin ≥ 1.05). Dots and
+    neighborhood sums use the exact-integer quantization discipline, so
+    the whole chain — cosines, both rank windows, margin ratios — is
+    bit-equal to the SQL replay. The gate runs the exact broadcast-cross
+    form (the threshold-tuning sample path); at corpus scale the same
+    scoring runs over ANN candidates (``candidates=``)."""
+    from ..operators.bitext import mine_bitext_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return mine_bitext_pairs(
+        src, tgt, k=4, threshold=1.05, mutual_best=True
+    ).orderBy("src_id")
+
+
 @register_query("embedding_pca_project", oracle=_pca_project_oracle())
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA fit + projection (operators/pca): exact-integer covariance

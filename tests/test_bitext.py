@@ -1,0 +1,126 @@
+"""Margin-based bitext mining (operators/bitext) on planted parallel
+pairs."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    """8 planted parallel pairs (same direction + small noise) plus 12
+    unaligned distractors per side, 16-dim."""
+    rng = random.Random(11)
+    dirs = [
+        _unit([rng.gauss(0, 1) for _ in range(16)]) for _ in range(8)
+    ]
+    src_rows, tgt_rows = [], []
+    for i, d in enumerate(dirs):
+        src_rows.append((i, [float(x) for x in d]))
+        noisy = _unit([x + rng.gauss(0, 0.05) for x in d])
+        tgt_rows.append((1000 + i, [float(x) for x in noisy]))
+    for j in range(12):
+        src_rows.append((100 + j, _unit([rng.gauss(0, 1) for _ in range(16)])))
+        tgt_rows.append((1100 + j, _unit([rng.gauss(0, 1) for _ in range(16)])))
+    src = spark.createDataFrame(src_rows, ["vec_id", "embedding"])
+    tgt = spark.createDataFrame(tgt_rows, ["vec_id", "embedding"])
+    return src, tgt
+
+
+def test_quantized_cosine_matches_true_cosine(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.bitext import (
+        quantized_cosine,
+    )
+
+    a = [0.5, -0.25, 0.125, 0.75]
+    b = [0.1, 0.9, -0.3, 0.2]
+    true = sum(x * y for x, y in zip(a, b)) / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+    )
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    got = df.select(quantized_cosine(F.col("a"), F.col("b")).alias("c")).head().c
+    assert got == pytest.approx(true, abs=1e-6)
+
+
+def test_planted_pairs_are_mined_mutual_best(spark, corpora):
+    from nifi_hive_schema_generator_bundle_spark.operators.bitext import (
+        mine_bitext_pairs,
+    )
+
+    src, tgt = corpora
+    got = {
+        (r.src_id, r.tgt_id): r.margin
+        for r in mine_bitext_pairs(
+            src, tgt, k=3, threshold=1.0, mutual_best=True
+        ).collect()
+    }
+    for i in range(8):
+        assert (i, 1000 + i) in got, f"planted pair {i} missed"
+        assert got[(i, 1000 + i)] > 1.0
+    # no planted distractor pair should out-rank a true pair's slots
+    for (s, t) in got:
+        if s < 100:
+            assert t == 1000 + s
+
+
+def test_candidates_path_matches_exact_on_full_grid(spark, corpora):
+    """Passing the full pair grid as candidates = the exact path (the
+    ANN contract: same scoring, candidate-restricted neighborhoods)."""
+    from nifi_hive_schema_generator_bundle_spark.operators.bitext import (
+        mine_bitext_pairs,
+    )
+
+    src, tgt = corpora
+    grid = src.select(F.col("vec_id").alias("src_id")).crossJoin(
+        tgt.select(F.col("vec_id").alias("tgt_id"))
+    )
+    a = sorted(
+        (r.src_id, r.tgt_id, r.cos, r.margin)
+        for r in mine_bitext_pairs(
+            src, tgt, k=3, threshold=1.0, mutual_best=True
+        ).collect()
+    )
+    b = sorted(
+        (r.src_id, r.tgt_id, r.cos, r.margin)
+        for r in mine_bitext_pairs(
+            src, tgt, k=3, threshold=1.0, mutual_best=True, candidates=grid
+        ).collect()
+    )
+    assert a == b  # bit-equal: same quantized expressions either way
+
+
+def test_margin_demotes_hub_vectors(spark):
+    """A hub (close to everything on the other side) scores high cosine
+    but low margin — the reason ratio margin exists."""
+    from nifi_hive_schema_generator_bundle_spark.operators.bitext import (
+        bitext_margin_scores,
+    )
+
+    base = _unit([1.0] * 8)
+    # hub src 0 is moderately close to every tgt; src 1 has one sharp match
+    rng = random.Random(3)
+    src = spark.createDataFrame(
+        [(0, base), (1, _unit([1, -1, 1, -1, 1, -1, 1, -1.0]))],
+        ["vec_id", "embedding"],
+    )
+    tgts = []
+    for j in range(6):
+        tgts.append((10 + j, _unit([1 + rng.gauss(0, 0.2) for _ in range(8)])))
+    tgts.append((20, _unit([1, -1, 1, -1, 1, -1, 1, -1.02])))
+    tgt = spark.createDataFrame(tgts, ["vec_id", "embedding"])
+    rows = bitext_margin_scores(src, tgt, k=3).collect()
+    hub_best = max(
+        (r for r in rows if r.src_id == 0), key=lambda r: r.margin
+    )
+    sharp = max((r for r in rows if r.src_id == 1), key=lambda r: r.margin)
+    assert sharp.margin > hub_best.margin
+    assert sharp.tgt_id == 20
