@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "doc_pii_audit",
     "dedup_lsh_recall_eval",
     "embedding_bitext_mine",
+    "doc_unigram_vocab_train",
+    "doc_unigram_fertility",
 ]
 
 

@@ -851,6 +851,59 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query("doc_unigram_vocab_train")
+def doc_unigram_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed unigram-LM tokenizer TRAINING (functions/unigram_lm.
+    train_unigram_vocab — Kudo 2018, the SentencePiece default model):
+    corpus → (word, freq) table once, then EM rounds where the E-step is
+    one Arrow forward–backward stage emitting exact-integer-quantized
+    expected-count partials (bit-reproducible under any partitioning)
+    and pruning keeps the highest-expected-count pieces with all single
+    characters protected. Rows-only by declared design — lattice EM is
+    iterative and not SQL-expressible; hand-checked Viterbi lattices and
+    the cross-partitioning determinism property live in
+    tests/test_unigram_lm.py. Returns the learned (piece, logprob)
+    inventory."""
+    from ..functions.unigram_lm import train_unigram_vocab
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = train_unigram_vocab(
+        d, vocab_size=120, em_iters=1, max_piece_len=6
+    )
+    return spark.createDataFrame(
+        [(p, round(lp, 6)) for p, lp in vocab], "piece string, logprob double"
+    )
+
+
+@register_query("doc_unigram_fertility")
+def doc_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization fertility (functions/unigram_lm.
+    unigram_token_stats): train on the corpus, Viterbi-segment every
+    document in one memoized Arrow stage, report pieces-per-word — the
+    quality readout that decides a tokenizer ships. Rows-only (training
+    + Viterbi aren't SQL); the reassembly invariant (pieces concat back
+    to the words) and fertility bounds are unit-pinned."""
+    from ..functions.unigram_lm import (
+        train_unigram_vocab,
+        unigram_token_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = train_unigram_vocab(
+        d, vocab_size=120, em_iters=1, max_piece_len=6
+    )
+    return (
+        unigram_token_stats(d, vocab)
+        .select(
+            "doc_id",
+            "n_pieces",
+            "n_words",
+            F.round("fertility", 6).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register_query(
     "token_stats_docs",
     oracle="""
