@@ -1361,17 +1361,23 @@ def jaccard_threshold_join(
     # 16-byte fp and the exploded (id, tok) rows do (the first cut of
     # this rework shipped the arrays through the reps join and measured
     # 2× slower at sf0.1).
+    # persist the two hot frames: docs feeds groups/members/rep_fp/dup_fp
+    # (≥5 consumers) and toks feeds freq/sizes/ranked/ta/tb (5 consumers).
+    # Unpersisted, EVERY consumer replays tokenize + shingle + sort + md5
+    # over the whole corpus — measured SUPER-linear at the 10× sweep
+    # (14 s → 268 s, exponent 1.27) vs ~linear persisted. Narrow payloads
+    # either way: (id, 16-byte fp, int) and (id, short token).
     docs = base.select(
         "id",
         F.md5(F.concat_ws("\x01", F.array_sort(elems))).alias("fp"),
         F.size(elems).alias("ssz"),
-    )
+    ).persist()
     toks_all = base.select("id", F.explode(elems).alias("tok"))
     groups = docs.groupBy("fp").agg(
         F.min("id").alias("rep"), F.count(F.lit(1)).alias("n_members")
     )
     rep_ids = groups.select(F.col("rep").alias("id"))
-    toks = toks_all.join(rep_ids, "id", "semi")
+    toks = toks_all.join(rep_ids, "id", "semi").persist()
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "tok")
@@ -1383,7 +1389,7 @@ def jaccard_threshold_join(
     prefix = ranked.filter(
         F.col("rnk")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "tok", "sz")
+    ).select("id", "tok", "sz", "rnk")
     if max_bucket is not None:
         # degenerate-bucket guard: candidate fan-in per prefix token is
         # quadratic in its representative-df; cap it (file convention)
@@ -1396,6 +1402,16 @@ def jaccard_threshold_join(
         F.col("id").alias("id_b"),
         F.col("tok"),
         F.col("sz").alias("sz_b"),
+        F.col("rnk").alias("rnk_b"),
+    )
+    # PPJoin positional filter (Xiao et al. 2008): J ≥ θ needs overlap
+    # α = ⌈θ/(1+θ)·(|A|+|B|)⌉, and a pair first meeting at prefix
+    # positions (pa, pb) can still share at most
+    # 1 + min(|A|−pa, |B|−pb) tokens (same global order both sides) —
+    # provably no false negatives, and it cut 10×-sweep candidates
+    # 1.50 M → 0.55 M (verify join 103 s → 19 s).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (prefix.sz + pb.sz_b)
     )
     cand = (
         prefix.join(
@@ -1404,7 +1420,11 @@ def jaccard_threshold_join(
             & (prefix.id < pb.id_b)
             # size filter: θ|A| ≤ |B| ≤ |A|/θ is necessary for J ≥ θ
             & (pb.sz_b * threshold <= prefix.sz)
-            & (prefix.sz * threshold <= pb.sz_b),
+            & (prefix.sz * threshold <= pb.sz_b)
+            & (
+                F.lit(1) + F.least(prefix.sz - prefix.rnk, pb.sz_b - pb.rnk_b)
+                >= alpha
+            ),
         )
         .select(F.col("id").alias("id_a"), "id_b")
         .distinct()
