@@ -210,6 +210,10 @@ ARROW_BATCHED = {
     # the mojibake repair is a declared Arrow stage (codec work, the
     # compression_ratio contract)
     "doc_fix_mojibake",
+    # unigram-LM Viterbi segmentation: one memoized mapInPandas stage
+    # (functions/unigram_lm.unigram_tokenize_words) — lattice DP is not
+    # expressible in JVM expressions; the stats joins after are JVM
+    "doc_unigram_fertility",
     # PCA's Gram partials are one Arrow BLAS stage (operators/pca),
     # the blocked-matmul contract; everything downstream is d²-row JVM.
     # (embedding_pca_project is NOT here: its Arrow stage runs eagerly
@@ -296,6 +300,13 @@ BNLJ_ALLOWED = {
     # definition; the content-intersection join itself is an equi-join
     "dataset_overlap_matrix",
     "ngram_jaccard_docs",
+    # three 1-row scalar broadcasts (n_exact × n_lsh × n_common counts
+    # combined into the single report row), the q22 class
+    "dedup_lsh_recall_eval",
+    # the exact/sample path broadcasts the full target side against the
+    # source scan (the ann_cosine_topk bounded-anchor class); at corpus
+    # scale the candidates= parameter replaces it with equi-joins
+    "embedding_bitext_mine",
     # bounded scalar cross joins: the |strata|-row rate table × 1-row
     # feasible cap, and the 1-row bucket-threshold broadcast
     "doc_mixture_sample",
