@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "embedding_bitext_mine",
     "doc_unigram_vocab_train",
     "doc_unigram_fertility",
+    "customers_l_diversity",
 ]
 
 

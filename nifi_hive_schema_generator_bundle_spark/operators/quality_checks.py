@@ -256,6 +256,52 @@ def k_anonymity_report(
     )
 
 
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741 - the literature's name for the parameter
+) -> DataFrame:
+    """L-diversity audit — k-anonymity's necessary complement
+    (Machanavajjhala et al. 2007): an equivalence class can be large
+    (k-anonymous) yet still leak if every member shares the same
+    SENSITIVE value, so each quasi-identifier class must contain at
+    least ``l`` distinct sensitive values (distinct l-diversity, the
+    auditable base form).
+
+    Returns a one-row report: (l, n_rows, n_classes, n_risky_classes,
+    n_risky_rows, min_diversity, diverse) where risky = class with
+    < ``l`` distinct non-NULL sensitive values and ``diverse`` is true
+    iff no class is risky. NULL sensitive values don't count toward
+    diversity (an attacker learns "missing", which is itself one
+    value — counted separately would overstate protection).
+
+    Same single-pass shape as ``k_anonymity_report``: one
+    groupBy(quasi_cols) with a count + count_distinct, reduced to the
+    1-row audit; cardinality bounded by distinct combinations.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(sensitive_col).alias("__d"),
+    )
+    risky = F.col("__d") < l
+    return classes.agg(
+        F.lit(l).alias("l"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(risky.cast("long")).cast("long").alias("n_risky_classes"),
+        F.sum(F.when(risky, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.min("__d").cast("long").alias("min_diversity"),
+        (F.max(risky.cast("int")) == 0).alias("diverse"),
+    )
+
+
 def split_leakage_report(
     df: DataFrame,
     *,

@@ -7536,6 +7536,41 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(cust, ["c_mktsegment", "c_nationkey"], k=5)
 
 
+@register_query(
+    "customers_l_diversity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_mktsegment, c_nationkey, count(*) AS n,
+               count(DISTINCT c_acctbal) AS d
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT CAST(3 AS INT) AS l,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_classes,
+           CAST(sum(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           CAST(min(d) AS BIGINT) AS min_diversity,
+           max(CASE WHEN d < 3 THEN 1 ELSE 0 END) = 0 AS diverse
+    FROM classes
+    """,
+)
+def customers_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity audit (operators/quality_checks.l_diversity_report,
+    l=3) — k-anonymity's complement (Machanavajjhala et al. 2007): the
+    (market segment, nation) classes must each contain ≥3 distinct
+    account-balance values, or a class is large-but-homogeneous and
+    leaks the sensitive attribute outright. Same one-groupBy + 1-row
+    reduction shape as the k-anonymity gate."""
+    from ..operators.quality_checks import l_diversity_report
+
+    cust = load_table(spark, sf_dir, "customer")
+    return l_diversity_report(
+        cust, ["c_mktsegment", "c_nationkey"], "c_acctbal", l=3
+    )
+
+
 @register_query("media_image_near_dup")
 def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-dup pairs over the REAL stdlib PNG codec (rows-only:

@@ -158,3 +158,28 @@ def test_redact_matches_python_re(spark, text):
     for kind, pat in REDACT_PATTERNS.items():
         want = re.sub(pat, f"<{kind.upper()}>", want)
     assert got == want
+
+
+def test_l_diversity_report_planted(spark):
+    """Hand-built classes: one diverse, one homogeneous, NULLs excluded."""
+    from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (
+        l_diversity_report,
+    )
+
+    rows = [
+        # class A: 3 rows, 3 distinct sensitive values -> diverse at l=2
+        ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "z"),
+        # class B: 4 rows, all the same sensitive value -> risky
+        ("b", 2, "w"), ("b", 2, "w"), ("b", 2, "w"), ("b", 2, "w"),
+        # class C: 2 rows, one NULL sensitive -> diversity 1 -> risky
+        ("c", 3, "v"), ("c", 3, None),
+    ]
+    df = spark.createDataFrame(rows, ["q1", "q2", "s"])
+    r = l_diversity_report(df, ["q1", "q2"], "s", l=2).collect()[0]
+    assert r.l == 2 and r.n_rows == 9 and r.n_classes == 3
+    assert r.n_risky_classes == 2 and r.n_risky_rows == 6
+    assert r.min_diversity == 1 and r.diverse is False
+    ok = l_diversity_report(
+        df.filter("q1 = 'a'"), ["q1", "q2"], "s", l=3
+    ).collect()[0]
+    assert ok.diverse is True and ok.min_diversity == 3
