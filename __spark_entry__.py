@@ -48,14 +48,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # caps at 50 entries (observed: CORRECTNESS_r01-r04 each recorded exactly
 # the first 50 of the then-current registry). Rounds 1-4 hash-verified 109
 # distinct entries, leaving 101 oracle-backed entries never driver-verified;
-# this round's 50 slots = 8 changed-or-new-code entries that must (re)verify
+# this round's 50 slots = 13 changed-or-new-code entries that must (re)verify
 # (embedding_covariance was r4's one hash-red row, now exact-integer;
 # embedding_pca_project is newly oracle-backed; doc_jaccard_join gained the
 # duplicate-collapse prestage; events_campaign_overlap's interval tiling
 # switched to floor; doc_incremental_near_dedup / doc_pii_audit /
-# dedup_lsh_recall_eval / embedding_bitext_mine are new this round) + 40
-# never-verified entries chosen for kernels WITHOUT a driver-verified
-# structural sibling + 2 canaries overlapping every prior round. Round 6 takes the remaining
+# dedup_lsh_recall_eval / embedding_bitext_mine / events_hll_user_reach /
+# events_kmv_type_overlap / lineitem_price_ddsketch / orders_bloom_prejoin /
+# doc_containment_join are new this round) + 35 never-verified entries
+# chosen for kernels WITHOUT a driver-verified structural sibling + 2
+# canaries overlapping every prior round. Round 6 takes the remaining
 # never-verified entries. Rows-only entries (no SQL oracle) sort last;
 # everything stays in the registry and the local oracle gate still runs
 # all of it.
@@ -69,6 +71,11 @@ DRIVER_PRIORITY = [
     "doc_pii_audit",             # new: Luhn-validated card PII audit
     "dedup_lsh_recall_eval",     # new: LSH vs exact-Jaccard recall readout
     "embedding_bitext_mine",     # new: margin-based parallel-pair mining
+    "events_hll_user_reach",     # new: portable HLL registers + merge path
+    "events_kmv_type_overlap",   # new: KMV/theta set-algebra estimates
+    "lineitem_price_ddsketch",   # new: literal-boundary quantile sketch
+    "orders_bloom_prejoin",      # new: bloom-pruned (dynamic-filter) semi join
+    "doc_containment_join",      # new: directed containment prefix join
     # --- 40 never-driver-verified entries (absent from r1-r4 hashes),
     # chosen for kernels with no driver-verified structural sibling.
     # The ~57 never-verified entries left out this round (doc_chunks,
@@ -110,11 +117,13 @@ DRIVER_PRIORITY = [
     "doc_scaling_law_fit",
     "doc_langid_report",
     # text-analysis kernels:
-    "doc_bpe_token_count",
-    "doc_unigram_logprob",
+    # (doc_bpe_token_count, doc_unigram_logprob and doc_html_extract
+    # yielded their slots to this round's five new sketch/join entries:
+    # token-count ~ the r4-verified doc_token_heavy_hitters/BPE kernels,
+    # unigram_logprob ~ r4-verified doc_bigram_logprob, html_extract ~
+    # the r3-verified regex-extraction family — round 6 picks them up)
     "doc_duplicate_spans",
     "doc_sentence_dedup",
-    "doc_html_extract",
     "doc_readability",
     "doc_license_detect",
     "doc_gopher_quality",
@@ -126,8 +135,10 @@ DRIVER_PRIORITY = [
     "doc_preference_pairs",
     "doc_chat_validate",
     # dedup / similarity / embedding:
-    "simhash_near_dup_portable",
-    "embedding_random_projection",
+    # (simhash_near_dup_portable ~ the r4-verified md5-portable
+    # minhash_near_dup_portable kernel; embedding_random_projection ~
+    # the literal-fold kernel embedding_pca_project re-verifies at this
+    # round's head — both moved to round 6)
     "embedding_decontamination",
     "embedding_silhouette",
     "embedding_hard_negatives",

@@ -208,6 +208,11 @@ BENCH_QUERIES = [
     "doc_unigram_vocab_train",
     "doc_unigram_fertility",
     "customers_l_diversity",
+    "events_hll_user_reach",
+    "events_kmv_type_overlap",
+    "lineitem_price_ddsketch",
+    "orders_bloom_prejoin",
+    "doc_containment_join",
 ]
 
 

@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_build", "bloom_might_contain", "bloom_prefiltered_anti_join"]
+__all__ = [
+    "bloom_build",
+    "bloom_might_contain",
+    "bloom_prefiltered_anti_join",
+    "bloom_prefiltered_semi_join",
+]
 
 
 def _coords(key: Column, n_hashes: int, n_bits: int) -> Column:
@@ -140,3 +145,42 @@ def bloom_prefiltered_anti_join(
     )
     survivors = maybe.join(old.select(on).distinct(), on, "anti")
     return certain_new.unionByName(survivors)
+
+
+def bloom_prefiltered_semi_join(
+    df: DataFrame,
+    keys: DataFrame,
+    on: str,
+    *,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Exact ``df SEMI JOIN keys ON on`` with a Bloom pre-filter — the
+    dynamic-filtering / runtime-row-filter pattern (Trino's dynamic
+    filters, Spark's own runtime bloom pushdown) made explicit and
+    composable with this file's mergeable filter.
+
+    The probe side drops every row the filter rejects BEFORE the
+    shuffle: those keys are certainly absent from ``keys`` (no false
+    negatives), so only true matches + the bounded false-positive
+    sliver pay shuffle + join cost; the exact semi-join then removes
+    the false positives. Result is EXACTLY the semi-join — the filter
+    only reduces shuffled volume. With a 0.1 %-selective build side,
+    the probe shuffle shrinks ~1000×/(1+FPR) — the difference between
+    shuffling 100 TB and shuffling 100 GB.
+
+    NULL probe keys never match a semi-join and are dropped with the
+    filter rejections (xxhash64 hashes the seed alone on NULL input,
+    which could otherwise leak NULLs through as "maybe")."""
+    bloom = bloom_build(keys, on, n_bits=n_bits, n_hashes=n_hashes)
+    maybe = (
+        df.join(F.broadcast(bloom))
+        .filter(
+            F.col(on).isNotNull()
+            & bloom_might_contain(
+                F.col(on), F.col("bloom"), n_bits=n_bits, n_hashes=n_hashes
+            )
+        )
+        .select(*df.columns)
+    )
+    return maybe.join(keys.select(on).distinct(), on, "semi")

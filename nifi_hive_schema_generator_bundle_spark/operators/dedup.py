@@ -58,6 +58,7 @@ __all__ = [
     "contaminated_ids",
     "decontaminate",
     "jaccard_threshold_join",
+    "containment_join",
 ]
 
 
@@ -1518,4 +1519,177 @@ def jaccard_threshold_join(
     )
     return cross.unionByName(within).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.8,
+    k: int | None = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """EXACT directed set-CONTAINMENT θ-join: every ordered pair
+    (a, b), a ≠ b, with ``C(a→b) = |Sa ∩ Sb| / |Sa| ≥ threshold`` —
+    "a's shingles are mostly inside b". The asymmetric sibling of
+    `jaccard_threshold_join` and the right predicate for doc-in-doc
+    detection (quotes, boilerplate wrappers, article + comments
+    scrapes): a short doc fully embedded in a long one has tiny
+    Jaccard but containment 1.0, so symmetric dedup never sees it.
+
+    Prefix filter, containment form (Chaudhuri et al. 2006 adapted —
+    the required overlap ⌈θ·|Sa|⌉ depends only on the CONTAINED side):
+    a's (|Sa| − ⌈θ·|Sa|⌉ + 1)-prefix under the global rarest-first
+    token order must share a token with b's FULL token list (b can be
+    arbitrarily large and still contain a, so only the a-side prefix
+    shrinks; the b side is the inverted index). A size filter
+    ``|Sb| ≥ ⌈θ·|Sa|⌉`` rides the candidate join; verification is the
+    exact shared-count divide.
+
+    Guards (file conventions): exact-duplicate collapse — identical
+    element sets (md5 set fingerprint) enter candidate generation once
+    via their min-id representative, then pairs re-expand through the
+    fingerprint (within-group ordered pairs at containment 1.0;
+    cross-group pairs inherit the representative pair's value, both
+    directions carried independently because C is asymmetric) — and a
+    logged ``max_bucket`` cap on the index-token fan-in (dropping
+    tokens whose REPRESENTATIVE document frequency exceeds the cap can
+    lose true pairs only in the >max_bucket-distinct-near-identical-
+    sets regime; ``None`` for provably-exact mode).
+
+    ``k``: None = unigram token sets (empty sets never pair — a 0-size
+    contained side is undefined and is dropped); k ≥ 2 = distinct
+    word-k-gram sets, where sub-k-token documents compare by their
+    whole joined text as one shingle (the `jaccard_threshold_join`
+    granularity contract — two empty docs contain each other at 1.0).
+
+    Returns (id_a, id_b, containment) — DIRECTED, id_a is the
+    contained side. Scale: same frame shapes as the Jaccard join (16-
+    byte fingerprints + (id, token) rows, never element arrays); the
+    one structural difference is the full-index b side, whose fan-in
+    is exactly what ``max_bucket`` bounds."""
+    from pyspark.sql import Window
+
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    words = whitespace_tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), words.alias("__toks"))
+    if k is None:
+        elems = F.array_distinct(F.col("__toks"))
+    else:
+        elems = F.array_distinct(shingles_from_tokens(F.col("__toks"), k))
+    docs = base.select(
+        "id",
+        F.md5(F.concat_ws("\x01", F.array_sort(elems))).alias("fp"),
+        F.size(elems).alias("ssz"),
+    ).persist()
+    toks_all = base.select("id", F.explode(elems).alias("tok"))
+    groups = docs.groupBy("fp").agg(
+        F.min("id").alias("rep"), F.count(F.lit(1)).alias("n_members")
+    )
+    rep_ids = groups.select(F.col("rep").alias("id"))
+    toks = toks_all.join(rep_ids, "id", "semi").persist()
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    # contained-side prefix: overlap ≥ ⌈θ·|Sa|⌉ forces a shared token
+    # in the first |Sa| − ⌈θ·|Sa|⌉ + 1 rarest elements of a
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "tok", "sz")
+    index = ranked.select(
+        F.col("id").alias("id_b"), "tok", F.col("sz").alias("sz_b")
+    )
+    if max_bucket is not None:
+        bucket_sizes = index.groupBy("tok").count()
+        keep = bucket_sizes.filter(F.col("count") <= max_bucket).drop(
+            "count"
+        )
+        prefix = prefix.join(keep, "tok")
+        index = index.join(keep, "tok")
+    cand = (
+        prefix.join(
+            index,
+            (prefix.tok == index.tok)
+            & (prefix.id != index.id_b)
+            # |Sb| ≥ ⌈θ·|Sa|⌉ is necessary for containment ≥ θ
+            & (index.sz_b >= F.ceil(F.lit(threshold) * prefix.sz)),
+        )
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("__idb"), F.col("tok").alias("__tokb"))
+    shared = (
+        cand.join(ta, "id_a")
+        .join(
+            tb,
+            (F.col("id_b") == F.col("__idb"))
+            & (F.col("tok") == F.col("__tokb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    rep_pairs = (
+        shared.join(sa, "id_a")
+        .withColumn("containment", F.col("shared") / F.col("sz_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    members = docs.select("fp", "id")
+    rep_fp = groups.select("rep", "fp")
+    # cross-group expansion: identical sets ⇒ identical containments,
+    # direction preserved (a-side members stay contained sides)
+    cross = (
+        rep_pairs.join(
+            rep_fp.select(F.col("rep").alias("id_a"), F.col("fp").alias("__fpa")),
+            "id_a",
+        )
+        .join(
+            rep_fp.select(F.col("rep").alias("id_b"), F.col("fp").alias("__fpb")),
+            "id_b",
+        )
+        .join(
+            members.select(F.col("fp").alias("__fpa"), F.col("id").alias("__ma")),
+            "__fpa",
+        )
+        .join(
+            members.select(F.col("fp").alias("__fpb"), F.col("id").alias("__mb")),
+            "__fpb",
+        )
+        .select(
+            F.col("__ma").alias("id_a"),
+            F.col("__mb").alias("id_b"),
+            "containment",
+        )
+    )
+    # within-group expansion: identical non-empty sets contain each
+    # other — BOTH ordered pairs at 1.0
+    dup_fp = (
+        groups.join(docs.select("fp", "ssz").dropDuplicates(["fp"]), "fp")
+        .filter((F.col("n_members") >= 2) & (F.col("ssz") >= 1))
+        .select("fp")
+    )
+    ma = members.join(dup_fp, "fp").select("fp", F.col("id").alias("__ma"))
+    mb = members.join(dup_fp, "fp").select(
+        F.col("fp").alias("__fp2"), F.col("id").alias("__mb")
+    )
+    within = ma.join(
+        mb, (ma.fp == mb.__fp2) & (F.col("__ma") != F.col("__mb"))
+    ).select(
+        F.col("__ma").alias("id_a"),
+        F.col("__mb").alias("id_b"),
+        F.lit(1.0).alias("containment"),
+    )
+    return cross.unionByName(within).select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
     )

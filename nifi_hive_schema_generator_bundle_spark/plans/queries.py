@@ -11709,3 +11709,469 @@ def events_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("conf")
     )
+
+
+# ===========================================================================
+# Round 5: portable cardinality sketches, quantile sketch, bloom-pruned
+# join, containment join
+# ===========================================================================
+
+def _dlit(x: float) -> str:
+    """Render a python double as a DuckDB DOUBLE literal. Exponent
+    notation is load-bearing: a bare decimal literal parses as DECIMAL,
+    and DuckDB's DECIMAL→DOUBLE coercion goes through int128/scale
+    division that can land 1 ULP off the repr() round-trip (measured on
+    the HLL linear-counting table) — approximate-numeric-literal
+    notation parses straight to the exact double."""
+    return "%.17e" % x
+
+
+def _hll_oracle_sql(p: int = 8) -> str:
+    """DuckDB twin of the portable-HLL estimate: replays register index,
+    rho, the exact HUGEINT denominator, the single-division estimate and
+    the literal linear-counting table (operators/cardinality.py — the
+    literals are generated by the SAME python expressions the engine
+    ships to Spark, so both sides share them verbatim)."""
+    from ..operators.cardinality import (
+        HLL_RHO_CAP,
+        hll_linear_counting_table,
+    )
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = _dlit(alpha * m * m * 2.0**HLL_RHO_CAP)
+    two_cap = str(1 << HLL_RHO_CAP)
+    lc = ", ".join(_dlit(x) for x in hll_linear_counting_table(p))
+    return f"""
+    WITH ev AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ), hx AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM ev
+    ), rr AS (
+        SELECT event_type,
+               CAST(('0x' || substring(h, 1, 2)) AS INT) AS register,
+               regexp_replace(substring(h, 3, 30), '^0+', '') AS st
+        FROM hx
+    ), rho0 AS (
+        SELECT event_type, register,
+               least(CASE WHEN length(st) = 0 THEN 121
+                    ELSE (30 - length(st)) * 4
+                         + CASE WHEN substring(st, 1, 1) = '1' THEN 3
+                                WHEN substring(st, 1, 1) IN ('2','3') THEN 2
+                                WHEN substring(st, 1, 1) IN ('4','5','6','7')
+                                     THEN 1
+                                ELSE 0 END + 1 END, {HLL_RHO_CAP}) AS rho
+        FROM rr
+    ), regs AS (
+        SELECT event_type, register, max(rho) AS rho
+        FROM rho0 GROUP BY event_type, register
+    ), agg AS (
+        SELECT event_type, count(*) AS nreg,
+               sum(CAST(power(2.0, {HLL_RHO_CAP} - rho) AS HUGEINT)) AS den0
+        FROM regs GROUP BY event_type
+    ), est AS (
+        SELECT event_type,
+               CASE WHEN ({m} - nreg) > 0
+                         AND {num} / CAST(den0 + ({m} - nreg)
+                             * CAST('{two_cap}' AS HUGEINT) AS DOUBLE)
+                             <= {_dlit(2.5 * m)}
+                    THEN ([{lc}])[greatest({m} - nreg, 1)]
+                    ELSE {num} / CAST(den0 + ({m} - nreg)
+                         * CAST('{two_cap}' AS HUGEINT) AS DOUBLE)
+               END AS est_users
+        FROM agg
+    ), exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_users
+        FROM ev GROUP BY event_type
+    )
+    SELECT e.event_type, e.exact_users, s.est_users
+    FROM exact e JOIN est s USING (event_type)
+    ORDER BY event_type
+    """
+
+
+@register_query("events_hll_user_reach", oracle=_hll_oracle_sql())
+def events_hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-user estimate per event type
+    (operators/cardinality.hll_registers/merge/estimate) next to the
+    exact count. The engine deliberately takes the MERGE path — daily
+    register tables max-merged into per-type registers — which equals
+    the direct build EXACTLY (register max is integer and associative),
+    so the hash-verified result also certifies mergeability: the
+    cross-day/cross-shard rollup a 100 TB telemetry pipeline runs.
+    State: 256 registers per (type, day) out of any row count; the
+    estimate is literal ÷ exact-HUGEINT — bit-equal across engines
+    with no rounding step (module docstring has the full ledger)."""
+    from ..operators.cardinality import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    )
+    daily = hll_registers(
+        ev.withColumn("day", F.to_date("ts")),
+        "user_id",
+        ["event_type", "day"],
+        p=8,
+    )
+    regs = hll_merge(daily.select("event_type", "register", "rho"))
+    est = hll_estimate(regs, ["event_type"], p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.col("est_distinct").alias("est_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _kmv_oracle_sql(k: int = 64) -> str:
+    """DuckDB twin of the KMV pair-overlap estimates: identical 52-bit
+    md5-prefix hashes, identical order statistics, identical single-
+    division estimators (operators/cardinality.py)."""
+    from ..operators.cardinality import KMV_HASH_BITS
+
+    unit = _dlit(float(1 << KMV_HASH_BITS))
+    ku = _dlit(float((k - 1) * (1 << KMV_HASH_BITS)))
+    return f"""
+    WITH ev AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ), hh AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                    AS BIGINT) AS h
+        FROM ev
+    ), sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rn
+            FROM hh) WHERE rn <= {k}
+    ), gs AS (
+        SELECT DISTINCT event_type FROM sk
+    ), pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM gs a, gs b WHERE a.event_type < b.event_type
+    ), merged AS (
+        SELECT DISTINCT ta, tb, h FROM (
+            SELECT p.ta, p.tb, s.h FROM pairs p
+            JOIN sk s ON s.event_type = p.ta
+            UNION ALL
+            SELECT p.ta, p.tb, s.h FROM pairs p
+            JOIN sk s ON s.event_type = p.tb)
+    ), stats AS (
+        SELECT ta, tb, count(*) AS mk,
+               max(CASE WHEN rn = {k} THEN h END) AS theta
+        FROM (SELECT ta, tb, h,
+                     row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+              FROM merged)
+        GROUP BY ta, tb
+    ), common AS (
+        SELECT p.ta, p.tb, a.h FROM pairs p
+        JOIN sk a ON a.event_type = p.ta
+        JOIN sk b ON b.event_type = p.tb AND b.h = a.h
+    ), cstats AS (
+        SELECT c.ta, c.tb, count(*) AS cm,
+               sum(CASE WHEN s.theta IS NOT NULL AND c.h < s.theta
+                        THEN 1 ELSE 0 END) AS below
+        FROM common c JOIN stats s ON s.ta = c.ta AND s.tb = c.tb
+        GROUP BY c.ta, c.tb
+    ), est AS (
+        SELECT s.ta, s.tb,
+               CASE WHEN s.mk < {k} THEN CAST(s.mk AS DOUBLE)
+                    ELSE {ku} / CAST(s.theta AS DOUBLE) END AS est_union,
+               CASE WHEN s.mk < {k} THEN CAST(coalesce(c.cm, 0) AS DOUBLE)
+                    ELSE CAST(coalesce(c.below, 0) AS DOUBLE)
+                         * ({unit} / CAST(s.theta AS DOUBLE))
+               END AS est_inter
+        FROM stats s LEFT JOIN cstats c ON c.ta = s.ta AND c.tb = s.tb
+    ), tc AS (
+        SELECT event_type, count(DISTINCT user_id) AS c
+        FROM ev GROUP BY event_type
+    ), ei AS (
+        SELECT p.ta, p.tb, count(*) AS inter FROM pairs p
+        JOIN ev a ON a.event_type = p.ta
+        JOIN ev b ON b.event_type = p.tb AND b.user_id = a.user_id
+        GROUP BY p.ta, p.tb
+    )
+    SELECT p.ta AS type_a, p.tb AS type_b,
+           ca.c + cb.c - coalesce(ei.inter, 0) AS exact_union,
+           coalesce(ei.inter, 0) AS exact_inter,
+           e.est_union, e.est_inter
+    FROM pairs p
+    JOIN tc ca ON ca.event_type = p.ta
+    JOIN tc cb ON cb.event_type = p.tb
+    LEFT JOIN ei ON ei.ta = p.ta AND ei.tb = p.tb
+    JOIN est e ON e.ta = p.ta AND e.tb = p.tb
+    ORDER BY type_a, type_b
+    """
+
+
+@register_query("events_kmv_type_overlap", oracle=_kmv_oracle_sql())
+def events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch set algebra over event types
+    (operators/cardinality.kmv_sketch/kmv_pair_overlap): union and
+    intersection distinct-user estimates for every type pair FROM THE
+    SKETCHES ALONE (k = 64 smallest 52-bit hashes per type), laid next
+    to the exact answers — the "how much do these corpora overlap"
+    probe dedup pipelines run before paying for an exact join. Sketch
+    state is ≤ k longs per group regardless of corpus size; the pair
+    stage fans out by type PAIR (dimension-bounded), never by rows;
+    every estimate is one IEEE division over exactly-representable
+    operands, hence hash-verified against the SQL replay."""
+    from ..operators.cardinality import kmv_pair_overlap, kmv_sketch
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    )
+    sk = kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    est = kmv_pair_overlap(sk, "event_type", k=64).select(
+        F.col("group_a").alias("type_a"),
+        F.col("group_b").alias("type_b"),
+        "est_union",
+        "est_inter",
+    )
+    ut = ev.select("event_type", "user_id").distinct()
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    gs = tc.select(F.col("event_type").alias("t"))
+    pairs = gs.select(F.col("t").alias("type_a")).join(
+        gs.select(F.col("t").alias("type_b")),
+        F.col("type_a") < F.col("type_b"),
+    )
+    ca = tc.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    cb = tc.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(ca, "type_a")
+        .join(cb, "type_b")
+        .join(inter, ["type_a", "type_b"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
+        .withColumn(
+            "exact_union", F.col("ca") + F.col("cb") - F.col("exact_inter")
+        )
+        .join(est, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_union",
+            "exact_inter",
+            "est_union",
+            "est_inter",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _ddsketch_params() -> tuple[list[float], list[float], list[float]]:
+    """Shared literals for engine + oracle: γ = 1.05 boundaries covering
+    l_extendedprice's [900, 110000] envelope (≈ 2.4 % max relative
+    error), their midpoints, and the probed quantiles."""
+    from ..operators.quantile_sketch import (
+        bucket_midpoints,
+        log_bucket_boundaries,
+    )
+
+    bounds = log_bucket_boundaries(900.0, 110000.0, 1.05)
+    return bounds, bucket_midpoints(bounds), [0.5, 0.9, 0.99]
+
+
+def _ddsketch_oracle_sql() -> str:
+    bounds, mids, qs = _ddsketch_params()
+    blist = ", ".join(_dlit(b) for b in bounds)
+    mlist = ", ".join(_dlit(m) for m in mids)
+    qvals = ", ".join(f"(CAST({q} AS DOUBLE))" for q in qs)
+    return f"""
+    WITH v AS (
+        SELECT l_returnflag, l_extendedprice AS x FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    ), bk AS (
+        SELECT l_returnflag,
+               len(list_filter([{blist}], t -> x >= t))
+                   AS bucket
+        FROM v
+    ), hist AS (
+        SELECT l_returnflag, bucket, count(*) AS cnt
+        FROM bk GROUP BY l_returnflag, bucket
+    ), cum AS (
+        SELECT l_returnflag, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+                   AS cum,
+               sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM hist
+    ), qq AS (
+        SELECT * FROM cum, (VALUES {qvals}) qs(q)
+    ), hit AS (
+        SELECT l_returnflag, q, min(bucket) AS bucket, max(n) AS n
+        FROM qq WHERE cum >= ceil(q * n) GROUP BY l_returnflag, q
+    ), est AS (
+        SELECT l_returnflag, q, n,
+               ([{mlist}])[bucket + 1] AS est_price
+        FROM hit
+    ), r AS (
+        SELECT l_returnflag, x,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn
+        FROM v
+    )
+    SELECT e.l_returnflag, e.q, CAST(e.n AS BIGINT) AS n, e.est_price,
+           r.x AS exact_price
+    FROM est e JOIN r ON r.l_returnflag = e.l_returnflag
+                     AND r.rn = ceil(e.q * e.n)
+    ORDER BY e.l_returnflag, e.q
+    """
+
+
+@register_query("lineitem_price_ddsketch", oracle=_ddsketch_oracle_sql())
+def lineitem_price_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-bucket quantile sketch (operators/quantile_sketch —
+    the DDSketch idea with driver-literal boundaries so the bucket
+    function is a pure comparison fold, bit-equal in any engine):
+    p50/p90/p99 of l_extendedprice per return flag answered from
+    ≤ B ≈ 100 counts per group, next to the exact nearest-rank value
+    (the exact side is the verification readout, same convention as
+    orders_join_size_estimate — a real deployment keeps only the
+    sketch). Histogram build is one map-side-combinable agg; everything
+    after runs on ≤ B rows per group. Estimates are shared literals —
+    hash-safe by construction."""
+    from ..operators.quantile_sketch import (
+        histogram_quantiles,
+        log_bucket_histogram,
+    )
+
+    bounds, _mids, qs = _ddsketch_params()
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    hist = log_bucket_histogram(li, "l_extendedprice", ["l_returnflag"], bounds)
+    est = histogram_quantiles(hist, ["l_returnflag"], bounds, qs)
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select("l_returnflag", "l_extendedprice").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        est.join(
+            ranked,
+            (est.l_returnflag == ranked.l_returnflag)
+            & (ranked.rn == F.ceil(est.q * est.n)),
+        )
+        .select(
+            est.l_returnflag,
+            "q",
+            "n",
+            F.col("est").alias("est_price"),
+            F.col("l_extendedprice").alias("exact_price"),
+        )
+        .orderBy("l_returnflag", "q")
+    )
+
+
+@register_query(
+    "orders_bloom_prejoin",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey
+          AND c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 7000
+    )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def orders_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (functions/bloom.bloom_prefiltered_semi_
+    join — explicit dynamic filtering): order volume for a selective
+    customer slice, with the probe side pre-filtered by a broadcast
+    Bloom of the build keys BEFORE any shuffle, so only matches + the
+    ~1 % false-positive sliver pay join cost. The result is exactly
+    the semi-join (the oracle's EXISTS) — the filter moves cost, never
+    rows. At 100 TB this is the difference between shuffling the fact
+    table and shuffling its qualifying slice. Money sums ride the
+    exact-DECIMAL discipline."""
+    from ..functions.bloom import bloom_prefiltered_semi_join
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > 7000)
+        )
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    hit = bloom_prefiltered_semi_join(orders, cust, "o_custkey")
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register_query(
+    "doc_containment_join",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                       ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), t AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' '))) END AS s
+        FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6)
+               AS containment
+    FROM t a JOIN t b ON a.doc_id <> b.doc_id
+    WHERE len(a.s) >= 1
+      AND len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed containment θ-join (operators/dedup.containment_
+    join): ordered pairs where ≥ 80 % of a's 3-gram shingles appear in
+    b — the doc-in-doc predicate (quotes, boilerplate wrappers) that
+    symmetric Jaccard structurally misses. Candidates come only from
+    the contained side's rarest-first prefix against the (capped)
+    token index plus the |Sb| ≥ ⌈θ|Sa|⌉ size filter; exact-duplicate
+    sets collapse to representatives before pairing. The quadratic
+    form exists only in the oracle."""
+    from ..operators.dedup import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_join(docs, threshold=0.8, k=3).orderBy(
+        "id_a", "id_b"
+    )

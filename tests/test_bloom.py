@@ -91,3 +91,59 @@ def test_build_validates_params(spark):
         bloom_build(df, "k", n_bits=100)  # not a multiple of 64
     with pytest.raises(ValueError):
         bloom_build(df, "k", n_hashes=0)
+
+
+def test_semi_join_equals_plain_semi_join(spark):
+    """bloom_prefiltered_semi_join must return EXACTLY df ⋉ keys —
+    the filter only moves cost."""
+    from nifi_hive_schema_generator_bundle_spark.functions.bloom import (
+        bloom_prefiltered_semi_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"row-{i}") for i in range(2000)], "k long, payload string"
+    )
+    keys = spark.createDataFrame(
+        [(i,) for i in range(0, 2000, 13)], "k long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in bloom_prefiltered_semi_join(
+            df, keys, "k", n_bits=1 << 14
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in df.join(keys, "k", "semi").collect())
+    assert got == want
+
+
+def test_semi_join_drops_null_probe_keys(spark):
+    from nifi_hive_schema_generator_bundle_spark.functions.bloom import (
+        bloom_prefiltered_semi_join,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (2, "c")], "k int, payload string"
+    )
+    keys = spark.createDataFrame([(1,), (None,)], "k int")
+    got = bloom_prefiltered_semi_join(df, keys, "k", n_bits=1 << 10).collect()
+    assert [(r["k"], r["payload"]) for r in got] == [(1, "b")]
+
+
+def test_semi_join_prefilter_actually_prunes(spark):
+    """The bloom stage must reject (almost all) non-matching rows before
+    the join: probe the filter directly and check the maybe-rate is
+    near the key selectivity, not 100 %."""
+    from nifi_hive_schema_generator_bundle_spark.functions.bloom import (
+        bloom_build,
+    )
+
+    df = spark.createDataFrame(
+        [(f"probe-{i}",) for i in range(5000)], "k string"
+    )
+    keys = spark.createDataFrame(
+        [(f"probe-{i}",) for i in range(0, 5000, 100)], "k string"
+    )
+    bloom = bloom_build(keys, "k", n_bits=1 << 14)
+    maybes = _probe(df, bloom).filter("maybe").count()
+    # 50 true keys; FPR at m=16384,k=7,n=50 is ~0 — allow tiny slack
+    assert 50 <= maybes <= 80

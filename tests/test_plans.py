@@ -364,6 +364,12 @@ BNLJ_ALLOWED = {
     # CUPED's pooled θ/x̄ is a 1-row scalar broadcast riding the unit
     # table (q11-threshold class)
     "orders_cuped_ab",
+    # |event-types|-row group table crossed with itself (group_a <
+    # group_b) to enumerate sketch pairs — dimension-bounded by nature
+    # (the dataset_overlap_matrix class); the sketch joins are equi
+    "events_kmv_type_overlap",
+    # 1-row Bloom-filter broadcast (the doc_bloom_incremental class)
+    "orders_bloom_prejoin",
 }
 
 
