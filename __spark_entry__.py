@@ -48,14 +48,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # caps at 50 entries (observed: CORRECTNESS_r01-r04 each recorded exactly
 # the first 50 of the then-current registry). Rounds 1-4 hash-verified 109
 # distinct entries, leaving 101 oracle-backed entries never driver-verified;
-# this round's 50 slots = 13 changed-or-new-code entries that must (re)verify
+# this round's 50 slots = 16 changed-or-new-code entries that must (re)verify
 # (embedding_covariance was r4's one hash-red row, now exact-integer;
 # embedding_pca_project is newly oracle-backed; doc_jaccard_join gained the
 # duplicate-collapse prestage; events_campaign_overlap's interval tiling
 # switched to floor; doc_incremental_near_dedup / doc_pii_audit /
 # dedup_lsh_recall_eval / embedding_bitext_mine / events_hll_user_reach /
 # events_kmv_type_overlap / lineitem_price_ddsketch / orders_bloom_prejoin /
-# doc_containment_join are new this round) + 35 never-verified entries
+# doc_containment_join / events_cusum_changepoint /
+# lineitem_ddsketch_incremental / doc_curation_audit are new this
+# round) + 32 never-verified entries
 # chosen for kernels WITHOUT a driver-verified structural sibling + 2
 # canaries overlapping every prior round. Round 6 takes the remaining
 # never-verified entries. Rows-only entries (no SQL oracle) sort last;
@@ -76,6 +78,9 @@ DRIVER_PRIORITY = [
     "lineitem_price_ddsketch",   # new: literal-boundary quantile sketch
     "orders_bloom_prejoin",      # new: bloom-pruned (dynamic-filter) semi join
     "doc_containment_join",      # new: directed containment prefix join
+    "events_cusum_changepoint",  # new: integer-CUSUM drift monitor
+    "lineitem_ddsketch_incremental",  # new: cross-run histogram store
+    "doc_curation_audit",        # new: single-scan funnel provenance
     # --- 40 never-driver-verified entries (absent from r1-r4 hashes),
     # chosen for kernels with no driver-verified structural sibling.
     # The ~57 never-verified entries left out this round (doc_chunks,
@@ -117,19 +122,20 @@ DRIVER_PRIORITY = [
     "doc_scaling_law_fit",
     "doc_langid_report",
     # text-analysis kernels:
-    # (doc_bpe_token_count, doc_unigram_logprob and doc_html_extract
-    # yielded their slots to this round's five new sketch/join entries:
+    # (doc_bpe_token_count, doc_unigram_logprob, doc_html_extract,
+    # doc_duplicate_spans, doc_sentence_dedup and corpus_top_ngrams
+    # yielded their slots to this round's eight new operator entries:
     # token-count ~ the r4-verified doc_token_heavy_hitters/BPE kernels,
     # unigram_logprob ~ r4-verified doc_bigram_logprob, html_extract ~
-    # the r3-verified regex-extraction family — round 6 picks them up)
-    "doc_duplicate_spans",
-    "doc_sentence_dedup",
+    # the r3-verified regex-extraction family, duplicate_spans ~
+    # r4-verified doc_remove_duplicate_spans, sentence_dedup ~
+    # r4-verified doc_paragraph_dedup, top_ngrams ~ r4-verified
+    # doc_token_heavy_hitters — round 6 picks them up)
     "doc_readability",
     "doc_license_detect",
     "doc_gopher_quality",
     "doc_gopher_repetition",
     "doc_ngram_novelty",
-    "corpus_top_ngrams",
     "doc_collocations",
     "doc_fim_transform",
     "doc_preference_pairs",

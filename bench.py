@@ -213,6 +213,9 @@ BENCH_QUERIES = [
     "lineitem_price_ddsketch",
     "orders_bloom_prejoin",
     "doc_containment_join",
+    "events_cusum_changepoint",
+    "lineitem_ddsketch_incremental",
+    "doc_curation_audit",
 ]
 
 

@@ -23,7 +23,12 @@ from pyspark.sql.types import ArrayType, DataType, StructType
 from .infer import infer_schema_by_key
 from ..plans.lattice import merge_types
 
-__all__ = ["schema_drift_report", "distribution_drift", "categorical_drift"]
+__all__ = [
+    "schema_drift_report",
+    "distribution_drift",
+    "categorical_drift",
+    "cusum_changepoints",
+]
 
 
 def _type_class(t: DataType) -> str:
@@ -229,4 +234,142 @@ def categorical_drift(
         "n_ref",
         "n_cur",
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    time_col: str,
+    val_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    baseline_periods: int = 14,
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 5.0,
+    quantize_scale: int = 6,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection over a per-period series
+    (Page 1954): per group and period, the cumulative positive/negative
+    deviation statistics and an alarm flag when either crosses the
+    decision band — the sequential sibling of the point-wise z-score
+    monitors in `functions/timeseries.py`: a 0.8σ mean shift never
+    trips a 3σ z-score but accumulates in CUSUM within days.
+
+    The recursion ``S⁺_t = max(0, S⁺_{t−1} + (x_t − μ₀ − kσ₀))`` looks
+    sequential, but has the classic prefix-min closed form
+    ``S⁺_t = P_t − min_{j ≤ t} P_j`` over the drift-adjusted prefix sum
+    ``P`` (a reset-at-zero running sum is a running sum re-based at its
+    running minimum) — so the whole statistic is two window passes, no
+    recursion, no Python, and it scales like any other window op
+    (partition by group, order by period).
+
+    Determinism (gate discipline): per-period means are exact-DECIMAL;
+    μ₀/σ₀ from the first ``baseline_periods`` periods and the running
+    sums all operate on values quantized to ``10^-quantize_scale`` —
+    integer arithmetic end to end except σ₀'s one sqrt and the final
+    re-scaling, each a single IEEE op on exact inputs. An engine
+    replaying the same windows is bit-equal.
+
+    Returns (group…, period, mean_val, s_pos, s_neg, alarm) where
+    s_pos/s_neg are in σ₀ units. Groups with fewer than
+    ``baseline_periods`` periods or σ₀ = 0 report NULL statistics
+    (no scale to detect against). Scale: one groupBy (period means,
+    map-side combinable) then windows over PERIODS per group —
+    dimension-bounded, never row-bounded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    group_cols = group_cols or []
+    u = 10**quantize_scale
+    # per-period exact-integer mean floor(Σ⌊v·u⌋ / n): decimal `/`
+    # rounds at its result scale (floor-after-round ≠ true floor on
+    # boundary quotients), so shift every term positive by B and use
+    # integral division, where truncation == floor —
+    # floor(Σ(vᵢ+B)/n) − B == floor(Σvᵢ/n) exactly
+    shift = 10 ** (quantize_scale + 6)  # > any |v| ≤ 10^6 after scaling
+    per = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(
+            *group_cols,
+            F.col(time_col).alias("period"),
+            (F.floor(F.col(val_col) * u).cast("long") + F.lit(shift)).alias(
+                "__v"
+            ),
+        )
+        .groupBy(*group_cols, "period")
+        .agg(
+            (
+                F.expr(
+                    "CAST(sum(CAST(__v AS DECIMAL(38,0))) div "
+                    "count(1) AS LONG)"
+                )
+                - F.lit(shift)
+            ).alias("__m")
+        )
+    )
+    wo = Window.partitionBy(*group_cols).orderBy("period")
+    base_w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per.withColumn("__rn", F.row_number().over(wo))
+    # baseline μ₀, σ₀ from the first N periods (integer sums; σ via the
+    # computational formula on exact integers, one sqrt at the end)
+    base = (
+        ranked.filter(F.col("__rn") <= baseline_periods)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__bn"),
+            F.sum(F.col("__m").cast("decimal(38,0)")).alias("__bs"),
+            F.sum(
+                (F.col("__m").cast("decimal(38,0)"))
+                * F.col("__m").cast("decimal(38,0)")
+            ).alias("__bss"),
+        )
+        .filter(F.col("__bn") >= baseline_periods)
+        .withColumn(
+            "__mu0",
+            F.floor(F.col("__bs") / F.col("__bn")).cast("long"),
+        )
+        .withColumn(
+            "__var",
+            (
+                F.col("__bss").cast("double")
+                - (
+                    F.col("__bs").cast("double")
+                    * F.col("__bs").cast("double")
+                )
+                / F.col("__bn")
+            )
+            / F.col("__bn"),
+        )
+        .withColumn("__sigma0", F.sqrt(F.greatest("__var", F.lit(0.0))))
+    )
+    j = ranked.join(base, group_cols) if group_cols else ranked.crossJoin(
+        F.broadcast(base)
+    )
+    # drift-adjusted deltas, still integer: kσ₀ quantized once per group
+    ks = F.floor(F.lit(k_sigmas) * F.col("__sigma0")).cast("long")
+    d_pos = F.col("__m") - F.col("__mu0") - ks
+    d_neg = -(F.col("__m") - F.col("__mu0")) - ks
+    j = j.withColumn("__pp", F.sum(d_pos).over(base_w)).withColumn(
+        "__pn", F.sum(d_neg).over(base_w)
+    )
+    # prefix-min INCLUDING the virtual P_0 = 0 (the statistic starts at
+    # zero): min(0, running min of prefixes)
+    run_min_p = F.least(F.lit(0), F.min("__pp").over(base_w))
+    run_min_n = F.least(F.lit(0), F.min("__pn").over(base_w))
+    s_pos_i = F.col("__pp") - run_min_p
+    s_neg_i = F.col("__pn") - run_min_n
+    sigma_ok = F.col("__sigma0") > 0
+    s_pos = F.when(sigma_ok, s_pos_i / F.col("__sigma0"))
+    s_neg = F.when(sigma_ok, s_neg_i / F.col("__sigma0"))
+    return j.select(
+        *group_cols,
+        "period",
+        (F.col("__m") / F.lit(float(u))).alias("mean_val"),
+        s_pos.alias("s_pos"),
+        s_neg.alias("s_neg"),
+        F.when(
+            sigma_ok,
+            (s_pos_i / F.col("__sigma0") > h_sigmas)
+            | (s_neg_i / F.col("__sigma0") > h_sigmas),
+        ).alias("alarm"),
     )

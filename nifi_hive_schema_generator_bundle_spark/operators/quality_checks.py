@@ -30,6 +30,7 @@ __all__ = [
     "k_anonymity_report",
     "split_leakage_report",
     "dp_noisy_counts",
+    "curation_audit",
 ]
 
 
@@ -411,3 +412,67 @@ def dp_noisy_counts(
             F.lit(float(epsilon)).alias("epsilon"),
         )
     )
+
+
+def curation_audit(
+    df: DataFrame,
+    stages: list[tuple[str, Column]],
+) -> DataFrame:
+    """Single-scan provenance accounting for an ordered filter chain:
+    every row is labeled with the FIRST stage whose keep-predicate it
+    fails (rows passing all stages count as survivors), and the report
+    derives each stage's funnel numbers from the one label histogram —
+    (stage_idx, stage, n_in, n_removed, n_out) in declared order.
+
+    This is the audit a training-data curation run owes its consumers
+    ("where did 38 % of the corpus go?") — and the design point is that
+    it costs ONE scan + a |stages|-row aggregate no matter how many
+    stages: naive per-stage recounting scans the corpus once per stage
+    (k scans) and double-counts rows that fail several predicates,
+    first-fail labeling does neither. Predicates must be deterministic
+    column expressions over the row (the Deequ-style contract above);
+    NULL predicate results count as failures (SQL three-valued logic
+    never silently keeps a row).
+
+    Reference scope: the bundle's success/failure routing
+    (HiveSchemaGenerator.scala:96-102) is the 1-stage special case;
+    this is the k-stage generalization with funnel accounting.
+    """
+    if not stages:
+        raise ValueError("curation_audit needs at least one stage")
+    label = None
+    for name, pred in reversed(stages):
+        fail = ~F.coalesce(pred, F.lit(False))
+        label = F.when(fail, F.lit(name)).otherwise(
+            F.lit("__kept__") if label is None else label
+        )
+    hist = df.groupBy(label.alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    order = df.sparkSession.createDataFrame(
+        [(i, name) for i, name in enumerate(s for s, _ in stages)],
+        "stage_idx int, stage string",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("stage_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = hist.agg(F.sum("n_removed").alias("__total"))
+    report = (
+        order.join(hist, "stage", "left")
+        .withColumn("n_removed", F.coalesce("n_removed", F.lit(0)))
+        .join(F.broadcast(total))
+        .withColumn("__cum", F.sum("n_removed").over(w))
+        .select(
+            "stage_idx",
+            "stage",
+            (F.col("__total") - F.col("__cum") + F.col("n_removed")).alias(
+                "n_in"
+            ),
+            "n_removed",
+            (F.col("__total") - F.col("__cum")).alias("n_out"),
+        )
+    )
+    return report.orderBy("stage_idx")

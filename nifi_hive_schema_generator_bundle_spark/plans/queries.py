@@ -12175,3 +12175,277 @@ def doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(docs, threshold=0.8, k=3).orderBy(
         "id_a", "id_b"
     )
+
+
+def _cusum_oracle_sql() -> str:
+    """DuckDB twin of the integer-CUSUM replay (operators/drift.
+    cusum_changepoints): same quantize/shift/div mean, same baseline
+    stats, same prefix-sum/prefix-min closed form."""
+    shift = 10**12
+    return f"""
+    WITH v AS (
+        SELECT event_type, CAST(ts AS DATE) AS period,
+               CAST(floor(value * 1e6) AS BIGINT) + {shift} AS vv
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), per AS (
+        SELECT event_type, period,
+               CAST(sum(CAST(vv AS HUGEINT)) // count(*) AS BIGINT)
+                   - {shift} AS m
+        FROM v GROUP BY event_type, period
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY period) AS rn
+        FROM per
+    ), base AS (
+        SELECT event_type, count(*) AS bn,
+               sum(CAST(m AS HUGEINT) + {shift}) AS bs_shift,
+               sum(CAST(m AS HUGEINT)) AS bs,
+               sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS bss
+        FROM r WHERE rn <= 14 GROUP BY event_type
+        HAVING count(*) >= 14
+    ), b2 AS (
+        SELECT event_type,
+               CAST(bs_shift // bn AS BIGINT) - {shift} AS mu0,
+               sqrt(greatest(
+                   (CAST(bss AS DOUBLE)
+                    - (CAST(bs AS DOUBLE) * CAST(bs AS DOUBLE)) / bn) / bn,
+                   0.0)) AS sigma0
+        FROM base
+    ), j AS (
+        SELECT r.event_type, r.period, r.m, b2.mu0, b2.sigma0,
+               CAST(floor(0.5 * b2.sigma0) AS BIGINT) AS ks
+        FROM r JOIN b2 USING (event_type)
+    ), p AS (
+        SELECT *,
+               sum(m - mu0 - ks) OVER w AS pp,
+               sum(-(m - mu0) - ks) OVER w AS pn
+        FROM j WINDOW w AS (PARTITION BY event_type ORDER BY period
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+    ), s AS (
+        SELECT *,
+               least(0, min(pp) OVER w) AS mp,
+               least(0, min(pn) OVER w) AS mn
+        FROM p WINDOW w AS (PARTITION BY event_type ORDER BY period
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(period, '%Y-%m-%d') AS day,
+           CAST(m AS DOUBLE) / 1e6 AS mean_val,
+           CASE WHEN sigma0 > 0 THEN (pp - mp) / sigma0 END AS s_pos,
+           CASE WHEN sigma0 > 0 THEN (pn - mn) / sigma0 END AS s_neg,
+           CASE WHEN sigma0 > 0 THEN
+               ((pp - mp) / sigma0 > 4.0 OR (pn - mn) / sigma0 > 4.0)
+           END AS alarm
+    FROM s ORDER BY event_type, day
+    """
+
+
+@register_query("events_cusum_changepoint", oracle=_cusum_oracle_sql())
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint monitor over daily per-type means
+    (operators/drift.cusum_changepoints — Page 1954): the sequential
+    statistic that catches sub-σ mean drifts the pointwise z-score
+    monitors (events_daily_anomaly family) structurally miss. The
+    reset-at-zero recursion runs as its prefix-sum − prefix-min closed
+    form — two window passes, zero Python, integer arithmetic end to
+    end (quantized values, shift-and-div exact means), so the whole
+    alarm series is bit-equal to the SQL replay."""
+    from ..operators.drift import cusum_changepoints
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
+    cc = cusum_changepoints(
+        ev,
+        "day",
+        "value",
+        group_cols=["event_type"],
+        baseline_periods=14,
+        k_sigmas=0.5,
+        h_sigmas=4.0,
+        quantize_scale=6,
+    )
+    return cc.select(
+        "event_type",
+        F.date_format("period", "yyyy-MM-dd").alias("day"),
+        "mean_val",
+        "s_pos",
+        "s_neg",
+        "alarm",
+    ).orderBy("event_type", "day")
+
+
+def _ddsketch_incremental_oracle_sql() -> str:
+    """The streaming accumulator's whole-history quantiles equal a
+    direct single-pass sketch (per-bucket addition is exact), so the
+    oracle is simply the direct histogram replay — replay order cannot
+    change a count."""
+    bounds, mids, qs = _ddsketch_params()
+    blist = ", ".join(_dlit(b) for b in bounds)
+    mlist = ", ".join(_dlit(m) for m in mids)
+    qvals = ", ".join(f"(CAST({q} AS DOUBLE))" for q in qs)
+    return f"""
+    WITH v AS (
+        SELECT l_returnflag, l_extendedprice AS x FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    ), bk AS (
+        SELECT l_returnflag,
+               len(list_filter([{blist}], t -> x >= t)) AS bucket
+        FROM v
+    ), hist AS (
+        SELECT l_returnflag, bucket, count(*) AS cnt
+        FROM bk GROUP BY l_returnflag, bucket
+    ), cum AS (
+        SELECT l_returnflag, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+                   AS cum,
+               sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM hist
+    ), qq AS (
+        SELECT * FROM cum, (VALUES {qvals}) qs(q)
+    ), hit AS (
+        SELECT l_returnflag, q, min(bucket) AS bucket, max(n) AS n
+        FROM qq WHERE cum >= ceil(q * n) GROUP BY l_returnflag, q
+    )
+    SELECT l_returnflag, q, CAST(n AS BIGINT) AS n,
+           ([{mlist}])[bucket + 1] AS est_price
+    FROM hit ORDER BY l_returnflag, q
+    """
+
+
+@register_query(
+    "lineitem_ddsketch_incremental",
+    oracle=_ddsketch_incremental_oracle_sql(),
+)
+def lineitem_ddsketch_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-run quantile accumulation (streaming/quantile_stream):
+    lineitem arrives as three batches (l_orderkey mod 3 — the
+    incremental-ingest stand-in), each folding its ≤B-row histogram
+    delta into a batch-partitioned parquet store with the
+    crash-replay-safe overwrite contract of `cms_stream`; p50/p90/p99
+    are then answered from the merged store. Histogram linearity makes
+    the merged answer IDENTICAL to a direct single-pass sketch — which
+    is exactly what the oracle computes, so the equality is
+    hash-verified, not asserted. The streaming wrapper
+    (`run_histogram_stream`) drives the same `histogram_batch_update`
+    from foreachBatch; unit tests cover the stream path."""
+    import shutil
+    import tempfile
+
+    from ..operators.quantile_sketch import histogram_quantiles
+    from ..streaming.quantile_stream import (
+        histogram_batch_update,
+        histogram_store,
+    )
+
+    bounds, _mids, qs = _ddsketch_params()
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    store = tempfile.mkdtemp(prefix="ddsketch_store_")
+    shutil.rmtree(store, ignore_errors=True)
+    for b in range(3):
+        histogram_batch_update(
+            li.filter(F.col("l_orderkey") % 3 == b),
+            b,
+            store_dir=store,
+            val_col="l_extendedprice",
+            group_cols=["l_returnflag"],
+            boundaries=bounds,
+        )
+    merged = histogram_store(spark, store, ["l_returnflag"])
+    return histogram_quantiles(merged, ["l_returnflag"], bounds, qs).select(
+        "l_returnflag",
+        "q",
+        "n",
+        F.col("est").alias("est_price"),
+    ).orderBy("l_returnflag", "q")
+
+
+@register_query(
+    "doc_curation_audit",
+    oracle=r"""
+    WITH lab AS (
+        SELECT doc_id,
+               CASE
+                 WHEN NOT coalesce(length(text) >= 200, FALSE)
+                   THEN 'min_length'
+                 WHEN NOT coalesce(len(list_filter(string_split_regex(
+                          regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                          ' '), x -> x <> '')) >= 30, FALSE)
+                   THEN 'min_words'
+                 WHEN NOT coalesce(length(replace(text, ' ', '')) * 1.0
+                          / len(list_filter(string_split_regex(
+                            regexp_replace(trim(lower(text)), '\s+', ' ',
+                                           'g'), ' '), x -> x <> ''))
+                          <= 12.0, FALSE)
+                   THEN 'max_mean_word_len'
+                 WHEN NOT coalesce(doc_id = min(doc_id) OVER (
+                          PARTITION BY md5(text)), FALSE)
+                   THEN 'exact_dup'
+                 ELSE '__kept__'
+               END AS stage
+        FROM documents
+    ), hist AS (
+        SELECT stage, count(*) AS n_removed FROM lab GROUP BY stage
+    ), ord AS (
+        SELECT * FROM (VALUES
+            (0, 'min_length'), (1, 'min_words'),
+            (2, 'max_mean_word_len'), (3, 'exact_dup')
+        ) AS t(stage_idx, stage)
+    ), tot AS (SELECT sum(n_removed) AS total FROM hist)
+    SELECT o.stage_idx, o.stage,
+           CAST(t.total - sum(coalesce(h.n_removed, 0)) OVER w
+                + coalesce(h.n_removed, 0) AS BIGINT) AS n_in,
+           CAST(coalesce(h.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(t.total - sum(coalesce(h.n_removed, 0)) OVER w
+                AS BIGINT) AS n_out
+    FROM ord o LEFT JOIN hist h ON h.stage = o.stage CROSS JOIN tot t
+    WINDOW w AS (ORDER BY o.stage_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY o.stage_idx
+    """,
+)
+def doc_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan curation funnel accounting
+    (operators/quality_checks.curation_audit): four ordered keep-rules
+    (length ≥ 200 chars, ≥ 30 words, mean word length ≤ 12, not an
+    exact duplicate) with first-fail attribution — the provenance
+    report a corpus curation run owes its consumers, at the cost of
+    ONE scan + a 4-row aggregate instead of one recount per stage.
+    The dup rule shows a stage predicate can carry its own window
+    (md5 keep-min, the exact_dedup kernel) and still ride the same
+    single label pass."""
+    from pyspark.sql import Window
+
+    from ..functions.textfns import whitespace_tokens
+    from ..operators.quality_checks import curation_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(whitespace_tokens(F.lower(F.col("text"))))
+    keep_min = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5("text"))
+    )
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        words.alias("__words"),
+        keep_min.alias("__first_of_dup_group"),
+    )
+    stages = [
+        ("min_length", F.length("text") >= 200),
+        ("min_words", F.col("__words") >= 30),
+        (
+            "max_mean_word_len",
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            / F.col("__words")
+            <= 12.0,
+        ),
+        ("exact_dup", F.col("__first_of_dup_group")),
+    ]
+    return curation_audit(labeled, stages)

@@ -1,0 +1,181 @@
+"""Streaming quantile accumulation — bounded-state latency/price/size
+distributions over an unbounded stream.
+
+Exact streaming quantiles need the whole value multiset; the log-bucket
+histogram (`operators/quantile_sketch` — the DDSketch idea over
+driver-literal boundaries) is the bounded alternative: each micro-batch
+folds into ≤ B counts per group, and histogram **linearity** (per-bucket
+addition) makes the store an accumulator across batches, runs, and
+restarts — quantiles answered from the merged store are IDENTICAL to a
+single-pass build over everything ever seen, not approximately so (the
+approximation lives entirely in the fixed bucket width, which replay
+order cannot change).
+
+Replay safety follows `cms_stream.py`'s contract exactly: the store is
+partitioned by ``batch_id``, each batch dynamic-partition-overwrites
+ONLY its own delta partition (a crash-replay rewrites the same bytes
+instead of double-counting), a batch id behind the store's max raises
+(checkpoint reset against a live store), and ``compact_histogram_store``
+collapses history partitions by per-bucket sums — estimates unchanged,
+linearity again.
+
+State: O(batches × groups × B) between compactions, O(groups × B)
+after — never O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.quantile_sketch import (
+    histogram_quantiles,
+    log_bucket_histogram,
+)
+from ..sources.formats import overwrite_partitions
+
+__all__ = [
+    "histogram_batch_update",
+    "run_histogram_stream",
+    "histogram_store",
+    "histogram_store_quantiles",
+    "compact_histogram_store",
+]
+
+
+def _read_store(spark, store_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(store_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return None
+
+
+def histogram_batch_update(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    val_col: str,
+    group_cols: list[str],
+    boundaries: list[float],
+) -> int:
+    """Fold one micro-batch's histogram delta into the store; returns
+    rows written. Reusable from any ``foreachBatch`` or batch loop with
+    monotonic batch numbering."""
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return 0
+    store = _read_store(spark, store_dir)
+    if store is not None:
+        top = store.agg(F.max("batch_id")).collect()[0][0]
+        if top is not None and batch_id < top:
+            raise ValueError(
+                f"batch_id {batch_id} is behind the store's max {top}: "
+                "the streaming checkpoint was reset against an existing "
+                "store. Resume with the original checkpoint or use a "
+                "fresh store_dir."
+            )
+    delta = log_bucket_histogram(
+        batch_df, val_col, group_cols, boundaries
+    ).withColumn("batch_id", F.lit(batch_id))
+    n = delta.count()
+    overwrite_partitions(delta, store_dir, ["batch_id"], fmt="parquet")
+    return n
+
+
+def run_histogram_stream(
+    stream_df: DataFrame,
+    *,
+    store_dir: str,
+    checkpoint_dir: str,
+    val_col: str,
+    group_cols: list[str],
+    boundaries: list[float],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the accumulation query: every micro-batch's histogram delta
+    lands in its own store partition."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        histogram_batch_update(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            val_col=val_col,
+            group_cols=group_cols,
+            boundaries=boundaries,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def histogram_store(
+    spark, store_dir: str, group_cols: list[str]
+) -> DataFrame:
+    """The whole-history histogram: per-bucket sum over every delta."""
+    store = _read_store(spark, store_dir)
+    if store is None:
+        raise FileNotFoundError(f"no histogram store at {store_dir}")
+    return store.groupBy(*group_cols, "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def histogram_store_quantiles(
+    spark,
+    store_dir: str,
+    group_cols: list[str],
+    boundaries: list[float],
+    qs: list[float],
+) -> DataFrame:
+    """Quantiles over everything ever accumulated — identical to a
+    direct single-pass sketch over the union of all batches."""
+    return histogram_quantiles(
+        histogram_store(spark, store_dir, group_cols),
+        group_cols,
+        boundaries,
+        qs,
+    )
+
+
+def compact_histogram_store(
+    spark, store_dir: str, group_cols: list[str], *, keep_last: int = 1
+) -> int:
+    """Collapse all batch partitions strictly below the newest
+    ``keep_last`` into the ``max − keep_last`` partition via per-bucket
+    sums (quantile answers unchanged: linearity). Same safety argument
+    as ``compact_cms_store``: ids are monotonic and a replay of the
+    live max batch only rewrites its own partition."""
+    import shutil
+
+    store = spark.read.parquet(store_dir)
+    ids = sorted(r[0] for r in store.select("batch_id").distinct().collect())
+    if len(ids) <= keep_last + 1:
+        return 0
+    cut = ids[-keep_last] if keep_last else ids[-1] + 1
+    fold_to = cut - 1
+    folded = (
+        store.filter(F.col("batch_id") < cut)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("batch_id", F.lit(fold_to))
+        .persist()
+    )
+    n = folded.count()  # materialize BEFORE overwriting what it reads
+    try:
+        overwrite_partitions(folded, store_dir, ["batch_id"], fmt="parquet")
+    finally:
+        folded.unpersist()
+    for i in ids:
+        if i < fold_to:
+            shutil.rmtree(f"{store_dir}/batch_id={i}", ignore_errors=True)
+    return n

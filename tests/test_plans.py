@@ -370,6 +370,9 @@ BNLJ_ALLOWED = {
     "events_kmv_type_overlap",
     # 1-row Bloom-filter broadcast (the doc_bloom_incremental class)
     "orders_bloom_prejoin",
+    # 1-row grand-total broadcast onto the |stages|-row funnel report
+    # (q22 scalar class)
+    "doc_curation_audit",
 }
 
 
