@@ -1604,9 +1604,12 @@ def containment_join(
     prefix = ranked.filter(
         F.col("rnk")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "tok", "sz")
+    ).select("id", "tok", "sz", "rnk")
     index = ranked.select(
-        F.col("id").alias("id_b"), "tok", F.col("sz").alias("sz_b")
+        F.col("id").alias("id_b"),
+        "tok",
+        F.col("sz").alias("sz_b"),
+        F.col("rnk").alias("rnk_b"),
     )
     if max_bucket is not None:
         bucket_sizes = index.groupBy("tok").count()
@@ -1615,15 +1618,36 @@ def containment_join(
         )
         prefix = prefix.join(keep, "tok")
         index = index.join(keep, "tok")
+    # positional filter (the PPJoin argument, containment form): a true
+    # pair's FIRST shared token sits inside a's prefix at (rnk, rnk_b);
+    # every other shared token follows it in the global order on both
+    # sides, so overlap ≤ 1 + min(|Sa|−rnk, |Sb|−rnk_b) — if even that
+    # bound misses ⌈θ·|Sa|⌉ the row cannot witness a true pair, and the
+    # first-shared-token row of a true pair always passes (actual
+    # overlap ≥ ⌈θ·|Sa|⌉ is itself ≤ the bound). Provably no false
+    # negatives.
+    alpha = F.ceil(F.lit(threshold) * prefix.sz)
     cand = (
         prefix.join(
             index,
             (prefix.tok == index.tok)
             & (prefix.id != index.id_b)
             # |Sb| ≥ ⌈θ·|Sa|⌉ is necessary for containment ≥ θ
-            & (index.sz_b >= F.ceil(F.lit(threshold) * prefix.sz)),
+            & (index.sz_b >= alpha)
+            & (
+                F.lit(1)
+                + F.least(prefix.sz - prefix.rnk, index.sz_b - index.rnk_b)
+                >= alpha
+            ),
         )
-        .select(F.col("id").alias("id_a"), "id_b")
+        # verify once per UNORDERED pair: the shared count is direction-
+        # free, and per-direction completeness of the prefix rule means
+        # normalizing candidates loses nothing while halving the verify
+        # join for mutual near-dup pairs
+        .select(
+            F.least(F.col("id"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id"), F.col("id_b")).alias("id_b"),
+        )
         .distinct()
     )
     ta = toks.select(F.col("id").alias("id_a"), "tok")
@@ -1639,12 +1663,23 @@ def containment_join(
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    rep_pairs = (
-        shared.join(sa, "id_a")
-        .withColumn("containment", F.col("shared") / F.col("sz_a"))
+    sb2 = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    both = shared.join(sa, "id_a").join(sb2, "id_b")
+    fwd = (
+        both.withColumn("containment", F.col("shared") / F.col("sz_a"))
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+    bwd = (
+        both.withColumn("containment", F.col("shared") / F.col("sz_b"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "containment",
+        )
+    )
+    rep_pairs = fwd.unionByName(bwd)
     members = docs.select("fp", "id")
     rep_fp = groups.select("rep", "fp")
     # cross-group expansion: identical sets ⇒ identical containments,
