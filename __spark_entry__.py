@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # caps at 50 entries (observed: CORRECTNESS_r01-r04 each recorded exactly
 # the first 50 of the then-current registry). Rounds 1-4 hash-verified 109
 # distinct entries, leaving 101 oracle-backed entries never driver-verified;
-# this round's 50 slots = 16 changed-or-new-code entries that must (re)verify
+# this round's 50 slots = 17 changed-or-new-code entries that must (re)verify
 # (embedding_covariance was r4's one hash-red row, now exact-integer;
 # embedding_pca_project is newly oracle-backed; doc_jaccard_join gained the
 # duplicate-collapse prestage; events_campaign_overlap's interval tiling
@@ -56,8 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_lsh_recall_eval / embedding_bitext_mine / events_hll_user_reach /
 # events_kmv_type_overlap / lineitem_price_ddsketch / orders_bloom_prejoin /
 # doc_containment_join / events_cusum_changepoint /
-# lineitem_ddsketch_incremental / doc_curation_audit are new this
-# round) + 32 never-verified entries
+# lineitem_ddsketch_incremental / doc_curation_audit /
+# events_hll_incremental are new this
+# round) + 31 never-verified entries
 # chosen for kernels WITHOUT a driver-verified structural sibling + 2
 # canaries overlapping every prior round. Round 6 takes the remaining
 # never-verified entries. Rows-only entries (no SQL oracle) sort last;
@@ -81,6 +82,7 @@ DRIVER_PRIORITY = [
     "events_cusum_changepoint",  # new: integer-CUSUM drift monitor
     "lineitem_ddsketch_incremental",  # new: cross-run histogram store
     "doc_curation_audit",        # new: single-scan funnel provenance
+    "events_hll_incremental",    # new: cross-run HLL register store
     # --- 40 never-driver-verified entries (absent from r1-r4 hashes),
     # chosen for kernels with no driver-verified structural sibling.
     # The ~57 never-verified entries left out this round (doc_chunks,
@@ -115,7 +117,9 @@ DRIVER_PRIORITY = [
     "events_mann_whitney",
     "events_chi_square",
     "events_bootstrap_ci",
-    "events_majority_vote",
+    # (events_majority_vote yielded its slot to events_hll_incremental:
+    # majority-vote is the r1-3-verified pass_at_k/win_rates
+    # conditional-aggregate eval family — round 6 picks it up)
     "events_touch_attribution",
     "doc_rank_correlation",
     "doc_zipf_fit",

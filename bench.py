@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "events_cusum_changepoint",
     "lineitem_ddsketch_incremental",
     "doc_curation_audit",
+    "events_hll_incremental",
 ]
 
 

@@ -12449,3 +12449,67 @@ def doc_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("exact_dup", F.col("__first_of_dup_group")),
     ]
     return curation_audit(labeled, stages)
+
+
+def _hll_incremental_oracle_sql() -> str:
+    """Register max-merge is EXACT, so the store-backed estimate equals
+    the direct single-pass estimate — the oracle is the direct replay
+    (per event_type over the full table), and the gate hash-verifies
+    the merge-equality rather than asserting it."""
+    sql = _hll_oracle_sql()
+    # same replay, distinct-count column dropped: the store carries only
+    # registers, so the incremental read-out is estimate-only
+    return sql.replace(
+        """, exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_users
+        FROM ev GROUP BY event_type
+    )
+    SELECT e.event_type, e.exact_users, s.est_users
+    FROM exact e JOIN est s USING (event_type)
+    ORDER BY event_type
+    """,
+        """
+    SELECT event_type, est_users FROM est ORDER BY event_type
+    """,
+    )
+
+
+@register_query(
+    "events_hll_incremental", oracle=_hll_incremental_oracle_sql()
+)
+def events_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run distinct-user accumulation (streaming/hll_stream — the
+    cardinality member of the sketch-store triple next to cms_stream
+    and quantile_stream): events arrive as three batches (event_id mod
+    3), each folding ≤2^p register rows per type into a batch-
+    partitioned store with the crash-replay-safe overwrite contract;
+    reach is answered from the max-merged store. Register max-merge is
+    EXACT — the merged estimate is bit-identical to a single-pass build
+    over everything, which is precisely what the oracle computes, so
+    the equality is hash-verified. `run_hll_stream` drives the same
+    update from foreachBatch; unit tests cover the stream path."""
+    import shutil
+    import tempfile
+
+    from ..streaming.hll_stream import hll_batch_update, hll_store_estimate
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    )
+    store = tempfile.mkdtemp(prefix="hll_store_")
+    shutil.rmtree(store, ignore_errors=True)
+    for b in range(3):
+        hll_batch_update(
+            ev.filter(F.col("event_id") % 3 == b),
+            b,
+            store_dir=store,
+            key_col="user_id",
+            group_cols=["event_type"],
+            p=8,
+        )
+    return (
+        hll_store_estimate(spark, store, ["event_type"], p=8)
+        .select("event_type", F.col("est_distinct").alias("est_users"))
+        .orderBy("event_type")
+    )

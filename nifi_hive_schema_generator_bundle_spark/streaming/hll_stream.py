@@ -1,0 +1,170 @@
+"""Streaming distinct-count accumulation — the cardinality member of
+the sketch-store triple (`cms_stream` counts frequencies,
+`quantile_stream` distributions, this counts DISTINCTS) over an
+unbounded key stream.
+
+Exact cross-run distinct counting needs O(distinct keys) state (the
+Bloom store in `incremental_dedup` bounds it only probabilistically);
+the portable HLL register table (`operators/cardinality`) is the
+bounded alternative: each micro-batch folds into ≤ 2^p rows per group,
+and register **max-merge is EXACT** — unlike the additive stores, the
+merged registers are bit-identical to a single-pass build over
+everything ever seen, so estimates never degrade with batch count,
+replay order, or compaction depth.
+
+Replay safety follows `cms_stream.py`'s contract: batch_id-partitioned
+store, each batch overwrites only its own delta partition (crash-replay
+rewrites the same bytes — and even a DOUBLE-counted register delta
+would be absorbed by max-merge, a strictly weaker failure mode than the
+additive stores'), behind-store batch ids raise, and
+``compact_hll_store`` folds history partitions by register max.
+
+State: O(batches × groups × 2^p) between compactions, O(groups × 2^p)
+after — never O(distinct keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.cardinality import hll_estimate, hll_registers
+from ..sources.formats import overwrite_partitions
+
+__all__ = [
+    "hll_batch_update",
+    "run_hll_stream",
+    "hll_store_registers",
+    "hll_store_estimate",
+    "compact_hll_store",
+]
+
+
+def _read_store(spark, store_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(store_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return None
+
+
+def hll_batch_update(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 8,
+) -> int:
+    """Fold one micro-batch's register delta into the store; returns
+    rows written."""
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return 0
+    store = _read_store(spark, store_dir)
+    if store is not None:
+        top = store.agg(F.max("batch_id")).collect()[0][0]
+        if top is not None and batch_id < top:
+            raise ValueError(
+                f"batch_id {batch_id} is behind the store's max {top}: "
+                "the streaming checkpoint was reset against an existing "
+                "store. Resume with the original checkpoint or use a "
+                "fresh store_dir."
+            )
+    delta = hll_registers(batch_df, key_col, group_cols, p=p).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    n = delta.count()
+    overwrite_partitions(delta, store_dir, ["batch_id"], fmt="parquet")
+    return n
+
+
+def run_hll_stream(
+    stream_df: DataFrame,
+    *,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 8,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the accumulation query: every micro-batch's register delta
+    lands in its own store partition."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hll_batch_update(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            key_col=key_col,
+            group_cols=group_cols,
+            p=p,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hll_store_registers(
+    spark, store_dir: str, group_cols: list[str]
+) -> DataFrame:
+    """The whole-history registers: per-register MAX over every delta —
+    EXACTLY the single-pass registers of the union of all batches."""
+    store = _read_store(spark, store_dir)
+    if store is None:
+        raise FileNotFoundError(f"no HLL store at {store_dir}")
+    return store.groupBy(*group_cols, "register").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_store_estimate(
+    spark, store_dir: str, group_cols: list[str], *, p: int = 8
+) -> DataFrame:
+    """(group…, est_distinct) over everything ever accumulated."""
+    return hll_estimate(
+        hll_store_registers(spark, store_dir, group_cols), group_cols, p=p
+    )
+
+
+def compact_hll_store(
+    spark, store_dir: str, group_cols: list[str], *, keep_last: int = 1
+) -> int:
+    """Collapse all batch partitions strictly below the newest
+    ``keep_last`` into the ``max − keep_last`` partition via register
+    max (estimates unchanged — max is idempotent AND associative, so
+    compaction is even safe to repeat). Same monotonic-id safety
+    argument as ``compact_cms_store``."""
+    import shutil
+
+    store = spark.read.parquet(store_dir)
+    ids = sorted(r[0] for r in store.select("batch_id").distinct().collect())
+    if len(ids) <= keep_last + 1:
+        return 0
+    cut = ids[-keep_last] if keep_last else ids[-1] + 1
+    fold_to = cut - 1
+    folded = (
+        store.filter(F.col("batch_id") < cut)
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+        .withColumn("batch_id", F.lit(fold_to))
+        .persist()
+    )
+    n = folded.count()  # materialize BEFORE overwriting what it reads
+    try:
+        overwrite_partitions(folded, store_dir, ["batch_id"], fmt="parquet")
+    finally:
+        folded.unpersist()
+    for i in ids:
+        if i < fold_to:
+            shutil.rmtree(f"{store_dir}/batch_id={i}", ignore_errors=True)
+    return n

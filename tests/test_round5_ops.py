@@ -281,3 +281,125 @@ def test_stream_path_foreachbatch(spark, tmp_path):
         spark, store, ["g"], BOUNDS, [0.5]
     ).collect()[0]
     assert got["n"] == 30
+
+
+# ------------------------------------------------- HLL streaming store
+
+
+def test_hll_store_accumulates_and_matches_direct(spark, tmp_path):
+    from nifi_hive_schema_generator_bundle_spark.operators.cardinality import (
+        hll_estimate,
+        hll_registers,
+    )
+    from nifi_hive_schema_generator_bundle_spark.streaming.hll_stream import (
+        hll_batch_update,
+        hll_store_estimate,
+        hll_store_registers,
+    )
+
+    store = str(tmp_path / "hllstore")
+    all_rows = []
+    for b in range(3):
+        rows = [("g", f"user-{b * 80 + i}") for i in range(100)]  # overlap
+        all_rows += rows
+        df = spark.createDataFrame(rows, "g string, k string")
+        assert hll_batch_update(
+            df, b, store_dir=store, key_col="k", group_cols=["g"], p=8
+        ) > 0
+    merged = {
+        (r["register"],): r["rho"]
+        for r in hll_store_registers(spark, store, ["g"]).collect()
+    }
+    direct = {
+        (r["register"],): r["rho"]
+        for r in hll_registers(
+            spark.createDataFrame(all_rows, "g string, k string"),
+            "k", ["g"], p=8,
+        ).collect()
+    }
+    assert merged == direct  # max-merge EXACT, not approximate
+    est = hll_store_estimate(spark, store, ["g"], p=8).collect()[0][
+        "est_distinct"
+    ]
+    want = hll_estimate(
+        hll_registers(
+            spark.createDataFrame(all_rows, "g string, k string"),
+            "k", ["g"], p=8,
+        ),
+        ["g"], p=8,
+    ).collect()[0]["est_distinct"]
+    assert est == want
+
+
+def test_hll_store_replay_idempotent_and_behind_raises(spark, tmp_path):
+    from nifi_hive_schema_generator_bundle_spark.streaming.hll_stream import (
+        hll_batch_update,
+        hll_store_registers,
+    )
+
+    store = str(tmp_path / "hllstore")
+    df = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(50)], "g string, k string"
+    )
+    hll_batch_update(df, 2, store_dir=store, key_col="k",
+                     group_cols=["g"], p=8)
+    before = sorted(
+        tuple(r)
+        for r in hll_store_registers(spark, store, ["g"]).collect()
+    )
+    hll_batch_update(df, 2, store_dir=store, key_col="k",
+                     group_cols=["g"], p=8)  # replay
+    after = sorted(
+        tuple(r)
+        for r in hll_store_registers(spark, store, ["g"]).collect()
+    )
+    assert before == after
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="behind the store"):
+        hll_batch_update(df, 1, store_dir=store, key_col="k",
+                         group_cols=["g"], p=8)
+
+
+def test_hll_store_compaction_and_stream_path(spark, tmp_path):
+    from nifi_hive_schema_generator_bundle_spark.streaming.hll_stream import (
+        compact_hll_store,
+        hll_batch_update,
+        hll_store_registers,
+        run_hll_stream,
+        hll_store_estimate,
+    )
+
+    store = str(tmp_path / "hllstore")
+    for b in range(4):
+        df = spark.createDataFrame(
+            [("g", f"u{b * 30 + i}") for i in range(40)],
+            "g string, k string",
+        )
+        hll_batch_update(df, b, store_dir=store, key_col="k",
+                         group_cols=["g"], p=8)
+    before = sorted(
+        tuple(r)
+        for r in hll_store_registers(spark, store, ["g"]).collect()
+    )
+    compact_hll_store(spark, store, ["g"], keep_last=1)
+    after = sorted(
+        tuple(r)
+        for r in hll_store_registers(spark, store, ["g"]).collect()
+    )
+    assert before == after
+
+    src = str(tmp_path / "src")
+    store2 = str(tmp_path / "hllstore2")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("g", f"u{i}") for i in range(60)], "g string, k string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("g string, k string").parquet(src)
+    q = run_hll_stream(stream, store_dir=store2, checkpoint_dir=ckpt,
+                       key_col="k", group_cols=["g"], p=8)
+    q.awaitTermination(120)
+    est = hll_store_estimate(spark, store2, ["g"], p=8).collect()[0][
+        "est_distinct"
+    ]
+    assert est == __import__("pytest").approx(60, rel=0.3)
