@@ -28,6 +28,7 @@ __all__ = [
     "partition_completeness",
     "schema_contract_violations",
     "k_anonymity_report",
+    "l_diversity_report",
     "split_leakage_report",
     "dp_noisy_counts",
     "curation_audit",
