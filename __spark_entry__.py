@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # caps at 50 entries (observed: CORRECTNESS_r01-r04 each recorded exactly
 # the first 50 of the then-current registry). Rounds 1-4 hash-verified 109
 # distinct entries, leaving 101 oracle-backed entries never driver-verified;
-# this round's 50 slots = 17 changed-or-new-code entries that must (re)verify
+# this round's 50 slots = 23 changed-or-new-code entries that must (re)verify
 # (embedding_covariance was r4's one hash-red row, now exact-integer;
 # embedding_pca_project is newly oracle-backed; doc_jaccard_join gained the
 # duplicate-collapse prestage; events_campaign_overlap's interval tiling
@@ -57,8 +57,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_kmv_type_overlap / lineitem_price_ddsketch / orders_bloom_prejoin /
 # doc_containment_join / events_cusum_changepoint /
 # lineitem_ddsketch_incremental / doc_curation_audit /
-# events_hll_incremental are new this
-# round) + 31 never-verified entries
+# events_hll_incremental / orders_kaplan_meier / lineitem_benford_audit /
+# orders_market_basket / events_ewma_backtest / part_link_prediction /
+# customer_rfm_segments are new this
+# round) + 25 never-verified entries
 # chosen for kernels WITHOUT a driver-verified structural sibling + 2
 # canaries overlapping every prior round. Round 6 takes the remaining
 # never-verified entries. Rows-only entries (no SQL oracle) sort last;
@@ -83,6 +85,12 @@ DRIVER_PRIORITY = [
     "lineitem_ddsketch_incremental",  # new: cross-run histogram store
     "doc_curation_audit",        # new: single-scan funnel provenance
     "events_hll_incremental",    # new: cross-run HLL register store
+    "orders_kaplan_meier",       # new: K-M/N-A survival, integer recurrence
+    "lineitem_benford_audit",    # new: first-digit forensic audit
+    "orders_market_basket",      # new: association rules, integer ppm
+    "events_ewma_backtest",      # new: dyadic-EWMA walk-forward MAE
+    "part_link_prediction",      # new: resource-allocation index
+    "customer_rfm_segments",     # new: tiebroken RFM quintiles
     # --- 40 never-driver-verified entries (absent from r1-r4 hashes),
     # chosen for kernels with no driver-verified structural sibling.
     # The ~57 never-verified entries left out this round (doc_chunks,
@@ -120,7 +128,9 @@ DRIVER_PRIORITY = [
     # (events_majority_vote yielded its slot to events_hll_incremental:
     # majority-vote is the r1-3-verified pass_at_k/win_rates
     # conditional-aggregate eval family — round 6 picks it up)
-    "events_touch_attribution",
+    # (events_touch_attribution ~ the r4-verified user_decayed_value /
+    # events_cohort_retention attribution-window family: yielded its slot
+    # to events_ewma_backtest — round 6 picks it up)
     "doc_rank_correlation",
     "doc_zipf_fit",
     "doc_scaling_law_fit",
@@ -141,9 +151,11 @@ DRIVER_PRIORITY = [
     "doc_gopher_repetition",
     "doc_ngram_novelty",
     "doc_collocations",
-    "doc_fim_transform",
-    "doc_preference_pairs",
-    "doc_chat_validate",
+    # (doc_fim_transform, doc_preference_pairs and doc_chat_validate
+    # yielded their slots to the round-5b analytics wave: FIM slicing ~
+    # the r4-verified doc_span_corruption span family, preference pairs
+    # and chat validation ~ the r4-verified doc_chat_render chat family
+    # — round 6 picks them up)
     # dedup / similarity / embedding:
     # (simhash_near_dup_portable ~ the r4-verified md5-portable
     # minhash_near_dup_portable kernel; embedding_random_projection ~
@@ -152,8 +164,10 @@ DRIVER_PRIORITY = [
     "embedding_decontamination",
     "embedding_silhouette",
     "embedding_hard_negatives",
-    "doc_hybrid_rrf",
-    "dataset_overlap_matrix",
+    # (doc_hybrid_rrf ~ the r4-verified doc_bm25_index_search rank-window
+    # family and dataset_overlap_matrix ~ the r3-verified doc_split_leakage
+    # exact-overlap family: both yielded their slots to round 5b's
+    # part_link_prediction / customer_rfm_segments — round 6 picks them up)
     # graph:
     "part_hierarchy_flatten",
     "part_clustering_coefficient",

@@ -20,6 +20,8 @@ __all__ = [
     "dataset_fingerprint",
     "dataset_overlap_report",
     "concentration_report",
+    "benford_report",
+    "BENFORD_PPM",
 ]
 
 
@@ -341,4 +343,58 @@ def dataset_overlap_report(
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+# Benford expected first-digit frequencies, log10(1 + 1/d) in integer
+# ppm. LITERALS, not in-engine log10: the whole audit stays in exact
+# integer arithmetic so the DuckDB twin (which carries the same nine
+# constants) hashes bit-for-bit.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_report(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit audit of a positive numeric column vs
+    Benford's law — the classic fabricated-data / unit-mixing forensic
+    check a curation pipeline runs on money and count columns.
+
+    The first digit comes from the INTEGER part via string head (both
+    engines render BIGINT identically; no log10, no float): rows with
+    floor(value) < 1 are excluded. Output: one row per digit 1-9 with
+    the observed count, observed ppm (n_d * 10^6 // n), the Benford
+    expectation in ppm (literal), and the signed deviation — all exact
+    integers. Scale: one scan + a 9-row aggregate; map-side combinable.
+    """
+    digits = df.select(
+        F.substring(
+            F.floor(F.col(col)).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    ).filter(F.floor(F.col(col)) >= 1)
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    total = digits.count()
+    expected = digits.sparkSession.createDataFrame(
+        sorted(BENFORD_PPM.items()), "digit int, expected_ppm long"
+    )
+    return (
+        expected.join(counts, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.expr(f"coalesce(n_obs, 0) * 1000000 div {total}L").alias(
+                "obs_ppm"
+            ),
+            "expected_ppm",
+            (
+                F.expr(f"coalesce(n_obs, 0) * 1000000 div {total}L")
+                - F.col("expected_ppm")
+            ).alias("dev_ppm"),
+        )
+        .orderBy("digit")
     )

@@ -12513,3 +12513,345 @@ def events_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("est_distinct").alias("est_users"))
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# Round-5b wave: survival / forensics / market-basket / forecasting
+# ===========================================================================
+
+@register_query(
+    "orders_kaplan_meier",
+    oracle="""
+    WITH RECURSIVE o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+        FROM orders
+    ), nxt AS (
+        SELECT d,
+               lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+                 AS nd
+        FROM o
+    ), subj AS (
+        SELECT CASE WHEN nd IS NOT NULL THEN date_diff('day', d, nd)
+                    ELSE date_diff('day', d, (SELECT max(d) FROM o))
+               END AS duration,
+               CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM nxt
+    ), life AS (
+        SELECT duration AS t_day, CAST(sum(observed) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM subj GROUP BY duration
+    ), risk AS (
+        SELECT t_day, d,
+               (SELECT count(*) FROM subj)
+                 - coalesce(sum(leaving) OVER (ORDER BY t_day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM life
+    ), ev AS (
+        SELECT CAST(t_day AS INT) AS t_day, CAST(n_risk AS BIGINT) AS n_risk,
+               d, row_number() OVER (ORDER BY t_day) AS rn
+        FROM risk WHERE d > 0
+    ), rec AS (
+        SELECT rn, t_day, n_risk, d,
+               CAST(1000000000000 AS HUGEINT) * (n_risk - d) // n_risk AS s,
+               CAST(d AS HUGEINT) * 1000000000000 // n_risk AS h
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.rn, e.t_day, e.n_risk, e.d,
+               r.s * (e.n_risk - e.d) // e.n_risk,
+               r.h + CAST(e.d AS HUGEINT) * 1000000000000 // e.n_risk
+        FROM ev e JOIN rec r ON e.rn = r.rn + 1
+    )
+    SELECT t_day, n_risk, d, CAST(s AS BIGINT) AS survival_q,
+           CAST(h AS BIGINT) AS hazard_q
+    FROM rec ORDER BY t_day
+    """,
+)
+def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase survival curve (operators/survival): each order is
+    a subject whose duration is days until the same customer's NEXT
+    order (observed) or until the corpus horizon (right-censored).
+    Kaplan-Meier survival and Nelson-Aalen hazard come out as
+    scale-10^12 exact-integer folds over the life table — the table is
+    bounded by the corpus DAY-SPAN, so the sequential K-M product is a
+    driver fold over <=10^4 rows (the pca.py bounded-state contract)
+    while the subject reduction stays distributed. The oracle replays
+    the identical integer recurrence with a recursive CTE on HUGEINTs."""
+    from ..operators.survival import kaplan_meier, subject_durations
+
+    orders = load_table(spark, sf_dir, "orders")
+    subj = subject_durations(
+        orders, key="o_custkey", date_col="o_orderdate", tiebreak="o_orderkey"
+    )
+    return kaplan_meier(subj)
+
+
+@register_query(
+    "lineitem_benford_audit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM lineitem WHERE floor(l_extendedprice) >= 1
+    ), counts AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        FROM digits GROUP BY digit
+    ), expected(digit, expected_ppm) AS (
+        VALUES (1, CAST(301030 AS BIGINT)), (2, 176091), (3, 124939),
+               (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+               (8, 51153), (9, 45757)
+    )
+    SELECT e.digit, coalesce(c.n_obs, 0) AS n_obs,
+           coalesce(c.n_obs, 0) * 1000000
+             // (SELECT count(*) FROM digits) AS obs_ppm,
+           e.expected_ppm,
+           coalesce(c.n_obs, 0) * 1000000
+             // (SELECT count(*) FROM digits) - e.expected_ppm AS dev_ppm
+    FROM expected e LEFT JOIN counts c USING (digit)
+    ORDER BY e.digit
+    """,
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit Benford audit of extended prices
+    (operators/profile.benford_report) — the fabricated-data forensic.
+    First digits come from the BIGINT string head (no log10 in-engine);
+    expectations are the nine log10(1+1/d) ppm literals shared verbatim
+    with the oracle; every output column is an exact integer. Scale:
+    one scan + a 9-row map-side-combinable aggregate."""
+    from ..operators.profile import benford_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford_report(li, "l_extendedprice")
+
+
+@register_query(
+    "orders_market_basket",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ), cnt AS (
+        SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY i
+    ), pairs AS (
+        SELECT a.i AS item_a, b.i AS item_b,
+               CAST(count(*) AS BIGINT) AS support_n
+        FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM items)
+    SELECT item_a, item_b, support_n,
+           support_n * 1000000 // ca.cnt AS conf_ab_ppm,
+           support_n * 1000000 // cb.cnt AS conf_ba_ppm,
+           support_n * (SELECT n FROM nb) * 1000000
+             // (ca.cnt * cb.cnt) AS lift_ppm
+    FROM pairs JOIN cnt ca ON ca.i = item_a JOIN cnt cb ON cb.i = item_b
+    ORDER BY support_n DESC, lift_ppm DESC, item_a, item_b LIMIT 20
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (operators/basket
+    .association_rules): top-20 co-purchased part pairs with integer-ppm
+    confidence (both directions) and lift, min support 2. Pair fan-out
+    is C(k,2) per basket — linear in baskets for TPC-H's bounded basket
+    size, with a logged max_basket=100 guard for degenerate containers
+    (no basket here comes near it, so the oracle needs no cap). All
+    scores use integer `div`, never IEEE division."""
+    from ..operators.basket import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_support=2, top_k=20,
+    )
+
+
+@register_query(
+    "events_ewma_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT g, cnt,
+               lag(cnt, 1) OVER w AS l1, lag(cnt, 2) OVER w AS l2,
+               lag(cnt, 3) OVER w AS l3, lag(cnt, 4) OVER w AS l4,
+               lag(cnt, 5) OVER w AS l5, lag(cnt, 6) OVER w AS l6,
+               lag(cnt, 7) OVER w AS l7, lag(cnt, 8) OVER w AS l8
+        FROM daily WINDOW w AS (PARTITION BY g ORDER BY day)
+    ), scored AS (
+        SELECT g, cnt,
+               (l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL
+                AND l4 IS NOT NULL AND l5 IS NOT NULL AND l6 IS NOT NULL
+                AND l7 IS NOT NULL AND l8 IS NOT NULL) AS ok,
+               abs(255 * cnt - (coalesce(l1,0)*128 + coalesce(l2,0)*64
+                 + coalesce(l3,0)*32 + coalesce(l4,0)*16 + coalesce(l5,0)*8
+                 + coalesce(l6,0)*4 + coalesce(l7,0)*2 + coalesce(l8,0)))
+                 AS err_num
+        FROM lagged
+    )
+    SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_forecasts,
+           1000000 * sum(CASE WHEN ok THEN err_num ELSE 0 END)
+             // (255 * sum(CASE WHEN ok THEN 1 ELSE 0 END)) AS mae_ppm
+    FROM scored GROUP BY g
+    HAVING sum(CASE WHEN ok THEN 1 ELSE 0 END) > 0
+    ORDER BY event_type
+    """,
+)
+def events_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward forecast backtest (operators/forecast.ewma_backtest):
+    per event type, the dyadic-weight (alpha=1/2, 8-lag) EWMA one-step
+    forecast of daily volume, scored as integer-ppm MAE with the weighted
+    sums held as exact integer numerators over the constant 255
+    denominator — the predictability readout behind volume alerting.
+    Scale: (type, day) aggregate (dimension-bounded) + one 8-lag window
+    per type; no float anywhere."""
+    from ..operators.forecast import ewma_backtest
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ewma_backtest(ev, group_col="event_type", ts_col="ts", window=8)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    )
+
+
+@register_query(
+    "part_link_prediction",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 40
+    ), e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p
+    ), adj AS (
+        SELECT u AS w, v AS n FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY w
+    ), centers AS (
+        SELECT w, 1000000000 // deg AS term FROM deg WHERE deg <= 10000
+    ), wedges AS (
+        SELECT a1.n AS u, a2.n AS v, c.term
+        FROM adj a1 JOIN centers c ON a1.w = c.w JOIN adj a2 ON a2.w = a1.w
+        WHERE a1.n < a2.n
+    ), scored AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+               CAST(sum(term) AS BIGINT) AS ra_q
+        FROM wedges GROUP BY u, v
+    )
+    SELECT u AS item_a, v AS item_b, common_neighbors, ra_q
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.u AND e.v = s.v)
+    ORDER BY ra_q DESC, item_a, item_b LIMIT 20
+    """,
+)
+def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (operators/basket
+    .ra_link_prediction) on the sparse quantity>=40 co-purchase graph
+    (the part_copurchase_triangles edge convention — per-order fan-out
+    ~1, so degrees stay O(1) as data scales): top-20 NON-adjacent part
+    pairs by RA score, each common neighbor contributing the exact
+    integer 10^9 // deg(w). RA's 1/deg is rational, so no ln and no
+    float — the Adamic-Adar variant could not hash-verify cross-engine.
+    Hub cap max_degree=10000 bounds wedge fan-out (logged convention)."""
+    from ..operators.basket import ra_link_prediction
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") >= 40)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = ps.select(F.col("o"), F.col("p").alias("p2"))
+    edges = (
+        ps.join(b, "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return ra_link_prediction(edges, max_degree=10_000, top_k=20)
+
+
+@register_query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH pc AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                 AS recency,
+               count(*) AS freq,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY o_custkey
+    ), q AS (
+        SELECT ntile(5) OVER (ORDER BY recency, o_custkey) AS r_q,
+               ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+               ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q,
+               monetary
+        FROM pc
+    )
+    SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(monetary) AS DOUBLE), 2) AS sum_monetary
+    FROM q GROUP BY 1 ORDER BY 1
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile customers by Recency (days since last
+    order vs corpus horizon, ascending — recent=1), Frequency (order
+    count, descending — frequent=1) and Monetary (exact DECIMAL spend,
+    descending), then report segment sizes and exact spend totals.
+    ntile carries a full (metric, custkey) tiebreak so bucket edges are
+    engine-independent; monetary sums ride DECIMAL(18,2) (the registry's
+    money discipline). Scale note: ntile is a global sort — at 100 TB
+    the quintile edges come from approx_percentile boundaries instead
+    (same report shape); at gate scale the exact global ntile IS the
+    oracle-checkable contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    horizon = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("__horizon")
+    )
+    pc = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+        .join(F.broadcast(horizon))
+        .select(
+            "o_custkey",
+            F.datediff("__horizon", "last_d").alias("recency"),
+            "freq",
+            "monetary",
+        )
+    )
+    q = pc.select(
+        F.ntile(5)
+        .over(Window.orderBy("recency", "o_custkey"))
+        .alias("r_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("freq"), F.col("o_custkey")))
+        .alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.col("o_custkey")))
+        .alias("m_q"),
+        "monetary",
+    )
+    return (
+        q.groupBy(
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+            .cast("long")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("monetary").cast("double"), 2).alias(
+                "sum_monetary"
+            ),
+        )
+        .orderBy("segment")
+    )

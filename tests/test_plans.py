@@ -373,6 +373,11 @@ BNLJ_ALLOWED = {
     # 1-row grand-total broadcast onto the |stages|-row funnel report
     # (q22 scalar class)
     "doc_curation_audit",
+    # 1-row corpus-horizon broadcast (the user_decayed_value in-data
+    # "now" class) riding the per-subject duration projection
+    "orders_kaplan_meier",
+    # same 1-row corpus-horizon broadcast feeding the recency metric
+    "customer_rfm_segments",
 }
 
 

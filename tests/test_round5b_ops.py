@@ -1,0 +1,191 @@
+"""Round-5 wave-3 operators: Kaplan-Meier survival (operators/survival),
+Benford forensics (operators/profile.benford_report), market-basket
+association rules + RA link prediction (operators/basket), and the
+dyadic-EWMA forecast backtest (operators/forecast) — planted-answer
+units hand-computing every exact-integer score."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from nifi_hive_schema_generator_bundle_spark.operators.basket import (
+    association_rules,
+    basket_pairs,
+    ra_link_prediction,
+)
+from nifi_hive_schema_generator_bundle_spark.operators.forecast import (
+    ewma_backtest,
+)
+from nifi_hive_schema_generator_bundle_spark.operators.profile import (
+    BENFORD_PPM,
+    benford_report,
+)
+from nifi_hive_schema_generator_bundle_spark.operators.survival import (
+    SCALE,
+    kaplan_meier,
+    life_table,
+    subject_durations,
+)
+
+# --------------------------------------------------------- survival
+
+
+def _subjects(spark, rows):
+    return spark.createDataFrame(rows, "duration int, observed int")
+
+
+def test_life_table_at_risk_counts(spark):
+    """4 subjects: events at t=1 (x2) and t=3, censored at t=2 —
+    n_risk must count everyone with duration >= t."""
+    subj = _subjects(spark, [(1, 1), (1, 1), (2, 0), (3, 1)])
+    rows = {r["t_day"]: r for r in life_table(subj).collect()}
+    assert rows[1]["n_risk"] == 4 and rows[1]["d"] == 2
+    assert rows[2]["n_risk"] == 2 and rows[2]["d"] == 0
+    assert rows[3]["n_risk"] == 1 and rows[3]["d"] == 1
+
+
+def test_kaplan_meier_integer_recurrence(spark):
+    """Hand-computed K-M: S(1) = 4->2/4, S(3) = that * 0/1 = 0; the
+    censored subject at t=2 reduces risk but not survival. Hazard is
+    the independent per-term quantization."""
+    subj = _subjects(spark, [(1, 1), (1, 1), (2, 0), (3, 1)])
+    out = {r["t_day"]: r for r in kaplan_meier(subj).collect()}
+    assert set(out) == {1, 3}  # only event times
+    s1 = SCALE * 2 // 4
+    assert out[1]["survival_q"] == s1
+    assert out[3]["survival_q"] == s1 * 0 // 1 == 0
+    assert out[1]["hazard_q"] == 2 * SCALE // 4
+    assert out[3]["hazard_q"] == 2 * SCALE // 4 + 1 * SCALE // 1
+
+
+def test_subject_durations_censoring(spark):
+    """Two orders for u1 (gap 3d, first observed, second censored at the
+    horizon set by u2's late order), one order for u2 (censored, 0d)."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 10),
+            (1, "2024-01-04", 11),
+            (2, "2024-01-09", 12),
+        ],
+        "k long, d string, tb long",
+    ).select("k", F.to_timestamp("d").alias("d"), "tb")
+    subj = subject_durations(df, key="k", date_col="d", tiebreak="tb")
+    got = sorted((r["duration"], r["observed"]) for r in subj.collect())
+    assert got == [(0, 0), (3, 1), (5, 0)]
+
+
+# ---------------------------------------------------------- benford
+
+
+def test_benford_digits_and_ppm(spark):
+    """Planted column: digits 1,1,2 (values 19.5, 150, 2.0) — 0.x and
+    negative rows excluded; ppm exact-integer floor."""
+    df = spark.createDataFrame(
+        [(19.5,), (150.0,), (2.0,), (0.4,), (-7.0,)], "v double"
+    )
+    out = {r["digit"]: r for r in benford_report(df, "v").collect()}
+    assert len(out) == 9
+    assert out[1]["n_obs"] == 2 and out[2]["n_obs"] == 1
+    assert out[3]["n_obs"] == 0
+    assert out[1]["obs_ppm"] == 2 * 10**6 // 3
+    assert out[1]["dev_ppm"] == 2 * 10**6 // 3 - BENFORD_PPM[1]
+    assert out[9]["expected_ppm"] == 45757
+
+
+# ----------------------------------------------------------- basket
+
+
+def _baskets(spark, rows):
+    return spark.createDataFrame(rows, "b long, i long")
+
+
+def test_association_rules_scores(spark):
+    """3 baskets: {1,2}, {1,2,3}, {1,3}. Pair (1,2): co=2, c1=3, c2=2,
+    N=3 -> conf 2/3 & 2/2, lift 2*3/(3*2)=1.0 (ppm floors)."""
+    items = _baskets(
+        spark, [(10, 1), (10, 2), (11, 1), (11, 2), (11, 3), (12, 1), (12, 3)]
+    )
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(items, "b", "i", min_support=2).collect()
+    }
+    r12 = out[(1, 2)]
+    assert r12["support_n"] == 2
+    assert r12["conf_ab_ppm"] == 2 * 10**6 // 3
+    assert r12["conf_ba_ppm"] == 10**6
+    assert r12["lift_ppm"] == 2 * 3 * 10**6 // (3 * 2)
+    assert (1, 3) in out and (2, 3) not in out  # co(2,3)=1 < min_support
+
+
+def test_basket_pairs_max_basket_guard(spark):
+    """A degenerate 50-item basket is dropped by max_basket=10; the
+    small basket's pair survives."""
+    rows = [(99, i) for i in range(50)] + [(1, 1), (1, 2)]
+    pairs = basket_pairs(_baskets(spark, rows), "b", "i", max_basket=10)
+    got = [(r["item_a"], r["item_b"]) for r in pairs.collect()]
+    assert got == [(1, 2)]
+
+
+def test_ra_link_prediction_path_graph(spark):
+    """Path A-B-C-D: open wedge pairs (A,C),(B,D) via degree-2 centers
+    (term 10^9//2) and (A,D) has no common neighbor. Existing edges are
+    excluded."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in ra_link_prediction(edges).collect()
+    }
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)]["common_neighbors"] == 1
+    assert out[(1, 3)]["ra_q"] == 10**9 // 2
+
+
+def test_ra_link_prediction_hub_cap(spark):
+    """With max_degree=1 every wedge center is excluded — no candidates."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert ra_link_prediction(edges, max_degree=1).count() == 0
+
+
+# --------------------------------------------------------- forecast
+
+
+def test_ewma_backtest_constant_series_zero_mae(spark):
+    """A constant daily count forecasts itself exactly: mae_ppm = 0,
+    and the first `window` days produce no forecast."""
+    rows = [
+        ("g", f"2024-01-{d:02d} 00:00:00") for d in range(1, 13) for _ in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string").select(
+        "g", F.to_timestamp("ts").alias("ts")
+    )
+    out = ewma_backtest(df, "g", "ts", window=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 12 and r["n_forecasts"] == 4 and r["mae_ppm"] == 0
+
+
+def test_ewma_backtest_hand_computed_error(spark):
+    """window=2 (weights 2,1 / den 3): days with counts 1,2,3,4 ->
+    forecasts for day3 num=2*2+1*1=5 err=|9-5|=4; day4 num=2*3+2=8
+    err=|12-8|=4; mae_ppm = 1e6*8 // (3*2)."""
+    rows = (
+        [("g", "2024-01-01 00:00:00")]
+        + [("g", "2024-01-02 00:00:00")] * 2
+        + [("g", "2024-01-03 00:00:00")] * 3
+        + [("g", "2024-01-04 00:00:00")] * 4
+    )
+    df = spark.createDataFrame(rows, "g string, ts string").select(
+        "g", F.to_timestamp("ts").alias("ts")
+    )
+    r = ewma_backtest(df, "g", "ts", window=2).collect()[0]
+    assert r["n_forecasts"] == 2
+    assert r["mae_ppm"] == 10**6 * 8 // (3 * 2)
