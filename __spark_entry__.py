@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # caps at 50 entries (observed: CORRECTNESS_r01-r04 each recorded exactly
 # the first 50 of the then-current registry). Rounds 1-4 hash-verified 109
 # distinct entries, leaving 101 oracle-backed entries never driver-verified;
-# this round's 50 slots = 23 changed-or-new-code entries that must (re)verify
+# this round's 50 slots = 27 changed-or-new-code entries that must (re)verify
 # (embedding_covariance was r4's one hash-red row, now exact-integer;
 # embedding_pca_project is newly oracle-backed; doc_jaccard_join gained the
 # duplicate-collapse prestage; events_campaign_overlap's interval tiling
@@ -59,8 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # lineitem_ddsketch_incremental / doc_curation_audit /
 # events_hll_incremental / orders_kaplan_meier / lineitem_benford_audit /
 # orders_market_basket / events_ewma_backtest / part_link_prediction /
-# customer_rfm_segments are new this
-# round) + 25 never-verified entries
+# customer_rfm_segments / events_theil_sen_trend / events_mad_outliers /
+# user_churn_features / events_did_readout are new this
+# round) + 21 never-verified entries
 # chosen for kernels WITHOUT a driver-verified structural sibling + 2
 # canaries overlapping every prior round. Round 6 takes the remaining
 # never-verified entries. Rows-only entries (no SQL oracle) sort last;
@@ -91,6 +92,10 @@ DRIVER_PRIORITY = [
     "events_ewma_backtest",      # new: dyadic-EWMA walk-forward MAE
     "part_link_prediction",      # new: resource-allocation index
     "customer_rfm_segments",     # new: tiebroken RFM quintiles
+    "events_theil_sen_trend",    # new: robust median-slope trend
+    "events_mad_outliers",       # new: MAD/Hampel volume anomalies
+    "user_churn_features",       # new: point-in-time feature snapshot
+    "events_did_readout",        # new: difference-in-differences
     # --- 40 never-driver-verified entries (absent from r1-r4 hashes),
     # chosen for kernels with no driver-verified structural sibling.
     # The ~57 never-verified entries left out this round (doc_chunks,
@@ -145,10 +150,11 @@ DRIVER_PRIORITY = [
     # r4-verified doc_remove_duplicate_spans, sentence_dedup ~
     # r4-verified doc_paragraph_dedup, top_ngrams ~ r4-verified
     # doc_token_heavy_hitters — round 6 picks them up)
-    "doc_readability",
-    "doc_license_detect",
-    "doc_gopher_quality",
-    "doc_gopher_repetition",
+    # (doc_readability, doc_gopher_quality and doc_gopher_repetition ~
+    # the r4-verified doc_c4_line_filter / doc_token_heavy_hitters
+    # ratio-rule + token-stat kernels; doc_license_detect ~ the
+    # r3-verified regex-extraction family — all four yielded their
+    # slots to the round-5b robust/causal wave: round 6 picks them up)
     "doc_ngram_novelty",
     "doc_collocations",
     # (doc_fim_transform, doc_preference_pairs and doc_chat_validate

@@ -217,6 +217,16 @@ BENCH_QUERIES = [
     "lineitem_ddsketch_incremental",
     "doc_curation_audit",
     "events_hll_incremental",
+    "orders_kaplan_meier",
+    "lineitem_benford_audit",
+    "orders_market_basket",
+    "events_ewma_backtest",
+    "part_link_prediction",
+    "customer_rfm_segments",
+    "events_theil_sen_trend",
+    "events_mad_outliers",
+    "user_churn_features",
+    "events_did_readout",
 ]
 
 

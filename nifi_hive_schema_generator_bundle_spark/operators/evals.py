@@ -997,3 +997,51 @@ def isotonic_apply(
     )
     table = F.array(*[F.lit(v) for v in model["values"]])
     return df.withColumn(out_col, F.element_at(table, idx + 1))
+
+
+def did_readout(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    outcome_q_col: str,
+) -> DataFrame:
+    """Difference-in-differences: the 2x2 (treatment x period) causal
+    readout — DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre)
+    — which nets out both the group baseline gap and the common time
+    trend that a naive post-period comparison confounds (the CUPED
+    sibling for natural experiments / staged rollouts).
+
+    ``outcome_q_col`` must already be an integer-quantized outcome
+    (e.g. floor(value * 10^6)): cell sums are then exact and order-
+    independent, cell means are integer `div`, and the whole report is
+    bit-equal cross-engine. One scan, one 1-row conditional aggregate
+    (map-side combinable), so the readout costs a single reduction at
+    any scale.
+
+    Returns ONE row: per-cell n and mean (ppm), and did_ppm.
+    """
+    t, p = F.col(treat_col), F.col(post_col)
+    cells = {
+        "tp": t & p, "tq": t & ~p, "cp": ~t & p, "cq": ~t & ~p,
+    }
+    aggs = []
+    for key, cond in cells.items():
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{key}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.col(outcome_q_col)).otherwise(0))
+            .cast("long")
+            .alias(f"s_{key}")
+        )
+    mean = lambda k: f"s_{k} div n_{k}"  # noqa: E731
+    return df.agg(*aggs).selectExpr(
+        "n_tp AS n_treat_post", "n_tq AS n_treat_pre",
+        "n_cp AS n_ctrl_post", "n_cq AS n_ctrl_pre",
+        f"{mean('tp')} AS mean_treat_post_ppm",
+        f"{mean('tq')} AS mean_treat_pre_ppm",
+        f"{mean('cp')} AS mean_ctrl_post_ppm",
+        f"{mean('cq')} AS mean_ctrl_pre_ppm",
+        f"({mean('tp')} - {mean('tq')}) - ({mean('cp')} - {mean('cq')})"
+        " AS did_ppm",
+    )

@@ -12855,3 +12855,229 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register_query(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), d AS (
+        SELECT g, date_diff('day', DATE '1970-01-01', day) AS x, cnt
+        FROM daily
+    ), pairs AS (
+        SELECT a.g, a.x AS x1, b.x AS x2,
+               (b.cnt - a.cnt) * 1000000 // (b.x - a.x) AS slope_q
+        FROM d a JOIN d b ON a.g = b.g AND a.x < b.x
+    ), ranked AS (
+        SELECT g, slope_q,
+               row_number() OVER (PARTITION BY g ORDER BY slope_q, x1, x2)
+                 AS rn,
+               count(*) OVER (PARTITION BY g) AS n_pairs
+        FROM pairs
+    ), med AS (
+        SELECT g, slope_q AS slope_med_q, CAST(n_pairs AS BIGINT) AS n_pairs
+        FROM ranked WHERE rn = (n_pairs + 1) // 2
+    ), nd AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY g
+    )
+    SELECT nd.g AS event_type, n_days, n_pairs, slope_med_q
+    FROM nd JOIN med USING (g) ORDER BY event_type
+    """,
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume trend per event type (operators/robust
+    .theil_sen_trend): the Theil-Sen median-of-pairwise-slopes
+    estimator, each slope the exact integer (dy * 10^6 div dx) — both
+    engines truncate toward zero, verified for negative slopes — and
+    the median a rank SELECTION, not an average. Pair fan-out is
+    C(days,2) per type over the dimension-bounded (type, day) table;
+    the raw-row reduction is one map-side-combinable shuffle."""
+    from ..operators.robust import theil_sen_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        theil_sen_trend(ev, group_col="event_type", ts_col="ts")
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    )
+
+
+@register_query(
+    "events_mad_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT g, cnt,
+               row_number() OVER (PARTITION BY g ORDER BY cnt, day) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM daily
+    ), med AS (
+        SELECT g, cnt AS med_cnt FROM ranked WHERE rn = (n + 1) // 2
+    ), dev AS (
+        SELECT daily.g, daily.day, daily.cnt, med.med_cnt,
+               abs(daily.cnt - med.med_cnt) AS dev
+        FROM daily JOIN med ON daily.g = med.g
+    ), dranked AS (
+        SELECT g, dev,
+               row_number() OVER (PARTITION BY g ORDER BY dev, day) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM dev
+    ), mad AS (
+        SELECT g, dev AS mad_cnt FROM dranked WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.g AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+           dev.med_cnt, mad.mad_cnt,
+           CAST(sum(CASE WHEN dev.dev > 3 * mad.mad_cnt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.g = mad.g
+    GROUP BY dev.g, dev.med_cnt, mad.mad_cnt
+    ORDER BY event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation volume anomaly summary per event type
+    (operators/robust.mad_outlier_report): med and mad are exact lower
+    medians (rank selection), the Hampel rule |cnt-med| > 3*mad is a
+    pure integer comparison — the robust counterpart to the
+    mean/stddev daily-anomaly entry, immune to the spike days that
+    inflate a stddev band. Dimension-bounded (type, day) table."""
+    from ..operators.robust import mad_outlier_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        mad_outlier_report(ev, group_col="event_type", ts_col="ts", k=3)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    )
+
+
+@register_query(
+    "user_churn_features",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(max(CAST(ts AS DATE)) AS DATE) AS horizon,
+               CAST(max(CAST(ts AS DATE)) AS DATE) - 7 AS cutoff
+        FROM events
+    ), agg AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN day < cutoff THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_events,
+               CAST(count(DISTINCT CASE WHEN day < cutoff THEN day END)
+                    AS BIGINT) AS n_active_days,
+               CAST(count(DISTINCT CASE WHEN day < cutoff THEN event_type END)
+                    AS BIGINT) AS n_types,
+               max(CASE WHEN day < cutoff THEN day END) AS last_pre,
+               CAST(max(CASE WHEN day >= cutoff THEN 1 ELSE 0 END) AS INT)
+                 AS label_active,
+               max(cutoff) AS cut
+        FROM (SELECT user_id, CAST(ts AS DATE) AS day, event_type
+              FROM events) e, h
+        GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_active_days, n_types,
+           CAST(date_diff('day', last_pre, cut) AS INT) AS days_since_last,
+           label_active
+    FROM agg WHERE n_events > 0 ORDER BY user_id
+    """,
+)
+def user_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn training table (operators/features
+    .churn_feature_snapshot): features strictly from history BEFORE
+    the cutoff (horizon - 7d), label strictly from [cutoff, horizon] —
+    the point-in-time contract that prevents label leakage — computed
+    in ONE conditional groupBy(user) so features and labels share a
+    single scan and a single shuffle at any scale."""
+    from ..operators.features import churn_feature_snapshot
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        churn_feature_snapshot(
+            ev, user_col="user_id", ts_col="ts",
+            label_days=7, type_col="event_type",
+        )
+        .withColumnRenamed("user_key", "user_id")
+        .orderBy("user_id")
+    )
+
+
+@register_query(
+    "events_did_readout",
+    oracle="""
+    WITH span AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events WHERE value IS NOT NULL
+    ), midc AS (
+        SELECT lo + CAST(date_diff('day', lo, hi) // 2 AS INT) AS mid
+        FROM span
+    ), pts AS (
+        SELECT (user_id % 2 = 1) AS t, (CAST(ts AS DATE) >= mid) AS p,
+               CAST(floor(value * 1000000) AS BIGINT)
+                 + CASE WHEN user_id % 2 = 1 AND CAST(ts AS DATE) >= mid
+                        THEN 2500000 ELSE 0 END AS y
+        FROM events, midc WHERE value IS NOT NULL
+    ), cells AS (
+        SELECT
+          CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+          CAST(sum(CASE WHEN t AND p THEN y ELSE 0 END) AS BIGINT) AS s_tp,
+          CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_tq,
+          CAST(sum(CASE WHEN t AND NOT p THEN y ELSE 0 END) AS BIGINT) AS s_tq,
+          CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+          CAST(sum(CASE WHEN NOT t AND p THEN y ELSE 0 END) AS BIGINT) AS s_cp,
+          CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cq,
+          CAST(sum(CASE WHEN NOT t AND NOT p THEN y ELSE 0 END) AS BIGINT)
+            AS s_cq
+        FROM pts
+    )
+    SELECT n_tp AS n_treat_post, n_tq AS n_treat_pre,
+           n_cp AS n_ctrl_post, n_cq AS n_ctrl_pre,
+           s_tp // n_tp AS mean_treat_post_ppm,
+           s_tq // n_tq AS mean_treat_pre_ppm,
+           s_cp // n_cp AS mean_ctrl_post_ppm,
+           s_cq // n_cq AS mean_ctrl_pre_ppm,
+           (s_tp // n_tp - s_tq // n_tq) - (s_cp // n_cp - s_cq // n_cq)
+             AS did_ppm
+    FROM cells
+    """,
+)
+def events_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators/evals.did_readout): odd
+    users are "treated", the post period starts at the corpus
+    midpoint, and a planted +2.5 lift rides treated-post outcomes —
+    DiD nets out the group baseline gap and the common time trend and
+    recovers the lift up to sampling noise (exact recovery is pinned
+    by the noise-free planted unit test). Outcomes are quantized per row
+    (floor(value*10^6) — identical IEEE op both engines) so cell sums
+    are exact integers; the whole readout is one conditional 1-row
+    aggregate after a 1-row midpoint broadcast."""
+    from ..operators.evals import did_readout
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = F.to_date("ts")
+    span = ev.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).select(
+        F.expr("date_add(lo, cast((datediff(hi, lo) div 2) as int))").alias(
+            "mid"
+        )
+    )
+    staged = ev.join(F.broadcast(span)).select(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        (day >= F.col("mid")).alias("post"),
+        (
+            F.floor(F.col("value") * 1000000).cast("long")
+            + F.when(
+                (F.col("user_id") % 2 == 1) & (day >= F.col("mid")),
+                2500000,
+            ).otherwise(0)
+        ).alias("y_q"),
+    )
+    return did_readout(
+        staged, treat_col="treat", post_col="post", outcome_q_col="y_q"
+    )

@@ -378,6 +378,10 @@ BNLJ_ALLOWED = {
     "orders_kaplan_meier",
     # same 1-row corpus-horizon broadcast feeding the recency metric
     "customer_rfm_segments",
+    # 1-row horizon/cutoff broadcast gating the point-in-time split
+    "user_churn_features",
+    # 1-row corpus-midpoint broadcast defining the post period
+    "events_did_readout",
 }
 
 

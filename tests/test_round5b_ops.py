@@ -189,3 +189,109 @@ def test_ewma_backtest_hand_computed_error(spark):
     r = ewma_backtest(df, "g", "ts", window=2).collect()[0]
     assert r["n_forecasts"] == 2
     assert r["mae_ppm"] == 10**6 * 8 // (3 * 2)
+
+
+# ------------------------------------------------- robust statistics
+
+from nifi_hive_schema_generator_bundle_spark.operators.robust import (  # noqa: E402
+    SLOPE_SCALE,
+    mad_outlier_report,
+    theil_sen_trend,
+)
+
+
+def _daily_events(spark, counts, g="g", start=1):
+    """One event row per unit of count on consecutive January days."""
+    rows = [
+        (g, f"2024-01-{start + i:02d} 00:00:00")
+        for i, c in enumerate(counts)
+        for _ in range(c)
+    ]
+    return spark.createDataFrame(rows, "g string, ts string").select(
+        "g", F.to_timestamp("ts").alias("ts")
+    )
+
+
+def test_theil_sen_exact_linear_series(spark):
+    """Counts 2,4,6,8 on consecutive days: every pairwise slope is
+    exactly 2/day -> median 2 * 10^6."""
+    out = theil_sen_trend(_daily_events(spark, [2, 4, 6, 8]), "g", "ts").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 4 and r["n_pairs"] == 6
+    assert r["slope_med_q"] == 2 * SLOPE_SCALE
+
+
+def test_theil_sen_outlier_resistant_and_negative(spark):
+    """Declining series 9,8,7,6 with one wild spike day (100): the
+    median slope stays negative — OLS would be dragged positive."""
+    out = theil_sen_trend(
+        _daily_events(spark, [9, 8, 7, 100, 6]), "g", "ts"
+    ).collect()[0]
+    assert out["slope_med_q"] < 0
+
+
+def test_mad_outlier_report_flags_spike(spark):
+    """Counts 5,5,5,5,50: med=5, mad=0, the spike day (dev 45 > 0)
+    flags; the equal days don't."""
+    r = mad_outlier_report(
+        _daily_events(spark, [5, 5, 5, 5, 50]), "g", "ts"
+    ).collect()[0]
+    assert r["med_cnt"] == 5 and r["mad_cnt"] == 0
+    assert r["n_outliers"] == 1 and r["n_days"] == 5
+
+
+# ------------------------------------------- point-in-time features
+
+from nifi_hive_schema_generator_bundle_spark.operators.features import (  # noqa: E402
+    churn_feature_snapshot,
+)
+
+
+def test_churn_snapshot_no_leakage(spark):
+    """Horizon 2024-01-20, cutoff 13th. u1: 2 pre events (types a,b)
+    + 1 post -> label 1, days_since_last = 13-10 = 3. u2: pre only ->
+    label 0. u3: post only -> EXCLUDED (no pre history)."""
+    rows = [
+        (1, "2024-01-05 00:00:00", "a"),
+        (1, "2024-01-10 00:00:00", "b"),
+        (1, "2024-01-14 00:00:00", "a"),
+        (2, "2024-01-06 00:00:00", "a"),
+        (3, "2024-01-20 00:00:00", "a"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts string, et string").select(
+        "u", F.to_timestamp("ts").alias("ts"), "et"
+    )
+    out = {
+        r["user_key"]: r
+        for r in churn_feature_snapshot(
+            df, "u", "ts", label_days=7, type_col="et"
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_events"] == 2 and out[1]["n_types"] == 2
+    assert out[1]["days_since_last"] == 3 and out[1]["label_active"] == 1
+    assert out[2]["label_active"] == 0 and out[2]["n_active_days"] == 1
+
+
+# --------------------------------------------------------------- DiD
+
+from nifi_hive_schema_generator_bundle_spark.operators.evals import (  # noqa: E402
+    did_readout,
+)
+
+
+def test_did_recovers_planted_effect(spark):
+    """Baselines: treat 10, ctrl 4; common time trend +3; planted
+    treatment effect +7 on treat-post -> DiD must be exactly 7e6 ppm
+    with the baseline gap and the trend netted out."""
+    rows = []
+    for t in (True, False):
+        for p in (True, False):
+            base = (10 if t else 4) + (3 if p else 0) + (7 if t and p else 0)
+            rows += [(t, p, base * 10**6)] * 5
+    df = spark.createDataFrame(rows, "t boolean, p boolean, y long")
+    r = did_readout(df, "t", "p", "y").collect()[0]
+    assert r["did_ppm"] == 7 * 10**6
+    assert r["n_treat_post"] == 5
+    assert r["mean_ctrl_pre_ppm"] == 4 * 10**6
