@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # caps at 50 entries (observed: CORRECTNESS_r01-r04 each recorded exactly
 # the first 50 of the then-current registry). Rounds 1-4 hash-verified 109
 # distinct entries, leaving 101 oracle-backed entries never driver-verified;
-# this round's 50 slots = 27 changed-or-new-code entries that must (re)verify
+# this round's 50 slots = 30 changed-or-new-code entries that must (re)verify
 # (embedding_covariance was r4's one hash-red row, now exact-integer;
 # embedding_pca_project is newly oracle-backed; doc_jaccard_join gained the
 # duplicate-collapse prestage; events_campaign_overlap's interval tiling
@@ -60,8 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_hll_incremental / orders_kaplan_meier / lineitem_benford_audit /
 # orders_market_basket / events_ewma_backtest / part_link_prediction /
 # customer_rfm_segments / events_theil_sen_trend / events_mad_outliers /
-# user_churn_features / events_did_readout are new this
-# round) + 21 never-verified entries
+# user_churn_features / events_did_readout / customers_k_anonymize /
+# embedding_isotropy / events_session_paths are new this
+# round) + 18 never-verified entries
 # chosen for kernels WITHOUT a driver-verified structural sibling + 2
 # canaries overlapping every prior round. Round 6 takes the remaining
 # never-verified entries. Rows-only entries (no SQL oracle) sort last;
@@ -96,7 +97,10 @@ DRIVER_PRIORITY = [
     "events_mad_outliers",       # new: MAD/Hampel volume anomalies
     "user_churn_features",       # new: point-in-time feature snapshot
     "events_did_readout",        # new: difference-in-differences
-    # --- 40 never-driver-verified entries (absent from r1-r4 hashes),
+    "customers_k_anonymize",     # new: minimal-generalization ladder
+    "embedding_isotropy",        # new: exact-integer isotropy moments
+    "events_session_paths",      # new: 3-step session journey mining
+    # --- 18 never-driver-verified entries (absent from r1-r4 hashes),
     # chosen for kernels with no driver-verified structural sibling.
     # The ~57 never-verified entries left out this round (doc_chunks,
     # doc_word_counts, the TPC-H q11/q12/q15/q16/q20 family shapes,
@@ -178,9 +182,12 @@ DRIVER_PRIORITY = [
     "part_hierarchy_flatten",
     "part_clustering_coefficient",
     # governance / history / selection:
-    "customers_k_anonymity",
-    "user_scd2_history",
-    "doc_dsir_weights",
+    # (customers_k_anonymity's audit kernel is subsumed by this round's
+    # customers_k_anonymize, which evaluates that exact groupBy-quasi +
+    # min-class-count at every ladder rung; user_scd2_history ~ the
+    # r4-verified customers_golden_record per-key struct-fold family;
+    # doc_dsir_weights ~ the r4-verified doc_ccnet_buckets bucketed-LM
+    # family — all three yielded slots to wave 5: round 6 picks them up)
     # (customer_spend_deciles, doc_temperature_sample and
     # doc_grouped_split yielded their slots to this round's new
     # operators above: ntile/md5-fraction/md5-nibble kernels all have

@@ -227,6 +227,9 @@ BENCH_QUERIES = [
     "events_mad_outliers",
     "user_churn_features",
     "events_did_readout",
+    "customers_k_anonymize",
+    "embedding_isotropy",
+    "events_session_paths",
 ]
 
 

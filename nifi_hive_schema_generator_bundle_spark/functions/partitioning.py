@@ -20,6 +20,7 @@ __all__ = [
     "partition_stats",
     "skew_ratio",
     "zorder_key",
+    "distributed_rank",
 ]
 
 
@@ -121,3 +122,49 @@ def zorder_key(cols: list[str], *, bits: int = 16) -> "F.Column":
             bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
     return key
+
+
+def distributed_rank(df: DataFrame, order, out_col: str) -> DataFrame:
+    """Exact global row_number over ``order`` WITHOUT a single-partition
+    window — the scalable substitute for `row_number().over(
+    Window.orderBy(...))` / global ntile (the concentration_report
+    prefix-sum pattern, extracted):
+
+    range-repartition by the order columns, per-partition row_number,
+    then fold in per-partition row-count offsets via a broadcast of the
+    |partitions|-row offset table (whose own cumulative sum is a
+    bounded single-partition window over |partitions| rows — the
+    scalar-state exemption).
+
+    ``order`` must be a TOTAL order (carry a unique tiebreak) or ranks
+    are nondeterministic. Range boundaries come from sampling and may
+    vary run to run; the resulting rank does NOT — it is a pure
+    function of the total order (offsets are computed from the actual
+    partitions). Output: ``df`` + ``out_col`` (long, 1-based).
+    """
+    from pyspark.sql import Window
+
+    nparts = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        1,
+    )
+    part = df.repartitionByRange(nparts, *order).withColumn(
+        "__dr_pid", F.spark_partition_id()
+    )
+    per = part.groupBy("__dr_pid").agg(F.count(F.lit(1)).alias("__dr_c"))
+    w_off = Window.orderBy("__dr_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per.select(
+        "__dr_pid",
+        F.coalesce(F.sum("__dr_c").over(w_off), F.lit(0)).alias("__dr_off"),
+    )
+    wp = Window.partitionBy("__dr_pid").orderBy(*order)
+    return (
+        part.join(F.broadcast(offsets), "__dr_pid")
+        .withColumn(
+            out_col,
+            (F.row_number().over(wp) + F.col("__dr_off")).cast("long"),
+        )
+        .drop("__dr_pid", "__dr_off")
+    )

@@ -26,6 +26,7 @@ __all__ = [
     "funnel_counts",
     "position_attribution",
     "transition_matrix",
+    "session_paths",
 ]
 
 
@@ -254,4 +255,56 @@ def transition_matrix(
             / F.sum("n_transitions").over(row_tot),
             6,
         ),
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: str,
+    gap_seconds: int = 1800,
+    depth: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k session-opening journey paths: sessionize (gaps-and-
+    islands, ``gap_seconds`` timeout), take each session's first
+    ``depth`` events in (ts, tiebreak) order, and count sessions per
+    '>'-joined path string — the "how do sessions start" readout
+    behind landing-flow design, one level deeper than the 1-step
+    ``transition_matrix``.
+
+    Determinism: the within-session order carries a total tiebreak;
+    paths shorter than ``depth`` render their actual length (both
+    engines' concat_ws skips the NULL step slots identically); output
+    carries (n_sessions DESC, path) ordering. Counting is exact
+    integers.
+
+    Scale: one shuffle on the user key covers sessionization AND the
+    per-session pivot (same partitioning, no second shuffle of data
+    rows); the path table is bounded by |types|^depth, never rows."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    prev = F.lag(ts_col).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.unix_timestamp(ts_col) - F.unix_timestamp(prev) > gap_seconds),
+        1,
+    ).otherwise(0)
+    sess = df.withColumn("__sid", F.sum(new_s).over(w))
+    ws = Window.partitionBy(user_col, "__sid").orderBy(ts_col, tiebreak)
+    stepped = sess.withColumn("__step", F.row_number().over(ws)).filter(
+        F.col("__step") <= depth
+    )
+    slots = [
+        F.max(F.when(F.col("__step") == i, F.col(type_col))).alias(f"__s{i}")
+        for i in range(1, depth + 1)
+    ]
+    per_session = stepped.groupBy(user_col, "__sid").agg(*slots)
+    path = F.concat_ws(">", *[f"__s{i}" for i in range(1, depth + 1)])
+    return (
+        per_session.groupBy(path.alias("path"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top_k)
     )

@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["covariance_matrix", "pca_fit", "pca_project", "MOMENT_SCALE"]
+__all__ = ["covariance_matrix", "pca_fit", "pca_project", "MOMENT_SCALE", "isotropy_report", "ISO_SCALE"]
 
 # Quantization unit for moment terms: term = floor(value * 10^MOMENT_SCALE).
 # 1e10 keeps |term| ≤ ~1e10 for unit-scale embeddings, so an int64 batch
@@ -286,3 +286,64 @@ def pca_project(
             F.when(F.size(vec_col) == model["dim"], fold / q),
         )
     return out
+
+
+ISO_SCALE = 10**6
+
+
+def isotropy_report(df: DataFrame, vec_col: str) -> DataFrame:
+    """Embedding-space isotropy diagnostic: the ratio
+    ||mean vector||^2 / mean(||v||^2) — ~0 for a healthy centered
+    embedding space, approaching 1 when the space collapses toward a
+    shared direction (the anisotropy problem of contextual embedding
+    models, Ethayarajh 2019; a collapsed space makes cosine
+    similarity, ANN recall and clustering quality degrade silently).
+
+    Exact-integer construction (the covariance_matrix discipline, JVM
+    only — no Python stage): per-position terms floor(v*10^6) and
+    floor(v*v*10^6) are each ONE IEEE double op (identical in every
+    engine after the explicit float->double cast), summed as
+    DECIMAL(38,0) by dimension — order-independent. The d-row moment
+    table is folded on the driver with arbitrary-precision ints
+    (bounded state, the pca.py contract):
+
+        mean_sq_norm_q = S2 // n                    (10^-6 units)
+        isotropy_ppb   = (sum_d s_x_d^2) * 10^9 // (n * S2 * 10^6)
+
+    Scale: one posexplode scan (d-way narrow fan-out) + a d-row
+    aggregate; nothing else touches data rows.
+    """
+    ex = df.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(vec_col).alias("d", "v")
+    )
+    q = F.col("v").cast("double") * ISO_SCALE
+    byd = ex.groupBy("d").agg(
+        F.sum(F.floor(q).cast("decimal(38,0)")).alias("s_x"),
+        F.sum(
+            F.floor(
+                F.col("v").cast("double") * F.col("v").cast("double")
+                * ISO_SCALE
+            ).cast("decimal(38,0)")
+        ).alias("s_sq"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    rows = byd.collect()
+    if not rows:
+        return df.sparkSession.createDataFrame(
+            [], "n_vectors long, dim int, mean_sq_norm_q long, isotropy_ppb long"
+        )
+    dim = len(rows)
+    n = int(rows[0]["n_terms"])
+    s2 = sum(int(r["s_sq"]) for r in rows)
+    num = sum(int(r["s_x"]) ** 2 for r in rows)
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                n,
+                dim,
+                s2 // n,
+                num * 10**9 // (n * s2 * ISO_SCALE),
+            )
+        ],
+        "n_vectors long, dim int, mean_sq_norm_q long, isotropy_ppb long",
+    )

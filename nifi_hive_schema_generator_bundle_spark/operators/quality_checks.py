@@ -32,6 +32,7 @@ __all__ = [
     "split_leakage_report",
     "dp_noisy_counts",
     "curation_audit",
+    "k_anonymize_ladder",
 ]
 
 
@@ -477,3 +478,74 @@ def curation_audit(
         )
     )
     return report.orderBy("stage_idx")
+
+
+def k_anonymize_ladder(
+    df: DataFrame,
+    group_cols: list[str],
+    numeric_col: str,
+    k: int = 10,
+    max_j: int = 20,
+) -> DataFrame:
+    """Minimal-generalization k-anonymity ENFORCEMENT (the mutation
+    counterpart to ``k_anonymity_report``): find the smallest
+    power-of-two band width 2^j for ``numeric_col`` such that every
+    (group_cols…, floor(value / 2^j)) equivalence class holds >= ``k``
+    rows, and report the chosen generalization.
+
+    Monotone ladder: width-2^(j+1) boundaries are a SUBSET of the
+    width-2^j boundaries, so doubling the width only MERGES classes —
+    min class size is non-decreasing in j, and "smallest feasible j"
+    is well-defined (generalize no more than necessary, the
+    Samarati/Sweeney minimal-generalization principle restricted to a
+    single-attribute ladder).
+
+    Single scan, no iteration: the ladder is evaluated for ALL j in
+    one pass by exploding each row into (j, band(j)) pairs (a
+    (max_j+1)-way narrow fan-out — no join, no BNLJ) and aggregating
+    (j, class) counts; the per-j min/count reduction is
+    dimension-bounded. floor() on the IEEE double quotient is
+    bit-identical cross-engine (verified incl. negatives).
+
+    Returns ONE row: (k, j_star, width, n_classes, min_class_size,
+    max_class_size), or zero rows if no j <= max_j is feasible (the
+    caller must then generalize the group columns too).
+
+    ``numeric_col`` must be NON-NEGATIVE (shift by the schema floor
+    first): a negative value's floor-band is forever separate from
+    band 0 — floor(-x / w) <= -1 for every width — so mixed-sign input
+    has no fully-collapsed rung and the ladder may be infeasible even
+    at max_j.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    js = F.explode(F.array(*[F.lit(j) for j in range(max_j + 1)])).alias("j")
+    banded = df.select(*group_cols, F.col(numeric_col).alias("__v")).select(
+        *group_cols, "__v", js
+    )
+    classes = banded.groupBy(
+        "j",
+        *group_cols,
+        F.floor(F.col("__v") / F.expr("shiftleft(1, j)")).alias("__band"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    per_j = classes.groupBy("j").agg(
+        F.min("__n").cast("long").alias("min_class_size"),
+        F.max("__n").cast("long").alias("max_class_size"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    )
+    w = Window.orderBy("j")
+    return (
+        per_j.filter(F.col("min_class_size") >= k)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.lit(k).alias("k"),
+            F.col("j").alias("j_star"),
+            F.expr("shiftleft(1, j)").cast("long").alias("width"),
+            "n_classes",
+            "min_class_size",
+            "max_class_size",
+        )
+    )

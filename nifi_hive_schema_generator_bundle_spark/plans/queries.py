@@ -12784,10 +12784,13 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS freq,
                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
         FROM orders GROUP BY o_custkey
-    ), q AS (
-        SELECT ntile(5) OVER (ORDER BY recency, o_custkey) AS r_q,
-               ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
-               ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q,
+    ), n AS (SELECT count(*) AS n FROM pc), q AS (
+        SELECT (row_number() OVER (ORDER BY recency, o_custkey) - 1)
+                 * 5 // (SELECT n FROM n) + 1 AS r_q,
+               (row_number() OVER (ORDER BY freq DESC, o_custkey) - 1)
+                 * 5 // (SELECT n FROM n) + 1 AS f_q,
+               (row_number() OVER (ORDER BY monetary DESC, o_custkey) - 1)
+                 * 5 // (SELECT n FROM n) + 1 AS m_q,
                monetary
         FROM pc
     )
@@ -12802,12 +12805,17 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order vs corpus horizon, ascending — recent=1), Frequency (order
     count, descending — frequent=1) and Monetary (exact DECIMAL spend,
     descending), then report segment sizes and exact spend totals.
-    ntile carries a full (metric, custkey) tiebreak so bucket edges are
-    engine-independent; monetary sums ride DECIMAL(18,2) (the registry's
-    money discipline). Scale note: ntile is a global sort — at 100 TB
-    the quintile edges come from approx_percentile boundaries instead
-    (same report shape); at gate scale the exact global ntile IS the
-    oracle-checkable contract."""
+    Quintiles come from EXACT DISTRIBUTED ranks
+    (functions/partitioning.distributed_rank: range-repartition +
+    per-partition row_number + broadcast offset fold — no
+    single-partition global sort; the 10x sweep measured the earlier
+    global-ntile version at 11.75x, this one scales with partitions)
+    with full (metric, custkey) tiebreaks, mapped to buckets by the
+    shared (rank-1)*5 div n + 1 formula the oracle replays with
+    row_number; monetary sums ride DECIMAL(18,2) (the registry's money
+    discipline)."""
+    from ..functions.partitioning import distributed_rank
+
     orders = load_table(spark, sf_dir, "orders")
     horizon = orders.agg(
         F.max(F.to_date("o_orderdate")).alias("__horizon")
@@ -12829,16 +12837,22 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    q = pc.select(
-        F.ntile(5)
-        .over(Window.orderBy("recency", "o_custkey"))
-        .alias("r_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("freq"), F.col("o_custkey")))
-        .alias("f_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), F.col("o_custkey")))
-        .alias("m_q"),
+    n = pc.count()
+    ranked = distributed_rank(
+        pc, [F.col("recency").asc(), F.col("o_custkey").asc()], "r_rank"
+    )
+    ranked = distributed_rank(
+        ranked, [F.col("freq").desc(), F.col("o_custkey").asc()], "f_rank"
+    )
+    ranked = distributed_rank(
+        ranked,
+        [F.col("monetary").desc(), F.col("o_custkey").asc()],
+        "m_rank",
+    )
+    q = ranked.select(
+        F.expr(f"(r_rank - 1) * 5 div {n}L + 1").alias("r_q"),
+        F.expr(f"(f_rank - 1) * 5 div {n}L + 1").alias("f_q"),
+        F.expr(f"(m_rank - 1) * 5 div {n}L + 1").alias("m_q"),
         "monetary",
     )
     return (
@@ -13080,4 +13094,139 @@ def events_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return did_readout(
         staged, treat_col="treat", post_col="post", outcome_q_col="y_q"
+    )
+
+
+@register_query(
+    "customers_k_anonymize",
+    oracle="""
+    WITH banded AS (
+        SELECT j.j, c_nationkey,
+               floor((c_acctbal + 1000.0) / (1 << j.j)) AS band
+        FROM customer, generate_series(0, 20) j(j)
+    ), classes AS (
+        SELECT j, c_nationkey, band, count(*) AS n
+        FROM banded GROUP BY 1, 2, 3
+    ), per_j AS (
+        SELECT j, CAST(min(n) AS BIGINT) AS min_class_size,
+               CAST(max(n) AS BIGINT) AS max_class_size,
+               CAST(count(*) AS BIGINT) AS n_classes
+        FROM classes GROUP BY j
+    )
+    SELECT CAST(10 AS INT) AS k, CAST(j AS INT) AS j_star,
+           CAST(1 << j AS BIGINT) AS width,
+           n_classes, min_class_size, max_class_size
+    FROM per_j WHERE min_class_size >= 10
+    ORDER BY j LIMIT 1
+    """,
+)
+def customers_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-generalization k-anonymity ENFORCEMENT
+    (operators/quality_checks.k_anonymize_ladder): smallest power-of-
+    two account-balance band width making every (nation, band) class
+    hold >= 10 customers — the mutation counterpart to the
+    k_anonymity_report audit. The width ladder is monotone (doubling
+    only merges classes), evaluated for ALL widths in ONE scan via a
+    21-way narrow explode (no join, no iteration); floor on the IEEE
+    double quotient is bit-identical cross-engine. Balances are
+    shifted by the +1000 schema floor first: the ladder needs
+    non-negative values (a negative floor-band never merges with band
+    0, so mixed-sign input has no fully-collapsed rung)."""
+    from ..operators.quality_checks import k_anonymize_ladder
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "acctbal_nn", F.col("c_acctbal") + 1000.0
+    )
+    return k_anonymize_ladder(
+        cust, group_cols=["c_nationkey"], numeric_col="acctbal_nn",
+        k=10, max_j=20,
+    )
+
+
+@register_query(
+    "embedding_isotropy",
+    oracle="""
+    WITH ex AS (
+        SELECT generate_subscripts(embedding, 1) AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS HUGEINT) AS xq,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                          * CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS HUGEINT) AS sq
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), byd AS (
+        SELECT d, sum(xq) AS s_x, sum(sq) AS s_sq, count(*) AS n
+        FROM ex GROUP BY d
+    ), tot AS (
+        SELECT CAST(max(n) AS HUGEINT) AS n,
+               CAST(count(*) AS INT) AS dim,
+               sum(s_sq) AS s2, sum(s_x * s_x) AS num
+        FROM byd
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors, dim,
+           CAST(s2 // n AS BIGINT) AS mean_sq_norm_q,
+           CAST(num * 1000000000 // (n * s2 * 1000000) AS BIGINT)
+             AS isotropy_ppb
+    FROM tot
+    """,
+)
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy health check (operators/pca
+    .isotropy_report): ||mean vec||^2 / mean(||v||^2) in parts-per-
+    billion — ~0 healthy, ~10^9 collapsed (Ethayarajh 2019 anisotropy).
+    Pure-JVM exact-integer moments (one posexplode + d-row aggregate,
+    DECIMAL sums, driver fold over d bounded rows — the pca.py
+    contract); the oracle replays the identical quantized fold on
+    HUGEINTs."""
+    from ..operators.pca import isotropy_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return isotropy_report(emb, "embedding")
+
+
+@register_query(
+    "events_session_paths",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS sid
+        FROM flagged
+    ), stepped AS (
+        SELECT user_id, sid, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS step
+        FROM sess
+    ), per_session AS (
+        SELECT user_id, sid,
+               max(CASE WHEN step = 1 THEN event_type END) AS s1,
+               max(CASE WHEN step = 2 THEN event_type END) AS s2,
+               max(CASE WHEN step = 3 THEN event_type END) AS s3
+        FROM stepped WHERE step <= 3 GROUP BY user_id, sid
+    )
+    SELECT concat_ws('>', s1, s2, s3) AS path,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM per_session GROUP BY 1
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session-opening journeys (operators/funnel.session_paths):
+    30-min gaps-and-islands sessionization, first 3 event types per
+    session joined '>'-wise, exact session counts — the multi-step
+    complement to the 1-step transition_matrix. One user-key shuffle
+    covers sessionization and the per-session pivot; the path table is
+    |types|^3-bounded."""
+    from ..operators.funnel import session_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_paths(
+        ev, user_col="user_id", ts_col="ts", type_col="event_type",
+        tiebreak="event_id", gap_seconds=1800, depth=3, top_k=10,
     )

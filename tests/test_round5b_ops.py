@@ -295,3 +295,88 @@ def test_did_recovers_planted_effect(spark):
     assert r["did_ppm"] == 7 * 10**6
     assert r["n_treat_post"] == 5
     assert r["mean_ctrl_pre_ppm"] == 4 * 10**6
+
+
+# ------------------------------------------------- privacy / ladder
+
+from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (  # noqa: E402
+    k_anonymize_ladder,
+)
+
+
+def test_k_anonymize_ladder_picks_minimal_width(spark):
+    """Group g: values 0..7 (k=4): width 1/2 leave classes of 1/2;
+    width 4 gives bands {0,1} x4 each -> j_star=2. Monotone ladder."""
+    df = spark.createDataFrame([("g", float(v)) for v in range(8)], "g string, v double")
+    r = k_anonymize_ladder(df, ["g"], "v", k=4, max_j=8).collect()
+    assert len(r) == 1
+    assert r[0]["j_star"] == 2 and r[0]["width"] == 4
+    assert r[0]["n_classes"] == 2 and r[0]["min_class_size"] == 4
+
+
+def test_k_anonymize_ladder_infeasible_returns_empty(spark):
+    """A 3-row group can never reach k=5 by value generalization."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 1.0)], "g string, v double"
+    )
+    assert k_anonymize_ladder(df, ["g"], "v", k=5, max_j=10).count() == 0
+
+
+# --------------------------------------------------------- isotropy
+
+from nifi_hive_schema_generator_bundle_spark.operators.pca import (  # noqa: E402
+    ISO_SCALE,
+    isotropy_report,
+)
+
+
+def test_isotropy_collapsed_space_is_1e9(spark):
+    """All vectors identical: ||mean||^2 == mean(||v||^2) -> ppb 1e9
+    (up to quantization floor)."""
+    df = spark.createDataFrame([([0.5, 0.5],)] * 4, "embedding array<float>")
+    r = isotropy_report(df, "embedding").collect()[0]
+    assert r["n_vectors"] == 4 and r["dim"] == 2
+    assert abs(r["isotropy_ppb"] - 10**9) <= 10  # quantization slack
+    assert r["mean_sq_norm_q"] == 2 * int(0.25 * ISO_SCALE)
+
+
+def test_isotropy_symmetric_space_is_0(spark):
+    """+v and -v in equal measure: mean vector is 0 -> isotropy 0."""
+    df = spark.createDataFrame(
+        [([1.0, 0.0],), ([-1.0, 0.0],), ([0.0, 1.0],), ([0.0, -1.0],)],
+        "embedding array<float>",
+    )
+    r = isotropy_report(df, "embedding").collect()[0]
+    assert r["isotropy_ppb"] == 0
+    assert r["mean_sq_norm_q"] == ISO_SCALE  # unit vectors
+
+
+# ------------------------------------------------------ session paths
+
+from nifi_hive_schema_generator_bundle_spark.operators.funnel import (  # noqa: E402
+    session_paths,
+)
+
+
+def test_session_paths_split_and_truncate(spark):
+    """u1: a,b,c,d within one session -> path a>b>c (depth 3). A 40-min
+    gap then e -> second session path 'e'. u2: a,b -> 'a>b'."""
+    rows = [
+        (1, "2024-01-01 10:00:00", "a", 1),
+        (1, "2024-01-01 10:01:00", "b", 2),
+        (1, "2024-01-01 10:02:00", "c", 3),
+        (1, "2024-01-01 10:03:00", "d", 4),
+        (1, "2024-01-01 10:45:00", "e", 5),
+        (2, "2024-01-01 09:00:00", "a", 6),
+        (2, "2024-01-01 09:10:00", "b", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts string, et string, eid long"
+    ).select("u", F.to_timestamp("ts").alias("ts"), "et", "eid")
+    out = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(
+            df, "u", "ts", "et", "eid", gap_seconds=1800, depth=3
+        ).collect()
+    }
+    assert out == {"a>b>c": 1, "e": 1, "a>b": 1}
