@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "customers_k_anonymize",
     "embedding_isotropy",
     "events_session_paths",
+    "events_ewma_incremental",
 ]
 
 

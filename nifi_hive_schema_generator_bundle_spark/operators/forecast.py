@@ -48,11 +48,18 @@ def ewma_backtest(
     Returns one row per group: ``n_days, n_forecasts, mae_ppm`` where
     mae_ppm = 10^6 * mean absolute error of the dyadic-EWMA one-step
     forecast over the group's observed-day daily counts."""
-    den = (1 << window) - 1
     daily = df.groupBy(
         F.col(group_col).alias("g"), F.to_date(ts_col).alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return backtest_from_daily(daily, window=window)
 
+
+def backtest_from_daily(daily: DataFrame, window: int = 8) -> DataFrame:
+    """The backtest over an already-built (g, day, cnt) daily-count
+    frame — shared by the batch path above and the streaming
+    count-store path (`streaming/forecast_stream`), whose additive
+    store merge reproduces this exact frame."""
+    den = (1 << window) - 1
     w = Window.partitionBy("g").orderBy("day")
     lagged = daily
     num = F.lit(0).cast("long")

@@ -378,7 +378,10 @@ def benford_report(df: DataFrame, col: str) -> DataFrame:
     counts = digits.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("n_obs")
     )
-    total = digits.count()
+    # max(total, 1): zero eligible rows must yield an all-zero report
+    # (every n_obs is 0, so the ppm columns are 0 either way), not a
+    # divide-by-zero — the hypothesis differential test pinned this.
+    total = max(digits.count(), 1)
     expected = digits.sparkSession.createDataFrame(
         sorted(BENFORD_PPM.items()), "digit int, expected_ppm long"
     )

@@ -13230,3 +13230,75 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, user_col="user_id", ts_col="ts", type_col="event_type",
         tiebreak="event_id", gap_seconds=1800, depth=3, top_k=10,
     )
+
+
+@register_query(
+    "events_ewma_incremental",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT g, cnt,
+               lag(cnt, 1) OVER w AS l1, lag(cnt, 2) OVER w AS l2,
+               lag(cnt, 3) OVER w AS l3, lag(cnt, 4) OVER w AS l4,
+               lag(cnt, 5) OVER w AS l5, lag(cnt, 6) OVER w AS l6,
+               lag(cnt, 7) OVER w AS l7, lag(cnt, 8) OVER w AS l8
+        FROM daily WINDOW w AS (PARTITION BY g ORDER BY day)
+    ), scored AS (
+        SELECT g, cnt,
+               (l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL
+                AND l4 IS NOT NULL AND l5 IS NOT NULL AND l6 IS NOT NULL
+                AND l7 IS NOT NULL AND l8 IS NOT NULL) AS ok,
+               abs(255 * cnt - (coalesce(l1,0)*128 + coalesce(l2,0)*64
+                 + coalesce(l3,0)*32 + coalesce(l4,0)*16 + coalesce(l5,0)*8
+                 + coalesce(l6,0)*4 + coalesce(l7,0)*2 + coalesce(l8,0)))
+                 AS err_num
+        FROM lagged
+    )
+    SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_forecasts,
+           1000000 * sum(CASE WHEN ok THEN err_num ELSE 0 END)
+             // (255 * sum(CASE WHEN ok THEN 1 ELSE 0 END)) AS mae_ppm
+    FROM scored GROUP BY g
+    HAVING sum(CASE WHEN ok THEN 1 ELSE 0 END) > 0
+    ORDER BY event_type
+    """,
+)
+def events_ewma_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run daily-count accumulation feeding the forecast readout
+    (streaming/forecast_stream — the TIME-SERIES member of the
+    sketch-store family): events arrive as three batches (event_id mod
+    3), each folding a (type, day) count delta into a batch-partitioned
+    store with the crash-replay-safe overwrite contract; the backtest is
+    answered from the summed store. Integer count addition is
+    associative, so the merged frame is bit-identical to a single-pass
+    daily count — which is exactly what the oracle computes, making the
+    equality hash-verified. `run_count_stream` drives the same update
+    from foreachBatch; unit tests cover the stream path + compaction."""
+    import shutil
+    import tempfile
+
+    from ..streaming.forecast_stream import (
+        count_batch_update,
+        count_store_forecast,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    store = tempfile.mkdtemp(prefix="cnt_store_")
+    shutil.rmtree(store, ignore_errors=True)
+    for b in range(3):
+        count_batch_update(
+            ev.filter(F.col("event_id") % 3 == b),
+            b,
+            store_dir=store,
+            group_col="event_type",
+            ts_col="ts",
+        )
+    return (
+        count_store_forecast(spark, store, window=8)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    )

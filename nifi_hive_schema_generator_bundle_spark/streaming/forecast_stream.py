@@ -1,0 +1,170 @@
+"""Streaming daily-count accumulation + forecast readout — the fourth
+member of the sketch-store family (`cms_stream` frequencies,
+`quantile_stream` distributions, `hll_stream` cardinalities, this one
+TIME SERIES): an unbounded event stream folds into a (group, day)
+count store that the `operators/forecast` EWMA backtest — and any
+other daily-series consumer (CUSUM, MAD, Theil-Sen) — reads without
+ever rescanning history.
+
+Additive-merge exactness: per-batch deltas are plain integer counts,
+and integer addition is associative/commutative — the merged store is
+BIT-IDENTICAL to a single-pass daily count over every batch, so the
+forecast from the store equals the batch `ewma_backtest` on the full
+history. The gate entry hash-verifies exactly that equality against
+the direct single-pass SQL replay.
+
+Replay safety is `cms_stream.py`'s contract verbatim: the store is
+batch_id-partitioned, each micro-batch OVERWRITES only its own delta
+partition (a crash between checkpoint write and store write replays
+the batch and rewrites the same bytes — idempotent), behind-store
+batch ids raise (checkpoint reset against a live store), and
+compaction folds history partitions by count-sum (linearity: additive
+state, safe because folded partitions are removed in the same pass).
+
+State: O(batches × groups × days) between compactions,
+O(groups × days) after — dimension-bounded, never row-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.formats import overwrite_partitions
+
+__all__ = [
+    "count_batch_update",
+    "run_count_stream",
+    "count_store_daily",
+    "count_store_forecast",
+    "compact_count_store",
+]
+
+
+def _read_store(spark, store_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(store_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return None
+
+
+def count_batch_update(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    group_col: str,
+    ts_col: str,
+) -> int:
+    """Fold one micro-batch's (group, day) count delta into the store;
+    returns delta rows written."""
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return 0
+    store = _read_store(spark, store_dir)
+    if store is not None:
+        top = store.agg(F.max("batch_id")).collect()[0][0]
+        if top is not None and batch_id < top:
+            raise ValueError(
+                f"batch_id {batch_id} is behind the store's max {top}: "
+                "the streaming checkpoint was reset against an existing "
+                "store. Resume with the original checkpoint or use a "
+                "fresh store_dir."
+            )
+    delta = (
+        batch_df.groupBy(
+            F.col(group_col).alias("g"), F.to_date(ts_col).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    n = delta.count()
+    overwrite_partitions(delta, store_dir, ["batch_id"], fmt="parquet")
+    return n
+
+
+def run_count_stream(
+    stream_df: DataFrame,
+    *,
+    store_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    ts_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the accumulation query: every micro-batch's count delta
+    lands in its own store partition."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        count_batch_update(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            group_col=group_col,
+            ts_col=ts_col,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def count_store_daily(spark, store_dir: str) -> DataFrame:
+    """The whole-history (g, day, cnt) frame: per-day SUM over every
+    delta — exactly the single-pass daily counts of all batches."""
+    store = _read_store(spark, store_dir)
+    if store is None:
+        raise FileNotFoundError(f"no count store at {store_dir}")
+    return store.groupBy("g", "day").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def count_store_forecast(
+    spark, store_dir: str, *, window: int = 8
+) -> DataFrame:
+    """The EWMA walk-forward backtest over everything ever accumulated
+    (operators/forecast.backtest_from_daily on the merged store)."""
+    from ..operators.forecast import backtest_from_daily
+
+    return backtest_from_daily(
+        count_store_daily(spark, store_dir), window=window
+    )
+
+
+def compact_count_store(spark, store_dir: str, *, keep_last: int = 1) -> int:
+    """Collapse all batch partitions strictly below the newest
+    ``keep_last`` into the ``max − keep_last`` partition via count-sum
+    (linearity — merged reads are unchanged). Same monotonic-id safety
+    argument as ``compact_cms_store``."""
+    import shutil
+
+    store = spark.read.parquet(store_dir)
+    ids = sorted(r[0] for r in store.select("batch_id").distinct().collect())
+    if len(ids) <= keep_last + 1:
+        return 0
+    cut = ids[-keep_last] if keep_last else ids[-1] + 1
+    fold_to = cut - 1
+    folded = (
+        store.filter(F.col("batch_id") < cut)
+        .groupBy("g", "day")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .withColumn("batch_id", F.lit(fold_to))
+        .persist()
+    )
+    n = folded.count()  # materialize BEFORE overwriting what it reads
+    try:
+        overwrite_partitions(folded, store_dir, ["batch_id"], fmt="parquet")
+    finally:
+        folded.unpersist()
+    for i in ids:
+        if i < fold_to:
+            shutil.rmtree(f"{store_dir}/batch_id={i}", ignore_errors=True)
+    return n
