@@ -807,6 +807,87 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_benford(args) -> int:
+    """Benford first-digit forensic audit of a numeric column."""
+    from .operators.profile import benford_report
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    for r in benford_report(df, args.column).collect():
+        print(
+            f"digit={r['digit']} n={r['n_obs']:<10} obs_ppm={r['obs_ppm']:<8} "
+            f"expected_ppm={r['expected_ppm']:<8} dev_ppm={r['dev_ppm']}"
+        )
+    return 0
+
+
+def cmd_survival(args) -> int:
+    """Kaplan-Meier / Nelson-Aalen repeat-event survival curve."""
+    from .operators.survival import kaplan_meier, subject_durations
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    subj = subject_durations(
+        df, key=args.key, date_col=args.date_col, tiebreak=args.tiebreak
+    )
+    rows = kaplan_meier(subj).collect()
+    for r in rows[: args.show]:
+        print(
+            f"t={r['t_day']:<6} at_risk={r['n_risk']:<8} events={r['d']:<6} "
+            f"S(t)={r['survival_q'] / 1e12:.6f} H(t)={r['hazard_q'] / 1e12:.6f}"
+        )
+    if len(rows) > args.show:
+        print(f"... {len(rows) - args.show} more event times")
+    return 0
+
+
+def cmd_kanon(args) -> int:
+    """Minimal-generalization k-anonymity enforcement ladder."""
+    from .operators.quality_checks import k_anonymize_ladder
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    rows = k_anonymize_ladder(
+        df,
+        group_cols=args.group_cols.split(","),
+        numeric_col=args.numeric_col,
+        k=args.k,
+        max_j=args.max_j,
+    ).collect()
+    if not rows:
+        print(
+            f"INFEASIBLE: no band width <= 2^{args.max_j} reaches k={args.k} "
+            "(generalize the group columns too)"
+        )
+        return 1
+    r = rows[0]
+    print(
+        f"width={r['width']} (j={r['j_star']}) classes={r['n_classes']} "
+        f"min_class={r['min_class_size']} max_class={r['max_class_size']}"
+    )
+    return 0
+
+
+def cmd_forecast(args) -> int:
+    """Walk-forward EWMA daily-volume backtest per group."""
+    from .operators.forecast import ewma_backtest
+    from .sources.formats import read_any
+
+    spark = _session(args)
+    df = read_any(spark, args.input, args.fmt)
+    for r in ewma_backtest(
+        df, group_col=args.group_col, ts_col=args.ts_col, window=args.window
+    ).orderBy("g").collect():
+        print(
+            f"{r['g']}: days={r['n_days']} forecasts={r['n_forecasts']} "
+            f"mae={r['mae_ppm'] / 1e6:.3f}"
+        )
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Ad-hoc SQL over a directory of parquet tables: every
     ``<name>.parquet`` in --tables-dir is registered as a temp view
@@ -1150,6 +1231,43 @@ def main(argv: list[str] | None = None) -> int:
     pdp.add_argument("--sensitivity", type=int, default=1)
     pdp.add_argument("--seed", default="dp")
     pdp.set_defaults(fn=cmd_dpcounts)
+
+    pbf = sub.add_parser("benford", help="Benford first-digit forensic audit")
+    pbf.add_argument("input")
+    pbf.add_argument("column")
+    pbf.add_argument("--fmt", default="parquet")
+    pbf.set_defaults(fn=cmd_benford)
+
+    psv = sub.add_parser(
+        "survival", help="Kaplan-Meier repeat-event survival curve"
+    )
+    psv.add_argument("input")
+    psv.add_argument("--key", required=True, help="subject key column")
+    psv.add_argument("--date-col", required=True)
+    psv.add_argument("--tiebreak", required=True,
+                     help="unique column making the within-key order total")
+    psv.add_argument("--fmt", default="parquet")
+    psv.add_argument("--show", type=int, default=20)
+    psv.set_defaults(fn=cmd_survival)
+
+    pka = sub.add_parser(
+        "kanon", help="minimal-generalization k-anonymity enforcement"
+    )
+    pka.add_argument("input")
+    pka.add_argument("group_cols", help="comma-separated quasi-identifier columns")
+    pka.add_argument("numeric_col", help="NON-NEGATIVE numeric column to band")
+    pka.add_argument("--k", type=int, default=10)
+    pka.add_argument("--max-j", type=int, default=20, dest="max_j")
+    pka.add_argument("--fmt", default="parquet")
+    pka.set_defaults(fn=cmd_kanon)
+
+    pfo = sub.add_parser("forecast", help="EWMA daily-volume backtest per group")
+    pfo.add_argument("input")
+    pfo.add_argument("--group-col", required=True)
+    pfo.add_argument("--ts-col", required=True)
+    pfo.add_argument("--window", type=int, default=8)
+    pfo.add_argument("--fmt", default="parquet")
+    pfo.set_defaults(fn=cmd_forecast)
 
     pck = sub.add_parser("check", help="data-quality gate (non-zero exit on failure)")
     pck.add_argument("input")

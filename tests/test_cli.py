@@ -740,3 +740,54 @@ def test_cli_chatcheck(spark, tmp_path, capsys):
 
     assert glob.glob(f"{q}/bad_json/part-*")
     assert glob.glob(f"{q}/invalid/part-*")
+
+
+def test_cli_benford(spark, tmp_path, capsys):
+    src = str(tmp_path / "v.parquet")
+    spark.createDataFrame(
+        [(19.5,), (150.0,), (2.0,), (0.4,)], "v double"
+    ).write.parquet(src)
+    rc = main(["benford", src, "v"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "digit=1 n=2" in out and "digit=9 n=0" in out
+
+
+def test_cli_survival(spark, tmp_path, capsys):
+    src = str(tmp_path / "o.parquet")
+    spark.createDataFrame(
+        [(1, "2024-01-01", 1), (1, "2024-01-04", 2), (2, "2024-01-09", 3)],
+        "k long, d string, tb long",
+    ).selectExpr("k", "to_timestamp(d) AS d", "tb").write.parquet(src)
+    rc = main([
+        "survival", src, "--key", "k", "--date-col", "d", "--tiebreak", "tb",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # one event time (t=3): 2 at risk, 1 event -> S = 1/2
+    assert "t=3" in out and "S(t)=0.500000" in out
+
+
+def test_cli_kanon_feasible_and_not(spark, tmp_path, capsys):
+    src = str(tmp_path / "c.parquet")
+    spark.createDataFrame(
+        [("g", float(v)) for v in range(8)], "g string, v double"
+    ).write.parquet(src)
+    rc = main(["kanon", src, "g", "v", "--k", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "width=4 (j=2)" in out
+    rc = main(["kanon", src, "g", "v", "--k", "9"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "INFEASIBLE" in out
+
+
+def test_cli_forecast(spark, tmp_path, capsys):
+    src = str(tmp_path / "e.parquet")
+    rows = [("g", f"2024-01-{d:02d} 00:00:00") for d in range(1, 13)]
+    spark.createDataFrame(rows, "g string, ts string").selectExpr(
+        "g", "to_timestamp(ts) AS ts"
+    ).write.parquet(src)
+    rc = main(["forecast", src, "--group-col", "g", "--ts-col", "ts"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "g: days=12 forecasts=4 mae=0.000" in out
