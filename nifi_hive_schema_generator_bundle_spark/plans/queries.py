@@ -12691,8 +12691,9 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
              AS n_forecasts,
-           1000000 * sum(CASE WHEN ok THEN err_num ELSE 0 END)
-             // (255 * sum(CASE WHEN ok THEN 1 ELSE 0 END)) AS mae_ppm
+           CAST(1000000 * sum(CASE WHEN ok THEN err_num ELSE 0 END)
+             // (255 * sum(CASE WHEN ok THEN 1 ELSE 0 END)) AS BIGINT)
+             AS mae_ppm
     FROM scored GROUP BY g
     HAVING sum(CASE WHEN ok THEN 1 ELSE 0 END) > 0
     ORDER BY event_type
@@ -13260,8 +13261,9 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
              AS n_forecasts,
-           1000000 * sum(CASE WHEN ok THEN err_num ELSE 0 END)
-             // (255 * sum(CASE WHEN ok THEN 1 ELSE 0 END)) AS mae_ppm
+           CAST(1000000 * sum(CASE WHEN ok THEN err_num ELSE 0 END)
+             // (255 * sum(CASE WHEN ok THEN 1 ELSE 0 END)) AS BIGINT)
+             AS mae_ppm
     FROM scored GROUP BY g
     HAVING sum(CASE WHEN ok THEN 1 ELSE 0 END) > 0
     ORDER BY event_type
