@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # caps at 50 entries (observed: CORRECTNESS_r01-r04 each recorded exactly
 # the first 50 of the then-current registry). Rounds 1-4 hash-verified 109
 # distinct entries, leaving 101 oracle-backed entries never driver-verified;
-# this round's 50 slots = 31 changed-or-new-code entries that must (re)verify
+# this round's 50 slots = 32 changed-or-new-code entries that must (re)verify
 # (embedding_covariance was r4's one hash-red row, now exact-integer;
 # embedding_pca_project is newly oracle-backed; doc_jaccard_join gained the
 # duplicate-collapse prestage; events_campaign_overlap's interval tiling
@@ -61,8 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # orders_market_basket / events_ewma_backtest / part_link_prediction /
 # customer_rfm_segments / events_theil_sen_trend / events_mad_outliers /
 # user_churn_features / events_did_readout / customers_k_anonymize /
-# embedding_isotropy / events_session_paths / events_ewma_incremental
-# are new this round) + 17 never-verified entries
+# embedding_isotropy / events_session_paths / events_ewma_incremental /
+# doc_length_auc are new this round) + 16 never-verified entries
 # chosen for kernels WITHOUT a driver-verified structural sibling + 2
 # canaries overlapping every prior round. Round 6 takes the remaining
 # never-verified entries. Rows-only entries (no SQL oracle) sort last;
@@ -101,7 +101,8 @@ DRIVER_PRIORITY = [
     "embedding_isotropy",        # new: exact-integer isotropy moments
     "events_session_paths",      # new: 3-step session journey mining
     "events_ewma_incremental",   # new: cross-run daily-count store
-    # --- 17 never-driver-verified entries (absent from r1-r4 hashes),
+    "doc_length_auc",            # new: tie-aware exact ROC-AUC
+    # --- 16 never-driver-verified entries (absent from r1-r4 hashes),
     # chosen for kernels with no driver-verified structural sibling.
     # The ~57 never-verified entries left out this round (doc_chunks,
     # doc_word_counts, the TPC-H q11/q12/q15/q16/q20 family shapes,
@@ -141,7 +142,9 @@ DRIVER_PRIORITY = [
     # (events_touch_attribution ~ the r4-verified user_decayed_value /
     # events_cohort_retention attribution-window family: yielded its slot
     # to events_ewma_backtest — round 6 picks it up)
-    "doc_rank_correlation",
+    # (doc_rank_correlation ~ the tie-averaged-rank kernel that
+    # doc_length_auc and events_mann_whitney both gate this round —
+    # yielded its slot to doc_length_auc, round 6 picks it up)
     # (doc_zipf_fit ~ doc_scaling_law_fit, gated just below: both are
     # the same log-log rank/size regression kernel — one driver hash
     # covers the shape, zipf takes a round-6 slot)

@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "embedding_isotropy",
     "events_session_paths",
     "events_ewma_incremental",
+    "doc_length_auc",
 ]
 
 

@@ -1045,3 +1045,65 @@ def did_readout(
         f"({mean('tp')} - {mean('tq')}) - ({mean('cp')} - {mean('cq')})"
         " AS did_ppm",
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a boolean label via the
+    rank-sum identity (completes the eval battery next to ECE /
+    calibration / classification_report / Mann-Whitney, whose U
+    statistic this is a normalization of):
+
+        AUC = (sum of positive AVERAGE ranks − n_pos(n_pos+1)/2)
+              / (n_pos · n_neg)
+
+    Ties in the score get the textbook average rank, computed WITHOUT
+    floats: the average rank of a tied block is (first + last)/2, a
+    half-integer, so the rank sum is carried DOUBLED
+    (rsum2 = min_rank + max_rank per row) and the half cancels into
+    the denominator — exact integer `div` end to end, both engines
+    agree bit-for-bit:
+
+        auc_ppm = (rsum2 − n_pos(n_pos+1)) · 10^6 div (2 · n_pos · n_neg)
+
+    Scale: one global rank (at 100 TB swap the row_number window for
+    functions/partitioning.distributed_rank — the ordering is the only
+    global stage; the tie-block min/max windows shuffle on the score
+    key) + a 1-row conditional aggregate. Output ONE row:
+    n_pos, n_neg, auc_ppm.
+    """
+    from pyspark.sql import Window
+
+    ranked = (
+        df.select(
+            F.col(score_col).alias("__s"),
+            F.col(label_col).cast("boolean").alias("__y"),
+            F.col(tiebreak).alias("__tb"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(F.col("__s").asc(), F.col("__tb").asc())
+            ),
+        )
+        .withColumn(
+            "__r2",  # doubled average rank of the score's tied block
+            F.min("__rn").over(Window.partitionBy("__s"))
+            + F.max("__rn").over(Window.partitionBy("__s")),
+        )
+    )
+    return ranked.agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("long").alias("np"),
+        F.sum(F.when(~F.col("__y"), 1).otherwise(0)).cast("long").alias("nn"),
+        F.sum(F.when(F.col("__y"), F.col("__r2")).otherwise(0))
+        .cast("long")
+        .alias("rsum2"),
+    ).selectExpr(
+        "np AS n_pos",
+        "nn AS n_neg",
+        "(rsum2 - np * (np + 1)) * 1000000 div (2 * np * nn) AS auc_ppm",
+    )

@@ -13304,3 +13304,48 @@ def events_ewma_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("g", "event_type")
         .orderBy("event_type")
     )
+
+
+@register_query(
+    "doc_length_auc",
+    oracle="""
+    WITH ranked AS (
+        SELECT (lang = 'en') AS y,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+               n_chars
+        FROM documents
+    ), tied AS (
+        SELECT y,
+               min(rn) OVER (PARTITION BY n_chars)
+                 + max(rn) OVER (PARTITION BY n_chars) AS r2
+        FROM ranked
+    ), agg AS (
+        SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+               CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+               CAST(sum(CASE WHEN y THEN r2 ELSE 0 END) AS BIGINT) AS rsum2
+        FROM tied
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           CAST((rsum2 - np * (np + 1)) * 1000000
+                // (2 * np * nn) AS BIGINT) AS auc_ppm
+    FROM agg
+    """,
+)
+def doc_length_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (operators/evals.roc_auc): how well raw
+    document length separates English from non-English docs — the
+    discrimination readout that completes the eval battery next to
+    ECE/calibration (is the score CALIBRATED) and the classification
+    report (is the THRESHOLD right); AUC asks if the ORDERING is
+    informative at all. Average ranks for tied scores ride doubled so
+    everything stays integer; the oracle replays rank, tie-block
+    min+max, and the rank-sum identity bit-for-bit."""
+    from ..operators.evals import roc_auc
+
+    d = load_table(spark, sf_dir, "documents")
+    return roc_auc(
+        d.withColumn("is_en", F.col("lang") == "en"),
+        score_col="n_chars",
+        label_col="is_en",
+        tiebreak="doc_id",
+    )

@@ -380,3 +380,33 @@ def test_session_paths_split_and_truncate(spark):
         ).collect()
     }
     assert out == {"a>b>c": 1, "e": 1, "a>b": 1}
+
+
+# ------------------------------------------------------------ ROC-AUC
+
+from nifi_hive_schema_generator_bundle_spark.operators.evals import (  # noqa: E402
+    roc_auc,
+)
+
+
+def test_roc_auc_perfect_and_random(spark):
+    """Scores 1..4 with labels on the top half: perfect separation ->
+    AUC 1e6; inverted labels -> 0."""
+    df = spark.createDataFrame(
+        [(1.0, False, 1), (2.0, False, 2), (3.0, True, 3), (4.0, True, 4)],
+        "s double, y boolean, tb long",
+    )
+    r = roc_auc(df, "s", "y", "tb").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_ppm"]) == (2, 2, 10**6)
+    inv = df.select("s", (~F.col("y")).alias("y"), "tb")
+    assert roc_auc(inv, "s", "y", "tb").collect()[0]["auc_ppm"] == 0
+
+
+def test_roc_auc_ties_get_average_rank(spark):
+    """All scores equal: AUC must be exactly 1/2 regardless of labels
+    (textbook tie handling — naive row_number ranks would bias it)."""
+    df = spark.createDataFrame(
+        [(5.0, i % 2 == 0, i) for i in range(6)], "s double, y boolean, tb long"
+    )
+    r = roc_auc(df, "s", "y", "tb").collect()[0]
+    assert r["auc_ppm"] == 500000
