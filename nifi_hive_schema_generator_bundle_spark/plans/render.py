@@ -35,6 +35,8 @@ __all__ = [
     "render_hive_ddl",
     "render_alter_ddl",
     "render_spark_ddl",
+    "render_partition_ddl",
+    "render_msck",
     "sanitize_identifiers",
     "sanitize_schema",
 ]
@@ -211,3 +213,42 @@ def render_alter_ddl(old: DataType, new: DataType, table: str) -> list[str]:
                 + ";"
             )
     return stmts
+
+
+def render_partition_ddl(
+    table: str,
+    partitions: list[tuple[dict, str]],
+    *,
+    if_not_exists: bool = True,
+) -> str:
+    """Partition registration DDL — the companion the reference's
+    CREATE EXTERNAL TABLE output needs once data lands in hive-style
+    key=value directories (one NiFi flow per day writes a new
+    directory; the metastore only sees it after an ADD PARTITION).
+
+    ``partitions`` is [(spec, location), …] with spec an ordered
+    {key: value} dict; one statement covers them all (Hive allows
+    multiple PARTITION clauses per ALTER). Values render as quoted
+    strings — Hive coerces to the partition column's declared type —
+    with single quotes escaped; keys pass through the same
+    ``[.-]`` → ``_`` sanitization as every other identifier."""
+    if not partitions:
+        return ""
+    ine = " IF NOT EXISTS" if if_not_exists else ""
+    clauses = []
+    for spec, location in partitions:
+        kv = ", ".join(
+            f"`{sanitize_identifiers(k)}`="
+            + "'" + str(v).replace("'", "\\'") + "'"
+            for k, v in spec.items()
+        )
+        clauses.append(f"PARTITION ({kv}) location '{location}'")
+    return f"ALTER TABLE {table} ADD{ine} " + " ".join(clauses) + ";"
+
+
+def render_msck(table: str) -> str:
+    """``MSCK REPAIR TABLE`` — the bulk alternative to enumerated ADD
+    PARTITION statements when the directory layout is already
+    hive-style; emitted (not executed) so the caller controls when the
+    potentially expensive filesystem walk runs."""
+    return f"MSCK REPAIR TABLE {table};"

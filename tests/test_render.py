@@ -115,3 +115,52 @@ def test_render_alter_ddl_add_and_change():
     assert "ALTER TABLE t CHANGE COLUMN `a` `a` STRING;" in joined
     assert "keep" not in joined  # unchanged columns untouched
     assert render_alter_ddl(new, new, "t") == []  # no drift -> no statements
+
+
+def test_render_partition_ddl_multi_and_sanitize():
+    from nifi_hive_schema_generator_bundle_spark.plans.render import (
+        render_partition_ddl,
+    )
+
+    out = render_partition_ddl(
+        "t",
+        [
+            ({"dt": "2024-01-01", "src.kind": "a'b"}, "/data/dt=2024-01-01"),
+            ({"dt": "2024-01-02", "src.kind": "c"}, "/data/dt=2024-01-02"),
+        ],
+    )
+    assert out == (
+        "ALTER TABLE t ADD IF NOT EXISTS "
+        "PARTITION (`dt`='2024-01-01', `src_kind`='a\\'b') "
+        "location '/data/dt=2024-01-01' "
+        "PARTITION (`dt`='2024-01-02', `src_kind`='c') "
+        "location '/data/dt=2024-01-02';"
+    )
+    assert render_partition_ddl("t", []) == ""
+
+
+def test_render_partition_ddl_executes_on_spark(spark, tmp_path):
+    """The emitted statement must actually run against a partitioned
+    Spark-catalog table (quoting, backticks, multi-clause)."""
+    from nifi_hive_schema_generator_bundle_spark.plans.render import (
+        render_partition_ddl,
+    )
+
+    loc = str(tmp_path / "ptab")
+    spark.sql(
+        f"CREATE TABLE ptab_r5 (v INT) USING parquet "
+        f"PARTITIONED BY (dt STRING) LOCATION '{loc}'"
+    )
+    try:
+        p1 = str(tmp_path / "p1")
+        spark.createDataFrame([(1,)], "v int").write.parquet(p1)
+        ddl = render_partition_ddl(
+            "ptab_r5", [({"dt": "2024-01-01"}, p1)]
+        ).rstrip(";")
+        spark.sql(ddl)
+        got = spark.sql(
+            "SELECT v, dt FROM ptab_r5 WHERE dt = '2024-01-01'"
+        ).collect()
+        assert [(r["v"], r["dt"]) for r in got] == [(1, "2024-01-01")]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ptab_r5")
