@@ -234,3 +234,68 @@ def test_distributed_rank_matches_sorted_order(spark, vals):
         )
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# roc_auc ≡ pairwise-comparison probability (the probabilistic definition)
+# ---------------------------------------------------------------------------
+
+from nifi_hive_schema_generator_bundle_spark.operators.evals import (  # noqa: E402
+    roc_auc,
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.booleans()),
+        min_size=2,
+        max_size=25,
+    ).filter(
+        lambda r: any(y for _, y in r) and any(not y for _, y in r)
+    ),
+)
+@settings(**_SETTINGS)
+def test_roc_auc_matches_pairwise_definition(spark, rows):
+    df = spark.createDataFrame(
+        [(float(s), y, i) for i, (s, y) in enumerate(rows)],
+        "s double, y boolean, tb long",
+    )
+    got = roc_auc(df, "s", "y", "tb").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    # AUC = P(pos > neg) + P(tie)/2, as an exact rational in halves
+    num2 = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    assert got["auc_ppm"] == num2 * 10**6 // (2 * len(pos) * len(neg))
+
+
+# ---------------------------------------------------------------------------
+# k_anonymize_ladder: result is the MINIMAL feasible rung of a monotone ladder
+# ---------------------------------------------------------------------------
+
+from nifi_hive_schema_generator_bundle_spark.operators.quality_checks import (  # noqa: E402
+    k_anonymize_ladder,
+)
+
+
+@given(
+    vals=st.lists(st.integers(0, 30), min_size=1, max_size=25),
+    k=st.integers(1, 5),
+)
+@settings(**_SETTINGS)
+def test_k_anonymize_ladder_minimality(spark, vals, k):
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    rows = k_anonymize_ladder(df, ["g"], "v", k=k, max_j=8).collect()
+
+    def min_class(j):
+        c = Counter(v // (1 << j) for v in vals)
+        return min(c.values())
+
+    feasible = [j for j in range(9) if min_class(j) >= k]
+    if not feasible:
+        assert rows == []
+        return
+    assert len(rows) == 1 and rows[0]["j_star"] == feasible[0]
+    # monotone: every rung above j_star is feasible too
+    assert all(min_class(j) >= k for j in range(feasible[0], 9))
