@@ -251,6 +251,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     hash_fn: str = "xxhash64",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) with estimated Jaccard ≥
     threshold. Estimate = fraction of matching minhash components
@@ -264,11 +265,21 @@ def minhash_lsh_pairs(
     engine-portable forms (``minhash_signatures``/``band_keys``
     docstrings) so the whole LSH pipeline — candidate generation
     included — is replayable by a DuckDB oracle.
+
+    ``sigs`` supplies a precomputed ``minhash_signatures`` frame
+    (same k/num_perm/hash_fn) so callers that also need the
+    signatures for their own joins — the incremental near-dedup store
+    pays the shingling+permutation scan once instead of twice — don't
+    recompute them; the caller then owns its persistence.
     """
     # computed once, read by both self-join sides + the bucket-size guard
-    sig = minhash_signatures(
-        df, text_col, id_col, k=k, num_perm=num_perm, hash_fn=hash_fn
-    ).persist()
+    sig = (
+        sigs
+        if sigs is not None
+        else minhash_signatures(
+            df, text_col, id_col, k=k, num_perm=num_perm, hash_fn=hash_fn
+        ).persist()
+    )
     banded = band_keys(
         sig, bands=bands, num_perm=num_perm, portable=hash_fn == "md5"
     )

@@ -109,7 +109,14 @@ def near_dedup_batch_against_store(
                 "store_dir/out_dir at fresh locations."
             )
 
-    # (1) within-batch near-dedup, first (min-id) occurrence wins
+    # (1) within-batch near-dedup, first (min-id) occurrence wins.
+    # Signatures are computed ONCE for the whole batch and shared with
+    # the LSH pair stage (sigs=) — the shingling + num_perm permutation
+    # scan is the expensive stage, and the earlier version paid it
+    # twice (once inside minhash_lsh_pairs, once for the store).
+    full_sig = minhash_signatures(
+        batch_df, text_col, id_col, k=k, num_perm=num_perm, hash_fn=hash_fn
+    ).persist()
     pairs = minhash_lsh_pairs(
         batch_df,
         text_col,
@@ -120,14 +127,15 @@ def near_dedup_batch_against_store(
         threshold=threshold,
         max_bucket=max_bucket,
         hash_fn=hash_fn,
+        sigs=full_sig,
     )
     batch_kept = dedup_keep_min(batch_df, pairs, id_col)
 
     # (2)+(3) candidates vs strictly-earlier history, verified on
     # signature agreement — no text ever leaves the batch
     portable = hash_fn == "md5"
-    sig = minhash_signatures(
-        batch_kept, text_col, id_col, k=k, num_perm=num_perm, hash_fn=hash_fn
+    sig = full_sig.join(
+        batch_kept.select(F.col(id_col).alias("id")), "id", "semi"
     ).persist()
     my_bands = band_keys(
         sig, bands=bands, num_perm=num_perm, portable=portable
@@ -187,6 +195,7 @@ def near_dedup_batch_against_store(
         kept_sigs.unpersist()
     finally:
         sig.unpersist()
+        full_sig.unpersist()
         survivors_ids.unpersist()
     return n
 
