@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # caps at 50 entries (observed: CORRECTNESS_r01-r04 each recorded exactly
 # the first 50 of the then-current registry). Rounds 1-4 hash-verified 109
 # distinct entries, leaving 101 oracle-backed entries never driver-verified;
-# this round's 50 slots = 32 changed-or-new-code entries that must (re)verify
+# this round's 50 slots = 33 changed-or-new-code entries that must (re)verify
 # (embedding_covariance was r4's one hash-red row, now exact-integer;
 # embedding_pca_project is newly oracle-backed; doc_jaccard_join gained the
 # duplicate-collapse prestage; events_campaign_overlap's interval tiling
@@ -62,7 +62,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # customer_rfm_segments / events_theil_sen_trend / events_mad_outliers /
 # user_churn_features / events_did_readout / customers_k_anonymize /
 # embedding_isotropy / events_session_paths / events_ewma_incremental /
-# doc_length_auc are new this round) + 16 never-verified entries
+# doc_length_auc / orders_logrank_ab are new this round) + 15
+# never-verified entries
 # chosen for kernels WITHOUT a driver-verified structural sibling + 2
 # canaries overlapping every prior round. Round 6 takes the remaining
 # never-verified entries. Rows-only entries (no SQL oracle) sort last;
@@ -102,7 +103,8 @@ DRIVER_PRIORITY = [
     "events_session_paths",      # new: 3-step session journey mining
     "events_ewma_incremental",   # new: cross-run daily-count store
     "doc_length_auc",            # new: tie-aware exact ROC-AUC
-    # --- 16 never-driver-verified entries (absent from r1-r4 hashes),
+    "orders_logrank_ab",         # new: Mantel-Cox log-rank survival A/B
+    # --- 15 never-driver-verified entries (absent from r1-r4 hashes),
     # chosen for kernels with no driver-verified structural sibling.
     # The ~57 never-verified entries left out this round (doc_chunks,
     # doc_word_counts, the TPC-H q11/q12/q15/q16/q20 family shapes,
@@ -179,7 +181,9 @@ DRIVER_PRIORITY = [
     # round's head — both moved to round 6)
     "embedding_decontamination",
     "embedding_silhouette",
-    "embedding_hard_negatives",
+    # (embedding_hard_negatives ~ the r4-verified ann_ndcg_eval /
+    # ann_recall_eval broadcast-anchor ANN scan family — yielded its
+    # slot to orders_logrank_ab, round 6 picks it up)
     # (doc_hybrid_rrf ~ the r4-verified doc_bm25_index_search rank-window
     # family and dataset_overlap_matrix ~ the r3-verified doc_split_leakage
     # exact-overlap family: both yielded their slots to round 5b's

@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "events_session_paths",
     "events_ewma_incremental",
     "doc_length_auc",
+    "orders_logrank_ab",
 ]
 
 

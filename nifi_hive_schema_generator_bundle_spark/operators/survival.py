@@ -51,6 +51,7 @@ def subject_durations(
     key: str,
     date_col: str,
     tiebreak: str,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-observation time-to-next-event table (repeat-event survival).
 
@@ -58,13 +59,18 @@ def subject_durations(
     SAME key's next event (observed=1), or days until the corpus's last
     date (observed=0, right-censored). ``tiebreak`` makes the
     within-key ordering total so lead() is engine-independent.
+    ``extra_cols`` pass through unchanged (e.g. a treatment-group flag
+    for ``log_rank``).
     """
+    extra_cols = extra_cols or []
     d = F.to_date(date_col)
     # corpus horizon: 1-row scalar aggregate broadcast-crossed onto the
     # fact table (the allowlisted scalar-broadcast pattern) — NOT an
     # unpartitioned window, which would single-partition the data.
     horizon = df.agg(F.max(d).alias("__horizon"))
-    staged = df.select(d.alias("__d"), F.col(tiebreak).alias("__tb"), key)
+    staged = df.select(
+        d.alias("__d"), F.col(tiebreak).alias("__tb"), key, *extra_cols
+    )
     nxt = F.lead("__d").over(
         Window.partitionBy(key).orderBy("__d", "__tb")
     )
@@ -78,6 +84,7 @@ def subject_durations(
             F.when(F.col("__nxt").isNotNull(), F.lit(1))
             .otherwise(F.lit(0))
             .alias("observed"),
+            *extra_cols,
         )
     )
 
@@ -123,4 +130,71 @@ def kaplan_meier(subjects: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         out,
         "t_day int, n_risk long, d long, survival_q long, hazard_q long",
+    )
+
+
+def log_rank(subjects: DataFrame, group_col: str) -> DataFrame:
+    """Two-group log-rank test (Mantel-Cox) over right-censored
+    durations — "do these two segments churn at different rates",
+    the canonical survival A/B companion to ``kaplan_meier``.
+
+    At each event time t the group-1 event count O1 is compared with
+    its hypergeometric expectation under H0 (equal hazards):
+
+        E1(t) = d·n1/n        V(t) = d·(n1/n)·(1−n1/n)·(n−d)/(n−1)
+
+    and the statistic is (ΣO1 − ΣE1)² / ΣV ~ χ²(1). Every per-time
+    term quantizes independently at scale 10^6 with integer floor
+    division (order-independent sums, the pca.py discipline); the
+    bounded life table (day-span rows) folds on the driver with
+    arbitrary-precision ints, so no int64 headroom concern at any
+    scale — the DuckDB twin replays the same per-term integer
+    divisions on HUGEINTs.
+
+    Output ONE row: n_event_times, o1, e1_q (scale 10^6), v_q
+    (scale 10^6), logrank_x2_ppm = (o1·10^6 − e1_q)² // v_q
+    (χ² in millionths; ≥ 3.84e6 ⇒ p < 0.05). Zero-variance
+    degenerate tables (every subject in one group) return v_q = 0 and
+    a NULL statistic rather than dividing by zero.
+    """
+    g = F.col(group_col).cast("int")
+    by_t = subjects.groupBy(F.col("duration").alias("t_day")).agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.sum(F.col("observed") * g).cast("long").alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+        F.sum(g).cast("long").alias("leaving1"),
+    )
+    total = subjects.count()
+    total1 = subjects.agg(F.sum(g)).collect()[0][0] or 0
+    w = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, -1)
+    life = by_t.select(
+        "t_day",
+        "d",
+        "d1",
+        (F.lit(total) - F.coalesce(F.sum("leaving").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n"),
+        (F.lit(total1) - F.coalesce(F.sum("leaving1").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n1"),
+    ).filter(F.col("d") > 0)
+    rows = life.collect()
+    Q = 10**6
+    n_times = 0
+    o1 = 0
+    e1_q = 0
+    v_q = 0
+    for r in rows:
+        n, n1, d, d1 = int(r["n"]), int(r["n1"]), int(r["d"]), int(r["d1"])
+        n_times += 1
+        o1 += d1
+        e1_q += d * n1 * Q // n
+        if n > 1:
+            v_q += d * n1 * (n - n1) * (n - d) * Q // (n * n * (n - 1))
+    x2 = (o1 * Q - e1_q) ** 2 // v_q if v_q > 0 else None
+    spark = subjects.sparkSession
+    return spark.createDataFrame(
+        [(n_times, o1, e1_q, v_q, x2)],
+        "n_event_times long, o1 long, e1_q long, v_q long, "
+        "logrank_x2_ppm long",
     )

@@ -13349,3 +13349,81 @@ def doc_length_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_col="is_en",
         tiebreak="doc_id",
     )
+
+
+@register_query(
+    "orders_logrank_ab",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+               CAST(o_custkey % 2 AS INT) AS grp
+        FROM orders
+    ), nxt AS (
+        SELECT d, grp,
+               lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+                 AS nd
+        FROM o
+    ), subj AS (
+        SELECT CASE WHEN nd IS NOT NULL THEN date_diff('day', d, nd)
+                    ELSE date_diff('day', d, (SELECT max(d) FROM o))
+               END AS duration,
+               CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS observed,
+               grp
+        FROM nxt
+    ), by_t AS (
+        SELECT duration AS t, CAST(sum(observed) AS BIGINT) AS d,
+               CAST(sum(observed * grp) AS BIGINT) AS d1,
+               CAST(count(*) AS BIGINT) AS leaving,
+               CAST(sum(grp) AS BIGINT) AS leaving1
+        FROM subj GROUP BY duration
+    ), life AS (
+        SELECT t, d, d1,
+               CAST((SELECT count(*) FROM subj)
+                 - coalesce(sum(leaving) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n,
+               CAST((SELECT sum(grp) FROM subj)
+                 - coalesce(sum(leaving1) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n1
+        FROM by_t
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+               CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(CAST(d AS HUGEINT) * n1 * 1000000 // n) AS BIGINT)
+                 AS e1_q,
+               CAST(sum(CASE WHEN n > 1 THEN
+                        CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d)
+                          * 1000000 // (n * n * (n - 1))
+                        ELSE 0 END) AS BIGINT) AS v_q
+        FROM life WHERE d > 0
+    )
+    SELECT n_event_times, o1, e1_q, v_q,
+           CASE WHEN v_q > 0 THEN
+                CAST((CAST(o1 AS HUGEINT) * 1000000 - e1_q)
+                     * (CAST(o1 AS HUGEINT) * 1000000 - e1_q)
+                     // v_q AS BIGINT)
+           END AS logrank_x2_ppm
+    FROM agg
+    """,
+)
+def orders_logrank_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank survival comparison (operators/survival
+    .log_rank): do odd- and even-keyed customer segments differ in
+    repeat-purchase hazard — the Mantel-Cox χ²(1) readout that
+    completes the survival family next to the K-M curve (and the
+    causal battery next to DiD/CUPED, for time-to-event outcomes).
+    Per-event-time hypergeometric terms quantize independently at
+    scale 10^6 (order-independent integer sums); the day-span-bounded
+    life table folds on the driver with Python bignums while the
+    oracle replays the identical divisions on HUGEINTs."""
+    from ..operators.survival import log_rank, subject_durations
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "grp", (F.col("o_custkey") % 2).cast("int")
+    )
+    subj = subject_durations(
+        orders, key="o_custkey", date_col="o_orderdate",
+        tiebreak="o_orderkey", extra_cols=["grp"],
+    )
+    return log_rank(subj, "grp")

@@ -410,3 +410,44 @@ def test_roc_auc_ties_get_average_rank(spark):
     )
     r = roc_auc(df, "s", "y", "tb").collect()[0]
     assert r["auc_ppm"] == 500000
+
+
+# ----------------------------------------------------------- log-rank
+
+from nifi_hive_schema_generator_bundle_spark.operators.survival import (  # noqa: E402
+    log_rank,
+)
+
+
+def _grp_subjects(spark, rows):
+    return spark.createDataFrame(rows, "duration int, observed int, grp int")
+
+
+def test_log_rank_identical_groups_zero_statistic(spark):
+    """Mirror-image groups: O1 == E1 at every event time -> x2 = 0."""
+    rows = [(t, 1, g) for t in (1, 2, 3) for g in (0, 1)]
+    r = log_rank(_grp_subjects(spark, rows), "grp").collect()[0]
+    assert r["o1"] * 10**6 == r["e1_q"]
+    assert r["logrank_x2_ppm"] == 0
+    assert r["n_event_times"] == 3
+
+
+def test_log_rank_hand_computed(spark):
+    """2 subjects: g1 dies at t=1 (n=2, n1=1), g0 dies at t=2 (n=1,
+    n1=0). E1 = 1/2 + 0; V = 1*1*1*0/(2*2*1)=0 at t=1 (n-d=1... d=1,
+    n=2: V = d*n1*(n-n1)*(n-d)/(n^2(n-1)) = 1*1*1*1/4 = 250000 ppm);
+    t=2: n=1 -> no variance term. x2 = (1e6 - 5e5)^2 // 250000."""
+    rows = [(1, 1, 1), (2, 1, 0)]
+    r = log_rank(_grp_subjects(spark, rows), "grp").collect()[0]
+    assert r["o1"] == 1
+    assert r["e1_q"] == 500000
+    assert r["v_q"] == 250000
+    assert r["logrank_x2_ppm"] == (10**6 - 500000) ** 2 // 250000
+
+
+def test_log_rank_degenerate_single_group_null(spark):
+    """Everyone in group 1: n1 == n at every time -> V = 0 -> NULL
+    statistic, no division by zero."""
+    rows = [(1, 1, 1), (2, 1, 1)]
+    r = log_rank(_grp_subjects(spark, rows), "grp").collect()[0]
+    assert r["v_q"] == 0 and r["logrank_x2_ppm"] is None
