@@ -83,10 +83,19 @@ def association_rules(
 ) -> DataFrame:
     """Top-k item pairs by co-occurrence with integer-ppm confidence
     (both directions) and lift. One distinct + one self-equi-join on
-    the basket key + two item-count joins; all scores exact integers."""
+    the basket key + two item-count joins; all scores exact integers.
+
+    Denominator population: item counts and ``n_baskets`` come from the
+    same ``max_basket``-filtered basket set that ``basket_pairs``
+    enumerates, so confidence and lift stay internally consistent when
+    the degenerate-basket guard fires (support over one population
+    divided by counts over another would overstate confidence)."""
     it = items.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
     ).distinct()
+    sized = it.groupBy("b").agg(F.count(F.lit(1)).alias("sz"))
+    keep = sized.filter(F.col("sz") <= max_basket).select("b")
+    it = it.join(keep, "b")
     n_baskets = it.select("b").distinct().count()
     counts = it.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     pairs = basket_pairs(items, basket_col, item_col, max_basket=max_basket)

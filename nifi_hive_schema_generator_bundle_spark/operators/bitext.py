@@ -36,10 +36,19 @@ replaying the same expressions is bit-equal.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["quantized_cosine", "bitext_margin_scores", "mine_bitext_pairs"]
+__all__ = [
+    "quantized_cosine",
+    "bitext_margin_scores",
+    "mine_bitext_pairs",
+    "rademacher_planes",
+    "lsh_band_buckets",
+    "lsh_bitext_candidates",
+]
 
 _DOT_SCALE = 8  # floor((x·y)·1e8) per element — exact int64 terms
 _COS_SCALE = 9  # floor(cos·1e9) before neighborhood sums
@@ -157,6 +166,107 @@ def bitext_margin_scores(
             F.col("__rb").alias("bwd_rank"),
         )
     )
+
+
+def rademacher_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplane literals from md5 — Rademacher
+    components preserve the cosine-LSH collision guarantee (Charikar
+    2002) at one sign per cell. Pinned driver-side (data-independent) so
+    the SAME literal planes can ride a Spark expression, a DuckDB oracle
+    replay, and every executor without broadcasting random state."""
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()[0] < 128 else -1
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_band_buckets(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[int]],
+    band_bits: int = 4,
+    quant_scale: int = 6,
+) -> DataFrame:
+    """(id, band, bucket) rows: hyperplane sign bits over pinned ±1
+    ``planes`` (see ``rademacher_planes``), packed ``band_bits`` per
+    band — the classic banded-LSH pigeonhole (a pair whose sketches
+    agree on ANY band becomes a candidate).
+
+    Exact-integer projections (the `operators/pca` discipline): each
+    component quantizes once to ``floor(v·10^quant_scale)`` int64 and
+    the per-plane projection is an integer sum of ±qᵢ — bit-equal in
+    any engine, no IEEE association-order hazard. Scale: a narrow
+    per-row JVM fold; output fans out rows × n_bands only."""
+    n_bands, rem = divmod(len(planes), band_bits)
+    if rem:
+        raise ValueError("len(planes) must be a multiple of band_bits")
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(10**quant_scale))
+        ).cast("long"),
+    )
+    bits = []
+    for s in planes:
+        sl = F.array(*[F.lit(v) for v in s])
+        proj = F.aggregate(
+            F.zip_with(qv, sl, lambda a, b: a * b.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    bands = []
+    for b in range(n_bands):
+        val = F.lit(0)
+        for j in range(band_bits):
+            val = val + bits[b * band_bits + j] * F.lit(2**j)
+        bands.append(F.struct(F.lit(b).alias("band"), val.alias("bucket")))
+    return df.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("__bb")
+    ).select(
+        id_col,
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.bucket").alias("bucket"),
+    )
+
+
+def lsh_bitext_candidates(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    band_bits: int = 4,
+    seed: int = 42,
+    quant_scale: int = 6,
+) -> DataFrame:
+    """ANN candidate pairs for ``mine_bitext_pairs(candidates=)``:
+    distinct (src_id, tgt_id) sharing at least one LSH band bucket —
+    the banded pigeonhole that replaces the all-pairs cross at corpus
+    scale. Shuffle is (band, bucket)-partitioned on both sides, so the
+    join is an equi-join whose volume is Σ_bucket |src_b|·|tgt_b|, not
+    |src|·|tgt|; AQE handles hot buckets. Deterministic end to end
+    (pinned planes + integer projections), so an oracle can replay the
+    exact candidate set."""
+    dim = None  # planes are derived from the declared vec length below
+    first = src.select(F.size(vec_col).alias("n")).limit(1).collect()
+    dim = int(first[0]["n"]) if first else 0
+    planes = rademacher_planes(n_planes, dim, seed)
+    sb = lsh_band_buckets(
+        src, id_col=id_col, vec_col=vec_col, planes=planes,
+        band_bits=band_bits, quant_scale=quant_scale,
+    ).withColumnRenamed(id_col, "src_id")
+    tb = lsh_band_buckets(
+        tgt, id_col=id_col, vec_col=vec_col, planes=planes,
+        band_bits=band_bits, quant_scale=quant_scale,
+    ).withColumnRenamed(id_col, "tgt_id")
+    return sb.join(tb, ["band", "bucket"]).select("src_id", "tgt_id").distinct()
 
 
 def mine_bitext_pairs(

@@ -1020,7 +1020,11 @@ def did_readout(
 
     Returns ONE row: per-cell n and mean (ppm), and did_ppm.
     """
-    t, p = F.col(treat_col), F.col(post_col)
+    # accept int 0/1 as well as boolean flags: `&`/`~` on int columns
+    # are BITWISE and F.when rejects the non-boolean result, so cast
+    # first (the roc_auc label convention)
+    t = F.col(treat_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
     cells = {
         "tp": t & p, "tq": t & ~p, "cp": ~t & p, "cq": ~t & ~p,
     }

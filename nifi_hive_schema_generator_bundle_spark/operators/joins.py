@@ -114,13 +114,20 @@ def range_join(
     bucket id replaces the otherwise-cartesian range join. AQE handles
     residual skew.
     """
-    lb = left.withColumn("__b", (F.col(left_time) / bucket).cast("long"))
+    # floor (not cast) so negative coordinates tile at the documented
+    # fixed width — cast truncates toward zero, which makes the
+    # zero-straddling bucket double-width (results stay correct because
+    # the exact residual predicate rides the join, but the skewed bucket
+    # hurts); same rule as interval_join below
+    lb = left.withColumn(
+        "__b", F.floor(F.col(left_time) / bucket).cast("long")
+    )
     rb = right.withColumn(
         "__b",
         F.explode(
             F.sequence(
-                (F.col(right_start) / bucket).cast("long"),
-                (F.col(right_end) / bucket).cast("long"),
+                F.floor(F.col(right_start) / bucket).cast("long"),
+                F.floor(F.col(right_end) / bucket).cast("long"),
             )
         ),
     )

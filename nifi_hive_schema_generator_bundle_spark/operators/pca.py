@@ -333,9 +333,19 @@ def isotropy_report(df: DataFrame, vec_col: str) -> DataFrame:
             [], "n_vectors long, dim int, mean_sq_norm_q long, isotropy_ppb long"
         )
     dim = len(rows)
-    n = int(rows[0]["n_terms"])
+    # max over positions mirrors the oracle's max(n): with ragged
+    # vectors the tail positions see fewer terms, and silently trusting
+    # an arbitrary rows[0] could under-count n_vectors
+    n = max(int(r["n_terms"]) for r in rows)
     s2 = sum(int(r["s_sq"]) for r in rows)
     num = sum(int(r["s_x"]) ** 2 for r in rows)
+    if s2 == 0:
+        # all-zero vectors: mean-sq-norm is 0 and the isotropy ratio is
+        # undefined — report the degenerate corpus instead of dividing
+        return df.sparkSession.createDataFrame(
+            [(n, dim, 0, None)],
+            "n_vectors long, dim int, mean_sq_norm_q long, isotropy_ppb long",
+        )
     return df.sparkSession.createDataFrame(
         [
             (

@@ -242,7 +242,10 @@ def render_partition_ddl(
             + "'" + str(v).replace("'", "\\'") + "'"
             for k, v in spec.items()
         )
-        clauses.append(f"PARTITION ({kv}) location '{location}'")
+        # same quote-escaping as the spec values — a location containing
+        # a single quote must not break out of the string literal
+        loc = str(location).replace("'", "\\'")
+        clauses.append(f"PARTITION ({kv}) location '{loc}'")
     return f"ALTER TABLE {table} ADD{ine} " + " ".join(clauses) + ";"
 
 

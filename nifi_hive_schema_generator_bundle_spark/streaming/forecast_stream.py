@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.formats import overwrite_partitions
+from ._store import durable_fold
 
 __all__ = [
     "count_batch_update",
@@ -157,13 +158,10 @@ def compact_count_store(spark, store_dir: str, *, keep_last: int = 1) -> int:
         .groupBy("g", "day")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
         .withColumn("batch_id", F.lit(fold_to))
-        .persist()
     )
-    n = folded.count()  # materialize BEFORE overwriting what it reads
-    try:
-        overwrite_partitions(folded, store_dir, ["batch_id"], fmt="parquet")
-    finally:
-        folded.unpersist()
+    # stage durably first — a persist()+count() could lose cached blocks
+    # and recompute against the mutated store (see _store.durable_fold)
+    n = durable_fold(folded, store_dir)
     for i in ids:
         if i < fold_to:
             shutil.rmtree(f"{store_dir}/batch_id={i}", ignore_errors=True)

@@ -32,6 +32,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cardinality import hll_estimate, hll_registers
 from ..sources.formats import overwrite_partitions
+from ._store import durable_fold
 
 __all__ = [
     "hll_batch_update",
@@ -157,13 +158,10 @@ def compact_hll_store(
         .groupBy(*group_cols, "register")
         .agg(F.max("rho").alias("rho"))
         .withColumn("batch_id", F.lit(fold_to))
-        .persist()
     )
-    n = folded.count()  # materialize BEFORE overwriting what it reads
-    try:
-        overwrite_partitions(folded, store_dir, ["batch_id"], fmt="parquet")
-    finally:
-        folded.unpersist()
+    # stage durably first — a persist()+count() could lose cached blocks
+    # and recompute against the mutated store (see _store.durable_fold)
+    n = durable_fold(folded, store_dir)
     for i in ids:
         if i < fold_to:
             shutil.rmtree(f"{store_dir}/batch_id={i}", ignore_errors=True)

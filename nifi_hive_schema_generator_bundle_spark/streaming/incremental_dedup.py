@@ -32,6 +32,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.textfns import normalize_ws
 from ..sources.formats import overwrite_partitions
+from ._store import durable_fold
 
 __all__ = [
     "dedup_batch_against_store",
@@ -137,16 +138,13 @@ def compact_fingerprint_store(
         .distinct()
         .repartition(target_files)
         .withColumn("batch_id", F.lit(top - 1))
-        .persist()
     )
-    n = folded.count()  # materialize BEFORE overwriting the dir it reads
-    try:
-        # dynamic mode replaces only the batch_id=top-1 partition; the
-        # other stale partitions are then dropped explicitly (local FS
-        # here; a cluster deployment would use the Hadoop FS API)
-        overwrite_partitions(folded, store_dir, ["batch_id"], fmt="parquet")
-    finally:
-        folded.unpersist()
+    # stage durably first — a persist()+count() could lose cached blocks
+    # and recompute against the mutated store (see _store.durable_fold);
+    # dynamic mode replaces only the batch_id=top-1 partition; the other
+    # stale partitions are then dropped explicitly (local FS here; a
+    # cluster deployment would use the Hadoop FS API)
+    n = durable_fold(folded, store_dir)
     for i in ids:
         if i < top - 1:
             shutil.rmtree(f"{store_dir}/batch_id={i}", ignore_errors=True)

@@ -35,6 +35,7 @@ from ..operators.quantile_sketch import (
     log_bucket_histogram,
 )
 from ..sources.formats import overwrite_partitions
+from ._store import durable_fold
 
 __all__ = [
     "histogram_batch_update",
@@ -168,13 +169,10 @@ def compact_histogram_store(
         .groupBy(*group_cols, "bucket")
         .agg(F.sum("cnt").alias("cnt"))
         .withColumn("batch_id", F.lit(fold_to))
-        .persist()
     )
-    n = folded.count()  # materialize BEFORE overwriting what it reads
-    try:
-        overwrite_partitions(folded, store_dir, ["batch_id"], fmt="parquet")
-    finally:
-        folded.unpersist()
+    # stage durably first — a persist()+count() could lose cached blocks
+    # and recompute against the mutated store (see _store.durable_fold)
+    n = durable_fold(folded, store_dir)
     for i in ids:
         if i < fold_to:
             shutil.rmtree(f"{store_dir}/batch_id={i}", ignore_errors=True)

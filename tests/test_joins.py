@@ -78,6 +78,33 @@ def test_range_join_matches_naive(spark):
     assert got == want and len(got) > 0
 
 
+def test_range_join_negative_coordinates(spark):
+    # points and intervals straddling zero: floor-tiling must keep every
+    # bucket the declared width (truncation would double the bucket that
+    # straddles zero) and the results must still match the naive join
+    pts = spark.createDataFrame(
+        [(i, float(i * 7 % 50) - 25.0) for i in range(40)], "pid int, t double"
+    )
+    ivs = spark.createDataFrame(
+        [(j, float(j * 5) - 25.0, float(j * 5 - 17.0)) for j in range(10)],
+        "iid int, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pts, ivs, left_time="t", right_start="lo", right_end="hi",
+            bucket=F.lit(8),
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(ivs)
+        .filter((F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_salted_join_matches_plain_join(spark):
     from nifi_hive_schema_generator_bundle_spark.functions.partitioning import (
         salted_join,
