@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "events_ewma_incremental",
     "doc_length_auc",
     "orders_logrank_ab",
+    "embedding_bitext_mine_ann",
 ]
 
 

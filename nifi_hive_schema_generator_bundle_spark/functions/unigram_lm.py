@@ -52,6 +52,8 @@ from .bpe import PRETOKEN_RE
 
 __all__ = [
     "train_unigram_vocab",
+    "train_unigram_vocab_from_freqs",
+    "py_word_freqs",
     "unigram_tokenize_words",
     "unigram_token_stats",
 ]
@@ -116,6 +118,65 @@ def _seed_pieces(
     return chars.unionByName(multis)
 
 
+def _word_expected_counts(
+    w: str,
+    freq: int,
+    lp: dict[str, float],
+    max_piece_len: int,
+    acc: dict[str, int],
+) -> None:
+    """Per-word E-step kernel: forward–backward over the segmentation
+    lattice, expected counts quantized to ``floor(e·10^_COUNT_SCALE)``
+    int64 contributions accumulated into ``acc``. Shared verbatim by the
+    distributed Arrow stage AND the pure-Python training replay
+    (``train_unigram_vocab_from_freqs``) — quantization happens PER WORD,
+    so any grouping of words sums to identical integers."""
+    if not w:
+        return
+    w = w[:_MAX_WORD_LEN]
+    n = len(w)
+    scale = float(10**_COUNT_SCALE)
+
+    def logsumexp2(a: float, b: float) -> float:
+        if a == -math.inf:
+            return b
+        if b == -math.inf:
+            return a
+        m = a if a > b else b
+        return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+    # forward
+    alpha = [-math.inf] * (n + 1)
+    alpha[0] = 0.0
+    for e in range(1, n + 1):
+        for s in range(max(0, e - max_piece_len), e):
+            p = lp.get(w[s:e])
+            if p is not None and alpha[s] != -math.inf:
+                alpha[e] = logsumexp2(alpha[e], alpha[s] + p)
+    z = alpha[n]
+    if z == -math.inf:
+        return  # word not coverable (char missing) — skip
+    # backward
+    beta = [-math.inf] * (n + 1)
+    beta[n] = 0.0
+    for s in range(n - 1, -1, -1):
+        for e in range(s + 1, min(n, s + max_piece_len) + 1):
+            p = lp.get(w[s:e])
+            if p is not None and beta[e] != -math.inf:
+                beta[s] = logsumexp2(beta[s], p + beta[e])
+    for s in range(n):
+        for e in range(s + 1, min(n, s + max_piece_len) + 1):
+            p = lp.get(w[s:e])
+            if p is None:
+                continue
+            if alpha[s] == -math.inf or beta[e] == -math.inf:
+                continue
+            ec = math.exp(alpha[s] + p + beta[e] - z) * freq
+            q = int(math.floor(ec * scale))
+            if q > 0:
+                acc[w[s:e]] += q
+
+
 def _estep_counts(
     words: DataFrame, logp: dict[str, float], max_piece_len: int
 ) -> dict[str, int]:
@@ -126,56 +187,13 @@ def _estep_counts(
 
     spark = words.sparkSession
     bc = spark.sparkContext.broadcast(logp)
-    scale = float(10**_COUNT_SCALE)
 
     def estep(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         lp = bc.value
         acc: dict[str, int] = defaultdict(int)
-
-        def logsumexp2(a: float, b: float) -> float:
-            if a == -math.inf:
-                return b
-            if b == -math.inf:
-                return a
-            m = a if a > b else b
-            return m + math.log(math.exp(a - m) + math.exp(b - m))
-
         for pdf in batches:
             for w, freq in zip(pdf["w"], pdf["freq"]):
-                if not w:
-                    continue
-                w = w[:_MAX_WORD_LEN]
-                n = len(w)
-                # forward
-                alpha = [-math.inf] * (n + 1)
-                alpha[0] = 0.0
-                for e in range(1, n + 1):
-                    for s in range(max(0, e - max_piece_len), e):
-                        p = lp.get(w[s:e])
-                        if p is not None and alpha[s] != -math.inf:
-                            alpha[e] = logsumexp2(alpha[e], alpha[s] + p)
-                z = alpha[n]
-                if z == -math.inf:
-                    continue  # word not coverable (char missing) — skip
-                # backward
-                beta = [-math.inf] * (n + 1)
-                beta[n] = 0.0
-                for s in range(n - 1, -1, -1):
-                    for e in range(s + 1, min(n, s + max_piece_len) + 1):
-                        p = lp.get(w[s:e])
-                        if p is not None and beta[e] != -math.inf:
-                            beta[s] = logsumexp2(beta[s], p + beta[e])
-                for s in range(n):
-                    for e in range(s + 1, min(n, s + max_piece_len) + 1):
-                        p = lp.get(w[s:e])
-                        if p is None:
-                            continue
-                        if alpha[s] == -math.inf or beta[e] == -math.inf:
-                            continue
-                        ec = math.exp(alpha[s] + p + beta[e] - z) * freq
-                        q = int(math.floor(ec * scale))
-                        if q > 0:
-                            acc[w[s:e]] += q
+                _word_expected_counts(w, freq, lp, max_piece_len, acc)
         if acc:
             yield pd.DataFrame(
                 {"piece": list(acc.keys()), "cnt": list(acc.values())}
@@ -227,13 +245,32 @@ def train_unigram_vocab(
     seed = _seed_pieces(
         words, n_multi=seed_factor * vocab_size, max_piece_len=max_piece_len
     ).collect()
-    # initial probabilities from seed scores
-    counts = {r.piece: int(r.score) for r in seed}
-    logp = _normalize(counts)
+    return _train_loop(
+        lambda lp: _estep_counts(words, lp, max_piece_len),
+        {r.piece: int(r.score) for r in seed},
+        vocab_size=vocab_size,
+        em_iters=em_iters,
+        shrink=shrink,
+    )
+
+
+def _train_loop(
+    estep,
+    seed_counts: dict[str, int],
+    *,
+    vocab_size: int,
+    em_iters: int,
+    shrink: float,
+) -> list[tuple[str, float]]:
+    """The EM/prune schedule, shared by the distributed trainer and the
+    pure-Python replay — ``estep(logp) -> {piece: quantized_count}`` is
+    the only environment-specific step, so both paths are the SAME
+    algorithm by construction (the oracle-twin promotion contract)."""
+    logp = _normalize(seed_counts)
     chars = {p for p in logp if len(p) == 1}
     while True:
         for _ in range(max(1, em_iters)):
-            counts = _estep_counts(words, logp, max_piece_len)
+            counts = estep(logp)
             # characters always survive with a floor count so coverage
             # never collapses mid-training
             for c in chars:
@@ -257,12 +294,83 @@ def train_unigram_vocab(
             break
     # one final EM over the settled inventory so reported probabilities
     # reflect the pruned vocabulary, not the pre-prune counts
-    counts = _estep_counts(words, logp, max_piece_len)
+    counts = estep(logp)
     for c in chars:
         counts.setdefault(c, 1)
     counts = {p: c for p, c in counts.items() if p in logp}
     logp = _normalize(counts)
     return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def py_word_freqs(texts) -> dict[str, int]:
+    """Single-process replay of ``_word_freqs`` (exact: both are a
+    PRETOKEN_RE findall + integer count)."""
+    freqs: dict[str, int] = defaultdict(int)
+    for t in texts:
+        if t is None:
+            continue
+        for w in PRETOKEN_RE.findall(t):
+            freqs[w] += 1
+    return dict(freqs)
+
+
+def _py_seed_counts(
+    freqs: dict[str, int], *, n_multi: int, max_piece_len: int
+) -> dict[str, int]:
+    """Single-process replay of ``_seed_pieces``: substring counts over
+    the (truncated) words, chars scored by count, multis by count·len,
+    top ``n_multi`` multis on (score DESC, piece ASC)."""
+    cnt: dict[str, int] = defaultdict(int)
+    for w, f in freqs.items():
+        t = w[:_MAX_WORD_LEN]
+        n = len(t)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + max_piece_len) + 1):
+                cnt[t[i:j]] += f
+    out = {p: c for p, c in cnt.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c * len(p)) for p, c in cnt.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:n_multi]
+    out.update(multis)
+    return out
+
+
+def train_unigram_vocab_from_freqs(
+    freqs: dict[str, int],
+    *,
+    vocab_size: int,
+    max_piece_len: int = 8,
+    em_iters: int = 2,
+    seed_factor: int = 4,
+    shrink: float = 0.75,
+) -> list[tuple[str, float]]:
+    """Pure-Python trainer over a (word → freq) table — bit-identical to
+    ``train_unigram_vocab`` on the same corpus: the E-step kernel
+    (``_word_expected_counts``, per-word integer quantization) and the
+    EM/prune schedule (``_train_loop``) are the very same functions, and
+    the distributed path's only extra step — the cross-partition
+    integer sum — is order-independent. Exists so the DuckDB oracle for
+    ``doc_unigram_fertility`` can pin the trained vocabulary as
+    literals without a SparkSession at import time."""
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+
+    def estep(logp: dict[str, float]) -> dict[str, int]:
+        acc: dict[str, int] = defaultdict(int)
+        for w, f in freqs.items():
+            _word_expected_counts(w, f, logp, max_piece_len, acc)
+        return dict(acc)
+
+    return _train_loop(
+        estep,
+        _py_seed_counts(
+            freqs, n_multi=seed_factor * vocab_size, max_piece_len=max_piece_len
+        ),
+        vocab_size=vocab_size,
+        em_iters=em_iters,
+        shrink=shrink,
+    )
 
 
 def _viterbi(w: str, lp: dict[str, float], max_piece_len: int) -> list[str]:

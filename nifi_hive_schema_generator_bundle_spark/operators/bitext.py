@@ -245,6 +245,7 @@ def lsh_bitext_candidates(
     band_bits: int = 4,
     seed: int = 42,
     quant_scale: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN candidate pairs for ``mine_bitext_pairs(candidates=)``:
     distinct (src_id, tgt_id) sharing at least one LSH band bucket —
@@ -253,10 +254,11 @@ def lsh_bitext_candidates(
     join is an equi-join whose volume is Σ_bucket |src_b|·|tgt_b|, not
     |src|·|tgt|; AQE handles hot buckets. Deterministic end to end
     (pinned planes + integer projections), so an oracle can replay the
-    exact candidate set."""
-    dim = None  # planes are derived from the declared vec length below
-    first = src.select(F.size(vec_col).alias("n")).limit(1).collect()
-    dim = int(first[0]["n"]) if first else 0
+    exact candidate set. Pass ``dim`` when known to skip the one-row
+    probe job that otherwise derives it."""
+    if dim is None:
+        first = src.select(F.size(vec_col).alias("n")).limit(1).collect()
+        dim = int(first[0]["n"]) if first else 0
     planes = rademacher_planes(n_planes, dim, seed)
     sb = lsh_band_buckets(
         src, id_col=id_col, vec_col=vec_col, planes=planes,

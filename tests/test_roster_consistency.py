@@ -89,3 +89,50 @@ def test_coverage_doc_totals_match_registry():
     assert total == len(QUERIES), (total, len(QUERIES))
     assert oracle == len(ORACLE_SQL), (oracle, len(ORACLE_SQL))
     assert rows_only == len(QUERIES) - len(ORACLE_SQL)
+
+
+def test_coverage_doc_entry_names_exist_in_registry():
+    """Prose drift is the remaining COVERAGE.md failure mode (VERDICT r5
+    #8): every backticked token that LOOKS like a gate-entry name (made
+    only of registry-style name characters and containing a known
+    registry prefix pattern) must actually exist in the live registry.
+    Heuristic: a backticked snake_case token with no dots/slashes/parens
+    that matches a registry name's shape is checked when it is EITHER in
+    the registry OR differs from a registry name only by drift — we flag
+    tokens that share a prefix family with registry entries but aren't
+    registered themselves."""
+    import re
+
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import QUERIES
+
+    doc = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")
+    ).read()
+    # candidate tokens: pure snake_case identifiers in backticks
+    tokens = set(re.findall(r"`([a-z][a-z0-9_]{3,60})`", doc))
+    # a token claims to be a gate entry iff it starts with one of the
+    # roster's family prefixes (the naming convention every entry uses)
+    prefixes = {n.split("_", 1)[0] for n in QUERIES}
+    claimed = {
+        t for t in tokens
+        if "_" in t and t.split("_", 1)[0] in prefixes
+    }
+    # drop tokens that are real function names in the package (prose
+    # legitimately cites operators by function): a drifted/renamed gate
+    # entry exists NOWHERE as a def, so it still gets flagged
+    non_entries = {t for t in claimed if t not in QUERIES}
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)),
+        "nifi_hive_schema_generator_bundle_spark",
+    )
+    defs: set[str] = set()
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if fn.endswith(".py"):
+                src = open(os.path.join(root, fn)).read()
+                defs.update(re.findall(r"^\s*def ([a-z_][a-z0-9_]*)", src, re.M))
+    unknown = sorted(non_entries - defs)
+    assert not unknown, (
+        "COVERAGE.md mentions gate-entry-shaped names missing from the "
+        f"registry (prose drift): {unknown}"
+    )
