@@ -124,3 +124,52 @@ def test_margin_demotes_hub_vectors(spark):
     sharp = max((r for r in rows if r.src_id == 1), key=lambda r: r.margin)
     assert sharp.margin > hub_best.margin
     assert sharp.tgt_id == 20
+
+
+def test_lsh_candidates_always_include_identical_vectors(spark, corpora):
+    """An exact-duplicate pair projects to identical signs on EVERY
+    plane, so it shares ALL bands — banded LSH can never miss it. The
+    noisy planted pairs are near-identical, so the 2x4-bit banding
+    should also recover most of them (recall sanity, deterministic:
+    pinned planes, no RNG at query time)."""
+    from nifi_hive_schema_generator_bundle_spark.operators.bitext import (
+        lsh_bitext_candidates,
+    )
+
+    src, tgt = corpora
+    # clone src 0's vector verbatim onto the tgt side as id 2000
+    dup = src.filter(F.col("vec_id") == 0).select(
+        F.lit(2000).alias("vec_id"), F.col("embedding")
+    )
+    cands = lsh_bitext_candidates(
+        src, tgt.unionByName(dup), n_planes=8, band_bits=4, dim=16
+    )
+    got = {(r.src_id, r.tgt_id) for r in cands.collect()}
+    assert (0, 2000) in got  # exact duplicate: guaranteed collision
+    planted = sum((i, 1000 + i) in got for i in range(8))
+    assert planted >= 6, f"banding recovered only {planted}/8 planted pairs"
+
+
+def test_lsh_candidates_restrict_and_match_exact_on_survivors(spark, corpora):
+    """Mining over LSH candidates returns a SUBSET of the exact path's
+    scored pairs, and every planted pair surviving candidate generation
+    is still mined mutual-best (the rescoring is unchanged)."""
+    from nifi_hive_schema_generator_bundle_spark.operators.bitext import (
+        lsh_bitext_candidates,
+        mine_bitext_pairs,
+    )
+
+    src, tgt = corpora
+    cands = lsh_bitext_candidates(src, tgt, n_planes=8, band_bits=4, dim=16)
+    cand_set = {(r.src_id, r.tgt_id) for r in cands.collect()}
+    n_all = src.count() * tgt.count()
+    assert 0 < len(cand_set) < n_all  # a real restriction, not the grid
+    mined = {
+        (r.src_id, r.tgt_id)
+        for r in mine_bitext_pairs(
+            src, tgt, k=3, threshold=1.0, mutual_best=True, candidates=cands
+        ).collect()
+    }
+    assert mined <= cand_set  # never scores outside the candidate set
+    recovered = {(i, 1000 + i) for i in range(8)} & cand_set
+    assert recovered <= mined, "a surviving planted pair was not mined"
