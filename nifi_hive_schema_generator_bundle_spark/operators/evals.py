@@ -945,31 +945,37 @@ def isotonic_fit(
         df.select(b.alias("__b"), F.col(label_col).cast("double").alias("__y"))
         .na.drop()
         .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("w"), F.avg("__y").alias("m"))
+        .agg(F.count(F.lit(1)).alias("w"), F.sum("__y").alias("sy"))
         .orderBy("__b")
         .collect()
     )
     if not rows:
         raise ValueError("isotonic_fit: no (score, label) rows")
     # weighted PAV: pool adjacent blocks while the mean sequence violates
-    # non-decreasing order
-    blocks: list[list[float]] = []  # [start_bin, weight, mean]
+    # non-decreasing order. Blocks carry (weight, label-SUM), not running
+    # means: each block's mean is then ONE division of the exact sums —
+    # for integer-valued labels (0/1 correctness) that makes the fitted
+    # values exact rationals, bit-replayable by the SQL max-min closed
+    # form (fitted_i = max_{j<=i} min_{k>=i} avg[j..k]); an incremental
+    # (w1·m1+w2·m2)/(w1+w2) pooled mean walks a different float path.
+    blocks: list[list[float]] = []  # [start_bin, weight, label_sum]
     for r in rows:
-        blocks.append([float(r["__b"]), float(r["w"]), float(r["m"])])
-        while len(blocks) >= 2 and blocks[-2][2] >= blocks[-1][2]:
-            s2, w2, m2 = blocks.pop()
-            blocks[-1][2] = (
-                blocks[-1][1] * blocks[-1][2] + w2 * m2
-            ) / (blocks[-1][1] + w2)
+        blocks.append([float(r["__b"]), float(r["w"]), float(r["sy"])])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][2] / blocks[-2][1] >= blocks[-1][2] / blocks[-1][1]
+        ):
+            _s2, w2, y2 = blocks.pop()
             blocks[-1][1] += w2
+            blocks[-1][2] += y2
     values = [0.0] * (bins + 1)
-    cur = blocks[0][2]
+    cur = blocks[0][2] / blocks[0][1]
     bi = 0
-    for start, _w, mean in blocks:
+    for start, w, sy in blocks:
         while bi < start:
             values[bi] = cur
             bi += 1
-        cur = mean
+        cur = sy / w
     while bi <= bins:
         values[bi] = cur
         bi += 1

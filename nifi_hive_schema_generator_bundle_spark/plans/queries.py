@@ -4008,20 +4008,78 @@ def events_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.freqItems(["user_id"], support=0.05)
 
 
-@register_query("quantized_ann_topk")
+@register_query(
+    "quantized_ann_topk",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                   AS amax,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                   x -> x * x))) AS nrm
+        FROM embeddings
+    ), cq AS (
+        SELECT cid, v, amax / nrm AS scale,
+               list_transform(v,
+                   x -> CAST(round(x * 127.0 / amax, 0) AS BIGINT)) AS q8
+        FROM c
+    ), qr AS (
+        SELECT cid AS qid, v AS qv, scale AS qscale, q8 AS qq
+        FROM cq WHERE qid < 8
+    ), scored AS (
+        SELECT q.qid, c.cid,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(c.q8)),
+                   i -> c.q8[i] * q.qq[i])) AS DOUBLE)
+                 * c.scale * q.qscale AS approx
+        FROM cq c, qr q
+    ), cand AS (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY approx DESC, cid ASC) AS crank
+        FROM scored
+    ), rescored AS (
+        SELECT t.qid AS query_id, t.cid AS vec_id,
+               row_number() OVER (PARTITION BY t.qid
+                   ORDER BY list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * q.qv[i])) / (c.nrm * q2.nrm) DESC,
+                   t.cid ASC) AS rank
+        FROM cand t
+        JOIN c ON c.cid = t.cid
+        JOIN c q2 ON q2.cid = t.qid
+        JOIN qr q ON q.qid = t.qid
+        WHERE t.crank <= 40
+    )
+    SELECT query_id, vec_id, rank FROM rescored
+    WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
 def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN (operators/similarity.quantized_rerank_topk): int8
     candidate scan (1 byte/dim bandwidth, integer dot products) →
-    exact-cosine re-rank of 4k candidates per query. Rows-only: the
-    candidate set is quantization-dependent; the unit suite pins
-    full-probe == brute-force and recall ≥ 0.9 at default margins."""
+    exact-cosine re-rank of 4k candidates per query. Promoted from
+    rows-only to oracle-backed in round 6: every stage is deterministic
+    — codes are ``round(x·127/max|x|)`` (identical double expressions in
+    both engines), the approx score is an EXACT integer dot widened once
+    and scaled by the same two float factors in the same order, and both
+    rank windows carry id tiebreaks — so DuckDB replays candidate
+    generation AND the re-rank. Ranks-only output (the
+    ``ann_cosine_topk`` convention: float scores stay internal so
+    formatting can't perturb the hash). Queries are the deterministic
+    ``vec_id < 8`` slice (was ``limit(8)``, which is order-dependent and
+    blocked the promotion)."""
     from ..operators.similarity import quantized_rerank_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.limit(8).select(
+    queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return quantized_rerank_topk(emb, queries, k=10)
+    return (
+        quantized_rerank_topk(emb, queries, k=10)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
 
 
 @register_query(
@@ -11916,16 +11974,68 @@ def part_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(edges).orderBy("node")
 
 
-@register_query("events_isotonic_calibration")
+@register_query(
+    "events_isotonic_calibration",
+    oracle="""
+    WITH scored AS (
+        SELECT (event_id % 101) / 100.0 AS conf,
+               CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS corr
+        FROM events
+    ), binned AS (
+        SELECT CAST(least(floor(greatest(least(conf, 1.0), 0.0) * 100), 100)
+                    AS INT) AS b,
+               CAST(count(*) AS BIGINT) AS w, CAST(sum(corr) AS BIGINT) AS sy
+        FROM scored GROUP BY 1
+    ), pre AS (
+        SELECT b, w, sy,
+               sum(sy) OVER (ORDER BY b) AS ps,
+               sum(w) OVER (ORDER BY b) AS pw
+        FROM binned
+    ), rng AS (
+        -- avg over the observed-bin range [jb..kb], exact integer sums
+        -- divided once (the isotonic_fit exact-sum contract)
+        SELECT j.b AS jb, k.b AS kb,
+               CAST(k.ps - j.ps + j.sy AS DOUBLE)
+                 / CAST(k.pw - j.pw + j.w AS DOUBLE) AS avgv
+        FROM pre j JOIN pre k ON j.b <= k.b
+    ), inner_min AS (
+        -- min_{kb >= i} avg[jb..kb] for each (jb <= i)
+        SELECT r.jb, i.b AS ib, min(r.avgv) AS mn
+        FROM rng r JOIN binned i ON r.jb <= i.b AND r.kb >= i.b
+        GROUP BY r.jb, i.b
+    ), fit AS (
+        -- the max-min closed form of weighted L2 isotonic regression:
+        -- fitted_i = max_{j<=i} min_{k>=i} avg[j..k]
+        SELECT ib AS b, max(mn) AS v FROM inner_min GROUP BY ib
+    )
+    SELECT DISTINCT s.conf,
+           round(coalesce(
+               (SELECT f.v FROM fit f
+                WHERE f.b <= least(floor(greatest(least(s.conf, 1.0), 0.0)
+                                         * 100), 100)
+                ORDER BY f.b DESC LIMIT 1),
+               -- grid points left of the first observed bin inherit the
+               -- first block (the isotonic_fit step-function contract)
+               (SELECT f.v FROM fit f ORDER BY f.b LIMIT 1)), 6)
+             AS calibrated
+    FROM scored s ORDER BY s.conf
+    """,
+)
 def events_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration over the same synthetic
     confidence/correctness construction as events_calibration
     (operators/evals.isotonic_fit/apply): corpus reduces to ≤101
-    binned (weight, mean) rows, PAV pools violators on the driver
+    binned (weight, label-sum) rows, PAV pools violators on the driver
     (control-path), and the fitted step function is applied as one
-    literal-array gather. PAV's sequential pooling is not
-    SQL-expressible: rows-only; monotonicity, hand-PAV parity, and
-    the anti-monotone → global-mean property are unit-tested."""
+    literal-array gather. Promoted from rows-only to oracle-backed in
+    round 6: PAV's SEQUENTIAL pooling stays non-SQL, but its SOLUTION
+    has the max-min closed form fitted_i = max_{j≤i} min_{k≥i}
+    avg[j..k], which DuckDB evaluates over the ≤101 observed bins
+    (≈5k ranges — constant work at any corpus size); with the fit now
+    carrying exact integer sums (one division per block), both sides
+    produce the same exact-rational step values. Monotonicity,
+    hand-PAV parity, and the anti-monotone → global-mean property
+    remain unit-tested."""
     from ..operators.evals import isotonic_apply, isotonic_fit
 
     events = load_table(spark, sf_dir, "events")
