@@ -69,6 +69,8 @@ DRIVER_PRIORITY = [
     # --- changed-or-new-code this round: must (re)verify ---
     "embedding_bitext_mine_ann",  # NEW: banded-LSH candidates + margin rescoring
     "doc_unigram_fertility",      # promoted rows-only -> oracle-backed
+    "quantized_ann_topk",         # promoted: deterministic 2-stage replay
+    "events_isotonic_calibration",  # promoted: exact sums + max-min oracle
     "embedding_isotropy",         # isotropy fold: max-n + all-zero guard
     "orders_market_basket",       # denominators from capped basket set
     "events_did_readout",         # int 0/1 flags cast to boolean
@@ -118,8 +120,9 @@ DRIVER_PRIORITY = [
     "events_rolling_wau",         # rolling distinct-user window
     "events_daily_anomaly",       # daily volume anomaly
     "events_dow_anomaly",         # day-of-week seasonal anomaly
-    "doc_token_fertility",        # BPE fertility readout
-    "documents_fingerprint",      # rolling-hash fingerprints
+    # (doc_token_fertility and documents_fingerprint yielded their round-6
+    # slots to the quantized_ann_topk / events_isotonic_calibration
+    # promotions above — round 7 picks them up with the other 44)
 ]
 
 
