@@ -71,6 +71,8 @@ DRIVER_PRIORITY = [
     "doc_unigram_fertility",      # promoted rows-only -> oracle-backed
     "quantized_ann_topk",         # promoted: deterministic 2-stage replay
     "events_isotonic_calibration",  # promoted: exact sums + max-min oracle
+    "doc_unigram_vocab_train",    # promoted: pinned pure-Python twin re-fit
+    "embedding_quantize_roundtrip",  # promoted: exact-integer scale mean
     "embedding_isotropy",         # isotropy fold: max-n + all-zero guard
     "orders_market_basket",       # denominators from capped basket set
     "events_did_readout",         # int 0/1 flags cast to boolean
@@ -110,7 +112,8 @@ DRIVER_PRIORITY = [
     "doc_duplicate_clusters",     # connected duplicate clusters
     "doc_duplicate_spans",        # intra-doc duplicate spans
     "doc_sentence_dedup",         # sentence-level dedup
-    "doc_sentences",              # sentence segmentation
+    # (doc_sentences ~ the sentence-split kernel doc_sentence_dedup
+    # gates just above — yielded its round-6 slot to a promotion)
     "doc_fim_transform",          # fill-in-the-middle slicing
     "doc_preference_pairs",       # DPO pair construction
     "doc_chat_validate",          # chat-schema validation
@@ -119,7 +122,8 @@ DRIVER_PRIORITY = [
     "events_partition_completeness",  # completeness audit
     "events_rolling_wau",         # rolling distinct-user window
     "events_daily_anomaly",       # daily volume anomaly
-    "events_dow_anomaly",         # day-of-week seasonal anomaly
+    # (events_dow_anomaly ~ the seasonal-baseline kernel of
+    # events_daily_anomaly — yielded its round-6 slot to a promotion)
     # (doc_token_fertility and documents_fingerprint yielded their round-6
     # slots to the quantized_ann_topk / events_isotonic_calibration
     # promotions above — round 7 picks them up with the other 44)

@@ -851,7 +851,52 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query("doc_unigram_vocab_train")
+def _unigram_vocab_oracle() -> str | None:
+    """DuckDB twin for ``doc_unigram_vocab_train``: the trained
+    inventory, re-fit at import WITHOUT Spark by the pure-Python twin
+    trainer (same E-step kernel, same EM schedule — see
+    ``train_unigram_vocab_from_freqs``) and pinned as a VALUES table.
+    The SQL does no computation by design: the meaningful claim this
+    entry hash-verifies is that the DISTRIBUTED trainer (Arrow E-step
+    partials summed across an arbitrary partitioning) lands bit-for-bit
+    on the single-process replay — the cross-partitioning determinism
+    contract, now checked by the driver gate rather than only the local
+    property test."""
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"),
+        os.environ.get("ORACLE_SF", "sf0.01"),
+        "documents.parquet",
+    )
+    try:
+        import pyarrow.parquet as pq
+
+        from ..functions.unigram_lm import (
+            py_word_freqs,
+            train_unigram_vocab_from_freqs,
+        )
+
+        texts = (
+            pq.read_table(path, columns=["text"]).column("text").to_pylist()
+        )
+        vocab = train_unigram_vocab_from_freqs(
+            py_word_freqs(texts), vocab_size=120, em_iters=1, max_piece_len=6
+        )
+    except Exception:  # missing fixture / degenerate corpus → rows-only
+        return None
+    if not vocab:
+        return None
+    rows = ",\n        ".join(
+        "('" + p.replace("'", "''") + "', " + repr(round(lp, 6)) + ")"
+        for p, lp in vocab
+    )
+    return f"""
+    SELECT piece, CAST(logprob AS DOUBLE) AS logprob FROM (VALUES
+        {rows}
+    ) t(piece, logprob)
+    """
+
+
+@register_query("doc_unigram_vocab_train", oracle=_unigram_vocab_oracle())
 def doc_unigram_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed unigram-LM tokenizer TRAINING (functions/unigram_lm.
     train_unigram_vocab — Kudo 2018, the SentencePiece default model):
@@ -859,11 +904,13 @@ def doc_unigram_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Arrow forward–backward stage emitting exact-integer-quantized
     expected-count partials (bit-reproducible under any partitioning)
     and pruning keeps the highest-expected-count pieces with all single
-    characters protected. Rows-only by declared design — lattice EM is
-    iterative and not SQL-expressible; hand-checked Viterbi lattices and
-    the cross-partitioning determinism property live in
-    tests/test_unigram_lm.py. Returns the learned (piece, logprob)
-    inventory."""
+    characters protected. Promoted from rows-only in round 6: lattice EM
+    stays non-SQL, but the import-time pure-Python twin re-fit pins the
+    expected inventory as literals (``_unigram_vocab_oracle``), so the
+    driver gate now hash-verifies distributed == independent replay.
+    Hand-checked Viterbi lattices and the cross-partitioning determinism
+    property remain in tests/test_unigram_lm.py. Returns the learned
+    (piece, logprob) inventory."""
     from ..functions.unigram_lm import train_unigram_vocab
 
     d = load_table(spark, sf_dir, "documents")
@@ -3965,14 +4012,40 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "measure")
 
 
-@register_query("embedding_quantize_roundtrip")
+@register_query(
+    "embedding_quantize_roundtrip",
+    oracle="""
+    WITH base AS (
+        SELECT label, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                   AS amax
+        FROM embeddings
+    ), q AS (
+        SELECT label, amax AS scale,
+               list_max(list_transform(generate_series(1, len(v)),
+                   i -> abs(v[i]
+                            - CAST(round(v[i] / amax * 127.0, 0) AS BIGINT)
+                              * amax / 127.0))) AS max_err
+        FROM base
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(max(max_err), 6) AS worst_err,
+           CAST(sum(CAST(floor(scale * 1000000000) AS BIGINT)) AS BIGINT)
+             // count(*) AS avg_scale_q
+    FROM q GROUP BY label ORDER BY label
+    """,
+)
 def embedding_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization (functions/vectors.quantize_int8):
     4× storage/scan cut for ANN candidate generation. Reports per-label
     reconstruction error stats; the unit suite pins the hard bound
-    (per-element error ≤ scale/254). Rows-only: DuckDB list-lambda
-    float semantics differ enough that a hash oracle would test the
-    engines' float printers, not the operator."""
+    (per-element error ≤ scale/254). Promoted from rows-only in round 6:
+    per-element quantize/dequantize/|err| chains are identical double
+    expressions in both engines and max is order-independent, so
+    worst_err hash-matches after round(·,6); the one order-DEPENDENT
+    reduction — the float scale mean — is replaced by an exact integer
+    mean (floor(scale·1e9) summed, one integer division), closing the
+    float-printer concern the old rows-only note described."""
     from ..functions.vectors import dequantize_int8, quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3990,7 +4063,9 @@ def embedding_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.max("max_err"), 6).alias("worst_err"),
-            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.expr(
+                "sum(cast(floor(scale * 1000000000) as bigint)) div count(1)"
+            ).alias("avg_scale_q"),
         )
         .orderBy("label")
     )
