@@ -255,7 +255,17 @@ def lsh_bitext_candidates(
     |src|·|tgt|; AQE handles hot buckets. Deterministic end to end
     (pinned planes + integer projections), so an oracle can replay the
     exact candidate set. Pass ``dim`` when known to skip the one-row
-    probe job that otherwise derives it."""
+    probe job that otherwise derives it.
+
+    Sizing at scale: with FIXED band width the reduction is a constant
+    factor (per-bucket occupancy ~n/2^band_bits grows with the corpus,
+    so the pair term is quadratic-with-a-small-constant). Grow
+    ``band_bits`` (and ``n_planes`` = bands × band_bits) with corpus
+    size so occupancy stays bounded — 16-20 bits per band at real
+    corpus scale, the ``minhash_lsh_pairs`` banding discipline; recall
+    per band falls as bits grow, so add bands to compensate (bands ≈
+    1/p^bits for target match probability p — Charikar's cos-angle
+    collision bound gives p per bit)."""
     if dim is None:
         first = src.select(F.size(vec_col).alias("n")).limit(1).collect()
         dim = int(first[0]["n"]) if first else 0
