@@ -68,6 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_PRIORITY = [
     # --- changed-or-new-code this round: must (re)verify ---
     "embedding_bitext_mine_ann",  # NEW: banded-LSH candidates + margin rescoring
+    "bitext_ann_recall_eval",     # NEW: ANN-vs-exact recall/precision readout
     "doc_unigram_fertility",      # promoted rows-only -> oracle-backed
     "quantized_ann_topk",         # promoted: deterministic 2-stage replay
     "events_isotonic_calibration",  # promoted: exact sums + max-min oracle
@@ -121,9 +122,9 @@ DRIVER_PRIORITY = [
     "events_user_concentration",  # Gini/HHI concentration
     "events_partition_completeness",  # completeness audit
     "events_rolling_wau",         # rolling distinct-user window
-    "events_daily_anomaly",       # daily volume anomaly
-    # (events_dow_anomaly ~ the seasonal-baseline kernel of
-    # events_daily_anomaly — yielded its round-6 slot to a promotion)
+    # (events_daily_anomaly and events_dow_anomaly ~ the same
+    # seasonal-baseline anomaly kernel — yielded their round-6 slots to
+    # this round's promotions and the recall instrument)
     # (doc_token_fertility and documents_fingerprint yielded their round-6
     # slots to the quantized_ann_topk / events_isotonic_calibration
     # promotions above — round 7 picks them up with the other 44)

@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "doc_length_auc",
     "orders_logrank_ab",
     "embedding_bitext_mine_ann",
+    "bitext_ann_recall_eval",
 ]
 
 

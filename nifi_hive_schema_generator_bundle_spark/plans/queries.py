@@ -11479,6 +11479,91 @@ def embedding_bitext_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src_id", "tgt_id")
 
 
+def _bitext_ann_recall_oracle() -> str | None:
+    """DuckDB twin for ``bitext_ann_recall_eval``: both mined-pair
+    pipelines are already SQL-replayable (the ``embedding_bitext_mine``
+    literal oracle and the generated ``_bitext_ann_oracle``), so the
+    recall readout simply nests them as CTEs — trailing ORDER BY
+    stripped — and reduces to one row of exact-integer counts + ppm
+    ratios."""
+    ann = _bitext_ann_oracle()
+    exact = ORACLE_SQL.get("embedding_bitext_mine")
+    if ann is None or exact is None:
+        return None
+
+    def strip(sql: str) -> str:
+        return sql.rsplit("ORDER BY", 1)[0]
+
+    return f"""
+    WITH exact_mined AS ({strip(exact)}),
+         ann_mined AS ({strip(ann)}),
+         counts AS (
+             SELECT
+                 CAST((SELECT count(*) FROM exact_mined) AS BIGINT)
+                     AS n_exact,
+                 CAST((SELECT count(*) FROM ann_mined) AS BIGINT) AS n_ann,
+                 CAST((SELECT count(*) FROM exact_mined e
+                       JOIN ann_mined a ON e.src_id = a.src_id
+                                       AND e.tgt_id = a.tgt_id) AS BIGINT)
+                     AS n_common
+         )
+    SELECT n_exact, n_ann, n_common,
+           CASE WHEN n_exact > 0
+                THEN n_common * 1000000 // n_exact END AS recall_ppm,
+           CASE WHEN n_ann > 0
+                THEN n_common * 1000000 // n_ann END AS precision_ppm
+    FROM counts
+    """
+
+
+@register_query("bitext_ann_recall_eval", oracle=_bitext_ann_recall_oracle())
+def bitext_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical recall/precision of the ANN-candidates bitext path
+    (``embedding_bitext_mine_ann``) against the exact broadcast-cross
+    path (``embedding_bitext_mine``) at the same k/threshold — the
+    measure-don't-guess readout for the banding trade, the
+    ``dedup_lsh_recall_eval`` sibling for bitext mining. Banding can
+    MISS pairs (sketches straddle every band) and can ADD pairs
+    (candidate-restricted neighborhoods weaken the margin denominator
+    and the mutual-best competition), so both directions are reported:
+    ppm ratios of exact-integer counts, bit-equal across engines. At
+    100 TB this runs on a per-language-pair SAMPLE to pick
+    n_planes/band_bits before committing the full mining run."""
+    from ..operators.bitext import lsh_bitext_candidates, mine_bitext_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    exact = mine_bitext_pairs(
+        src, tgt, k=4, threshold=1.05, mutual_best=True
+    ).select("src_id", "tgt_id")
+    cands = lsh_bitext_candidates(src, tgt, n_planes=8, band_bits=4, dim=64)
+    ann = mine_bitext_pairs(
+        src, tgt, k=4, threshold=1.05, mutual_best=True, candidates=cands
+    ).select("src_id", "tgt_id")
+    common = exact.join(ann, ["src_id", "tgt_id"])
+    row = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(F.broadcast(ann.agg(F.count(F.lit(1)).alias("n_ann"))))
+        .join(F.broadcast(common.agg(F.count(F.lit(1)).alias("n_common"))))
+    )
+    return row.select(
+        "n_exact",
+        "n_ann",
+        "n_common",
+        F.when(
+            F.col("n_exact") > 0,
+            F.expr("n_common * 1000000 div n_exact"),
+        ).alias("recall_ppm"),
+        F.when(
+            F.col("n_ann") > 0,
+            F.expr("n_common * 1000000 div n_ann"),
+        ).alias("precision_ppm"),
+    )
+
+
 @register_query("embedding_pca_project", oracle=_pca_project_oracle())
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA fit + projection (operators/pca): exact-integer covariance
