@@ -205,17 +205,23 @@ def lsh_band_buckets(
     n_bands, rem = divmod(len(planes), band_bits)
     if rem:
         raise ValueError("len(planes) must be a multiple of band_bits")
-    qv = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(
-            x.cast("double") * F.lit(float(10**quant_scale))
-        ).cast("long"),
+    # materialize the quantized vector ONCE per row — inlining the
+    # transform expression into every per-plane aggregate would repeat
+    # the 64-wide floor/cast chain n_planes times per row
+    quantized = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(10**quant_scale))
+            ).cast("long"),
+        ).alias("__qv"),
     )
     bits = []
     for s in planes:
         sl = F.array(*[F.lit(v) for v in s])
         proj = F.aggregate(
-            F.zip_with(qv, sl, lambda a, b: a * b.cast("long")),
+            F.zip_with(F.col("__qv"), sl, lambda a, b: a * b.cast("long")),
             F.lit(0).cast("long"),
             lambda acc, t: acc + t,
         )
@@ -226,7 +232,7 @@ def lsh_band_buckets(
         for j in range(band_bits):
             val = val + bits[b * band_bits + j] * F.lit(2**j)
         bands.append(F.struct(F.lit(b).alias("band"), val.alias("bucket")))
-    return df.select(
+    return quantized.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("__bb")
     ).select(
         id_col,

@@ -307,6 +307,10 @@ BNLJ_ALLOWED = {
     # source scan (the ann_cosine_topk bounded-anchor class); at corpus
     # scale the candidates= parameter replaces it with equi-joins
     "embedding_bitext_mine",
+    # the recall instrument composes the exact path above (inherits its
+    # documented sample-scale cross) with the ANN path's equi-join
+    # pipeline, plus the dedup_lsh_recall_eval three-scalar combine
+    "bitext_ann_recall_eval",
     # bounded scalar cross joins: the |strata|-row rate table × 1-row
     # feasible cap, and the 1-row bucket-threshold broadcast
     "doc_mixture_sample",
