@@ -43,8 +43,10 @@ def durable_fold(
     spark = folded.sparkSession
     tmp = store_dir.rstrip("/") + _TMP_SUFFIX
     shutil.rmtree(tmp, ignore_errors=True)
-    folded.write.mode("overwrite").parquet(tmp)
     try:
+        # the staging write is inside the cleanup scope too: a failed
+        # task leaves Spark's partial _temporary output behind otherwise
+        folded.write.mode("overwrite").parquet(tmp)
         staged = spark.read.parquet(tmp)
         n = staged.count()
         overwrite_partitions(staged, store_dir, [partition_col], fmt="parquet")
