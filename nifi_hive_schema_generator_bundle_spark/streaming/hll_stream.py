@@ -32,7 +32,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cardinality import hll_estimate, hll_registers
 from ..sources.formats import overwrite_partitions
-from ._store import durable_fold
+from ._store import durable_fold, store_max_batch_id
 
 __all__ = [
     "hll_batch_update",
@@ -66,16 +66,17 @@ def hll_batch_update(
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return 0
-    store = _read_store(spark, store_dir)
-    if store is not None:
-        top = store.agg(F.max("batch_id")).collect()[0][0]
-        if top is not None and batch_id < top:
-            raise ValueError(
-                f"batch_id {batch_id} is behind the store's max {top}: "
-                "the streaming checkpoint was reset against an existing "
-                "store. Resume with the original checkpoint or use a "
-                "fresh store_dir."
-            )
+    # monotonic-id guard from partition DIRECTORY names (one FS LIST,
+    # not a footer scan of every partition — the measured per-batch
+    # drift source at high batch counts; see _store.store_max_batch_id)
+    top = store_max_batch_id(spark, store_dir)
+    if top is not None and batch_id < top:
+        raise ValueError(
+            f"batch_id {batch_id} is behind the store's max {top}: "
+            "the streaming checkpoint was reset against an existing "
+            "store. Resume with the original checkpoint or use a "
+            "fresh store_dir."
+        )
     delta = hll_registers(batch_df, key_col, group_cols, p=p).withColumn(
         "batch_id", F.lit(batch_id)
     )

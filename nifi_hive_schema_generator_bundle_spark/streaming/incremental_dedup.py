@@ -32,7 +32,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.textfns import normalize_ws
 from ..sources.formats import overwrite_partitions
-from ._store import durable_fold
+from ._store import durable_fold, store_max_batch_id
 
 __all__ = [
     "dedup_batch_against_store",
@@ -79,7 +79,9 @@ def dedup_batch_against_store(
             raise
         store = None
     if store is not None:
-        top = store.agg(F.max("batch_id")).collect()[0][0]
+        # monotonic-id guard from partition DIRECTORY names (one FS
+        # LIST, not a footer scan; see _store.store_max_batch_id)
+        top = store_max_batch_id(spark, store_dir)
         if top is not None and batch_id < top:
             raise ValueError(
                 f"batch_id {batch_id} is behind the store's max {top}: "

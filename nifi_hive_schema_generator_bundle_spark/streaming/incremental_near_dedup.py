@@ -49,6 +49,7 @@ from ..operators.dedup import (
     signature_agreement,
 )
 from ..sources.formats import overwrite_partitions
+from ._store import store_max_batch_id
 
 __all__ = [
     "near_dedup_batch_against_store",
@@ -99,15 +100,16 @@ def near_dedup_batch_against_store(
     bands_dir = f"{store_dir}/bands"
     sigs_dir = f"{store_dir}/sigs"
     sig_store = _read_store(spark, sigs_dir)
-    if sig_store is not None:
-        top = sig_store.agg(F.max("batch_id")).collect()[0][0]
-        if top is not None and batch_id < top:
-            raise ValueError(
-                f"batch_id {batch_id} is behind the store's max {top}: "
-                "the streaming checkpoint was reset against an existing "
-                "store. Resume with the original checkpoint, or point "
-                "store_dir/out_dir at fresh locations."
-            )
+    # monotonic-id guard from partition DIRECTORY names (one FS LIST,
+    # not a footer scan of every partition; see _store.store_max_batch_id)
+    top = store_max_batch_id(spark, sigs_dir)
+    if top is not None and batch_id < top:
+        raise ValueError(
+            f"batch_id {batch_id} is behind the store's max {top}: "
+            "the streaming checkpoint was reset against an existing "
+            "store. Resume with the original checkpoint, or point "
+            "store_dir/out_dir at fresh locations."
+        )
 
     # (1) within-batch near-dedup, first (min-id) occurrence wins.
     # Signatures are computed ONCE for the whole batch and shared with

@@ -85,3 +85,23 @@ def test_durable_fold_clobbers_stale_tmp(spark, tmp_path):
     )
     assert durable_fold(folded, store) == 4
     assert not os.path.exists(stale)
+
+
+def test_store_max_batch_id_listing_and_fallback(spark, tmp_path):
+    from nifi_hive_schema_generator_bundle_spark.streaming._store import (
+        store_max_batch_id,
+    )
+
+    # missing store
+    assert store_max_batch_id(spark, str(tmp_path / "nope")) is None
+    # hive layout: answered from directory names
+    store = str(tmp_path / "store")
+    _mk_store(spark, store, n_batches=4)
+    assert store_max_batch_id(spark, store) == 3
+    # non-hive layout (plain parquet with a batch_id COLUMN): falls back
+    # to the data scan and still answers
+    flat = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, 7), (2, 9)], "x int, batch_id int"
+    ).write.parquet(flat)
+    assert store_max_batch_id(spark, flat) == 9
