@@ -851,22 +851,20 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unigram_vocab_oracle() -> str | None:
-    """DuckDB twin for ``doc_unigram_vocab_train``: the trained
-    inventory, re-fit at import WITHOUT Spark by the pure-Python twin
-    trainer (same E-step kernel, same EM schedule — see
-    ``train_unigram_vocab_from_freqs``) and pinned as a VALUES table.
-    The SQL does no computation by design: the meaningful claim this
-    entry hash-verifies is that the DISTRIBUTED trainer (Arrow E-step
-    partials summed across an arbitrary partitioning) lands bit-for-bit
-    on the single-process replay — the cross-partitioning determinism
-    contract, now checked by the driver gate rather than only the local
-    property test."""
+_UNIGRAM_FIT_CACHE: dict[str, list] = {}
+
+
+def _unigram_twin_fit() -> list | None:
+    """Import-time pure-Python re-fit of the gate entries' vocabulary,
+    memoized so the two oracle generators (fertility + vocab_train)
+    train once."""
     path = os.path.join(
         os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"),
         os.environ.get("ORACLE_SF", "sf0.01"),
         "documents.parquet",
     )
+    if path in _UNIGRAM_FIT_CACHE:
+        return _UNIGRAM_FIT_CACHE[path]
     try:
         import pyarrow.parquet as pq
 
@@ -882,7 +880,23 @@ def _unigram_vocab_oracle() -> str | None:
             py_word_freqs(texts), vocab_size=120, em_iters=1, max_piece_len=6
         )
     except Exception:  # missing fixture / degenerate corpus → rows-only
-        return None
+        vocab = None
+    _UNIGRAM_FIT_CACHE[path] = vocab
+    return vocab
+
+
+def _unigram_vocab_oracle() -> str | None:
+    """DuckDB twin for ``doc_unigram_vocab_train``: the trained
+    inventory, re-fit at import WITHOUT Spark by the pure-Python twin
+    trainer (same E-step kernel, same EM schedule — see
+    ``train_unigram_vocab_from_freqs``) and pinned as a VALUES table.
+    The SQL does no computation by design: the meaningful claim this
+    entry hash-verifies is that the DISTRIBUTED trainer (Arrow E-step
+    partials summed across an arbitrary partitioning) lands bit-for-bit
+    on the single-process replay — the cross-partitioning determinism
+    contract, now checked by the driver gate rather than only the local
+    property test."""
+    vocab = _unigram_twin_fit()
     if not vocab:
         return None
     rows = ",\n        ".join(
@@ -922,6 +936,8 @@ def doc_unigram_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 def _unigram_fertility_oracle() -> str | None:
     """DuckDB twin for ``doc_unigram_fertility`` — generated at import
     (the ``_pca_project_oracle`` promotion pattern, VERDICT r5 #5).
@@ -943,28 +959,9 @@ def _unigram_fertility_oracle() -> str | None:
     chars take the pinned penalty floor; unseen multi-char pieces score
     −∞ (never win). KMAX is the longest trained piece — candidates
     above it are vocabulary misses by construction on both sides."""
-    path = os.path.join(
-        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"),
-        os.environ.get("ORACLE_SF", "sf0.01"),
-        "documents.parquet",
-    )
-    try:
-        import pyarrow.parquet as pq
+    from ..functions.unigram_lm import _UNSEEN_PENALTY
 
-        from ..functions.unigram_lm import (
-            _UNSEEN_PENALTY,
-            py_word_freqs,
-            train_unigram_vocab_from_freqs,
-        )
-
-        texts = (
-            pq.read_table(path, columns=["text"]).column("text").to_pylist()
-        )
-        vocab = train_unigram_vocab_from_freqs(
-            py_word_freqs(texts), vocab_size=120, em_iters=1, max_piece_len=6
-        )
-    except Exception:  # missing fixture / degenerate corpus → rows-only
-        return None
+    vocab = _unigram_twin_fit()
     if not vocab:
         return None
     kmax = max(len(p) for p, _ in vocab)
