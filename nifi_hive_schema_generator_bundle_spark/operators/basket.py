@@ -46,6 +46,31 @@ PPM = 10**6
 RA_SCALE = 10**9
 
 
+def _capped_items(
+    items: DataFrame, basket_col: str, item_col: str, max_basket: int
+) -> DataFrame:
+    """Distinct (b, i) pairs from baskets of ≤ ``max_basket`` distinct
+    items — the shared population for pair supports AND rule
+    denominators (computing it once keeps association_rules to a single
+    pass over the input)."""
+    it = items.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    sized = it.groupBy("b").agg(F.count(F.lit(1)).alias("sz"))
+    keep = sized.filter(F.col("sz") <= max_basket).select("b")
+    return it.join(keep, "b")
+
+
+def _pairs_from_items(it: DataFrame) -> DataFrame:
+    other = it.select(F.col("b"), F.col("i").alias("j"))
+    return (
+        it.join(other, "b")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy(F.col("i").alias("item_a"), F.col("j").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support_n"))
+    )
+
+
 def basket_pairs(
     items: DataFrame,
     basket_col: str,
@@ -58,18 +83,8 @@ def basket_pairs(
     first so a basket contributes each pair once. Baskets larger than
     ``max_basket`` items are excluded (C(k,2) fan-out guard — their
     count is observable via ``basket_sizes``)."""
-    it = items.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
-    sized = it.groupBy("b").agg(F.count(F.lit(1)).alias("sz"))
-    keep = sized.filter(F.col("sz") <= max_basket).select("b")
-    it = it.join(keep, "b")
-    other = it.select(F.col("b"), F.col("i").alias("j"))
-    return (
-        it.join(other, "b")
-        .filter(F.col("i") < F.col("j"))
-        .groupBy(F.col("i").alias("item_a"), F.col("j").alias("item_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("support_n"))
+    return _pairs_from_items(
+        _capped_items(items, basket_col, item_col, max_basket)
     )
 
 
@@ -86,19 +101,18 @@ def association_rules(
     the basket key + two item-count joins; all scores exact integers.
 
     Denominator population: item counts and ``n_baskets`` come from the
-    same ``max_basket``-filtered basket set that ``basket_pairs``
-    enumerates, so confidence and lift stay internally consistent when
+    same ``max_basket``-filtered basket set that the pair enumeration
+    uses (ONE ``_capped_items`` frame, persisted across its three
+    consumers), so confidence and lift stay internally consistent when
     the degenerate-basket guard fires (support over one population
     divided by counts over another would overstate confidence)."""
-    it = items.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
-    sized = it.groupBy("b").agg(F.count(F.lit(1)).alias("sz"))
-    keep = sized.filter(F.col("sz") <= max_basket).select("b")
-    it = it.join(keep, "b")
+    # persist: three consumers (n_baskets action, item counts, pair
+    # enumeration) read the same capped frame; no unpersist because the
+    # returned frame is lazy — the quantized_rerank_topk cache contract
+    it = _capped_items(items, basket_col, item_col, max_basket).persist()
     n_baskets = it.select("b").distinct().count()
     counts = it.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    pairs = basket_pairs(items, basket_col, item_col, max_basket=max_basket)
+    pairs = _pairs_from_items(it)
     ca = counts.select(F.col("i").alias("item_a"), F.col("cnt").alias("cnt_a"))
     cb = counts.select(F.col("i").alias("item_b"), F.col("cnt").alias("cnt_b"))
     return (
