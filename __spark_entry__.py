@@ -74,6 +74,8 @@ DRIVER_PRIORITY = [
     "events_isotonic_calibration",  # promoted: exact sums + max-min oracle
     "doc_unigram_vocab_train",    # promoted: pinned pure-Python twin re-fit
     "embedding_quantize_roundtrip",  # promoted: exact-integer scale mean
+    "doc_cross_doc_spans",        # NEW: cross-document span coverage
+    "corpus_boilerplate_spans",   # NEW: top shared spans w/ text report
     "embedding_isotropy",         # isotropy fold: max-n + all-zero guard
     "orders_market_basket",       # denominators from capped basket set
     "events_did_readout",         # int 0/1 flags cast to boolean
@@ -110,8 +112,11 @@ DRIVER_PRIORITY = [
     "doc_readability",            # readability indices
     "doc_near_dedup_best",        # keep-best near-dedup
     "doc_url_dedup",              # URL-canonical dedup
-    "doc_duplicate_clusters",     # connected duplicate clusters
-    "doc_duplicate_spans",        # intra-doc duplicate spans
+    # (doc_duplicate_clusters ~ the CC kernel doc_semantic_dedup and
+    # part_communities verified in r4; doc_duplicate_spans' corpus-wide
+    # kernel is re-verified THROUGH doc_cross_doc_spans above, which
+    # shares _gram_positions/_span_coverage — both yielded round-6
+    # slots to the new span pair)
     "doc_sentence_dedup",         # sentence-level dedup
     # (doc_sentences ~ the sentence-split kernel doc_sentence_dedup
     # gates just above — yielded its round-6 slot to a promotion)

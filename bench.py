@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "orders_logrank_ab",
     "embedding_bitext_mine_ann",
     "bitext_ann_recall_eval",
+    "doc_cross_doc_spans",
+    "corpus_boilerplate_spans",
 ]
 
 

@@ -1103,10 +1103,23 @@ def duplicate_span_stats(
     appear at all and only ever OVER-count by one gram; acceptable for
     a filter statistic and standard for this operator family.
     """
-    from pyspark.sql import Window
-
     if k < 1:
         raise ValueError("k must be >= 1")
+    toks, lengths, grams = _gram_positions(df, k, text_col, id_col)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gh")
+    )
+    return _span_coverage(lengths, grams, dup, k, id_col)
+
+
+def _gram_positions(df, k: int, text_col: str, id_col: str):
+    """Shared k-gram plumbing: (toks, lengths, grams) where grams is
+    (id, pos, gh) with gh an 8-byte xxhash64 of the k-gram — gram TEXT
+    never leaves the document row (the duplicate_span_stats shuffle
+    discipline)."""
     df = ensure_min_partitions(df)
     toks = df.select(
         F.col(id_col),
@@ -1123,12 +1136,14 @@ def duplicate_span_stats(
     grams = toks.select(
         F.col(id_col), F.posexplode(gram_hashes).alias("pos", "gh")
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= min_count)
-        .select("gh")
-    )
+    return toks, lengths, grams
+
+
+def _span_coverage(lengths, grams, dup, k: int, id_col: str):
+    """Exact interval-union coverage of the ``dup``-flagged gram
+    positions: one window pass per document, no per-token explode."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     covered = F.least(
         F.lit(k), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k))
@@ -1156,6 +1171,101 @@ def duplicate_span_stats(
             / F.greatest(F.col("n_tokens"), F.lit(1)),
             6,
         ).alias("dup_fraction"),
+    )
+
+
+def cross_doc_span_stats(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document coverage by k-grams shared across ≥ ``min_docs``
+    DISTINCT documents — the CROSS-DOC variant of
+    ``duplicate_span_stats``. The corpus-wide count catches
+    self-repetition (a doc quoting itself trips it); this one is the
+    boilerplate/quotation detector: only spans that appear in multiple
+    documents count, which is the signal licensing banners, templated
+    headers, and syndicated passages leave and self-repetition does
+    not (Lee et al. 2022 §5 measure cross-example memorization this
+    way).
+
+    Output schema matches duplicate_span_stats: (id, n_tokens,
+    n_dup_grams, dup_tokens, dup_fraction) with the same exact
+    interval-union coverage. Scale shape identical too — the only
+    change is the dup predicate: count(DISTINCT doc) over the 8-byte
+    hash key (two-level partial aggregation; gram text never
+    shuffles)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (cross-doc by definition)")
+    toks, lengths, grams = _gram_positions(df, k, text_col, id_col)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    return _span_coverage(lengths, grams, dup, k, id_col)
+
+
+def top_shared_spans(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    min_docs: int = 2,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus boilerplate REPORT: the ``top_n`` k-grams shared by
+    the most documents, WITH their text — (gram, n_docs,
+    n_occurrences), ordered (n_docs DESC, n_occurrences DESC, gram
+    ASC). This is what a curation run reads before writing blocklist
+    rules: the actual banner/footer/template strings, not just
+    coverage numbers.
+
+    Two-phase exactness: phase 1 finds candidate hashes with
+    count(DISTINCT doc) ≥ min_docs on the 8-byte key (cheap, text
+    never shuffles); phase 2 re-derives gram TEXT by re-slicing the
+    surviving (id, pos) positions against the token arrays and
+    re-aggregates BY TEXT with the same min_docs predicate — so a
+    64-bit hash collision can only add phase-2 work, never a wrong
+    row, and the text tiebreak makes the top-n deterministic in any
+    engine. Phase-2 volume is bounded by actual cross-doc duplication,
+    not corpus size."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    toks, _lengths, grams = _gram_positions(df, k, text_col, id_col)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    survivors = grams.join(dup, "gh", "semi")
+    with_text = survivors.join(
+        toks.select(id_col, "__toks"), id_col
+    ).select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("pos") + 1, k)
+        ).alias("gram"),
+    )
+    return (
+        with_text.groupBy("gram")
+        .agg(
+            F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("gram"))
+        .limit(top_n)
     )
 
 

@@ -5641,6 +5641,95 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_cross_doc_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), lens AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+    ), grams AS (
+        SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+               array_to_string(t[CAST(g.i AS INT)+1:CAST(g.i AS INT)+5], ' ') AS gram
+        FROM toks CROSS JOIN LATERAL unnest(range(0, len(t) - 4)) AS g(i)
+        WHERE len(t) >= 5
+    ), dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+        SELECT doc_id, pos,
+               least(5, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 5)) AS cov
+        FROM grams WHERE gram IN (SELECT gram FROM dup)
+    ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+               CAST(sum(cov) AS BIGINT) AS dup_tokens
+        FROM hits GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_tokens,
+           coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(a.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(a.dup_tokens, 0) / greatest(l.n_tokens, 1), 6) AS dup_fraction
+    FROM lens l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id
+    """,
+)
+def doc_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT duplicated-span coverage (operators/dedup.
+    cross_doc_span_stats): per-doc fraction of tokens inside a 5-gram
+    appearing in ≥2 DISTINCT documents — the boilerplate/quotation
+    detector. Differs from doc_duplicate_spans exactly where it
+    matters: a document repeating ITSELF trips the corpus-wide count
+    but not this one; syndicated passages and templated banners trip
+    both. Same hash-first shuffle discipline (count(DISTINCT doc) over
+    8-byte keys, two-level partial agg); the oracle replays on gram
+    strings with the same HAVING predicate."""
+    from ..operators.dedup import cross_doc_span_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return cross_doc_span_stats(d, k=5, min_docs=2).orderBy("doc_id")
+
+
+@register_query(
+    "corpus_boilerplate_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               array_to_string(t[CAST(g.i AS INT)+1:CAST(g.i AS INT)+5], ' ') AS gram
+        FROM toks CROSS JOIN LATERAL unnest(range(0, len(t) - 4)) AS g(i)
+        WHERE len(t) >= 5
+    )
+    SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM grams GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, gram ASC LIMIT 20
+    """,
+)
+def corpus_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate REPORT (operators/dedup.top_shared_spans): the
+    20 token 5-grams shared by the most documents, with their TEXT —
+    what a curation run reads before writing blocklist rules. Two-phase
+    exactness: hash-keyed candidate filter first (gram text never
+    shuffles corpus-wide), then text re-derived by re-slicing only the
+    surviving positions and re-aggregated BY TEXT with the same
+    predicate — a 64-bit collision can add phase-2 work but never a
+    wrong row, and the text tiebreak pins the top-20 set in any
+    engine."""
+    from ..operators.dedup import top_shared_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return top_shared_spans(d, k=5, min_docs=2, top_n=20)
+
+
+@register_query(
     "doc_weighted_sample",
     oracle="""
     WITH keyed AS (

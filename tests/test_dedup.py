@@ -618,3 +618,57 @@ def test_jaccard_threshold_join_bucket_cap_drops_only_when_capped(spark):
     capped2 = jaccard_threshold_join(df, threshold=1 / 3, max_bucket=5)
     assert exact2.count() == 30 * 29 // 2  # all pairs share 'shared'
     assert capped2.count() < exact2.count()  # cap trades exactness, loudly
+
+
+def test_cross_doc_spans_ignore_self_repetition(spark):
+    """A doc repeating ITSELF trips the corpus-wide count but not the
+    cross-doc variant; a passage shared by two docs trips both."""
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        cross_doc_span_stats,
+        duplicate_span_stats,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            # doc 0: repeats its own 5-gram twice, shares nothing
+            (0, "alpha beta gamma delta epsilon zeta "
+                "alpha beta gamma delta epsilon zeta"),
+            # docs 1+2: share a passage
+            (1, shared + " one unique tail here indeed"),
+            (2, shared + " another different ending entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = {
+        r.doc_id: r.dup_tokens
+        for r in duplicate_span_stats(docs, k=5, min_count=2).collect()
+    }
+    cross = {
+        r.doc_id: r.dup_tokens
+        for r in cross_doc_span_stats(docs, k=5, min_docs=2).collect()
+    }
+    assert corpus[0] > 0      # self-repetition counts corpus-wide
+    assert cross[0] == 0      # ...but not cross-doc
+    assert cross[1] > 0 and cross[2] > 0  # the shared passage counts
+
+
+def test_top_shared_spans_report_text_and_counts(spark):
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        top_shared_spans,
+    )
+
+    banner = "copyright two thousand twenty six example"
+    docs = spark.createDataFrame(
+        [(i, banner + f" body text number {i} words") for i in range(4)]
+        + [(99, "totally unrelated content with no shared grams at all")],
+        "doc_id long, text string",
+    )
+    rows = top_shared_spans(docs, k=5, min_docs=2, top_n=5).collect()
+    assert rows, "banner grams not surfaced"
+    top = rows[0]
+    assert top.n_docs == 4 and top.n_occurrences == 4
+    assert top.gram.split(" ")[0] == "copyright" or "copyright" in top.gram
+    # determinism: re-run returns the identical ordered set
+    again = top_shared_spans(docs, k=5, min_docs=2, top_n=5).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
