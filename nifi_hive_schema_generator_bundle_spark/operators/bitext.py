@@ -112,10 +112,15 @@ def bitext_margin_scores(
     if candidates is None:
         pairs = s.crossJoin(F.broadcast(t))
     else:
+        # The candidates path is the PRODUCTION (100 TB) path: both sides
+        # are full corpora, so neither may carry a broadcast hint — the
+        # target join is a plain equi-join on tgt_id (shuffle is bounded
+        # by the candidate volume, which LSH banding caps per bucket) and
+        # AQE is free to pick broadcast at sample scale on its own.
         pairs = (
             candidates.select("src_id", "tgt_id")
             .join(s, "src_id")
-            .join(F.broadcast(t), "tgt_id")
+            .join(t, "tgt_id")
         )
     cos = _qdot(F.col("__sv"), F.col("__tv")).cast("double") / F.sqrt(
         F.col("__sn").cast("double") * F.col("__tn").cast("double")

@@ -424,6 +424,20 @@ def test_tfidf_term_join_has_no_forced_broadcast(spark, sf_smoke_dir):
     )
 
 
+def test_bitext_ann_rescoring_has_no_forced_broadcast(spark, sf_smoke_dir):
+    """The ANN-candidates bitext path is the production 100 TB shape: both
+    corpora are full-size, so the margin-rescoring joins must carry NO
+    broadcast hint anywhere (VERDICT r6 #1). The exact path
+    (embedding_bitext_mine) keeps its broadcast cross — that one is the
+    sample-scale threshold-tuning mode by contract."""
+    df = QUERIES["embedding_bitext_mine_ann"](spark, sf_smoke_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        "candidates-mode bitext rescoring must not force-broadcast either "
+        "corpus side; leave the strategy to AQE"
+    )
+
+
 def test_mixture_sample_no_body_shuffle(spark, sf_smoke_dir):
     """Mixture reweighting may shuffle only the |strata|-row count/rate
     tables; the documents scan that carries text must reach the filter
