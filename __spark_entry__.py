@@ -140,13 +140,14 @@ def _gate_order() -> list[str]:
     """Registry names: DRIVER_PRIORITY first, then remaining oracle-backed
     entries, then rows-only entries."""
     from nifi_hive_schema_generator_bundle_spark.plans.queries import (
-        ORACLE_SQL,
         QUERIES,
+        get_oracle_sql,
     )
 
+    oracle = get_oracle_sql()
     prioritized = [n for n in DRIVER_PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in prioritized]
-    rest.sort(key=lambda n: (n not in ORACLE_SQL,))  # stable: oracle-backed first
+    rest.sort(key=lambda n: (n not in oracle,))  # stable: oracle-backed first
     return prioritized + rest
 
 
@@ -167,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names)."""
-    from nifi_hive_schema_generator_bundle_spark.plans.queries import ORACLE_SQL
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import (
+        get_oracle_sql,
+    )
 
-    return dict(ORACLE_SQL)
+    return dict(get_oracle_sql())

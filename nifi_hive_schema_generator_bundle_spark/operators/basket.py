@@ -107,15 +107,18 @@ def association_rules(
     the degenerate-basket guard fires (support over one population
     divided by counts over another would overstate confidence)."""
     # persist: three consumers (n_baskets action, item counts, pair
-    # enumeration) read the same capped frame; no unpersist because the
-    # returned frame is lazy — the quantized_rerank_topk cache contract
+    # enumeration) read the same capped frame. The capped-items cache is
+    # released before returning: the ≤top_k-row result is materialized
+    # (persist + count) while the capped frame is still cached, so the
+    # caller's later actions replay only the tiny cached result — no
+    # executor storage is held for the full (basket, item) relation.
     it = _capped_items(items, basket_col, item_col, max_basket).persist()
     n_baskets = it.select("b").distinct().count()
     counts = it.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     pairs = _pairs_from_items(it)
     ca = counts.select(F.col("i").alias("item_a"), F.col("cnt").alias("cnt_a"))
     cb = counts.select(F.col("i").alias("item_b"), F.col("cnt").alias("cnt_b"))
-    return (
+    rules = (
         pairs.filter(F.col("support_n") >= min_support)
         .join(ca, "item_a")
         .join(cb, "item_b")
@@ -134,7 +137,10 @@ def association_rules(
         )
         .orderBy(F.desc("support_n"), F.desc("lift_ppm"), "item_a", "item_b")
         .limit(top_k)
-    )
+    ).persist()
+    rules.count()
+    it.unpersist()
+    return rules
 
 
 def ra_link_prediction(

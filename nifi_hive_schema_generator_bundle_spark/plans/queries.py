@@ -25,10 +25,32 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["QUERIES", "ORACLE_SQL", "load_table", "register_query"]
+__all__ = [
+    "QUERIES",
+    "ORACLE_SQL",
+    "get_oracle_sql",
+    "load_table",
+    "register_query",
+]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
+# name -> zero-arg generator for oracles that are expensive to build
+# (twin-trainer re-fits). Resolved once by get_oracle_sql() at gate time,
+# NOT at import time (ADVICE r6: the registry import must stay cheap).
+_LAZY_ORACLES: dict[str, Callable[[], str | None]] = {}
+
+
+def get_oracle_sql() -> dict[str, str]:
+    """The full oracle map, resolving lazily-registered generators
+    exactly once. A generator returning None demotes its entry to the
+    rows-only gate (missing fixture); a generator RAISING is a bug in
+    the twin and propagates loudly."""
+    for name in list(_LAZY_ORACLES):
+        sql = _LAZY_ORACLES.pop(name)()
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+    return ORACLE_SQL
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -53,10 +75,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def register_query(name: str, oracle: str | None = None):
+def register_query(
+    name: str, oracle: str | Callable[[], str | None] | None = None
+):
     def deco(fn):
         QUERIES[name] = fn
-        if oracle is not None:
+        if callable(oracle):
+            _LAZY_ORACLES[name] = oracle
+        elif oracle is not None:
             ORACLE_SQL[name] = oracle
         return fn
 
@@ -855,9 +881,15 @@ _UNIGRAM_FIT_CACHE: dict[str, list] = {}
 
 
 def _unigram_twin_fit() -> list | None:
-    """Import-time pure-Python re-fit of the gate entries' vocabulary,
-    memoized so the two oracle generators (fertility + vocab_train)
-    train once."""
+    """Gate-time pure-Python re-fit of the gate entries' vocabulary,
+    memoized in-process AND to disk (keyed by fixture path + mtime +
+    size) so the two oracle generators (fertility + vocab_train) train
+    once per fixture, not once per session. Only a MISSING fixture
+    demotes the entries to rows-only; a bug in the twin trainer raises
+    (ADVICE r6: don't swallow trainer bugs into silent rows-only)."""
+    import json
+    import tempfile
+
     path = os.path.join(
         os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"),
         os.environ.get("ORACLE_SF", "sf0.01"),
@@ -866,21 +898,43 @@ def _unigram_twin_fit() -> list | None:
     if path in _UNIGRAM_FIT_CACHE:
         return _UNIGRAM_FIT_CACHE[path]
     try:
-        import pyarrow.parquet as pq
+        st = os.stat(path)
+    except (FileNotFoundError, OSError):
+        _UNIGRAM_FIT_CACHE[path] = None
+        return None
+    import hashlib as _hl
 
-        from ..functions.unigram_lm import (
-            py_word_freqs,
-            train_unigram_vocab_from_freqs,
-        )
+    key = _hl.md5(
+        f"unigram-twin-v1:{path}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()
+    cache_file = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_unigram_{key}.json"
+    )
+    try:
+        with open(cache_file) as f:
+            vocab = [tuple(row) for row in json.load(f)]
+        _UNIGRAM_FIT_CACHE[path] = vocab
+        return vocab
+    except (FileNotFoundError, OSError, ValueError):
+        pass  # absent or unreadable cache → re-fit below
+    import pyarrow.parquet as pq
 
-        texts = (
-            pq.read_table(path, columns=["text"]).column("text").to_pylist()
-        )
-        vocab = train_unigram_vocab_from_freqs(
-            py_word_freqs(texts), vocab_size=120, em_iters=1, max_piece_len=6
-        )
-    except Exception:  # missing fixture / degenerate corpus → rows-only
-        vocab = None
+    from ..functions.unigram_lm import (
+        py_word_freqs,
+        train_unigram_vocab_from_freqs,
+    )
+
+    texts = pq.read_table(path, columns=["text"]).column("text").to_pylist()
+    vocab = train_unigram_vocab_from_freqs(
+        py_word_freqs(texts), vocab_size=120, em_iters=1, max_piece_len=6
+    )
+    try:
+        tmp = cache_file + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump([list(row) for row in vocab], f)
+        os.replace(tmp, cache_file)
+    except OSError:
+        pass  # read-only tmpdir: skip the disk memo, keep the result
     _UNIGRAM_FIT_CACHE[path] = vocab
     return vocab
 
@@ -910,7 +964,7 @@ def _unigram_vocab_oracle() -> str | None:
     """
 
 
-@register_query("doc_unigram_vocab_train", oracle=_unigram_vocab_oracle())
+@register_query("doc_unigram_vocab_train", oracle=_unigram_vocab_oracle)
 def doc_unigram_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed unigram-LM tokenizer TRAINING (functions/unigram_lm.
     train_unigram_vocab — Kudo 2018, the SentencePiece default model):
@@ -1021,7 +1075,7 @@ def _unigram_fertility_oracle() -> str | None:
     """
 
 
-@register_query("doc_unigram_fertility", oracle=_unigram_fertility_oracle())
+@register_query("doc_unigram_fertility", oracle=_unigram_fertility_oracle)
 def doc_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenization fertility (functions/unigram_lm.
     unigram_token_stats): train on the corpus, Viterbi-segment every
@@ -4113,9 +4167,9 @@ def events_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), rescored AS (
         SELECT t.qid AS query_id, t.cid AS vec_id,
                row_number() OVER (PARTITION BY t.qid
-                   ORDER BY list_sum(list_transform(
+                   ORDER BY round(list_sum(list_transform(
                        generate_series(1, len(c.v)),
-                       i -> c.v[i] * q.qv[i])) / (c.nrm * q2.nrm) DESC,
+                       i -> c.v[i] * q.qv[i])) / (c.nrm * q2.nrm), 6) DESC,
                    t.cid ASC) AS rank
         FROM cand t
         JOIN c ON c.cid = t.cid

@@ -31,11 +31,11 @@ def test_bench_roster_subset_of_registry_and_unique():
 
 def test_oracle_keys_subset_of_registry():
     from nifi_hive_schema_generator_bundle_spark.plans.queries import (
-        ORACLE_SQL,
         QUERIES,
+        get_oracle_sql,
     )
 
-    unknown = [n for n in ORACLE_SQL if n not in QUERIES]
+    unknown = [n for n in get_oracle_sql() if n not in QUERIES]
     assert not unknown, f"oracle keys missing from registry: {unknown}"
 
 
@@ -55,11 +55,11 @@ def test_every_oracle_binds_in_duckdb(ddb):
     executing — a syntax-or-schema break in ANY oracle fails here in
     milliseconds instead of at the driver's gate."""
     from nifi_hive_schema_generator_bundle_spark.plans.queries import (
-        ORACLE_SQL,
+        get_oracle_sql,
     )
 
     broken = []
-    for name, sql in ORACLE_SQL.items():
+    for name, sql in get_oracle_sql().items():
         try:
             ddb.sql("EXPLAIN " + sql)
         except Exception as e:          # noqa: BLE001 - report all binder errors
@@ -74,9 +74,11 @@ def test_coverage_doc_totals_match_registry():
     import re
 
     from nifi_hive_schema_generator_bundle_spark.plans.queries import (
-        ORACLE_SQL,
         QUERIES,
+        get_oracle_sql,
     )
+
+    ORACLE_SQL = get_oracle_sql()
 
     doc = open(
         os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")
