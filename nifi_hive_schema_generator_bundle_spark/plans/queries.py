@@ -762,6 +762,157 @@ def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incnd_oracle_sql(n_batches: int, thr: float = 0.5) -> str:
+    """Generalized DuckDB twin of the incremental near-dedup replay for
+    any batch count (the 3-batch literal above, parameterized): per-batch
+    within-batch LSH dedup via recursive-CTE connected components +
+    keep-min, then each batch's keepers drop on any est ≥ thr edge to a
+    SURVIVING earlier-batch doc. Store compaction on the engine side must
+    be invisible here — history is a set, and folding batch partitions
+    renumbers ids without changing membership."""
+    blocks = []
+    for b in range(n_batches):
+        blocks.append(f""", e{b} AS (
+        SELECT id_a AS a, id_b AS b FROM est
+        WHERE batch_a = {b} AND batch_b = {b} AND e >= {thr}
+        UNION SELECT id_b, id_a FROM est
+        WHERE batch_a = {b} AND batch_b = {b} AND e >= {thr}
+    ), r{b}(n, m) AS (
+        SELECT a, b FROM e{b}
+        UNION SELECT r.n, e.b FROM r{b} r JOIN e{b} e ON r.m = e.a
+    ), kept{b} AS (
+        SELECT doc_id FROM sigs WHERE batch = {b} AND doc_id NOT IN
+            (SELECT n FROM r{b} GROUP BY n HAVING min(m) < n)
+    )""")
+    surv = [", surv0 AS (\n        SELECT doc_id FROM kept0\n    )"]
+    for b in range(1, n_batches):
+        earlier = " OR ".join(
+            f"id_b IN (SELECT doc_id FROM surv{j})" for j in range(b)
+        )
+        earlier_rev = " OR ".join(
+            f"id_a IN (SELECT doc_id FROM surv{j})" for j in range(b)
+        )
+        surv.append(f""", surv{b} AS (
+        SELECT doc_id FROM kept{b} WHERE doc_id NOT IN (
+            SELECT CASE WHEN batch_a = {b} THEN id_a ELSE id_b END
+            FROM est WHERE e >= {thr} AND (
+                (batch_a = {b} AND batch_b < {b}
+                 AND id_a IN (SELECT doc_id FROM kept{b})
+                 AND ({earlier}))
+             OR (batch_a < {b} AND batch_b = {b}
+                 AND id_b IN (SELECT doc_id FROM kept{b})
+                 AND ({earlier_rev}))))
+    )""")
+    final = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS ingest_batch FROM surv{b}"
+        if b == 0
+        else f"SELECT doc_id, {b} FROM surv{b}"
+        for b in range(n_batches)
+    )
+    return rf"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' ')))
+               END AS shingles
+        FROM toks
+    ), mh AS (
+        SELECT doc_id, r.i AS i,
+               min(CAST(concat('0x', substring(md5(u.sh || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT)) AS h
+        FROM sh, LATERAL unnest(shingles) AS u(sh)
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS i) r
+        GROUP BY doc_id, r.i
+    ), sigs AS (
+        SELECT doc_id, CAST(doc_id % {n_batches} AS INT) AS batch,
+               list(h ORDER BY i) AS sig
+        FROM mh GROUP BY doc_id
+    ), bandx AS (
+        SELECT doc_id, batch, b.b AS band,
+               array_to_string(sig[CAST(b.b*4+1 AS INT):CAST(b.b*4+4 AS INT)], ':') AS bucket
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), est AS (
+        SELECT c.id_a, c.id_b, c.batch_a, c.batch_b,
+               len(list_filter(
+                   list_transform(generate_series(1, 16),
+                       i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END),
+                   v -> v = 1)) / 16.0 AS e
+        FROM (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                   x.batch AS batch_a, y.batch AS batch_b
+            FROM bandx x JOIN bandx y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id
+        ) c
+        JOIN sigs sa ON sa.doc_id = c.id_a
+        JOIN sigs sb ON sb.doc_id = c.id_b
+    ){''.join(blocks)}{''.join(surv)}
+    {final}
+    ORDER BY doc_id
+    """
+
+
+@register_query(
+    "doc_incremental_near_dedup_compacted",
+    oracle=_incnd_oracle_sql(4),
+)
+def doc_incremental_near_dedup_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental near-dedup replay with a STORE COMPACTION
+    interleaved mid-run (VERDICT r6 #6): 4 batches (doc_id % 4); after
+    batch 2 lands, ``compact_near_dedup_store`` folds both stores'
+    pre-max partitions into one via the crash-safe ``durable_fold``
+    commit-marker protocol, and batch 3 then reads its history entirely
+    from the folded partitions. The oracle is the same whole-history
+    replay with NO notion of compaction — hash-green means folding is
+    invisible to candidate generation and signature verification, the
+    merge==direct equality pattern the four sketch stores already
+    carry (``lineitem_ddsketch_incremental``)."""
+    import tempfile
+
+    from ..streaming.incremental_near_dedup import (
+        compact_near_dedup_store,
+        near_dedup_batch_against_store,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="incndc_gate_")
+    for b in range(4):
+        if b == 3:
+            # fold batches {0,1} into partition 1; batch 3's history
+            # join now reads partitions {1 (folded), 2} only
+            n_bands, n_sigs = compact_near_dedup_store(
+                spark, f"{work}/store"
+            )
+            assert n_bands > 0 and n_sigs > 0, "compaction must fold"
+        near_dedup_batch_against_store(
+            d.filter(F.col("doc_id") % 4 == b),
+            b,
+            store_dir=f"{work}/store",
+            out_dir=f"{work}/corpus",
+            threshold=0.5,
+            num_perm=16,
+            bands=4,
+            max_bucket=10**9,
+            hash_fn="md5",
+        )
+    return (
+        spark.read.parquet(f"{work}/corpus")
+        .select(
+            "doc_id", F.col("ingest_batch").cast("int").alias("ingest_batch")
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register_query(
     "doc_paragraph_dedup",
     oracle="""

@@ -32,7 +32,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cardinality import hll_estimate, hll_registers
 from ..sources.formats import overwrite_partitions
-from ._store import durable_fold, store_max_batch_id
+from ._store import durable_fold, finish_pending_fold, store_max_batch_id
 
 __all__ = [
     "hll_batch_update",
@@ -44,6 +44,10 @@ __all__ = [
 
 
 def _read_store(spark, store_dir: str) -> DataFrame | None:
+    # complete any crashed compaction BEFORE binding the file listing —
+    # otherwise a readout between a fold's overwrite and its deletes
+    # would double-count the stale pre-cut partitions
+    finish_pending_fold(spark, store_dir)
     try:
         return spark.read.parquet(store_dir)
     except AnalysisException as e:
@@ -146,8 +150,7 @@ def compact_hll_store(
     max (estimates unchanged — max is idempotent AND associative, so
     compaction is even safe to repeat). Same monotonic-id safety
     argument as ``compact_cms_store``."""
-    import shutil
-
+    finish_pending_fold(spark, store_dir)
     store = spark.read.parquet(store_dir)
     ids = sorted(r[0] for r in store.select("batch_id").distinct().collect())
     if len(ids) <= keep_last + 1:
@@ -160,10 +163,9 @@ def compact_hll_store(
         .agg(F.max("rho").alias("rho"))
         .withColumn("batch_id", F.lit(fold_to))
     )
-    # stage durably first — a persist()+count() could lose cached blocks
-    # and recompute against the mutated store (see _store.durable_fold)
-    n = durable_fold(folded, store_dir)
-    for i in ids:
-        if i < fold_to:
-            shutil.rmtree(f"{store_dir}/batch_id={i}", ignore_errors=True)
-    return n
+    # stage durably, commit, overwrite, delete — one crash-safe protocol
+    # (see _store.durable_fold); the stale deletes ride the fold's commit
+    # marker so a crash can never leave a double-counting store
+    return durable_fold(
+        folded, store_dir, stale_ids=[i for i in ids if i < fold_to]
+    )

@@ -32,7 +32,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.textfns import normalize_ws
 from ..sources.formats import overwrite_partitions
-from ._store import durable_fold, store_max_batch_id
+from ._store import durable_fold, finish_pending_fold, store_max_batch_id
 
 __all__ = [
     "dedup_batch_against_store",
@@ -69,6 +69,9 @@ def dedup_batch_against_store(
     # within-batch first occurrence: min id per fingerprint
     firsts = fps.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     batch_first = fps.join(firsts, ["__fp", id_col], "left_semi")
+    # complete any crashed compaction before binding the store's
+    # file listing (stale pre-cut partitions would shadow the fold)
+    finish_pending_fold(spark, store_dir)
     try:
         store = spark.read.parquet(store_dir)
     except AnalysisException as e:
@@ -127,8 +130,7 @@ def compact_fingerprint_store(
     its own. The live ``max`` partition is left untouched. Returns the
     number of fingerprints compacted.
     """
-    import shutil
-
+    finish_pending_fold(spark, store_dir)
     store = spark.read.parquet(store_dir)
     ids = [r[0] for r in store.select("batch_id").distinct().collect()]
     if len(ids) < 3:  # nothing worth folding
@@ -141,16 +143,13 @@ def compact_fingerprint_store(
         .repartition(target_files)
         .withColumn("batch_id", F.lit(top - 1))
     )
-    # stage durably first — a persist()+count() could lose cached blocks
-    # and recompute against the mutated store (see _store.durable_fold);
-    # dynamic mode replaces only the batch_id=top-1 partition; the other
-    # stale partitions are then dropped explicitly (local FS here; a
-    # cluster deployment would use the Hadoop FS API)
-    n = durable_fold(folded, store_dir)
-    for i in ids:
-        if i < top - 1:
-            shutil.rmtree(f"{store_dir}/batch_id={i}", ignore_errors=True)
-    return n
+    # stage durably, commit, overwrite, delete — one crash-safe protocol
+    # via the Hadoop FS API (see _store.durable_fold); the stale deletes
+    # ride the fold's commit marker so a crash can never leave a
+    # double-counting store
+    return durable_fold(
+        folded, store_dir, stale_ids=[i for i in ids if i < top - 1]
+    )
 
 
 def run_incremental_dedup(

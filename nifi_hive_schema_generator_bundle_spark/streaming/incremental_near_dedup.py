@@ -49,15 +49,20 @@ from ..operators.dedup import (
     signature_agreement,
 )
 from ..sources.formats import overwrite_partitions
-from ._store import store_max_batch_id
+from ._store import durable_fold, finish_pending_fold, store_max_batch_id
 
 __all__ = [
+    "compact_near_dedup_store",
     "near_dedup_batch_against_store",
     "run_incremental_near_dedup",
 ]
 
 
 def _read_store(spark, path: str) -> DataFrame | None:
+    # complete any crashed compaction BEFORE binding the file listing —
+    # a readout between a fold's overwrite and its deletes would see
+    # every folded band/signature row twice (see _store.durable_fold)
+    finish_pending_fold(spark, path)
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
@@ -200,6 +205,57 @@ def near_dedup_batch_against_store(
         full_sig.unpersist()
         survivors_ids.unpersist()
     return n
+
+
+def compact_near_dedup_store(
+    spark, store_dir: str, *, target_files: int = 4
+) -> tuple[int, int]:
+    """Fold BOTH sub-stores' accumulated per-batch partitions into one
+    (VERDICT r6 #6: the last store family without a compactor — one
+    tiny parquet partition per micro-batch is the small-files problem;
+    cadence 50-100 suffices here per the round-6 30-batch sweep).
+
+    All batches strictly below the current maximum collapse into the
+    ``max−1`` partition; rows are carried verbatim (set stores — each
+    (id, band, bucket) / (id, sig) row is unique by construction, so
+    the fold is a rewrite, not an aggregate, and candidate generation
+    and signature verification read exactly the same sets afterwards).
+    Safe for the same monotonic-id reasons as
+    ``incremental_dedup.compact_fingerprint_store``: every future batch
+    id is > max−1, and a replay of batch ``max`` filters
+    ``batch_id < max``, which still sees the folded rows and never its
+    own. Crash-safe end to end via ``_store.durable_fold``'s commit
+    marker (each sub-store recovers independently). Returns
+    (band_rows, sig_rows) folded — (0, 0) means nothing was worth
+    folding."""
+    counts = []
+    for sub in ("bands", "sigs"):
+        path = f"{store_dir}/{sub}"
+        finish_pending_fold(spark, path)
+        store = _read_store(spark, path)
+        if store is None:
+            counts.append(0)
+            continue
+        ids = sorted(
+            r[0] for r in store.select("batch_id").distinct().collect()
+        )
+        if len(ids) < 3:  # nothing worth folding
+            counts.append(0)
+            continue
+        top = ids[-1]
+        fold_to = top - 1
+        folded = (
+            store.filter(F.col("batch_id") < top)
+            .drop("batch_id")
+            .repartition(target_files)
+            .withColumn("batch_id", F.lit(fold_to))
+        )
+        counts.append(
+            durable_fold(
+                folded, path, stale_ids=[i for i in ids if i < fold_to]
+            )
+        )
+    return counts[0], counts[1]
 
 
 def run_incremental_near_dedup(

@@ -35,7 +35,7 @@ from ..operators.quantile_sketch import (
     log_bucket_histogram,
 )
 from ..sources.formats import overwrite_partitions
-from ._store import durable_fold, store_max_batch_id
+from ._store import durable_fold, finish_pending_fold, store_max_batch_id
 
 __all__ = [
     "histogram_batch_update",
@@ -47,6 +47,10 @@ __all__ = [
 
 
 def _read_store(spark, store_dir: str) -> DataFrame | None:
+    # complete any crashed compaction BEFORE binding the file listing —
+    # otherwise a readout between a fold's overwrite and its deletes
+    # would double-count the stale pre-cut partitions
+    finish_pending_fold(spark, store_dir)
     try:
         return spark.read.parquet(store_dir)
     except AnalysisException as e:
@@ -157,8 +161,7 @@ def compact_histogram_store(
     sums (quantile answers unchanged: linearity). Same safety argument
     as ``compact_cms_store``: ids are monotonic and a replay of the
     live max batch only rewrites its own partition."""
-    import shutil
-
+    finish_pending_fold(spark, store_dir)
     store = spark.read.parquet(store_dir)
     ids = sorted(r[0] for r in store.select("batch_id").distinct().collect())
     if len(ids) <= keep_last + 1:
@@ -171,10 +174,9 @@ def compact_histogram_store(
         .agg(F.sum("cnt").alias("cnt"))
         .withColumn("batch_id", F.lit(fold_to))
     )
-    # stage durably first — a persist()+count() could lose cached blocks
-    # and recompute against the mutated store (see _store.durable_fold)
-    n = durable_fold(folded, store_dir)
-    for i in ids:
-        if i < fold_to:
-            shutil.rmtree(f"{store_dir}/batch_id={i}", ignore_errors=True)
-    return n
+    # stage durably, commit, overwrite, delete — one crash-safe protocol
+    # (see _store.durable_fold); the stale deletes ride the fold's commit
+    # marker so a crash can never leave a double-counting store
+    return durable_fold(
+        folded, store_dir, stale_ids=[i for i in ids if i < fold_to]
+    )

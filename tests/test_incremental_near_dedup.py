@@ -86,3 +86,48 @@ def test_streaming_incremental_near_dedup_two_drains(spark, tmp_path):
     drain()
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [1, 2, 4]
+
+
+def test_compact_near_dedup_store_preserves_history_semantics(spark, tmp_path):
+    """VERDICT r6 #6: fold both stores mid-run and prove the fold is
+    invisible — the post-compaction batch drops exactly the docs it
+    would have dropped against the uncompacted stores, and both stores
+    end with a single folded pre-max partition."""
+    import os
+
+    from nifi_hive_schema_generator_bundle_spark.streaming.incremental_near_dedup import (
+        compact_near_dedup_store,
+    )
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    near_dedup_batch_against_store(
+        _batch(spark, [(1, BASE)]), 0, store_dir=store, out_dir=out
+    )
+    near_dedup_batch_against_store(
+        _batch(spark, [(2, OTHER)]), 1, store_dir=store, out_dir=out
+    )
+    near_dedup_batch_against_store(
+        _batch(spark, [(3, "unrelated third corpus slice " * 9)]),
+        2, store_dir=store, out_dir=out,
+    )
+    n_bands, n_sigs = compact_near_dedup_store(spark, store)
+    assert n_sigs == 2 and n_bands > 0  # batches 0,1 folded into 1
+    for sub in ("bands", "sigs"):
+        parts = sorted(
+            d for d in os.listdir(f"{store}/{sub}")
+            if d.startswith("batch_id=")
+        )
+        assert parts == ["batch_id=1", "batch_id=2"]
+    # near-dups of FOLDED history docs are still caught...
+    n3 = near_dedup_batch_against_store(
+        _batch(
+            spark,
+            [(4, BASE.replace("fox", "wolf", 1)), (5, "fresh words " * 12)],
+        ),
+        3, store_dir=store, out_dir=out,
+    )
+    assert n3 == 1
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 3, 5]
+    # ...and compaction below the minimum partition count is a no-op
+    assert compact_near_dedup_store(spark, str(tmp_path / "empty")) == (0, 0)

@@ -105,3 +105,163 @@ def test_store_max_batch_id_listing_and_fallback(spark, tmp_path):
         [(1, 7), (2, 9)], "x int, batch_id int"
     ).write.parquet(flat)
     assert store_max_batch_id(spark, flat) == 9
+
+
+def test_durable_fold_owns_stale_deletes_and_removes_marker(spark, tmp_path):
+    """The delete step is part of the durable protocol (ADVICE r6): one
+    durable_fold call folds, overwrites, deletes the stale partitions,
+    and leaves neither marker nor temp dir behind."""
+    from nifi_hive_schema_generator_bundle_spark.streaming._store import (
+        read_fold_marker,
+    )
+
+    store = str(tmp_path / "store")
+    _mk_store(spark, store)
+    folded = (
+        spark.read.parquet(store)
+        .filter(F.col("batch_id") < 2)
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("batch_id", F.lit(1))
+    )
+    assert durable_fold(folded, store, stale_ids=[0]) == 4
+    assert not os.path.exists(store + _TMP_SUFFIX)
+    assert not os.path.exists(os.path.join(store, "batch_id=0"))
+    assert read_fold_marker(spark, store) is None
+    # total is exactly the pre-fold total: no loss, no double count
+    total = spark.read.parquet(store).agg(F.sum("cnt")).collect()[0][0]
+    assert total == sum(10 * b + i for b in range(3) for i in range(4))
+
+
+def test_finish_pending_fold_replays_from_commit_marker(spark, tmp_path):
+    """Crash simulation: the fold was staged and COMMITTED (marker
+    written) but the process died before the overwrite — recovery must
+    complete overwrite + stale deletes + cleanup from the staged files
+    alone, landing on exactly the state durable_fold would have left."""
+    from nifi_hive_schema_generator_bundle_spark.streaming._store import (
+        _write_marker,
+        finish_pending_fold,
+        read_fold_marker,
+    )
+
+    store = str(tmp_path / "store")
+    _mk_store(spark, store)
+    tmp = store + _TMP_SUFFIX
+    folded = (
+        spark.read.parquet(store)
+        .filter(F.col("batch_id") < 2)
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("batch_id", F.lit(1))
+    )
+    folded.write.mode("overwrite").parquet(tmp)
+    _write_marker(
+        spark,
+        store,
+        {"staged": tmp, "partition_col": "batch_id", "stale_ids": [0]},
+    )
+    assert finish_pending_fold(spark, store) is True
+    assert read_fold_marker(spark, store) is None
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(os.path.join(store, "batch_id=0"))
+    got = {
+        (r.k, r.batch_id): r.cnt for r in spark.read.parquet(store).collect()
+    }
+    expect = {(f"k{i}", 1): i + (10 + i) for i in range(4)}
+    expect.update({(f"k{i}", 2): 20 + i for i in range(4)})
+    assert got == expect
+    # idempotent: a second call is a no-op
+    assert finish_pending_fold(spark, store) is False
+
+
+def test_reader_heals_overwrite_before_delete_crash(spark, tmp_path):
+    """THE round-6 ADVICE window: crash after the fold_to overwrite but
+    before the stale deletes. The stale pre-cut partitions then hold
+    redundant copies of every folded count — any readout that binds the
+    listing raw double-counts. _read_store must complete the pending
+    fold first and return exactly the true totals."""
+    from nifi_hive_schema_generator_bundle_spark.streaming._store import (
+        _write_marker,
+    )
+    from nifi_hive_schema_generator_bundle_spark.streaming.cms_stream import (
+        _read_store,
+    )
+
+    store = str(tmp_path / "store")
+    _mk_store(spark, store)
+    tmp = store + _TMP_SUFFIX
+    folded = (
+        spark.read.parquet(store)
+        .filter(F.col("batch_id") < 2)
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("batch_id", F.lit(1))
+    )
+    folded.write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    _write_marker(
+        spark,
+        store,
+        {"staged": tmp, "partition_col": "batch_id", "stale_ids": [0]},
+    )
+    overwrite_partitions(staged, store, ["batch_id"], fmt="parquet")
+    # crash here: batch_id=0 still present AND folded into batch_id=1 —
+    # a raw read would double-count batch 0's 0+1+2+3 = 6
+    true_total = sum(10 * b + i for b in range(3) for i in range(4))
+    healed = _read_store(spark, store)
+    assert healed.agg(F.sum("cnt")).collect()[0][0] == true_total
+    assert not os.path.exists(os.path.join(store, "batch_id=0"))
+
+
+def test_fs_delete_uses_hadoop_api_scheme_paths(spark, tmp_path):
+    """Cleanup goes through the Hadoop FS API: a scheme-qualified
+    ('file:/...') store_dir — which shutil.rmtree cannot even address —
+    folds, deletes its stale partitions, and cleans its temp dir."""
+    from nifi_hive_schema_generator_bundle_spark.streaming._store import (
+        fs_delete,
+    )
+
+    d = tmp_path / "doomed"
+    d.mkdir()
+    (d / "f.txt").write_text("x")
+    assert fs_delete(spark, "file:" + str(d)) is True
+    assert not d.exists()
+    assert fs_delete(spark, "file:" + str(d)) is False  # already gone
+
+    store = "file:" + str(tmp_path / "store")
+    _mk_store(spark, store)
+    folded = (
+        spark.read.parquet(store)
+        .filter(F.col("batch_id") < 2)
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("batch_id", F.lit(1))
+    )
+    assert durable_fold(folded, store, stale_ids=[0]) == 4
+    local = str(tmp_path / "store")
+    assert not os.path.exists(local + _TMP_SUFFIX)
+    assert not os.path.exists(os.path.join(local, "batch_id=0"))
+
+
+def test_finish_pending_fold_refuses_missing_staged_dir(spark, tmp_path):
+    """Marker present but staged dir gone is out-of-band tampering (the
+    protocol removes the marker first) — recovery must refuse loudly
+    rather than guess which partitions are authoritative."""
+    from nifi_hive_schema_generator_bundle_spark.streaming._store import (
+        _write_marker,
+        finish_pending_fold,
+    )
+
+    store = str(tmp_path / "store")
+    _mk_store(spark, store)
+    _write_marker(
+        spark,
+        store,
+        {
+            "staged": str(tmp_path / "gone"),
+            "partition_col": "batch_id",
+            "stale_ids": [0],
+        },
+    )
+    with pytest.raises(RuntimeError, match="missing"):
+        finish_pending_fold(spark, store)
