@@ -138,3 +138,53 @@ def test_coverage_doc_entry_names_exist_in_registry():
         "COVERAGE.md mentions gate-entry-shaped names missing from the "
         f"registry (prose drift): {unknown}"
     )
+
+
+def test_driver_priority_decomposition():
+    """ADVICE r6: the DRIVER_PRIORITY roster prose drifted from the list.
+    The decomposition is now named constants, pinned here against the
+    live registry and the cumulative CORRECTNESS_r0*.json hash ledger:
+    every oracle-backed entry is either already driver-hashed, in this
+    round's 50 slots, or explicitly deferred with a sibling note —
+    nothing can silently fall out of rotation."""
+    import glob
+    import json
+
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import (
+        QUERIES,
+        get_oracle_sql,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pri = entry_mod.DRIVER_PRIORITY
+    sections = (
+        entry_mod.R7_CHANGED,
+        entry_mod.R7_CANARIES,
+        entry_mod.R7_NEVER_VERIFIED,
+    )
+    assert pri == [n for sec in sections for n in sec]
+    assert len(pri) == 50 == len(set(pri)), "driver gate caps at 50 slots"
+    unknown = [
+        n for n in pri + entry_mod.R7_DEFERRED if n not in QUERIES
+    ]
+    assert not unknown, f"roster names missing from registry: {unknown}"
+
+    hashed = set()
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        for k, v in json.load(open(f)).items():
+            if isinstance(v, dict) and v.get("hash_match"):
+                hashed.add(k)
+    oracle = set(get_oracle_sql())
+    never = {n for n in oracle if n not in hashed}
+    in_rotation = set(entry_mod.R7_NEVER_VERIFIED)
+    deferred = set(entry_mod.R7_DEFERRED)
+    changed_new = {n for n in entry_mod.R7_CHANGED if n not in hashed}
+    assert not (in_rotation & hashed), (
+        "R7_NEVER_VERIFIED contains already-hashed entries: "
+        f"{sorted(in_rotation & hashed)}"
+    )
+    assert not (in_rotation & deferred)
+    missing = never - in_rotation - deferred - changed_new
+    assert not missing, (
+        f"oracle-backed entries fell out of rotation entirely: {missing}"
+    )
