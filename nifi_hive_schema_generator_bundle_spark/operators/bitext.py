@@ -276,7 +276,19 @@ def lsh_bitext_candidates(
     corpus scale, the ``minhash_lsh_pairs`` banding discipline; recall
     per band falls as bits grow, so add bands to compensate (bands ≈
     1/p^bits for target match probability p — Charikar's cos-angle
-    collision bound gives p per bit)."""
+    collision bound gives p per bit).
+
+    Second sizing constraint (measured, scripts/bitext_band_sweep.py):
+    the downstream margin score needs NEIGHBORHOODS, not just the true
+    pair — its denominators average each side's top-k candidate
+    cosines, so when banding is so selective that ids retrieve ≲k
+    candidates the denominator degenerates to the pair's own cosine,
+    margin → 1.0, and true pairs fail the >1 threshold even though
+    they were retrieved (at 2 bands × 16 bits the planted-pair sweep
+    measured candidate recall 0.52 but mined recall 0.10 for exactly
+    this reason). Size bands so expected per-id candidate count stays
+    comfortably above k; 8×8 on the 0.97-cosine fixture gave 99.9%
+    mined recall at 3.6% of all-pairs volume."""
     if dim is None:
         first = src.select(F.size(vec_col).alias("n")).limit(1).collect()
         dim = int(first[0]["n"]) if first else 0
