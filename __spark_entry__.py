@@ -53,9 +53,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # pins against the registry and the cumulative CORRECTNESS_r0*.json
 # hash ledger, so the counts cannot drift).
 #
-# Round 7 = 5 changed-or-new + 2 canaries + 43 never-driver-hashed.
+# Round 7 = 6 changed-or-new + 2 canaries + 42 never-driver-hashed.
 # After r7, the only oracle-backed entries never driver-hashed are the
-# 8 in R7_DEFERRED, each carrying an already-driver-verified structural
+# 9 in R7_DEFERRED, each carrying an already-driver-verified structural
 # sibling; they are first in line for round 8.
 
 # --- changed-or-new code this round: must (re)verify ---
@@ -65,6 +65,7 @@ R7_CHANGED = [
     "quantized_ann_topk",          # oracle now rounds cosine before ranking
     "doc_incremental_near_dedup_compacted",  # NEW: fold-marker compaction
     "lineitem_ddsketch_incremental",  # store reads now heal pending folds
+    "doc_incremental_span_stats",  # NEW: cross-run gram-count store
 ]
 
 # --- canary overlap with every prior round (core inference + scan-agg
@@ -74,7 +75,7 @@ R7_CANARIES = [
     "q1_pricing_summary",
 ]
 
-# --- 43 never-driver-hashed oracle-backed entries (the q7/q11/q12/q15/
+# --- 42 never-driver-hashed oracle-backed entries (the q7/q11/q12/q15/
 # q16/q20 families and window/sampler/set-op/text siblings) ---
 R7_NEVER_VERIFIED = [
     "doc_bpe_token_count",
@@ -109,7 +110,6 @@ R7_NEVER_VERIFIED = [
     "embedding_hard_negatives",
     "doc_domain_cap",
     "events_daily_anomaly",
-    "events_value_histogram",
     "doc_shuffle_shards",
     "doc_clean_text",
     "customer_balance_imputed",
@@ -134,6 +134,7 @@ R7_DEFERRED = [
     "daily_revenue_lag_delta",    # ~ daily_revenue_moving_avg (window sibling, r7)
     "doc_sentences",              # ~ doc_sentence_dedup (sentence-split kernel, r6)
     "doc_epoch_upsample",         # ~ doc_weighted_sample (hash-sampler family, r7)
+    "events_value_histogram",     # ~ events_value_bands (floor-tiled bucketing, r6)
 ]
 
 DRIVER_PRIORITY = R7_CHANGED + R7_CANARIES + R7_NEVER_VERIFIED

@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "part_clustering_coefficient",
     "events_isotonic_calibration",
     "doc_incremental_near_dedup",
+    "doc_incremental_span_stats",
     "doc_pii_audit",
     "dedup_lsh_recall_eval",
     "embedding_bitext_mine",

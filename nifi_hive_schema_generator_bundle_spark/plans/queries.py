@@ -5897,6 +5897,75 @@ def doc_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "doc_incremental_span_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '') AS t
+        FROM documents
+    ), lens AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+    ), grams AS (
+        SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+               array_to_string(t[CAST(g.i AS INT)+1:CAST(g.i AS INT)+5], ' ') AS gram
+        FROM toks CROSS JOIN LATERAL unnest(range(0, len(t) - 4)) AS g(i)
+        WHERE len(t) >= 5
+    ), dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+        SELECT doc_id, pos,
+               least(5, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 5)) AS cov
+        FROM grams WHERE gram IN (SELECT gram FROM dup)
+    ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+               CAST(sum(cov) AS BIGINT) AS dup_tokens
+        FROM hits GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_tokens,
+           coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(a.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(a.dup_tokens, 0) / greatest(l.n_tokens, 1), 6) AS dup_fraction
+    FROM lens l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id
+    """,
+)
+def doc_incremental_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-run duplicated-span statistics (NEW round 7,
+    streaming/span_stream): the corpus arrives as 3 batches (doc_id %
+    3), each contributing one (gram-hash, count, distinct-docs) partial
+    partition to a persistent store; after ingest the store is
+    COMPACTED (per-gram sums through the crash-safe durable_fold
+    commit-marker protocol) and the whole corpus's cross-doc coverage
+    is read back against the folded store. The oracle is the single-run
+    `doc_cross_doc_spans` SQL verbatim — hash-green means the
+    accumulate → fold → readout chain is exactly additive (per-batch
+    count(DISTINCT doc) sums to the corpus count because each doc's
+    grams live in exactly one batch), the merge==direct equality
+    pattern of the sketch stores applied to the Lee et al. 2022 span
+    statistic."""
+    import tempfile
+
+    from ..streaming.span_stream import (
+        compact_span_store,
+        span_gram_batch_update,
+        span_store_coverage,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="spanstore_gate_")
+    for b in range(3):
+        span_gram_batch_update(
+            d.filter(F.col("doc_id") % 3 == b), b, store_dir=store, k=5
+        )
+    compact_span_store(spark, store)
+    return span_store_coverage(
+        spark, store, d, k=5, min_docs=2
+    ).orderBy("doc_id")
+
+
+@register_query(
     "corpus_boilerplate_spans",
     oracle=r"""
     WITH toks AS (

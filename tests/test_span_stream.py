@@ -1,0 +1,124 @@
+"""Incremental cross-run span-stats store (streaming/span_stream):
+additivity vs the single-run batch operators, replay idempotency, the
+monotonic-id guard, compaction invariance, and the streaming wiring."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+    cross_doc_span_stats,
+    duplicate_span_stats,
+)
+from nifi_hive_schema_generator_bundle_spark.streaming.span_stream import (
+    compact_span_store,
+    run_span_stats_stream,
+    span_gram_batch_update,
+    span_store_coverage,
+)
+
+BANNER = "all rights reserved by the example consortium twenty twenty"
+DOCS = [
+    (1, BANNER + " alpha beta gamma delta epsilon zeta eta theta"),
+    (2, BANNER + " one two three four five six seven eight nine"),
+    (3, "completely original words nothing shared here at all ever"),
+    (4, "self repeat self repeat self repeat self repeat self repeat"),
+    (5, BANNER + " iota kappa lambda mu nu xi omicron pi rho sigma"),
+    (6, "short"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ingest(spark, store, n_batches=3):
+    full = _df(spark, DOCS)
+    for b in range(n_batches):
+        span_gram_batch_update(
+            full.filter(F.col("doc_id") % n_batches == b),
+            b,
+            store_dir=store,
+            k=5,
+        )
+    return full
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_store_coverage_equals_single_run(spark, tmp_path):
+    """merge == direct: 3-batch accumulation answers exactly the
+    single-run cross-doc coverage (additivity: each doc's grams live in
+    one batch), and the min_count mode matches duplicate_span_stats
+    (doc 4's self-repetition counts there but not cross-doc)."""
+    store = str(tmp_path / "store")
+    full = _ingest(spark, store)
+    got = span_store_coverage(spark, store, full, k=5, min_docs=2)
+    want = cross_doc_span_stats(full, k=5, min_docs=2)
+    assert _rows(got) == _rows(want)
+    got_cnt = span_store_coverage(spark, store, full, k=5, min_count=2)
+    want_cnt = duplicate_span_stats(full, k=5, min_count=2)
+    assert _rows(got_cnt) == _rows(want_cnt)
+    # sanity on the fixture itself: banner docs covered, original not,
+    # self-repeater only under the occurrence predicate
+    by_id = {r.doc_id: r for r in got.collect()}
+    assert by_id[1].dup_tokens > 0 and by_id[3].dup_tokens == 0
+    assert by_id[4].dup_tokens == 0
+    cnt_by_id = {r.doc_id: r for r in got_cnt.collect()}
+    assert cnt_by_id[4].dup_tokens > 0
+
+
+def test_replay_converges_and_guard_raises(spark, tmp_path):
+    store = str(tmp_path / "store")
+    full = _ingest(spark, store)
+    before = _rows(spark.read.parquet(store))
+    # crash-replay of the live max batch rewrites only its own partition
+    span_gram_batch_update(
+        full.filter(F.col("doc_id") % 3 == 2), 2, store_dir=store, k=5
+    )
+    assert _rows(spark.read.parquet(store)) == before
+    with pytest.raises(ValueError, match="behind the store"):
+        span_gram_batch_update(full, 0, store_dir=store, k=5)
+
+
+def test_compaction_is_invisible_to_coverage(spark, tmp_path):
+    store = str(tmp_path / "store")
+    full = _ingest(spark, store)
+    want = _rows(span_store_coverage(spark, store, full, k=5, min_docs=2))
+    n = compact_span_store(spark, store)
+    assert n > 0
+    parts = sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    )
+    assert parts == ["batch_id=1", "batch_id=2"]
+    assert _rows(span_store_coverage(spark, store, full, k=5, min_docs=2)) == want
+    # repeat compaction below the threshold is a no-op
+    assert compact_span_store(spark, store) == 0
+
+
+def test_streaming_wiring_two_drains(spark, tmp_path):
+    store = str(tmp_path / "store")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    full = _df(spark, DOCS)
+    full.filter(F.col("doc_id") <= 3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = run_span_stats_stream(
+        stream, store_dir=store, checkpoint_dir=ckpt, k=5
+    )
+    q.awaitTermination(120)
+    full.filter(F.col("doc_id") > 3).write.mode("append").parquet(src)
+    q2 = run_span_stats_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store_dir=store,
+        checkpoint_dir=ckpt,
+        k=5,
+    )
+    q2.awaitTermination(120)
+    got = span_store_coverage(spark, store, full, k=5, min_docs=2)
+    want = cross_doc_span_stats(full, k=5, min_docs=2)
+    assert _rows(got) == _rows(want)
