@@ -48,6 +48,7 @@ __all__ = [
     "rademacher_planes",
     "lsh_band_buckets",
     "lsh_bitext_candidates",
+    "candidate_neighborhood_stats",
 ]
 
 _DOT_SCALE = 8  # floor((x·y)·1e8) per element — exact int64 terms
@@ -326,3 +327,47 @@ def mine_bitext_pairs(
     if mutual_best:
         out = out.filter((F.col("fwd_rank") == 1) & (F.col("bwd_rank") == 1))
     return out.select("src_id", "tgt_id", "cos", "margin")
+
+
+def candidate_neighborhood_stats(
+    candidates: DataFrame, *, k: int = 4
+) -> DataFrame:
+    """One-row banding health check for an ANN candidate set — run this
+    BEFORE a full mining pass (the measure-don't-guess instrument for
+    the second sizing constraint in ``lsh_bitext_candidates``): margin
+    scoring degenerates for any id retrieving fewer than ``k``
+    candidates (its top-k denominator collapses to the pair's own
+    cosine, margin → 1.0, and true pairs fail the >1 threshold even
+    when retrieved). Returns (n_pairs, n_src, n_tgt, avg_per_src,
+    min_per_src, starved_src_ppm, starved_tgt_ppm) where starved_*_ppm
+    is the integer parts-per-million of that side's ids with < ``k``
+    candidates. Healthy banding: starved ppm near zero and avg_per_src
+    comfortably above ``k``; fix by adding bands (recall, occupancy)
+    before widening bits. Cost: two count-aggregations over the
+    candidate pairs — (id, count) shuffles only."""
+    src_counts = candidates.groupBy("src_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tgt_counts = candidates.groupBy("tgt_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = src_counts.agg(
+        F.count(F.lit(1)).alias("n_src"),
+        F.sum("c").alias("n_pairs"),
+        F.min("c").alias("min_per_src"),
+        F.sum(F.when(F.col("c") < k, 1).otherwise(0)).alias("starved"),
+    )
+    t = tgt_counts.agg(
+        F.count(F.lit(1)).alias("n_tgt"),
+        F.sum(F.when(F.col("c") < k, 1).otherwise(0)).alias("starved_t"),
+    )
+    ppm = 1_000_000
+    return s.crossJoin(t).select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_src").cast("long").alias("n_src"),
+        F.col("n_tgt").cast("long").alias("n_tgt"),
+        F.round(F.col("n_pairs") / F.col("n_src"), 2).alias("avg_per_src"),
+        F.col("min_per_src").cast("long").alias("min_per_src"),
+        F.expr(f"starved * {ppm} div n_src").alias("starved_src_ppm"),
+        F.expr(f"starved_t * {ppm} div n_tgt").alias("starved_tgt_ppm"),
+    )

@@ -16,6 +16,7 @@ count at the end. Families:
 - hll       — streaming/hll_stream   (register max-merge store)
 - histogram — streaming/quantile_stream (bucket count-sum store)
 - neardup   — streaming/incremental_near_dedup (band + sig stores)
+- spanstats — streaming/span_stream (gram-hash count-sum store, r7)
 
 Usage: python scripts/batch_sweep.py [--quick]
   --quick: 3/10 batches only (CI smoke); default 3/10/30.
@@ -54,6 +55,11 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
         histogram_batch_update,
         histogram_store_quantiles,
     )
+    from nifi_hive_schema_generator_bundle_spark.streaming.span_stream import (
+        compact_span_store,
+        span_gram_batch_update,
+        span_store_coverage,
+    )
 
     root = tempfile.mkdtemp(prefix=f"bsweep_{family}_")
     store = os.path.join(root, "store")
@@ -81,6 +87,12 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
                     group_cols=["event_type"],
                     boundaries=[2.0 ** (i / 2.0) for i in range(-10, 30)],
                 )
+            elif family == "spanstats":
+                docs = spark.read.parquet(
+                    os.path.join(SF_DIR, "documents.parquet")
+                )
+                batch = docs.filter(F.col("doc_id") % n_batches == b)
+                span_gram_batch_update(batch, b, store_dir=store, k=5)
             else:
                 docs = spark.read.parquet(
                     os.path.join(SF_DIR, "documents.parquet")
@@ -94,6 +106,8 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
                 t0 = time.perf_counter()
                 if family == "hll":
                     compact_hll_store(spark, store, ["event_type"])
+                elif family == "spanstats":
+                    compact_span_store(spark, store)
                 else:
                     compact_histogram_store(spark, store, ["event_type"])
                 compact_s += time.perf_counter() - t0
@@ -108,6 +122,13 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
                 spark, store, ["event_type"],
                 [2.0 ** (i / 2.0) for i in range(-10, 30)],
                 [0.5, 0.9, 0.99],
+            ).count()
+        elif family == "spanstats":
+            docs = spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet")
+            )
+            n_rows = span_store_coverage(
+                spark, store, docs, k=5, min_docs=2
             ).count()
         else:
             n_rows = spark.read.parquet(out).count()
@@ -151,7 +172,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
-    for family in ("hll", "histogram", "neardup"):
+    for family in ("hll", "histogram", "spanstats", "neardup"):
         for nb in counts:
             cadences = [0] if family == "neardup" or nb < 30 else [0, 10]
             for cad in cadences:

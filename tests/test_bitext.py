@@ -173,3 +173,20 @@ def test_lsh_candidates_restrict_and_match_exact_on_survivors(spark, corpora):
     assert mined <= cand_set  # never scores outside the candidate set
     recovered = {(i, 1000 + i) for i in range(8)} & cand_set
     assert recovered <= mined, "a surviving planted pair was not mined"
+
+
+def test_candidate_neighborhood_stats(spark):
+    """The banding health check: a 2-candidate src is starved at k=4,
+    a 5-candidate src is not; counts and ppm are exact integers."""
+    from nifi_hive_schema_generator_bundle_spark.operators.bitext import (
+        candidate_neighborhood_stats,
+    )
+
+    pairs = [("a", f"t{i}") for i in range(5)] + [("b", "t0"), ("b", "t9")]
+    cand = spark.createDataFrame(pairs, "src_id string, tgt_id string")
+    r = candidate_neighborhood_stats(cand, k=4).collect()[0]
+    assert r.n_pairs == 7 and r.n_src == 2 and r.n_tgt == 6
+    assert r.min_per_src == 2 and r.avg_per_src == 3.5
+    assert r.starved_src_ppm == 500_000  # 1 of 2 srcs below k
+    # every tgt has <4 candidates in this toy set
+    assert r.starved_tgt_ppm == 1_000_000
