@@ -165,6 +165,7 @@ def main() -> None:
 
     quick = "--quick" in sys.argv
     counts = [3, 10] if quick else [3, 10, 30]
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_session(
         "batch_sweep",
         master=f"local[{CPUS}]",
@@ -172,7 +173,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
-    for family in ("hll", "histogram", "spanstats", "neardup"):
+    for family in wanted or ("hll", "histogram", "spanstats", "neardup"):
         for nb in counts:
             cadences = [0] if family == "neardup" or nb < 30 else [0, 10]
             for cad in cadences:
