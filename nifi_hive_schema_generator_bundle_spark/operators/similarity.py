@@ -32,6 +32,7 @@ __all__ = [
     "build_ivf_index",
     "ivf_search",
     "ivf_index_append",
+    "ivf_index_drift_stats",
     "quantized_rerank_topk",
     "pq_topk",
     "build_pq_index",
@@ -374,6 +375,55 @@ def ivf_index_append(
         .parquet(f"{path}/postings")
     )
     return n
+
+
+def ivf_index_drift_stats(spark, path: str) -> DataFrame:
+    """Rebuild-decision instrument for a ``build_ivf_index`` index
+    (the measure-don't-guess companion to ``ivf_index_append``, whose
+    appends drift the true cell means away from the frozen centroids):
+    one row per cell with (cell, n_rows, drift_l2, centroid_l2,
+    drift_ratio_ppm) where drift_l2 = ‖mean(postings in cell) −
+    centroid‖₂ and drift_ratio_ppm = ⌊drift_l2 / centroid_l2 · 10⁶⌋.
+    Freshly built indexes read near-zero drift (the centroid IS the
+    Lloyd mean of its fit sample); rising max drift_ratio or growing
+    cell imbalance (max/min n_rows) says probe recall is decaying and
+    a rebuild is due.
+
+    Scale: one postings scan; the per-component mean is a posexplode
+    to (cell, i, x) reduced by map-side partial aggregation to
+    |cells|·dim rows — dimension-bounded, never corpus-bounded — then
+    joined against the |cells|·dim centroid components. Pure JVM."""
+    cent = (
+        spark.read.parquet(f"{path}/centroids")
+        .select("cell", F.posexplode("centroid").alias("i", "cx"))
+    )
+    post = spark.read.parquet(f"{path}/postings")
+    comp = (
+        post.select("cell", F.posexplode("c_vec").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.avg("x").alias("mx"), F.count(F.lit(1)).alias("n"))
+    )
+    per_cell = (
+        comp.join(cent, ["cell", "i"])
+        .groupBy("cell")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.sqrt(F.sum((F.col("mx") - F.col("cx")) ** 2)).alias(
+                "drift_l2"
+            ),
+            F.sqrt(F.sum(F.col("cx") ** 2)).alias("centroid_l2"),
+        )
+    )
+    return per_cell.select(
+        "cell",
+        "n_rows",
+        F.round("drift_l2", 6).alias("drift_l2"),
+        F.round("centroid_l2", 6).alias("centroid_l2"),
+        F.floor(
+            F.col("drift_l2") / F.greatest(F.col("centroid_l2"), F.lit(1e-12))
+            * F.lit(1_000_000)
+        ).cast("long").alias("drift_ratio_ppm"),
+    ).orderBy("cell")
 
 
 def ivf_search(

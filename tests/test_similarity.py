@@ -702,3 +702,39 @@ class TestRandomProjection:
             random_projection("v", in_dims=4, out_dims=3).alias("p")
         ).collect()[0]["p"]
         assert out == [None, None, None]
+
+
+class TestIvfIndexDriftStats:
+    def test_fresh_low_appended_shift_raises_drift(self, spark, sf_smoke_dir, tmp_path):
+        """A fresh index reads small drift (centroids ARE fit means);
+        appending a constant-shifted copy of the corpus moves every
+        cell's posting mean, so max drift_ratio_ppm must rise — the
+        rebuild trigger ivf_index_append's docstring promises."""
+        from nifi_hive_schema_generator_bundle_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_index_append,
+            ivf_index_drift_stats,
+        )
+
+        emb = spark.read.parquet(
+            os.path.join(sf_smoke_dir, "embeddings.parquet")
+        )
+        path = str(tmp_path / "ivf")
+        build_ivf_index(emb, path, n_centroids=8, fit_sample=10_000)
+        fresh = ivf_index_drift_stats(spark, path).collect()
+        assert {r.cell for r in fresh} == set(range(8))
+        assert sum(r.n_rows for r in fresh) == emb.count()
+        fresh_max = max(r.drift_ratio_ppm for r in fresh)
+
+        shifted = emb.select(
+            (F.col("vec_id") + 10_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.3)).alias(
+                "embedding"
+            ),
+        )
+        ivf_index_append(spark, path, shifted)
+        after = ivf_index_drift_stats(spark, path).collect()
+        assert sum(r.n_rows for r in after) == 2 * emb.count()
+        after_max = max(r.drift_ratio_ppm for r in after)
+        assert after_max > fresh_max
+        assert after_max > 50_000  # the 0.3-shift is a >5% drift somewhere
