@@ -138,8 +138,13 @@ def association_rules(
         .orderBy(F.desc("support_n"), F.desc("lift_ppm"), "item_a", "item_b")
         .limit(top_k)
     ).persist()
-    rules.count()
-    it.unpersist()
+    try:
+        rules.count()
+    finally:
+        # release the big capped-items cache even if materializing the
+        # tiny result fails mid-action (executor loss/OOM) — the whole
+        # point of this lifecycle is not holding the full relation
+        it.unpersist()
     return rules
 
 

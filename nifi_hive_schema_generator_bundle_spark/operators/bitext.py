@@ -288,8 +288,9 @@ def lsh_bitext_candidates(
     they were retrieved (at 2 bands × 16 bits the planted-pair sweep
     measured candidate recall 0.52 but mined recall 0.10 for exactly
     this reason). Size bands so expected per-id candidate count stays
-    comfortably above k; 8×8 on the 0.97-cosine fixture gave 99.9%
-    mined recall at 3.6% of all-pairs volume."""
+    comfortably above k — ``candidate_neighborhood_stats`` measures
+    exactly this; 8×8 on the 0.975-cosine fixture gave 99.7% mined
+    recall at 3.6% of all-pairs volume."""
     if dim is None:
         first = src.select(F.size(vec_col).alias("n")).limit(1).collect()
         dim = int(first[0]["n"]) if first else 0
@@ -351,23 +352,38 @@ def candidate_neighborhood_stats(
     tgt_counts = candidates.groupBy("tgt_id").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # coalesce everything: an EMPTY candidate set is the unhealthiest
+    # banding there is and must read as fully starved (ppm 10^6, zero
+    # counts), never as NULLs a health-check script would misread
     s = src_counts.agg(
         F.count(F.lit(1)).alias("n_src"),
-        F.sum("c").alias("n_pairs"),
-        F.min("c").alias("min_per_src"),
-        F.sum(F.when(F.col("c") < k, 1).otherwise(0)).alias("starved"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_pairs"),
+        F.coalesce(F.min("c"), F.lit(0)).alias("min_per_src"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") < k, 1).otherwise(0)), F.lit(0)
+        ).alias("starved"),
     )
     t = tgt_counts.agg(
         F.count(F.lit(1)).alias("n_tgt"),
-        F.sum(F.when(F.col("c") < k, 1).otherwise(0)).alias("starved_t"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") < k, 1).otherwise(0)), F.lit(0)
+        ).alias("starved_t"),
     )
     ppm = 1_000_000
     return s.crossJoin(t).select(
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.col("n_src").cast("long").alias("n_src"),
         F.col("n_tgt").cast("long").alias("n_tgt"),
-        F.round(F.col("n_pairs") / F.col("n_src"), 2).alias("avg_per_src"),
+        F.round(
+            F.col("n_pairs") / F.greatest(F.col("n_src"), F.lit(1)), 2
+        ).alias("avg_per_src"),
         F.col("min_per_src").cast("long").alias("min_per_src"),
-        F.expr(f"starved * {ppm} div n_src").alias("starved_src_ppm"),
-        F.expr(f"starved_t * {ppm} div n_tgt").alias("starved_tgt_ppm"),
+        F.when(F.col("n_src") > 0, F.expr(f"starved * {ppm} div n_src"))
+        .otherwise(F.lit(ppm))
+        .cast("long")
+        .alias("starved_src_ppm"),
+        F.when(F.col("n_tgt") > 0, F.expr(f"starved_t * {ppm} div n_tgt"))
+        .otherwise(F.lit(ppm))
+        .cast("long")
+        .alias("starved_tgt_ppm"),
     )

@@ -403,14 +403,17 @@ def ivf_index_drift_stats(spark, path: str) -> DataFrame:
         .groupBy("cell", "i")
         .agg(F.avg("x").alias("mx"), F.count(F.lit(1)).alias("n"))
     )
+    # LEFT join from the centroid side: a dead cell (zero postings —
+    # Lloyd fits leave them routinely) must surface as n_rows=0 /
+    # drift 0, not vanish from the report; it is the worst imbalance
     per_cell = (
-        comp.join(cent, ["cell", "i"])
+        cent.join(comp, ["cell", "i"], "left")
         .groupBy("cell")
         .agg(
-            F.max("n").cast("long").alias("n_rows"),
-            F.sqrt(F.sum((F.col("mx") - F.col("cx")) ** 2)).alias(
-                "drift_l2"
-            ),
+            F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("n_rows"),
+            F.sqrt(
+                F.sum((F.coalesce(F.col("mx"), F.col("cx")) - F.col("cx")) ** 2)
+            ).alias("drift_l2"),
             F.sqrt(F.sum(F.col("cx") ** 2)).alias("centroid_l2"),
         )
     )

@@ -47,7 +47,11 @@ def get_oracle_sql() -> dict[str, str]:
     rows-only gate (missing fixture); a generator RAISING is a bug in
     the twin and propagates loudly."""
     for name in list(_LAZY_ORACLES):
-        sql = _LAZY_ORACLES.pop(name)()
+        # call BEFORE popping: a raising generator must stay registered
+        # so every later call re-raises instead of silently demoting the
+        # entry to rows-only
+        sql = _LAZY_ORACLES[name]()
+        del _LAZY_ORACLES[name]
         if sql is not None:
             ORACLE_SQL[name] = sql
     return ORACLE_SQL

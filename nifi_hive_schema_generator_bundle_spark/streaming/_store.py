@@ -99,9 +99,13 @@ def _write_marker(spark, store_dir: str, payload: dict) -> None:
         out.write(bytearray(json.dumps(payload).encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs.rename(tmp, final)
+    # Hadoop rename/delete signal several failure modes by returning
+    # false rather than raising; an unpublished marker would reopen the
+    # crash window the protocol exists to close, so fail loudly here
+    if fs.exists(final) and not fs.delete(final, False):
+        raise OSError(f"could not replace fold-commit marker {final}")
+    if not fs.rename(tmp, final):
+        raise OSError(f"could not publish fold-commit marker {final}")
 
 
 def read_fold_marker(spark, store_dir: str) -> dict | None:
@@ -152,6 +156,25 @@ def finish_pending_fold(spark, store_dir: str) -> bool:
     fs_delete(spark, _marker_path(store_dir))
     fs_delete(spark, tmp)
     return True
+
+
+def read_store(spark, store_dir: str) -> DataFrame | None:
+    """Heal-then-read for batch-partitioned stores (the shared helper
+    every stream module aliases as ``_read_store``): complete any
+    crashed compaction BEFORE binding the file listing — a readout
+    between a fold's overwrite and its deletes would double-count the
+    stale pre-cut partitions — then read the store. Returns None only
+    when the store doesn't exist yet (first batch); any other analysis
+    error surfaces."""
+    from pyspark.errors import AnalysisException
+
+    finish_pending_fold(spark, store_dir)
+    try:
+        return spark.read.parquet(store_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return None
 
 
 def durable_fold(

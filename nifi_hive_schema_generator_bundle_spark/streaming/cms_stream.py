@@ -23,14 +23,18 @@ width) after — never O(distinct keys).
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.sketches import cms_build, cms_lookup
 from ..sources.formats import overwrite_partitions
-from ._store import durable_fold, finish_pending_fold, store_max_batch_id
+from ._store import (
+    durable_fold,
+    finish_pending_fold,
+    read_store,
+    store_max_batch_id,
+)
 
 __all__ = [
     "cms_batch_update",
@@ -41,17 +45,8 @@ __all__ = [
 ]
 
 
-def _read_store(spark, store_dir: str) -> DataFrame | None:
-    # complete any crashed compaction BEFORE binding the file listing —
-    # otherwise a readout between a fold's overwrite and its deletes
-    # would double-count the stale pre-cut partitions
-    finish_pending_fold(spark, store_dir)
-    try:
-        return spark.read.parquet(store_dir)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
-        return None
+# heal-then-read shared by every store module (hoisted round 7)
+_read_store = read_store
 
 
 def cms_batch_update(

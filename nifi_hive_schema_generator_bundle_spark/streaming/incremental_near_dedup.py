@@ -36,7 +36,6 @@ growth is linear in survivors; fold small per-batch partitions with
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -49,7 +48,12 @@ from ..operators.dedup import (
     signature_agreement,
 )
 from ..sources.formats import overwrite_partitions
-from ._store import durable_fold, finish_pending_fold, store_max_batch_id
+from ._store import (
+    durable_fold,
+    finish_pending_fold,
+    read_store,
+    store_max_batch_id,
+)
 
 __all__ = [
     "compact_near_dedup_store",
@@ -58,19 +62,8 @@ __all__ = [
 ]
 
 
-def _read_store(spark, path: str) -> DataFrame | None:
-    # complete any crashed compaction BEFORE binding the file listing —
-    # a readout between a fold's overwrite and its deletes would see
-    # every folded band/signature row twice (see _store.durable_fold)
-    finish_pending_fold(spark, path)
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        # ONLY a missing store means "first batch" — any other analysis
-        # error (wrong path, schema-less dir) must surface
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
-        return None
+# heal-then-read shared by every store module (hoisted round 7)
+_read_store = read_store
 
 
 def near_dedup_batch_against_store(
@@ -231,8 +224,7 @@ def compact_near_dedup_store(
     counts = []
     for sub in ("bands", "sigs"):
         path = f"{store_dir}/{sub}"
-        finish_pending_fold(spark, path)
-        store = _read_store(spark, path)
+        store = _read_store(spark, path)  # heals any pending fold itself
         if store is None:
             counts.append(0)
             continue

@@ -58,12 +58,16 @@ def main() -> None:
     )
     n_src = src.count()
     # deterministic per-(id, component) hash noise in [-noise, +noise]:
-    # the planted translation — same direction plus bounded jitter
+    # the planted translation — same direction plus bounded jitter.
+    # pmod, not %: Spark's % keeps the dividend's sign, which would
+    # skew the jitter to [-3·noise, +noise] and mislabel the fixture
     jitter = F.transform(
         F.col("embedding"),
         lambda x, i: x
         + (
-            (F.xxhash64(F.col("vec_id"), i) % 10_000).cast("double")
+            F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(10_000)).cast(
+                "double"
+            )
             / 10_000.0
             - 0.5
         )

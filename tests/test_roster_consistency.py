@@ -170,7 +170,7 @@ def test_driver_priority_decomposition():
     assert not unknown, f"roster names missing from registry: {unknown}"
 
     hashed = set()
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         for k, v in json.load(open(f)).items():
             if isinstance(v, dict) and v.get("hash_match"):
                 hashed.add(k)
