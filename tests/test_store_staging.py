@@ -265,3 +265,42 @@ def test_finish_pending_fold_refuses_missing_staged_dir(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="missing"):
         finish_pending_fold(spark, store)
+
+
+def test_heal_converges_from_partial_delete_crash(spark, tmp_path):
+    """The last un-simulated crash state: marker present, overwrite
+    done, SOME stale partitions already deleted. Heal must finish the
+    remaining deletes idempotently and land on the durable_fold end
+    state."""
+    from nifi_hive_schema_generator_bundle_spark.streaming._store import (
+        _write_marker,
+        finish_pending_fold,
+        read_fold_marker,
+    )
+
+    store = str(tmp_path / "store")
+    _mk_store(spark, store, n_batches=4)
+    tmp = store + _TMP_SUFFIX
+    folded = (
+        spark.read.parquet(store)
+        .filter(F.col("batch_id") < 3)
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("batch_id", F.lit(2))
+    )
+    folded.write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    _write_marker(
+        spark,
+        store,
+        {"staged": tmp, "partition_col": "batch_id", "stale_ids": [0, 1]},
+    )
+    overwrite_partitions(staged, store, ["batch_id"], fmt="parquet")
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(store, "batch_id=0"))  # crash mid-deletes
+    assert finish_pending_fold(spark, store) is True
+    assert read_fold_marker(spark, store) is None
+    assert not os.path.exists(os.path.join(store, "batch_id=1"))
+    total = spark.read.parquet(store).agg(F.sum("cnt")).collect()[0][0]
+    assert total == sum(10 * b + i for b in range(4) for i in range(4))
