@@ -53,9 +53,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # pins against the registry and the cumulative CORRECTNESS_r0*.json
 # hash ledger, so the counts cannot drift).
 #
-# Round 7 = 6 changed-or-new + 2 canaries + 42 never-driver-hashed.
+# Round 7 = 7 changed-or-new + 2 canaries + 41 never-driver-hashed.
 # After r7, the only oracle-backed entries never driver-hashed are the
-# 9 in R7_DEFERRED, each carrying an already-driver-verified structural
+# 10 in R7_DEFERRED, each carrying an already-driver-verified structural
 # sibling; they are first in line for round 8.
 
 # --- changed-or-new code this round: must (re)verify ---
@@ -66,6 +66,7 @@ R7_CHANGED = [
     "doc_incremental_near_dedup_compacted",  # NEW: fold-marker compaction
     "lineitem_ddsketch_incremental",  # store reads now heal pending folds
     "doc_incremental_span_stats",  # NEW: cross-run gram-count store
+    "embedding_incremental_dedup",  # NEW: cross-run embedding dedup store
 ]
 
 # --- canary overlap with every prior round (core inference + scan-agg
@@ -75,7 +76,7 @@ R7_CANARIES = [
     "q1_pricing_summary",
 ]
 
-# --- 42 never-driver-hashed oracle-backed entries (the q7/q11/q12/q15/
+# --- 41 never-driver-hashed oracle-backed entries (the q7/q11/q12/q15/
 # q16/q20 families and window/sampler/set-op/text siblings) ---
 R7_NEVER_VERIFIED = [
     "doc_bpe_token_count",
@@ -117,7 +118,6 @@ R7_NEVER_VERIFIED = [
     "events_value_winsorized",
     "doc_blocklist_filter",
     "documents_fingerprint",
-    "doc_token_fertility",
     "corpus_top_ngrams",
     "doc_grouped_split",
 ]
@@ -135,6 +135,7 @@ R7_DEFERRED = [
     "doc_sentences",              # ~ doc_sentence_dedup (sentence-split kernel, r6)
     "doc_epoch_upsample",         # ~ doc_weighted_sample (hash-sampler family, r7)
     "events_value_histogram",     # ~ events_value_bands (floor-tiled bucketing, r6)
+    "doc_token_fertility",        # ~ doc_bpe_token_count (BPE kernel, r7) + doc_unigram_fertility (fertility readout, r6)
 ]
 
 DRIVER_PRIORITY = R7_CHANGED + R7_CANARIES + R7_NEVER_VERIFIED

@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "events_isotonic_calibration",
     "doc_incremental_near_dedup",
     "doc_incremental_span_stats",
+    "embedding_incremental_dedup",
     "doc_pii_audit",
     "dedup_lsh_recall_eval",
     "embedding_bitext_mine",

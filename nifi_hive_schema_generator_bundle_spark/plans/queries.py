@@ -766,14 +766,15 @@ def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incnd_oracle_sql(n_batches: int, thr: float = 0.5) -> str:
-    """Generalized DuckDB twin of the incremental near-dedup replay for
-    any batch count (the 3-batch literal above, parameterized): per-batch
-    within-batch LSH dedup via recursive-CTE connected components +
-    keep-min, then each batch's keepers drop on any est ≥ thr edge to a
-    SURVIVING earlier-batch doc. Store compaction on the engine side must
-    be invisible here — history is a set, and folding batch partitions
-    renumbers ids without changing membership."""
+def _cross_batch_survivor_sql(
+    n_batches: int, thr: float, members: str
+) -> tuple[str, str]:
+    """Shared CTE generator for the incremental-dedup replay oracles:
+    given an ``est`` CTE of (id_a, id_b, batch_a, batch_b, e) banded
+    pairs and a ``members`` CTE of (doc_id, batch), emits per-batch
+    within-batch connected-components keep-min blocks plus the
+    cross-batch survivor chain (a keeper drops on any est ≥ thr edge
+    to a SURVIVING earlier-batch member). Returns (blocks, final)."""
     blocks = []
     for b in range(n_batches):
         blocks.append(f""", e{b} AS (
@@ -785,7 +786,7 @@ def _incnd_oracle_sql(n_batches: int, thr: float = 0.5) -> str:
         SELECT a, b FROM e{b}
         UNION SELECT r.n, e.b FROM r{b} r JOIN e{b} e ON r.m = e.a
     ), kept{b} AS (
-        SELECT doc_id FROM sigs WHERE batch = {b} AND doc_id NOT IN
+        SELECT doc_id FROM {members} WHERE batch = {b} AND doc_id NOT IN
             (SELECT n FROM r{b} GROUP BY n HAVING min(m) < n)
     )""")
     surv = [", surv0 AS (\n        SELECT doc_id FROM kept0\n    )"]
@@ -813,6 +814,18 @@ def _incnd_oracle_sql(n_batches: int, thr: float = 0.5) -> str:
         else f"SELECT doc_id, {b} FROM surv{b}"
         for b in range(n_batches)
     )
+    return "".join(blocks) + "".join(surv), final
+
+
+def _incnd_oracle_sql(n_batches: int, thr: float = 0.5) -> str:
+    """Generalized DuckDB twin of the incremental near-dedup replay for
+    any batch count (the 3-batch literal above, parameterized): per-batch
+    within-batch LSH dedup via recursive-CTE connected components +
+    keep-min, then each batch's keepers drop on any est ≥ thr edge to a
+    SURVIVING earlier-batch doc. Store compaction on the engine side must
+    be invisible here — history is a set, and folding batch partitions
+    renumbers ids without changing membership."""
+    ctes, final = _cross_batch_survivor_sql(n_batches, thr, "sigs")
     return rf"""
     WITH RECURSIVE toks AS (
         SELECT doc_id,
@@ -857,7 +870,7 @@ def _incnd_oracle_sql(n_batches: int, thr: float = 0.5) -> str:
         ) c
         JOIN sigs sa ON sa.doc_id = c.id_a
         JOIN sigs sb ON sb.doc_id = c.id_b
-    ){''.join(blocks)}{''.join(surv)}
+    ){ctes}
     {final}
     ORDER BY doc_id
     """
@@ -914,6 +927,128 @@ def doc_incremental_near_dedup_compacted(
             "doc_id", F.col("ingest_batch").cast("int").alias("ingest_batch")
         )
         .orderBy("doc_id")
+    )
+
+
+def _inc_embdedup_oracle_sql(n_batches: int = 4, thr: float = 0.3) -> str:
+    """DuckDB twin of the incremental EMBEDDING dedup replay: the
+    Rademacher planes are data-independent md5 literals (the
+    `_bitext_ann_oracle` construction), so the SQL replays band-bucket
+    candidate generation, exact quantized-cosine verification, the
+    within-batch connected-components keep-min, and the cross-batch
+    survivor chain — bit-for-bit, with store compaction on the engine
+    side necessarily invisible (set stores, renumbered batch ids)."""
+    from ..operators.bitext import rademacher_planes
+
+    planes = rademacher_planes(8, 64)
+
+    def bit(p: int) -> str:
+        lst = "[" + ",".join(str(x) for x in planes[p]) + "]"
+        return (
+            "(CASE WHEN list_sum(list_transform(generate_series(1, 64),"
+            f" i -> ({lst})[i] * qv[i])) >= 0 THEN 1 ELSE 0 END)"
+        )
+
+    b0 = " + ".join(f"{2**j} * {bit(j)}" for j in range(4))
+    b1 = " + ".join(f"{2**j} * {bit(4 + j)}" for j in range(4))
+    ctes, final = _cross_batch_survivor_sql(n_batches, thr, "members")
+    return f"""
+    WITH RECURSIVE vecs AS (
+        SELECT vec_id, CAST(vec_id % {n_batches} AS INT) AS batch,
+               embedding::DOUBLE[] AS v,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1e6) AS BIGINT)) AS qv,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(floor((CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)) * 1e8) AS BIGINT)))
+                   AS qn
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ), members AS (
+        SELECT vec_id AS doc_id, batch FROM vecs
+    ), bandx AS (
+        SELECT vec_id AS doc_id, batch, 0 AS band, {b0} AS bucket FROM vecs
+        UNION ALL
+        SELECT vec_id, batch, 1, {b1} FROM vecs
+    ), est AS (
+        SELECT c.id_a, c.id_b, c.batch_a, c.batch_b,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(floor((va.v[i] * vb.v[i]) * 1e8) AS BIGINT)))
+                   AS DOUBLE)
+               / sqrt(CAST(va.qn AS DOUBLE) * CAST(vb.qn AS DOUBLE)) AS e
+        FROM (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                   x.batch AS batch_a, y.batch AS batch_b
+            FROM bandx x JOIN bandx y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id
+        ) c
+        JOIN vecs va ON va.vec_id = c.id_a
+        JOIN vecs vb ON vb.vec_id = c.id_b
+    ){ctes}
+    SELECT doc_id AS vec_id, ingest_batch FROM (
+    {final}
+    ) ORDER BY vec_id
+    """
+
+
+@register_query(
+    "embedding_incremental_dedup",
+    oracle=_inc_embdedup_oracle_sql(),
+)
+def embedding_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-run EMBEDDING near-dedup, batch-replayed
+    (streaming/incremental_embedding_dedup — NEW round 7): vectors
+    arrive as 4 batches (vec_id % 4); each batch near-dedups within
+    itself (pinned-Rademacher cosine-LSH candidates → exact quantized
+    cosine ≥ θ → CC keep-min), then checks its survivors' band keys
+    against the persistent band store of strictly-earlier batches and
+    drops vectors whose exact cosine with ANY stored survivor reaches
+    θ; survivors append to the corpus and both stores. A mid-run
+    compaction folds both stores through the durable_fold commit-marker
+    protocol before the final batch ingests — the oracle has no notion
+    of compaction, so hash-green certifies the fold is invisible. This
+    is streaming semantic dedup without a per-run k-means fit (whose
+    centroids would drift across runs): pinned planes keep history
+    band keys valid forever. θ = 0.3 on the random synthetic
+    embeddings yields a real mix of within-batch and cross-batch
+    drops. Returns (vec_id, ingest_batch) for every vector kept."""
+    import tempfile
+
+    from ..streaming.incremental_embedding_dedup import (
+        compact_embedding_dedup_store,
+        embedding_dedup_batch_against_store,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    work = tempfile.mkdtemp(prefix="incemb_gate_")
+    for b in range(4):
+        if b == 3:
+            # fold batches {0,1} into partition 1; batch 3's history
+            # reads come entirely from the folded partitions
+            n_bands, n_vecs = compact_embedding_dedup_store(
+                spark, f"{work}/store"
+            )
+            assert n_bands > 0 and n_vecs > 0, "compaction must fold"
+        embedding_dedup_batch_against_store(
+            emb.filter(F.col("vec_id") % 4 == b),
+            b,
+            store_dir=f"{work}/store",
+            out_dir=f"{work}/corpus",
+            threshold=0.3,
+            n_planes=8,
+            band_bits=4,
+            dim=64,
+            max_bucket=10**9,
+        )
+    return (
+        spark.read.parquet(f"{work}/corpus")
+        .select(
+            "vec_id", F.col("ingest_batch").cast("int").alias("ingest_batch")
+        )
+        .orderBy("vec_id")
     )
 
 
