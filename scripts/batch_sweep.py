@@ -17,6 +17,7 @@ count at the end. Families:
 - histogram — streaming/quantile_stream (bucket count-sum store)
 - neardup   — streaming/incremental_near_dedup (band + sig stores)
 - spanstats — streaming/span_stream (gram-hash count-sum store, r7)
+- embdedup  — streaming/incremental_embedding_dedup (band + vec stores, r7)
 
 Usage: python scripts/batch_sweep.py [--quick]
   --quick: 3/10 batches only (CI smoke); default 3/10/30.
@@ -60,6 +61,9 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
         span_gram_batch_update,
         span_store_coverage,
     )
+    from nifi_hive_schema_generator_bundle_spark.streaming.incremental_embedding_dedup import (
+        embedding_dedup_batch_against_store,
+    )
 
     root = tempfile.mkdtemp(prefix=f"bsweep_{family}_")
     store = os.path.join(root, "store")
@@ -93,6 +97,18 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
                 )
                 batch = docs.filter(F.col("doc_id") % n_batches == b)
                 span_gram_batch_update(batch, b, store_dir=store, k=5)
+            elif family == "embdedup":
+                emb = spark.read.parquet(
+                    os.path.join(SF_DIR, "embeddings.parquet")
+                ).filter(
+                    F.col("embedding").isNotNull()
+                    & (F.size("embedding") == 64)
+                )
+                batch = emb.filter(F.col("vec_id") % n_batches == b)
+                embedding_dedup_batch_against_store(
+                    batch, b, store_dir=store, out_dir=out,
+                    threshold=0.3, dim=64,
+                )
             else:
                 docs = spark.read.parquet(
                     os.path.join(SF_DIR, "documents.parquet")
@@ -130,13 +146,17 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
             n_rows = span_store_coverage(
                 spark, store, docs, k=5, min_docs=2
             ).count()
+        elif family == "embdedup":
+            n_rows = spark.read.parquet(out).count()
         else:
             n_rows = spark.read.parquet(out).count()
         readout_s = time.perf_counter() - t0
 
-        store_for_parts = (
-            os.path.join(store, "sigs") if family == "neardup" else store
-        )
+        store_for_parts = store
+        if family == "neardup":
+            store_for_parts = os.path.join(store, "sigs")
+        elif family == "embdedup":
+            store_for_parts = os.path.join(store, "vecs")
         parts = (
             len([d for d in os.listdir(store_for_parts)
                  if d.startswith("batch_id=")])
@@ -173,9 +193,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
-    for family in wanted or ("hll", "histogram", "spanstats", "neardup"):
+    for family in wanted or ("hll", "histogram", "spanstats", "embdedup", "neardup"):
         for nb in counts:
-            cadences = [0] if family == "neardup" or nb < 30 else [0, 10]
+            cadences = (
+                [0]
+                if family in ("neardup", "embdedup") or nb < 30
+                else [0, 10]
+            )
             for cad in cadences:
                 r = sweep_family(spark, family, nb, cad)
                 rows.append(r)
