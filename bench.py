@@ -203,7 +203,11 @@ BENCH_QUERIES = [
     "events_isotonic_calibration",
     "doc_incremental_near_dedup",
     "doc_incremental_span_stats",
-    "embedding_incremental_dedup",
+    # embedding_incremental_dedup is gate-only: its 4-batch replay runs
+    # deliberately LOOSE banding/threshold so the oracle sees real drops
+    # (69 s of toy-parameter orchestration at sf0.1, not a scale
+    # signal); the family's scaling is measured in SCALE.md's dedicated
+    # batch-count sweep instead
     "doc_pii_audit",
     "dedup_lsh_recall_eval",
     "embedding_bitext_mine",
