@@ -140,11 +140,21 @@ def association_rules(
     ).persist()
     try:
         rules.count()
+    except Exception:
+        # failed materialization: nothing useful is cached — drop BOTH
+        # persists (ADVICE r7: leaving `rules` registered on the error
+        # path leaked a persist that no caller could ever release)
+        rules.unpersist()
+        raise
     finally:
         # release the big capped-items cache even if materializing the
         # tiny result fails mid-action (executor loss/OOM) — the whole
         # point of this lifecycle is not holding the full relation
         it.unpersist()
+    # cache ownership: the returned frame IS persisted (≤ top_k rows —
+    # the cache is what detaches it from the released capped-items
+    # frame); the caller owns it and may .unpersist() when done, though
+    # at ≤ top_k rows the storage cost is negligible
     return rules
 
 

@@ -331,7 +331,12 @@ def mine_bitext_pairs(
 
 
 def candidate_neighborhood_stats(
-    candidates: DataFrame, *, k: int = 4
+    candidates: DataFrame,
+    *,
+    k: int = 4,
+    src: DataFrame | None = None,
+    tgt: DataFrame | None = None,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """One-row banding health check for an ANN candidate set — run this
     BEFORE a full mining pass (the measure-don't-guess instrument for
@@ -344,14 +349,36 @@ def candidate_neighborhood_stats(
     is the integer parts-per-million of that side's ids with < ``k``
     candidates. Healthy banding: starved ppm near zero and avg_per_src
     comfortably above ``k``; fix by adding bands (recall, occupancy)
-    before widening bits. Cost: two count-aggregations over the
-    candidate pairs — (id, count) shuffles only."""
+    before widening bits.
+
+    Pass the CORPUS frames as ``src``/``tgt`` (id column ``id_col``)
+    whenever they are at hand: ids that retrieved ZERO candidates —
+    the worst banding failure this instrument exists to catch — do not
+    appear in ``candidates`` at all, so without the corpus frames they
+    are invisible and starvation is systematically UNDER-reported
+    (ADVICE r7 #2: a banding so selective that half the corpus
+    retrieves nothing would still read starved_ppm ≈ 0). With the
+    frames, each side's id universe left-joins the per-id counts and
+    zero-candidate ids count as starved (and drive ``min_per_src`` to
+    0). Cost: two count-aggregations over the candidate pairs —
+    (id, count) shuffles only — plus, per corpus frame passed, one
+    distinct over its id column."""
     src_counts = candidates.groupBy("src_id").agg(
         F.count(F.lit(1)).alias("c")
     )
     tgt_counts = candidates.groupBy("tgt_id").agg(
         F.count(F.lit(1)).alias("c")
     )
+    if src is not None:
+        universe = src.select(F.col(id_col).alias("src_id")).distinct()
+        src_counts = universe.join(src_counts, "src_id", "left").select(
+            "src_id", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    if tgt is not None:
+        universe = tgt.select(F.col(id_col).alias("tgt_id")).distinct()
+        tgt_counts = universe.join(tgt_counts, "tgt_id", "left").select(
+            "tgt_id", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
     # coalesce everything: an EMPTY candidate set is the unhealthiest
     # banding there is and must read as fully starved (ppm 10^6, zero
     # counts), never as NULLs a health-check script would misread

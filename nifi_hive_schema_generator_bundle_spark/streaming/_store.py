@@ -37,6 +37,27 @@ anywhere up to marker removal → next reader/compactor replays the
 fold to completion before reading. After marker removal → only the
 temp dir may linger; clobbered.
 
+Concurrency (ADVICE r7): healing is EXCLUSIVE. A healer first CLAIMS
+the marker by atomically renaming it to a unique
+``_fold_commit.claimed.<token>.json`` name; only the process whose
+rename succeeded replays the fold (and removes the staged dir), while
+losers wait for every marker to disappear before binding the store's
+listing — so two concurrent readers can never replay the same fold,
+double-write the ``fold_to`` partition, or delete the staged dir out
+from under each other's overwrite job. A claimed marker that survives
+(healer crashed mid-replay) is itself claimable — the replay is
+idempotent, so the next claimer finishes it. Rename is atomic on HDFS
+and local FS; on S3A it degrades to copy+delete of one ~100-byte
+object and the single-compactor deployment note below applies.
+WRITERS are still single-process per store by contract (the monotonic
+batch_id guard assumes one streaming query; run ONE compactor per
+store) — the claim protocol protects the read/heal path, not
+concurrent ``durable_fold`` calls. Genuinely read-only consumers
+(analytics jobs without write permission on the store) should call
+``read_store(..., heal=False)``: it never mutates the store, serving
+a consistent post-fold VIEW (store minus stale/folded partitions,
+plus the staged rows) when a marker is pending.
+
 All filesystem mutations go through the Hadoop FS API (``fs_delete``,
 marker create/rename), not ``shutil`` — correct on any scheme the job
 can write (local, HDFS, s3a), where POSIX calls would silently no-op
@@ -48,6 +69,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..sources.formats import overwrite_partitions
 
@@ -55,6 +77,9 @@ _TMP_SUFFIX = ".__compact_tmp__"
 # leading underscore: Spark's parquet scans and store_max_batch_id's
 # partition listing both ignore it as a non-data file
 _MARKER_NAME = "_fold_commit.json"
+# claimed markers: `_fold_commit.claimed.<token>.json` — exclusive-heal
+# claims (leading underscore: ignored by Spark scans, like the base)
+_CLAIM_PREFIX = "_fold_commit.claimed."
 
 
 def _jpath(spark, path_str: str):
@@ -108,11 +133,10 @@ def _write_marker(spark, store_dir: str, payload: dict) -> None:
         raise OSError(f"could not publish fold-commit marker {final}")
 
 
-def read_fold_marker(spark, store_dir: str) -> dict | None:
-    """The surviving fold-commit marker, or None. A torn/unparseable
-    marker reads as None (see ``_write_marker``)."""
-    fs, _ = _fs(spark, store_dir)
-    p = _jpath(spark, _marker_path(store_dir))
+def _read_json_file(spark, path_str: str) -> dict | None:
+    """Parse a small JSON file via the Hadoop FS API; a missing or
+    torn/unparseable file reads as None (see ``_write_marker``)."""
+    fs, p = _fs(spark, path_str)
     if not fs.exists(p):
         return None
     stream = fs.open(p)
@@ -122,29 +146,111 @@ def read_fold_marker(spark, store_dir: str) -> dict | None:
     finally:
         stream.close()
     try:
-        return json.loads(text)
+        out = json.loads(text)
     except ValueError:
         return None
+    return out if isinstance(out, dict) else None
 
 
-def finish_pending_fold(spark, store_dir: str) -> bool:
-    """Replay a crashed fold to completion from its commit marker.
+def _find_marker_path(spark, store_dir: str) -> str | None:
+    """Path of the surviving fold-commit marker: the unclaimed base
+    marker, else a claimed marker left behind by a crashed healer."""
+    fs, p = _fs(spark, store_dir)
+    if not fs.exists(p):
+        return None
+    base = _marker_path(store_dir)
+    if fs.exists(_jpath(spark, base)):
+        return base
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith(_CLAIM_PREFIX) and name.endswith(".json"):
+            return store_dir.rstrip("/") + "/" + name
+    return None
+
+
+def read_fold_marker(spark, store_dir: str) -> dict | None:
+    """The surviving fold-commit marker (base or crashed-claim), or
+    None. A torn/unparseable marker reads as None."""
+    mp = _find_marker_path(spark, store_dir)
+    return None if mp is None else _read_json_file(spark, mp)
+
+
+def finish_pending_fold(
+    spark, store_dir: str, *, wait_secs: float = 300.0
+) -> bool:
+    """Replay a crashed fold to completion from its commit marker,
+    EXCLUSIVELY (ADVICE r7): the marker is first claimed by an atomic
+    rename to a unique name; only the claim winner replays (overwrite
+    + stale deletes + cleanup), while losers WAIT for the winner's
+    markers to disappear (so they never bind the double-count state,
+    and never delete the staged dir out from under the winner's
+    overwrite job) and raise after ``wait_secs`` if the winner seems
+    stuck. A claimed marker surviving a healer crash is claimable
+    again — the replay is idempotent (the overwrite re-writes the same
+    ``fold_to`` rows; deletes no-op on already-removed partitions).
 
     Every store reader and compactor calls this BEFORE binding the
     store's file listing, so no plan ever observes the
-    overwritten-but-not-yet-deleted state. Idempotent: the overwrite
-    replaces the same ``fold_to`` partition with the same staged rows,
-    and the deletes/no-op on already-removed partitions. Returns True
-    if a pending fold was completed."""
-    m = read_fold_marker(spark, store_dir)
-    if m is None:
-        return False
+    overwritten-but-not-yet-deleted state. Requires write access to
+    the store; genuinely read-only consumers should use
+    ``read_store(..., heal=False)`` instead. Returns True if this
+    process completed a pending fold."""
+    import time
+    import uuid
+
+    fs, _ = _fs(spark, store_dir)
+    deadline = None
+    completed = False
+    while True:
+        mp = _find_marker_path(spark, store_dir)
+        if mp is None:
+            return completed
+        claim = (
+            store_dir.rstrip("/")
+            + "/"
+            + _CLAIM_PREFIX
+            + uuid.uuid4().hex
+            + ".json"
+        )
+        src, dst = _jpath(spark, mp), _jpath(spark, claim)
+        try:
+            won = bool(fs.exists(src) and fs.rename(src, dst))
+        except Exception:  # noqa: BLE001 — lost race / FS hiccup → wait
+            won = False
+        if won:
+            m = _read_json_file(spark, claim)
+            if m is None:
+                # torn marker (S3A partial write): same verdict as the
+                # pre-claim protocol — treat as "no marker"; the stale
+                # window stays open until the next fold overwrites it
+                fs_delete(spark, claim)
+                return completed
+            _replay_fold(spark, store_dir, m, claim)
+            completed = True
+            continue  # re-list: normally no marker remains
+        # lost the claim: another process is replaying — wait it out
+        if deadline is None:
+            deadline = time.monotonic() + wait_secs
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"fold-commit marker at {store_dir} is claimed by "
+                f"another healer that has not finished within "
+                f"{wait_secs}s; inspect the store"
+            )
+        time.sleep(0.2)
+
+
+def _replay_fold(spark, store_dir: str, m: dict, claim_path: str) -> None:
+    """Complete a claimed fold: overwrite from the staged files, delete
+    stale partitions, then release the claim and the staged dir (in
+    that order — claim ⇒ staged files exist)."""
     tmp = m["staged"]
     part_col = m.get("partition_col", "batch_id")
     if not _fs_exists(spark, tmp):
         # marker outlives the staged dir only under out-of-band
         # tampering (the protocol removes the marker first) — refuse
-        # to guess which partitions are authoritative
+        # to guess which partitions are authoritative. The claim stays
+        # behind so every later healer refuses just as loudly.
         raise RuntimeError(
             f"fold-commit marker at {store_dir} references missing "
             f"staged dir {tmp}; store needs manual inspection"
@@ -153,28 +259,59 @@ def finish_pending_fold(spark, store_dir: str) -> bool:
     overwrite_partitions(staged, store_dir, [part_col], fmt="parquet")
     for i in m.get("stale_ids", []):
         fs_delete(spark, f"{store_dir.rstrip('/')}/{part_col}={i}")
-    fs_delete(spark, _marker_path(store_dir))
+    fs_delete(spark, claim_path)
     fs_delete(spark, tmp)
-    return True
 
 
-def read_store(spark, store_dir: str) -> DataFrame | None:
+def read_store(
+    spark, store_dir: str, *, heal: bool = True
+) -> DataFrame | None:
     """Heal-then-read for batch-partitioned stores (the shared helper
     every stream module aliases as ``_read_store``): complete any
     crashed compaction BEFORE binding the file listing — a readout
     between a fold's overwrite and its deletes would double-count the
     stale pre-cut partitions — then read the store. Returns None only
     when the store doesn't exist yet (first batch); any other analysis
-    error surfaces."""
+    error surfaces.
+
+    ``heal=False`` is the READ-ONLY mode (ADVICE r7): no FS mutation
+    ever happens. When a fold-commit marker is pending, the returned
+    frame is the consistent post-fold VIEW — store partitions minus
+    the marker's stale ids minus the partitions the staged fold
+    rewrites, unioned with the staged rows — i.e. exactly what the
+    store will contain once some writer heals it."""
     from pyspark.errors import AnalysisException
 
-    finish_pending_fold(spark, store_dir)
+    if heal:
+        finish_pending_fold(spark, store_dir)
+        m = None
+    else:
+        m = read_fold_marker(spark, store_dir)
     try:
-        return spark.read.parquet(store_dir)
+        store = spark.read.parquet(store_dir)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" not in str(e):
             raise
         return None
+    if m is None:
+        return store
+    tmp = m["staged"]
+    part_col = m.get("partition_col", "batch_id")
+    if not _fs_exists(spark, tmp):
+        raise RuntimeError(
+            f"fold-commit marker at {store_dir} references missing "
+            f"staged dir {tmp}; store needs manual inspection"
+        )
+    staged = spark.read.parquet(tmp)
+    fold_ids = [
+        r[0] for r in staged.select(part_col).distinct().collect()
+    ]
+    excluded = sorted(
+        {int(i) for i in m.get("stale_ids", [])}
+        | {int(i) for i in fold_ids}
+    )
+    kept = store.filter(~F.col(part_col).isin(excluded))
+    return kept.unionByName(staged.select(kept.columns))
 
 
 def durable_fold(

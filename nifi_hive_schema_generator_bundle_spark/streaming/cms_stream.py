@@ -118,9 +118,12 @@ def run_cms_stream(
     return writer.start()
 
 
-def cms_store_grid(spark, store_dir: str) -> DataFrame:
-    """The whole-history grid: per-cell sum over every batch delta."""
-    store = _read_store(spark, store_dir)
+def cms_store_grid(spark, store_dir: str, *, heal: bool = True) -> DataFrame:
+    """The whole-history grid: per-cell sum over every batch delta.
+    ``heal=False`` makes the readout
+    strictly read-only (no FS mutation; a pending fold is served as
+    the consistent post-fold view — see ``_store.read_store``)."""
+    store = _read_store(spark, store_dir, heal=heal)
     if store is None:
         raise FileNotFoundError(f"no CMS store at {store_dir}")
     return store.groupBy("hash_row", "bucket").agg(F.sum("cnt").alias("cnt"))
@@ -134,10 +137,11 @@ def cms_store_estimate(
     *,
     depth: int = 4,
     width: int = 256,
+    heal: bool = True,
 ) -> DataFrame:
     """``keys`` + ``est_count`` over everything ever accumulated."""
     return cms_lookup(
-        cms_store_grid(spark, store_dir),
+        cms_store_grid(spark, store_dir, heal=heal),
         keys,
         key_col,
         depth=depth,

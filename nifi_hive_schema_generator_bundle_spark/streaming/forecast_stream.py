@@ -117,10 +117,13 @@ def run_count_stream(
     return writer.start()
 
 
-def count_store_daily(spark, store_dir: str) -> DataFrame:
+def count_store_daily(spark, store_dir: str, *, heal: bool = True) -> DataFrame:
     """The whole-history (g, day, cnt) frame: per-day SUM over every
-    delta — exactly the single-pass daily counts of all batches."""
-    store = _read_store(spark, store_dir)
+    delta — exactly the single-pass daily counts of all batches.
+    ``heal=False`` makes the readout
+    strictly read-only (no FS mutation; a pending fold is served as
+    the consistent post-fold view — see ``_store.read_store``)."""
+    store = _read_store(spark, store_dir, heal=heal)
     if store is None:
         raise FileNotFoundError(f"no count store at {store_dir}")
     return store.groupBy("g", "day").agg(
@@ -129,14 +132,14 @@ def count_store_daily(spark, store_dir: str) -> DataFrame:
 
 
 def count_store_forecast(
-    spark, store_dir: str, *, window: int = 8
+    spark, store_dir: str, *, window: int = 8, heal: bool = True
 ) -> DataFrame:
     """The EWMA walk-forward backtest over everything ever accumulated
     (operators/forecast.backtest_from_daily on the merged store)."""
     from ..operators.forecast import backtest_from_daily
 
     return backtest_from_daily(
-        count_store_daily(spark, store_dir), window=window
+        count_store_daily(spark, store_dir, heal=heal), window=window
     )
 
 

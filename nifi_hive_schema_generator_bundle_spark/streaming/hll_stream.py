@@ -116,11 +116,14 @@ def run_hll_stream(
 
 
 def hll_store_registers(
-    spark, store_dir: str, group_cols: list[str]
+    spark, store_dir: str, group_cols: list[str], *, heal: bool = True
 ) -> DataFrame:
     """The whole-history registers: per-register MAX over every delta —
-    EXACTLY the single-pass registers of the union of all batches."""
-    store = _read_store(spark, store_dir)
+    EXACTLY the single-pass registers of the union of all batches.
+    ``heal=False`` makes the readout
+    strictly read-only (no FS mutation; a pending fold is served as
+    the consistent post-fold view — see ``_store.read_store``)."""
+    store = _read_store(spark, store_dir, heal=heal)
     if store is None:
         raise FileNotFoundError(f"no HLL store at {store_dir}")
     return store.groupBy(*group_cols, "register").agg(
@@ -129,11 +132,13 @@ def hll_store_registers(
 
 
 def hll_store_estimate(
-    spark, store_dir: str, group_cols: list[str], *, p: int = 8
+    spark, store_dir: str, group_cols: list[str], *, p: int = 8,
+    heal: bool = True,
 ) -> DataFrame:
     """(group…, est_distinct) over everything ever accumulated."""
     return hll_estimate(
-        hll_store_registers(spark, store_dir, group_cols), group_cols, p=p
+        hll_store_registers(spark, store_dir, group_cols, heal=heal),
+        group_cols, p=p,
     )
 
 

@@ -120,10 +120,13 @@ def run_histogram_stream(
 
 
 def histogram_store(
-    spark, store_dir: str, group_cols: list[str]
+    spark, store_dir: str, group_cols: list[str], *, heal: bool = True
 ) -> DataFrame:
-    """The whole-history histogram: per-bucket sum over every delta."""
-    store = _read_store(spark, store_dir)
+    """The whole-history histogram: per-bucket sum over every delta.
+    ``heal=False`` makes the readout
+    strictly read-only (no FS mutation; a pending fold is served as
+    the consistent post-fold view — see ``_store.read_store``)."""
+    store = _read_store(spark, store_dir, heal=heal)
     if store is None:
         raise FileNotFoundError(f"no histogram store at {store_dir}")
     return store.groupBy(*group_cols, "bucket").agg(
@@ -137,11 +140,12 @@ def histogram_store_quantiles(
     group_cols: list[str],
     boundaries: list[float],
     qs: list[float],
+    heal: bool = True,
 ) -> DataFrame:
     """Quantiles over everything ever accumulated — identical to a
     direct single-pass sketch over the union of all batches."""
     return histogram_quantiles(
-        histogram_store(spark, store_dir, group_cols),
+        histogram_store(spark, store_dir, group_cols, heal=heal),
         group_cols,
         boundaries,
         qs,

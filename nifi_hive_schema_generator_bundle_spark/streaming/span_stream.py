@@ -100,11 +100,14 @@ def span_gram_batch_update(
     return n
 
 
-def span_store_grams(spark, store_dir: str) -> DataFrame:
+def span_store_grams(spark, store_dir: str, *, heal: bool = True) -> DataFrame:
     """Whole-history merged (gh, cnt, ndocs): per-gram sums over every
     batch partial — identical to a single-run aggregation over the
-    union of all ingested documents (additivity; see module doc)."""
-    store = _read_store(spark, store_dir)
+    union of all ingested documents (additivity; see module doc).
+    ``heal=False`` makes the readout
+    strictly read-only (no FS mutation; a pending fold is served as
+    the consistent post-fold view — see ``_store.read_store``)."""
+    store = _read_store(spark, store_dir, heal=heal)
     if store is None:
         raise FileNotFoundError(f"no span-gram store at {store_dir}")
     return store.groupBy("gh").agg(
@@ -123,6 +126,7 @@ def span_store_coverage(
     min_count: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    heal: bool = True,
 ) -> DataFrame:
     """Duplicated-span coverage of ``docs`` against EVERYTHING ever
     ingested: (id, n_tokens, n_dup_grams, dup_tokens, dup_fraction),
@@ -130,8 +134,11 @@ def span_store_coverage(
     cross-doc one (gram seen in ≥ ``min_docs`` distinct documents
     store-wide); pass ``min_count`` to use the corpus-wide occurrence
     predicate (`duplicate_span_stats` semantics) instead. ``k`` must
-    match the store's ingest ``k``."""
-    merged = span_store_grams(spark, store_dir)
+    match the store's ingest ``k``. Pass ``heal=False`` when running
+    without write permission on the store (ADVICE r7): the readout
+    then never mutates the store and a pending compaction fold is
+    served as the consistent post-fold view."""
+    merged = span_store_grams(spark, store_dir, heal=heal)
     if min_count is not None:
         dup = merged.filter(F.col("cnt") >= min_count).select("gh")
     else:

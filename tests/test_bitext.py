@@ -190,3 +190,32 @@ def test_candidate_neighborhood_stats(spark):
     assert r.starved_src_ppm == 500_000  # 1 of 2 srcs below k
     # every tgt has <4 candidates in this toy set
     assert r.starved_tgt_ppm == 1_000_000
+
+
+def test_candidate_neighborhood_stats_counts_zero_candidate_ids(spark):
+    """ADVICE r7 #2: an id that retrieved ZERO candidates never appears
+    in the candidate set, so without the corpus frames it is invisible
+    and starvation under-reports. With src/tgt passed, the id universe
+    comes from the corpus and zero-candidate ids read as starved."""
+    from nifi_hive_schema_generator_bundle_spark.operators.bitext import (
+        candidate_neighborhood_stats,
+    )
+
+    pairs = [("a", f"t{i}") for i in range(5)]
+    cand = spark.createDataFrame(pairs, "src_id string, tgt_id string")
+    # corpus has 4 srcs; b, c, d retrieved nothing at all
+    src = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "vec_id string"
+    )
+    tgt = spark.createDataFrame(
+        [(f"t{i}",) for i in range(10)], "vec_id string"
+    )
+    blind = candidate_neighborhood_stats(cand, k=4).collect()[0]
+    assert blind.n_src == 1 and blind.starved_src_ppm == 0  # the blind spot
+    r = candidate_neighborhood_stats(cand, k=4, src=src, tgt=tgt).collect()[0]
+    assert r.n_src == 4 and r.n_tgt == 10
+    assert r.n_pairs == 5  # zero-rows don't inflate the pair count
+    assert r.min_per_src == 0
+    assert r.starved_src_ppm == 750_000  # 3 of 4 srcs retrieved nothing
+    # 5 tgts got 1 candidate each, 5 got none -> all 10 below k=4
+    assert r.starved_tgt_ppm == 1_000_000

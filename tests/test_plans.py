@@ -412,6 +412,35 @@ def test_no_query_degrades_to_cartesian_or_stray_python(spark, sf_smoke_dir):
             assert not has_py, f"{name} unexpectedly runs Python on the data path"
 
 
+def test_oracle_backed_outputs_are_driver_hashable(spark, sf_smoke_dir):
+    """VERDICT r7 #1: the driver gate's canonicalizer pandas-sorts the
+    result frame, which cannot factorize Array/Map cells —
+    ``user_event_type_sets`` was the registry's one array-typed output
+    column and crashed the r7 gate with ``TypeError: unhashable type:
+    'list'``. Every oracle-backed entry must therefore project only
+    atomic columns (arrays go through ``array_join``/``to_json``
+    first); rows-only entries are exempt (the driver only counts
+    them). Schema-only: analysis, no execution."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from nifi_hive_schema_generator_bundle_spark.plans.queries import (
+        get_oracle_sql,
+    )
+
+    oracle = set(get_oracle_sql())
+    bad = []
+    for name, fn in sorted(QUERIES.items()):
+        if name not in oracle:
+            continue
+        for f in fn(spark, sf_smoke_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, (
+        "oracle-backed entries project driver-unhashable columns "
+        f"(pandas cannot sort them): {bad}"
+    )
+
+
 def test_tfidf_term_join_has_no_forced_broadcast(spark, sf_smoke_dir):
     """The (term, df_t) table is vocabulary-sized — corpus-dependent, so a
     forced broadcast hint is an OOM at 100 TB. Only the 1-row n_docs scalar

@@ -304,3 +304,116 @@ def test_heal_converges_from_partial_delete_crash(spark, tmp_path):
     assert not os.path.exists(os.path.join(store, "batch_id=1"))
     total = spark.read.parquet(store).agg(F.sum("cnt")).collect()[0][0]
     assert total == sum(10 * b + i for b in range(4) for i in range(4))
+
+
+def _staged_crash_state(spark, store, tmp_path, *, after_overwrite):
+    """Build the canonical mid-fold crash state: fold of batches 0-1
+    into batch 1 staged + marker committed (optionally overwrite also
+    done), stale batch 0 NOT yet deleted."""
+    from nifi_hive_schema_generator_bundle_spark.streaming._store import (
+        _write_marker,
+    )
+
+    _mk_store(spark, store)
+    tmp = store + _TMP_SUFFIX
+    folded = (
+        spark.read.parquet(store)
+        .filter(F.col("batch_id") < 2)
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("batch_id", F.lit(1))
+    )
+    folded.write.mode("overwrite").parquet(tmp)
+    _write_marker(
+        spark,
+        store,
+        {"staged": tmp, "partition_col": "batch_id", "stale_ids": [0]},
+    )
+    if after_overwrite:
+        staged = spark.read.parquet(tmp)
+        overwrite_partitions(staged, store, ["batch_id"], fmt="parquet")
+    return tmp
+
+
+def test_crashed_claimed_marker_is_reclaimed_and_replayed(spark, tmp_path):
+    """Exclusive healing (ADVICE r7): a healer that died AFTER claiming
+    the marker (rename to _fold_commit.claimed.<token>.json) but before
+    finishing leaves the claim behind; the next healer must claim THAT
+    marker and finish the fold — the replay is idempotent."""
+    from nifi_hive_schema_generator_bundle_spark.streaming._store import (
+        _CLAIM_PREFIX,
+        finish_pending_fold,
+        read_fold_marker,
+    )
+
+    store = str(tmp_path / "store")
+    tmp = _staged_crash_state(spark, store, tmp_path, after_overwrite=True)
+    # simulate the crashed healer's claim
+    marker = os.path.join(store, "_fold_commit.json")
+    claimed = os.path.join(store, _CLAIM_PREFIX + "deadbeef.json")
+    os.rename(marker, claimed)
+    assert read_fold_marker(spark, store) is not None  # still pending
+    assert finish_pending_fold(spark, store) is True
+    assert read_fold_marker(spark, store) is None
+    assert not os.path.exists(claimed)
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(os.path.join(store, "batch_id=0"))
+    total = spark.read.parquet(store).agg(F.sum("cnt")).collect()[0][0]
+    assert total == sum(10 * b + i for b in range(3) for i in range(4))
+
+
+def test_read_store_heal_false_never_mutates(spark, tmp_path):
+    """The read-only mode (ADVICE r7): with a pending fold in the WORST
+    state (overwrite done, stale partition still present — a raw read
+    double-counts), read_store(heal=False) must return the exact
+    post-fold totals while leaving marker, staged dir, and stale
+    partition untouched."""
+    from nifi_hive_schema_generator_bundle_spark.streaming._store import (
+        read_fold_marker,
+        read_store,
+    )
+
+    store = str(tmp_path / "store")
+    tmp = _staged_crash_state(spark, store, tmp_path, after_overwrite=True)
+    true_total = sum(10 * b + i for b in range(3) for i in range(4))
+    view = read_store(spark, store, heal=False)
+    assert view.agg(F.sum("cnt")).collect()[0][0] == true_total
+    # no FS mutation happened
+    assert read_fold_marker(spark, store) is not None
+    assert os.path.exists(tmp)
+    assert os.path.exists(os.path.join(store, "batch_id=0"))
+    # pre-overwrite crash state serves the same view (fold not yet
+    # applied to the store, staged rows substitute the folded range)
+    store2 = str(tmp_path / "store2")
+    _staged_crash_state(spark, store2, tmp_path, after_overwrite=False)
+    view2 = read_store(spark, store2, heal=False)
+    assert view2.agg(F.sum("cnt")).collect()[0][0] == true_total
+    # and with no marker at all it is a plain read
+    store3 = str(tmp_path / "store3")
+    _mk_store(spark, store3)
+    assert (
+        read_store(spark, store3, heal=False)
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+        == true_total
+    )
+
+
+def test_torn_marker_claim_is_dropped_not_replayed(spark, tmp_path):
+    """A torn (unparseable) marker reads as 'no marker' — the claim
+    protocol must drop it rather than replay garbage, and report no
+    fold completed."""
+    from nifi_hive_schema_generator_bundle_spark.streaming._store import (
+        finish_pending_fold,
+        read_fold_marker,
+    )
+
+    store = str(tmp_path / "store")
+    _mk_store(spark, store)
+    with open(os.path.join(store, "_fold_commit.json"), "w") as f:
+        f.write('{"staged": "/x", "truncat')  # torn S3A-style write
+    assert read_fold_marker(spark, store) is None
+    assert finish_pending_fold(spark, store) is False
+    assert not os.path.exists(os.path.join(store, "_fold_commit.json"))
+    total = spark.read.parquet(store).agg(F.sum("cnt")).collect()[0][0]
+    assert total == sum(10 * b + i for b in range(3) for i in range(4))
