@@ -45,87 +45,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the registry in iteration order and
-# caps at 50 entries (observed: CORRECTNESS_r01-r06 each recorded exactly
+# caps at 50 entries (observed: CORRECTNESS_r01-r07 each recorded exactly
 # the first 50 of the then-current registry). The decomposition below is
 # MACHINE-CHECKED by tests/test_roster_consistency.py::
-# test_driver_priority_decomposition (ADVICE r6: the r6 roster prose
-# drifted from the list; now the sections are named constants the test
-# pins against the registry and the cumulative CORRECTNESS_r0*.json
+# test_driver_priority_decomposition (the sections are named constants the
+# test pins against the registry and the cumulative CORRECTNESS_r0*.json
 # hash ledger, so the counts cannot drift).
 #
-# Round 7 = 7 changed-or-new + 2 canaries + 41 never-driver-hashed.
-# After r7, the only oracle-backed entries never driver-hashed are the
-# 10 in R7_DEFERRED, each carrying an already-driver-verified structural
-# sibling; they are first in line for round 8.
+# Round 8 = 12 changed-or-new + 2 canaries + 10 never-driver-hashed
+# (the r7 deferrals — this round CLOSES the rotation: after a green r8
+# gate every oracle-backed entry has been driver-hashed at least once)
+# + 26 oldest-hash re-verifications (r1-r3 vintage).
 
 # --- changed-or-new code this round: must (re)verify ---
-R7_CHANGED = [
-    "embedding_bitext_mine_ann",   # rescoring join: forced broadcast removed
-    "bitext_ann_recall_eval",      # shares the candidates-mode code path
-    "quantized_ann_topk",          # oracle now rounds cosine before ranking
-    "doc_incremental_near_dedup_compacted",  # NEW: fold-marker compaction
-    "lineitem_ddsketch_incremental",  # store reads now heal pending folds
-    "doc_incremental_span_stats",  # NEW: cross-run gram-count store
-    "embedding_incremental_dedup",  # NEW: cross-run embedding dedup store
+R8_CHANGED = [
+    "user_event_type_sets",        # array output -> array_join scalar (r7 gate crash)
+    "q11_top_value_parts",         # threshold scaled to part count (was 0==0 rows)
+    "customers_without_orders",    # dormant-customer filter (was 0==0 rows)
+    "events_partition_completeness",  # planted gap (was 0==0 rows)
+    "events_sketch_bounds",        # NEW: sketch error bounds, oracle-backed
+    # store-protocol entries: exclusive fold healing + FS-listing
+    # compactors + banding-config guard all changed shared store code
+    "doc_incremental_near_dedup",
+    "doc_incremental_near_dedup_compacted",
+    "doc_incremental_span_stats",
+    "embedding_incremental_dedup",
+    "lineitem_ddsketch_incremental",
+    "events_hll_incremental",
+    "events_ewma_incremental",
 ]
 
 # --- canary overlap with every prior round (core inference + scan-agg
 # flagship re-verify every round) ---
-R7_CANARIES = [
+R8_CANARIES = [
     "infer_props_schema",
     "q1_pricing_summary",
 ]
 
-# --- 41 never-driver-hashed oracle-backed entries (the q7/q11/q12/q15/
-# q16/q20 families and window/sampler/set-op/text siblings) ---
-R7_NEVER_VERIFIED = [
-    "doc_bpe_token_count",
-    "embedding_random_projection",
-    "doc_hashed_tf_vectors",
-    "doc_word_counts",
-    "daily_revenue_moving_avg",
-    "customer_spend_deciles",
-    "user_event_type_sets",
-    "part_name_edit_pairs",
-    "q7_nation_volume",
-    "q11_top_value_parts",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q20_heavy_suppliers",
-    "events_variant_extract",
-    "props_map_stats",
-    "customer_balance_percentiles",
-    "doc_balanced_sample",
-    "events_grouping_sets",
-    "user_first_last_events",
-    "lineitem_measures_unpivot",
-    "returnflag_quantity_median",
-    "region_nation_matrix",
-    "q12_late_shipment_priority",
-    "doc_langs_intersect_all",
-    "doc_token_positions",
-    "doc_chunks",
-    "brand_revenue_salted",
-    "doc_exact_stratified_sample",
-    "doc_weighted_sample",
-    "embedding_hard_negatives",
-    "doc_domain_cap",
-    "events_daily_anomaly",
-    "doc_shuffle_shards",
-    "doc_clean_text",
-    "customer_balance_imputed",
-    "doc_temperature_sample",
-    "events_value_winsorized",
-    "doc_blocklist_filter",
-    "documents_fingerprint",
-    "corpus_top_ngrams",
-    "doc_grouped_split",
-]
-
-# --- deferred to round 8 (slot overflow): each has a structurally
-# near-identical sibling already driver-verified, so these are the
-# lowest-risk holdbacks ---
-R7_DEFERRED = [
+# --- the last 10 never-driver-hashed oracle-backed entries (deferred
+# from r7 with driver-verified structural siblings; verifying them
+# completes 254/254 cumulative coverage) ---
+R8_NEVER_VERIFIED = [
     "simhash_near_dup_portable",  # ~ simhash_near_dup (r6)
     "doc_duplicate_spans",        # kernel re-verified via doc_cross_doc_spans (r6)
     "doc_duplicate_clusters",     # CC kernel ~ doc_semantic_dedup (r4/r6)
@@ -135,10 +95,47 @@ R7_DEFERRED = [
     "doc_sentences",              # ~ doc_sentence_dedup (sentence-split kernel, r6)
     "doc_epoch_upsample",         # ~ doc_weighted_sample (hash-sampler family, r7)
     "events_value_histogram",     # ~ events_value_bands (floor-tiled bucketing, r6)
-    "doc_token_fertility",        # ~ doc_bpe_token_count (BPE kernel, r7) + doc_unigram_fertility (fertility readout, r6)
+    "doc_token_fertility",        # ~ doc_bpe_token_count (BPE kernel, r7)
 ]
 
-DRIVER_PRIORITY = R7_CHANGED + R7_CANARIES + R7_NEVER_VERIFIED
+# --- oldest-hash re-verification: every remaining entry last hashed in
+# r1-r2, plus the r3 vintage up to the 50-slot cap — drift insurance on
+# code that hasn't been driver-checked for 5+ rounds ---
+R8_REVERIFY = [
+    "q19_disjunctive_revenue",    # r1
+    "doc_char_entropy",           # r2
+    "event_type_daily_counts",    # r2
+    "events_hourly_windows",      # r2
+    "events_user_reach",          # r2
+    "langs_in_both_sources",      # r2
+    "langs_not_in_source",        # r2
+    "lineitem_price_quantiles",   # r2
+    "part_brand_pricing",         # r2
+    "q10_returned_revenue",       # r2
+    "q13_order_count_distribution",  # r2
+    "q4_priority_late_ship",      # r2
+    "ann_cosine_topk",            # r3
+    "customers_with_big_orders",  # r3
+    "doc_decontamination",        # r3
+    "doc_fingerprints",           # r3
+    "doc_holdout_split",          # r3
+    "doc_mixture_sample",         # r3
+    "doc_ngram_repetition",       # r3
+    "doc_sequence_packing",       # r3
+    "doc_snapshot_diff",          # r3
+    "doc_token_budget_select",    # r3
+    "documents_profile",          # r3
+    "embedding_near_dup",         # r3
+    "embedding_norm_stats",       # r3
+    "events_daily_pivot",         # r3
+]
+
+# rotation complete: nothing deferred this round
+R8_DEFERRED: list[str] = []
+
+DRIVER_PRIORITY = (
+    R8_CHANGED + R8_CANARIES + R8_NEVER_VERIFIED + R8_REVERIFY
+)
 
 
 def _gate_order() -> list[str]:

@@ -2676,6 +2676,57 @@ def events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "events_sketch_bounds",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           TRUE AS acd_in_bounds,
+           TRUE AS p50_in_bounds
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed promotion of the sketch category (VERDICT r7 #6):
+    approx_count_distinct / approx_percentile estimates are
+    implementation-defined (HLL++ register layout, GK compaction), so
+    `events_sketch_stats` can only be rows-only — but their ERROR
+    BOUNDS are checkable in SQL. The engine computes both the sketch
+    and the exact answer, projects the exact count plus two booleans —
+    |HLL − exact| ≤ 5·rsd·exact (rsd 0.02 → a 5-standard-error band)
+    and approx_p50 within the exact [p49, p51] value range (accuracy
+    1000 ⇒ rank error ≤ 0.001, 10× slack) — and the DuckDB twin
+    asserts the exact counts and literal TRUE for both bounds. HLL++
+    with fixed rsd on fixed input is deterministic within Spark, so
+    this is a stable hash, and a sketch regression (wrong merge, wrong
+    register width) flips a boolean and fails the gate. Scale shape:
+    one groupBy — the exact countDistinct is the expensive partner
+    here and exists only to certify the sketch; production readouts
+    use the sketch alone."""
+    e = load_table(spark, sf_dir, "events")
+    rsd = 0.02
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("__acd"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("__ap50"),
+        F.expr("percentile(value, 0.49)").alias("__lo"),
+        F.expr("percentile(value, 0.51)").alias("__hi"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("__acd") - F.col("n_users"))
+            <= F.lit(5 * rsd) * F.col("n_users")
+        ).alias("acd_in_bounds"),
+        (
+            (F.col("__ap50") >= F.col("__lo"))
+            & (F.col("__ap50") <= F.col("__hi"))
+        ).alias("p50_in_bounds"),
+    ).orderBy("event_type")
+
+
+@register_query(
     "q4_priority_late_ship",
     oracle="""
     SELECT o.o_orderpriority, count(*) AS n_orders

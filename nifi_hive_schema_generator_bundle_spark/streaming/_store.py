@@ -290,7 +290,12 @@ def read_store(
     try:
         store = spark.read.parquet(store_dir)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e):
+        # UNABLE_TO_INFER_SCHEMA: dir exists but holds no data files
+        # yet (e.g. only a _store_config.json published ahead of the
+        # first partition write) — same verdict as not-yet-created
+        if "PATH_NOT_FOUND" not in str(e) and (
+            "UNABLE_TO_INFER_SCHEMA" not in str(e)
+        ):
             raise
         return None
     if m is None:
@@ -360,50 +365,119 @@ def durable_fold(
     return n
 
 
-def store_max_batch_id(spark, store_dir: str) -> int | None:
-    """Max ``batch_id`` of a batch-partitioned store, read from the
-    hive-layout PARTITION DIRECTORY NAMES via the Hadoop FS API — one
-    LIST call on any filesystem (local, HDFS, s3a) instead of opening
-    every partition's parquet footers. This is the monotonic-id guard
-    every ``*_batch_update`` runs per micro-batch; the data-scan
-    version was the one measured per-batch drift in the 30-batch
-    sweeps (SCALE.md round 6: 0.73 → 1.38 s/batch uncompacted).
-    Returns None when the store doesn't exist or has no batch
-    partitions. Falls back to a data scan if the directory layout is
-    unexpectedly non-hive (store written by something else)."""
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
+_CONFIG_NAME = "_store_config.json"
+
+
+def write_store_config(spark, store_dir: str, payload: dict) -> None:
+    """Persist a store's immutable creation-time parameters (e.g. LSH
+    banding geometry) as ``_store_config.json`` inside the store, via
+    the same write-dotfile-then-rename publish as the fold marker.
+    Leading underscore: invisible to Spark scans and the partition
+    listing. Call once, when the store's first batch is written."""
+    fs, _ = _fs(spark, store_dir)
+    dir_p = _jpath(spark, store_dir)
+    if not fs.exists(dir_p):
+        fs.mkdirs(dir_p)
+    tmp = _jpath(spark, store_dir.rstrip("/") + "/._store_config.tmp")
+    final = _jpath(
+        spark, store_dir.rstrip("/") + "/" + _CONFIG_NAME
+    )
+    out = fs.create(tmp, True)
     try:
-        path = jvm.org.apache.hadoop.fs.Path(store_dir)
-        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(final) and not fs.delete(final, False):
+        raise OSError(f"could not replace store config {final}")
+    if not fs.rename(tmp, final):
+        raise OSError(f"could not publish store config {final}")
+
+
+def read_store_config(spark, store_dir: str) -> dict | None:
+    """The store's creation-time config, or None if absent (store
+    predates config tracking, or not yet created)."""
+    return _read_json_file(
+        spark, store_dir.rstrip("/") + "/" + _CONFIG_NAME
+    )
+
+
+def check_store_config(spark, store_dir: str, expected: dict) -> None:
+    """Guard an immutable-parameter store: on first use, record
+    ``expected``; on every later use, raise if the recorded config
+    differs. The failure this prevents is SILENT — e.g. changed LSH
+    banding params still run, but history band keys never collide with
+    new ones again and cross-run matching quietly returns nothing
+    (VERDICT r7 #3)."""
+    found = read_store_config(spark, store_dir)
+    if found is None:
+        write_store_config(spark, store_dir, expected)
+        return
+    if found != expected:
+        raise ValueError(
+            f"store at {store_dir} was created with {found} but this "
+            f"run supplies {expected}; these parameters are fixed for "
+            "the life of a store — resume with the original values or "
+            "point at a fresh store_dir"
+        )
+
+
+def store_batch_ids(spark, store_dir: str) -> list[int] | None:
+    """Sorted ``batch_id`` partition values of a batch-partitioned
+    store, read from the hive-layout PARTITION DIRECTORY NAMES via the
+    Hadoop FS API — ONE LIST call on any filesystem (local, HDFS, s3a)
+    instead of a distinct-scan that opens every partition's parquet
+    footers. Returns [] when the store exists but holds no batch
+    partitions, and None when the store doesn't exist OR the layout is
+    unexpectedly non-hive (flat part files, foreign partition columns
+    — store written by something else): None means "fall back to the
+    authoritative data scan". Every compactor's fold-set discovery and
+    the monotonic-id guard both run off this listing (VERDICT r7 #8 —
+    the footer-scan version was the measured 0.73 → 1.38 s/batch drift
+    in the round-6 30-batch sweeps)."""
+    try:
+        fs, path = _fs(spark, store_dir)
         if not fs.exists(path):
             return None
         ids = []
-        saw_other = False
         for st in fs.listStatus(path):
             name = st.getPath().getName()
             if name.startswith("batch_id="):
                 try:
                     ids.append(int(name.split("=", 1)[1]))
                 except ValueError:
-                    saw_other = True
+                    return None
             elif not name.startswith((".", "_")):
                 # any other visible content (flat part files, foreign
                 # partition columns) → not our layout, scan instead
-                saw_other = True
-        if ids:
-            return max(ids)
-        if not saw_other:
-            return None
+                return None
+        return sorted(ids)
     except Exception:  # noqa: BLE001 — any JVM/FS surprise → data scan
-        pass
-    # non-hive layout or listing failure: authoritative (slow) fallback
+        return None
+
+
+def store_batch_ids_or_scan(spark, store_dir: str) -> list[int]:
+    """``store_batch_ids`` with the authoritative (slow) fallback: a
+    non-hive layout or listing failure distinct-scans the data. []
+    when the store doesn't exist at all."""
+    ids = store_batch_ids(spark, store_dir)
+    if ids is not None:
+        return ids
     from pyspark.errors import AnalysisException
-    from pyspark.sql import functions as F
 
     try:
         store = spark.read.parquet(store_dir)
     except AnalysisException:
-        return None
-    row = store.agg(F.max("batch_id")).collect()[0]
-    return None if row[0] is None else int(row[0])
+        return []
+    return sorted(
+        int(r[0])
+        for r in store.select("batch_id").distinct().collect()
+        if r[0] is not None
+    )
+
+
+def store_max_batch_id(spark, store_dir: str) -> int | None:
+    """Max ``batch_id`` of a batch-partitioned store (the monotonic-id
+    guard every ``*_batch_update`` runs per micro-batch), from the same
+    one-LIST partition listing as ``store_batch_ids``."""
+    ids = store_batch_ids_or_scan(spark, store_dir)
+    return max(ids) if ids else None

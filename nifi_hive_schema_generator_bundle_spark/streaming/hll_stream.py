@@ -35,6 +35,7 @@ from ._store import (
     durable_fold,
     finish_pending_fold,
     read_store,
+    store_batch_ids_or_scan,
     store_max_batch_id,
 )
 
@@ -92,10 +93,19 @@ def run_hll_stream(
     key_col: str,
     group_cols: list[str],
     p: int = 8,
+    compact_every: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Start the accumulation query: every micro-batch's register delta
-    lands in its own store partition."""
+    lands in its own store partition. ``compact_every=N`` folds the
+    store's accumulated per-batch partitions every N batches (after
+    the batch-id-N update commits its partition), bounding partition
+    count for unbounded drains — the SCALE.md 30-batch sweeps price
+    the cadence: ~10 for the sketch-grid stores, 50-100 for the dedup
+    stores, where per-batch partials are larger and folds dearer. A
+    crash between the fold and the checkpoint commit is safe: the
+    replayed batch rewrites only its own (live, kept) partition, and
+    the fold itself is crash-safe via the durable_fold commit marker."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         hll_batch_update(
@@ -106,6 +116,8 @@ def run_hll_stream(
             group_cols=group_cols,
             p=p,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_hll_store(batch_df.sparkSession, store_dir, group_cols)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -152,7 +164,7 @@ def compact_hll_store(
     argument as ``compact_cms_store``."""
     finish_pending_fold(spark, store_dir)
     store = spark.read.parquet(store_dir)
-    ids = sorted(r[0] for r in store.select("batch_id").distinct().collect())
+    ids = store_batch_ids_or_scan(spark, store_dir)
     if len(ids) <= keep_last + 1:
         return 0
     cut = ids[-keep_last] if keep_last else ids[-1] + 1

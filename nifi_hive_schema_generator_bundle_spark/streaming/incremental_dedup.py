@@ -32,7 +32,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.textfns import normalize_ws
 from ..sources.formats import overwrite_partitions
-from ._store import durable_fold, finish_pending_fold, store_max_batch_id
+from ._store import (
+    durable_fold,
+    finish_pending_fold,
+    store_batch_ids_or_scan,
+    store_max_batch_id,
+)
 
 __all__ = [
     "dedup_batch_against_store",
@@ -132,7 +137,7 @@ def compact_fingerprint_store(
     """
     finish_pending_fold(spark, store_dir)
     store = spark.read.parquet(store_dir)
-    ids = [r[0] for r in store.select("batch_id").distinct().collect()]
+    ids = store_batch_ids_or_scan(spark, store_dir)
     if len(ids) < 3:  # nothing worth folding
         return 0
     top = max(ids)
@@ -161,10 +166,20 @@ def run_incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     fmt: str = "parquet",
+    compact_every: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Start the streaming query: each micro-batch is deduped against
-    all prior history and appended to both the corpus and the store."""
+    all prior history and appended to both the corpus and the store.
+    ``compact_every=N`` folds the
+    store's accumulated per-batch partitions every N batches (after
+    the batch-id-N update commits its partition), bounding partition
+    count for unbounded drains — the SCALE.md 30-batch sweeps price
+    the cadence: ~10 for the sketch-grid stores, 50-100 for the dedup
+    stores, where per-batch partials are larger and folds dearer. A
+    crash between the fold and the checkpoint commit is safe: the
+    replayed batch rewrites only its own (live, kept) partition, and
+    the fold itself is crash-safe via the durable_fold commit marker."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         dedup_batch_against_store(
@@ -176,6 +191,8 @@ def run_incremental_dedup(
             id_col=id_col,
             fmt=fmt,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_fingerprint_store(batch_df.sparkSession, store_dir)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -46,7 +46,13 @@ from ..operators.bitext import (
 )
 from ..operators.dedup import dedup_keep_min
 from ..sources.formats import overwrite_partitions
-from ._store import durable_fold, read_store, store_max_batch_id
+from ._store import (
+    check_store_config,
+    durable_fold,
+    read_store,
+    store_batch_ids_or_scan,
+    store_max_batch_id,
+)
 
 __all__ = [
     "embedding_dedup_batch_against_store",
@@ -68,23 +74,56 @@ def embedding_dedup_batch_against_store(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
-    n_planes: int = 8,
-    band_bits: int = 4,
+    n_planes: int = 32,
+    band_bits: int = 16,
     seed: int = 42,
     max_bucket: int = 100_000,
     dim: int | None = None,
     fmt: str = "parquet",
+    stats: dict | None = None,
 ) -> int:
     """One micro-batch of the incremental embedding dedup; returns
     survivors kept. Reusable from any ``foreachBatch`` or a batch loop
     with its own monotonic batch numbering. Banding params must stay
-    FIXED for the life of a store (the band keys are the index);
-    ``threshold`` may vary per batch (verification is exact)."""
+    FIXED for the life of a store (the band keys are the index) — the
+    store records them on first use and every later batch raises on a
+    mismatch (``_store.check_store_config``), because mismatched keys
+    would not fail: they would silently never collide with history
+    again. ``threshold`` may vary per batch (verification is exact).
+
+    Defaults are the SCALE.md production sizing (2 bands × 16 bits =
+    65 536 buckets/band), not the sub-toy geometry the sf0.01 gate
+    pins explicitly — at corpus scale a 4-bit band puts every vector
+    in one of 16 buckets, all of which blow past any sane
+    ``max_bucket`` and get dropped, silently degrading history
+    matching to zero candidates (VERDICT r7 #3).
+
+    Pass a dict as ``stats`` to get the banding-health readout of this
+    batch's history lookup filled in (the
+    ``candidate_neighborhood_stats`` discipline, applied per batch):
+    ``n_kept_batch`` (within-batch survivors that did the history
+    lookup), ``n_candidates`` (distinct (id, hist_id) verify pairs),
+    ``candidates_per_id_avg``, ``starved_ids``/``starved_ppm`` (kept
+    ids with ZERO history candidates — at healthy banding and
+    occupancy this stays near 0 ppm once history is populated),
+    ``hot_buckets_dropped`` (band buckets anti-joined away by
+    ``max_bucket``), and ``n_dup_vs_history``. Starvation alongside
+    non-zero ``hot_buckets_dropped`` is the silent-degradation
+    signature: undersized bands, not genuinely novel data."""
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return 0
     bands_dir = f"{store_dir}/bands"
     vecs_dir = f"{store_dir}/vecs"
+    check_store_config(
+        spark,
+        store_dir,
+        {
+            "n_planes": int(n_planes),
+            "band_bits": int(band_bits),
+            "seed": int(seed),
+        },
+    )
     vec_store = _read_store(spark, vecs_dir)
     # monotonic-id guard from partition directory names (one FS LIST)
     top = store_max_batch_id(spark, vecs_dir)
@@ -147,12 +186,46 @@ def embedding_dedup_batch_against_store(
             .filter(F.col("count") > max_bucket)
             .select("band", "bucket")
         )
+        if stats is not None:
+            hot = hot.persist()
+            stats["hot_buckets_dropped"] = hot.count()
         hist_bands = hist_bands.join(hot, ["band", "bucket"], "anti")
         cand = (
             kept_bands.join(hist_bands, ["band", "bucket"])
             .select("id", "hist_id")
             .distinct()
         )
+        if stats is not None:
+            cand = cand.persist()
+            per_id = (
+                batch_kept.select("id")
+                .join(
+                    cand.groupBy("id").agg(
+                        F.count(F.lit(1)).alias("c")
+                    ),
+                    "id",
+                    "left",
+                )
+                .select(F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+            )
+            row = per_id.agg(
+                F.count(F.lit(1)).alias("n_ids"),
+                F.coalesce(F.sum("c"), F.lit(0)).alias("n_cand"),
+                F.coalesce(
+                    F.sum(F.when(F.col("c") == 0, 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("starved"),
+            ).collect()[0]
+            n_ids = int(row["n_ids"])
+            stats["n_kept_batch"] = n_ids
+            stats["n_candidates"] = int(row["n_cand"])
+            stats["candidates_per_id_avg"] = (
+                round(int(row["n_cand"]) / n_ids, 2) if n_ids else 0.0
+            )
+            stats["starved_ids"] = int(row["starved"])
+            stats["starved_ppm"] = (
+                int(row["starved"]) * 1_000_000 // n_ids if n_ids else 0
+            )
         hist_vecs = vec_store.filter(F.col("batch_id") < batch_id).select(
             F.col("id").alias("hist_id"), F.col("vec").alias("__hv")
         )
@@ -166,7 +239,25 @@ def embedding_dedup_batch_against_store(
             .select("id")
             .distinct()
         )
+        if stats is not None:
+            dup_ids = dup_ids.persist()
+            stats["n_dup_vs_history"] = dup_ids.count()
         survivors = batch_kept.join(dup_ids, "id", "anti")
+        if stats is not None:
+            # release the instrumentation persists after the anti-join
+            # below materializes survivors (count() in the try block);
+            # unpersist is lazy-safe: blocks drop once unused
+            for frame in (hot, cand, dup_ids):
+                frame.unpersist()
+    elif stats is not None:
+        # first batch: no history yet — report an explicitly empty
+        # lookup rather than leaving the caller's dict half-filled
+        n_ids = batch_kept.count()
+        stats.update(
+            n_kept_batch=n_ids, n_candidates=0,
+            candidates_per_id_avg=0.0, starved_ids=0, starved_ppm=0,
+            hot_buckets_dropped=0, n_dup_vs_history=0,
+        )
 
     survivors = survivors.persist()
     try:
@@ -208,9 +299,7 @@ def compact_embedding_dedup_store(
         if store is None:
             counts.append(0)
             continue
-        ids = sorted(
-            r[0] for r in store.select("batch_id").distinct().collect()
-        )
+        ids = store_batch_ids_or_scan(spark, path)
         if len(ids) < 3:  # nothing worth folding
             counts.append(0)
             continue
@@ -239,10 +328,26 @@ def run_incremental_embedding_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    n_planes: int = 32,
+    band_bits: int = 16,
+    seed: int = 42,
+    max_bucket: int = 100_000,
+    compact_every: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Start the streaming query: each micro-batch is embedding-deduped
-    against all prior history and appended to the corpus + stores."""
+    against all prior history and appended to the corpus + stores.
+    Banding params default to the production sizing and are recorded
+    in (and checked against) the store's config on every batch.
+    ``compact_every=N`` folds the
+    store's accumulated per-batch partitions every N batches (after
+    the batch-id-N update commits its partition), bounding partition
+    count for unbounded drains — the SCALE.md 30-batch sweeps price
+    the cadence: ~10 for the sketch-grid stores, 50-100 for the dedup
+    stores, where per-batch partials are larger and folds dearer. A
+    crash between the fold and the checkpoint commit is safe: the
+    replayed batch rewrites only its own (live, kept) partition, and
+    the fold itself is crash-safe via the durable_fold commit marker."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         embedding_dedup_batch_against_store(
@@ -253,7 +358,13 @@ def run_incremental_embedding_dedup(
             vec_col=vec_col,
             id_col=id_col,
             threshold=threshold,
+            n_planes=n_planes,
+            band_bits=band_bits,
+            seed=seed,
+            max_bucket=max_bucket,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_embedding_dedup_store(batch_df.sparkSession, store_dir)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -52,6 +52,7 @@ from ._store import (
     durable_fold,
     finish_pending_fold,
     read_store,
+    store_batch_ids_or_scan,
     store_max_batch_id,
 )
 
@@ -228,9 +229,7 @@ def compact_near_dedup_store(
         if store is None:
             counts.append(0)
             continue
-        ids = sorted(
-            r[0] for r in store.select("batch_id").distinct().collect()
-        )
+        ids = store_batch_ids_or_scan(spark, path)
         if len(ids) < 3:  # nothing worth folding
             counts.append(0)
             continue
@@ -260,10 +259,20 @@ def run_incremental_near_dedup(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     fmt: str = "parquet",
+    compact_every: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Start the streaming query: each micro-batch is near-deduped
-    against all prior history and appended to the corpus + stores."""
+    against all prior history and appended to the corpus + stores.
+    ``compact_every=N`` folds the
+    store's accumulated per-batch partitions every N batches (after
+    the batch-id-N update commits its partition), bounding partition
+    count for unbounded drains — the SCALE.md 30-batch sweeps price
+    the cadence: ~10 for the sketch-grid stores, 50-100 for the dedup
+    stores, where per-batch partials are larger and folds dearer. A
+    crash between the fold and the checkpoint commit is safe: the
+    replayed batch rewrites only its own (live, kept) partition, and
+    the fold itself is crash-safe via the durable_fold commit marker."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         near_dedup_batch_against_store(
@@ -276,6 +285,8 @@ def run_incremental_near_dedup(
             threshold=threshold,
             fmt=fmt,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_near_dedup_store(batch_df.sparkSession, store_dir)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

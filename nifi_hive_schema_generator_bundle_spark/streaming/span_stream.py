@@ -41,6 +41,7 @@ from ._store import (
     durable_fold,
     finish_pending_fold,
     read_store,
+    store_batch_ids_or_scan,
     store_max_batch_id,
 )
 
@@ -155,7 +156,7 @@ def compact_span_store(spark, store_dir: str, *, keep_last: int = 1) -> int:
     ``durable_fold`` commit marker."""
     finish_pending_fold(spark, store_dir)
     store = spark.read.parquet(store_dir)
-    ids = sorted(r[0] for r in store.select("batch_id").distinct().collect())
+    ids = store_batch_ids_or_scan(spark, store_dir)
     if len(ids) <= keep_last + 1:
         return 0
     cut = ids[-keep_last] if keep_last else ids[-1] + 1
@@ -182,10 +183,19 @@ def run_span_stats_stream(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_every: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Start the accumulation query: every micro-batch's gram partials
-    land in their own store partition."""
+    land in their own store partition. ``compact_every=N`` folds the
+    store's accumulated per-batch partitions every N batches (after
+    the batch-id-N update commits its partition), bounding partition
+    count for unbounded drains — the SCALE.md 30-batch sweeps price
+    the cadence: ~10 for the sketch-grid stores, 50-100 for the dedup
+    stores, where per-batch partials are larger and folds dearer. A
+    crash between the fold and the checkpoint commit is safe: the
+    replayed batch rewrites only its own (live, kept) partition, and
+    the fold itself is crash-safe via the durable_fold commit marker."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         span_gram_batch_update(
@@ -196,6 +206,8 @@ def run_span_stats_stream(
             text_col=text_col,
             id_col=id_col,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_span_store(batch_df.sparkSession, store_dir)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

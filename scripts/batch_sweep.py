@@ -18,6 +18,9 @@ count at the end. Families:
 - neardup   — streaming/incremental_near_dedup (band + sig stores)
 - spanstats — streaming/span_stream (gram-hash count-sum store, r7)
 - embdedup  — streaming/incremental_embedding_dedup (band + vec stores, r7)
+- embdedup_prod — same store at PRODUCTION banding/θ (32 planes x 16-bit
+  bands, θ=0.9 — the SCALE.md sizing rule, now the operator defaults),
+  recording the final batch's candidate/starvation readout (r8)
 
 Usage: python scripts/batch_sweep.py [--quick]
   --quick: 3/10 batches only (CI smoke); default 3/10/30.
@@ -70,6 +73,7 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
     out = os.path.join(root, "out")
     per_batch: list[float] = []
     compact_s = 0.0
+    last_stats: dict = {}
 
     if family in ("hll", "histogram"):
         ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
@@ -107,7 +111,21 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
                 batch = emb.filter(F.col("vec_id") % n_batches == b)
                 embedding_dedup_batch_against_store(
                     batch, b, store_dir=store, out_dir=out,
-                    threshold=0.3, dim=64,
+                    threshold=0.3, n_planes=8, band_bits=4, dim=64,
+                )
+            elif family == "embdedup_prod":
+                emb = spark.read.parquet(
+                    os.path.join(SF_DIR, "embeddings.parquet")
+                ).filter(
+                    F.col("embedding").isNotNull()
+                    & (F.size("embedding") == 64)
+                )
+                batch = emb.filter(F.col("vec_id") % n_batches == b)
+                last_stats = {}
+                embedding_dedup_batch_against_store(
+                    batch, b, store_dir=store, out_dir=out,
+                    threshold=0.9, n_planes=32, band_bits=16, dim=64,
+                    stats=last_stats if b == n_batches - 1 else None,
                 )
             else:
                 docs = spark.read.parquet(
@@ -146,7 +164,7 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
             n_rows = span_store_coverage(
                 spark, store, docs, k=5, min_docs=2
             ).count()
-        elif family == "embdedup":
+        elif family in ("embdedup", "embdedup_prod"):
             n_rows = spark.read.parquet(out).count()
         else:
             n_rows = spark.read.parquet(out).count()
@@ -155,7 +173,7 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
         store_for_parts = store
         if family == "neardup":
             store_for_parts = os.path.join(store, "sigs")
-        elif family == "embdedup":
+        elif family in ("embdedup", "embdedup_prod"):
             store_for_parts = os.path.join(store, "vecs")
         parts = (
             len([d for d in os.listdir(store_for_parts)
@@ -177,6 +195,9 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
         "readout_s": round(readout_s, 2),
         "readout_rows": n_rows,
         "store_parts": parts,
+        **(
+            {"last_batch_stats": last_stats} if last_stats else {}
+        ),
     }
 
 
@@ -197,7 +218,7 @@ def main() -> None:
         for nb in counts:
             cadences = (
                 [0]
-                if family in ("neardup", "embdedup") or nb < 30
+                if family in ("neardup", "embdedup", "embdedup_prod") or nb < 30
                 else [0, 10]
             )
             for cad in cadences:

@@ -108,3 +108,70 @@ def test_streaming_wiring_two_drains(spark, tmp_path):
     q2.awaitTermination(120)
     kept = sorted(r.vec_id for r in spark.read.parquet(out).collect())
     assert kept == [1, 2, 4]  # 3 is a cross-drain near-dup of 1
+
+
+def test_banding_config_pinned_per_store(spark, tmp_path):
+    """VERDICT r7 #3: changed banding params against an existing store
+    would not fail — history keys would just never collide again and
+    matching would silently return nothing. The store records its
+    geometry on first use and refuses mismatched params loudly."""
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    embedding_dedup_batch_against_store(
+        _batch(spark, [(1, BASE)]), 0,
+        store_dir=store, out_dir=out, dim=DIM,
+        n_planes=32, band_bits=16,
+    )
+    with pytest.raises(ValueError, match="fixed for the life"):
+        embedding_dedup_batch_against_store(
+            _batch(spark, [(2, ORTHO)]), 1,
+            store_dir=store, out_dir=out, dim=DIM,
+            n_planes=8, band_bits=4,
+        )
+    # original geometry still accepted
+    n = embedding_dedup_batch_against_store(
+        _batch(spark, [(2, ORTHO)]), 1,
+        store_dir=store, out_dir=out, dim=DIM,
+        n_planes=32, band_bits=16,
+    )
+    assert n == 1
+
+
+def test_history_lookup_stats_readout(spark, tmp_path):
+    """The per-batch banding-health readout (VERDICT r7 #3): candidates
+    per kept id, zero-candidate starvation, and hot-bucket drops are
+    reported instead of letting undersized banding degrade silently."""
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    first: dict = {}
+    embedding_dedup_batch_against_store(
+        _batch(spark, [(1, BASE), (2, ORTHO)]), 0,
+        store_dir=store, out_dir=out, threshold=0.9, dim=DIM,
+        stats=first,
+    )
+    assert first["n_kept_batch"] == 2 and first["n_candidates"] == 0
+    stats: dict = {}
+    n = embedding_dedup_batch_against_store(
+        _batch(spark, [(3, NEAR), (4, [0.0] * (DIM - 1) + [1.0])]), 1,
+        store_dir=store, out_dir=out, threshold=0.9, dim=DIM,
+        stats=stats,
+    )
+    assert n == 1  # 3 matches history BASE; 4 survives
+    assert stats["n_kept_batch"] == 2
+    assert stats["n_dup_vs_history"] == 1
+    assert stats["n_candidates"] >= 1
+    # vector 4 is orthogonal to all history: with only 2 history rows
+    # it may still band-collide or not; the invariants are structural
+    assert stats["starved_ids"] + (stats["n_candidates"] > 0) >= 1
+    assert 0 <= stats["starved_ppm"] <= 1_000_000
+    assert stats["hot_buckets_dropped"] == 0
+    # a max_bucket of 0 drops EVERY occupied history bucket: full
+    # starvation must be visible, and nothing matches history
+    choked: dict = {}
+    n2 = embedding_dedup_batch_against_store(
+        _batch(spark, [(5, BASE)]), 2,
+        store_dir=store, out_dir=out, threshold=0.9, dim=DIM,
+        max_bucket=0, stats=choked,
+    )
+    assert n2 == 1  # duplicate of history BASE slips through...
+    assert choked["hot_buckets_dropped"] > 0  # ...but NOT silently
+    assert choked["starved_ppm"] == 1_000_000
+    assert choked["n_candidates"] == 0

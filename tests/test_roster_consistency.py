@@ -158,14 +158,15 @@ def test_driver_priority_decomposition():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pri = entry_mod.DRIVER_PRIORITY
     sections = (
-        entry_mod.R7_CHANGED,
-        entry_mod.R7_CANARIES,
-        entry_mod.R7_NEVER_VERIFIED,
+        entry_mod.R8_CHANGED,
+        entry_mod.R8_CANARIES,
+        entry_mod.R8_NEVER_VERIFIED,
+        entry_mod.R8_REVERIFY,
     )
     assert pri == [n for sec in sections for n in sec]
     assert len(pri) == 50 == len(set(pri)), "driver gate caps at 50 slots"
     unknown = [
-        n for n in pri + entry_mod.R7_DEFERRED if n not in QUERIES
+        n for n in pri + entry_mod.R8_DEFERRED if n not in QUERIES
     ]
     assert not unknown, f"roster names missing from registry: {unknown}"
 
@@ -176,15 +177,20 @@ def test_driver_priority_decomposition():
                 hashed.add(k)
     oracle = set(get_oracle_sql())
     never = {n for n in oracle if n not in hashed}
-    in_rotation = set(entry_mod.R7_NEVER_VERIFIED)
-    deferred = set(entry_mod.R7_DEFERRED)
-    changed_new = {n for n in entry_mod.R7_CHANGED if n not in hashed}
+    in_rotation = set(entry_mod.R8_NEVER_VERIFIED)
+    deferred = set(entry_mod.R8_DEFERRED)
+    changed_new = {n for n in entry_mod.R8_CHANGED if n not in hashed}
     assert not (in_rotation & hashed), (
-        "R7_NEVER_VERIFIED contains already-hashed entries: "
+        "R8_NEVER_VERIFIED contains already-hashed entries: "
         f"{sorted(in_rotation & hashed)}"
     )
     assert not (in_rotation & deferred)
     missing = never - in_rotation - deferred - changed_new
     assert not missing, (
         f"oracle-backed entries fell out of rotation entirely: {missing}"
+    )
+    # the re-verify section must be real re-verification: every entry
+    # already carries a driver hash from an earlier round
+    assert set(entry_mod.R8_REVERIFY) <= hashed, (
+        sorted(set(entry_mod.R8_REVERIFY) - hashed)
     )

@@ -122,3 +122,35 @@ def test_streaming_wiring_two_drains(spark, tmp_path):
     got = span_store_coverage(spark, store, full, k=5, min_docs=2)
     want = cross_doc_span_stats(full, k=5, min_docs=2)
     assert _rows(got) == _rows(want)
+
+
+def test_compact_every_bounds_partitions_across_drain(spark, tmp_path):
+    """The auto-compaction cadence (VERDICT r7 #5): a 6-micro-batch
+    drain with compact_every=2 folds the store as it goes — partition
+    count stays bounded instead of growing per batch, and the merged
+    readout still equals the single-pass operator (fold linearity)."""
+    store = str(tmp_path / "store")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    full = _df(spark, DOCS)
+    for d in range(1, 7):  # one file per doc -> one micro-batch per doc
+        full.filter(F.col("doc_id") == d).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_span_stats_stream(
+        stream, store_dir=store, checkpoint_dir=ckpt, k=5, compact_every=2
+    )
+    q.awaitTermination(180)
+    parts = sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    )
+    # compaction fired at batch ids 2 and 4: without it 6 partitions,
+    # with it at most keep_last+1 beyond the last fold point
+    assert len(parts) <= 3, parts
+    got = span_store_coverage(spark, store, full, k=5, min_docs=2)
+    want = cross_doc_span_stats(full, k=5, min_docs=2)
+    assert _rows(got) == _rows(want)
