@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "events_hll_user_reach",
     "events_kmv_type_overlap",
     "lineitem_price_ddsketch",
+    "events_sketch_bounds",
     "orders_bloom_prejoin",
     "doc_containment_join",
     "events_cusum_changepoint",

@@ -142,6 +142,12 @@ def sweep_family(spark, family: str, n_batches: int, cadence: int) -> dict:
                     compact_hll_store(spark, store, ["event_type"])
                 elif family == "spanstats":
                     compact_span_store(spark, store)
+                elif family == "embdedup_prod":
+                    from nifi_hive_schema_generator_bundle_spark.streaming.incremental_embedding_dedup import (
+                        compact_embedding_dedup_store,
+                    )
+
+                    compact_embedding_dedup_store(spark, store)
                 else:
                     compact_histogram_store(spark, store, ["event_type"])
                 compact_s += time.perf_counter() - t0
@@ -218,7 +224,7 @@ def main() -> None:
         for nb in counts:
             cadences = (
                 [0]
-                if family in ("neardup", "embdedup", "embdedup_prod") or nb < 30
+                if family in ("neardup", "embdedup") or nb < 30
                 else [0, 10]
             )
             for cad in cadences:
