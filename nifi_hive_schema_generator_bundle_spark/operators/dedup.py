@@ -882,6 +882,13 @@ def connected_components(
         p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/round{i}")
         p.getFileSystem(sc._jsc.hadoopConfiguration()).delete(p, True)
 
+    # NOTE on superseded rounds: each localCheckpoint pins its blocks
+    # OUTSIDE the CacheManager (DataFrame.unpersist is a no-op on
+    # them), so dead rounds are released by the ContextCleaner once the
+    # frames are garbage-collected — eventual, not deterministic. The
+    # label table is (id, component) — narrow — so the transient copies
+    # are small; the heavy lineage (the caller's pair generation) is
+    # what the explicit `edges` cache below bounds.
     def _materialize(df: DataFrame) -> DataFrame:
         nonlocal round_no
         if checkpoint_dir is None:
@@ -893,45 +900,59 @@ def connected_components(
         round_no += 1
         return out
 
+    # edges are the loop invariant read by EVERY round's join — cache
+    # them once or the whole candidate-pair lineage (for LSH callers:
+    # band explode + bucket self-join + signature verify) re-executes
+    # per round (the graph.pagerank e/nodes/deg lesson, measured here
+    # r8: the 3-batch incremental near-dedup replay spent 6.9-11.7 s
+    # per CC call recomputing pair generation ~2× per round; with the
+    # edge cache the whole replay dropped 27.0 → ~11 s warm at sf0.1).
+    # Unpersisted before return: `labels` is checkpoint-materialized,
+    # so nothing downstream re-reads the cached edges.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b"), F.col("id_a")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    labels = _materialize(labels)
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        # the convergence flag rides the label-update pass itself (least()
-        # can only decrease the label, so changed ⇔ new < old) — the probe
-        # is then a scan of the materialized frame, not a join+count job
-        new_comp = F.least(
-            F.col("component"),
-            F.coalesce(F.col("nbr_component"), F.col("component")),
-        )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                new_comp.alias("component"),
-                (new_comp < F.col("component")).alias("chg"),
+    try:
+        labels = _materialize(labels)
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
             )
-        )
-        updated = _materialize(updated)
-        n_changed = updated.agg(
-            F.sum(F.col("chg").cast("int")).alias("n")
-        ).collect()[0]["n"]
-        labels = updated.drop("chg")
-        if not n_changed:
-            break
+            # the convergence flag rides the label-update pass itself
+            # (least() can only decrease the label, so changed ⇔ new <
+            # old) — the probe is then a scan of the materialized frame,
+            # not a join+count job
+            new_comp = F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            )
+            updated = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    new_comp.alias("component"),
+                    (new_comp < F.col("component")).alias("chg"),
+                )
+            )
+            updated = _materialize(updated)
+            n_changed = updated.agg(
+                F.sum(F.col("chg").cast("int")).alias("n")
+            ).collect()[0]["n"]
+            labels = updated.drop("chg")
+            if not n_changed:
+                break
+    finally:
+        edges.unpersist(blocking=True)
     # restore the caller's process-global checkpoint location (only
     # possible if one was set; Spark has no unset)
     if checkpoint_dir is not None and original_ckpt is not None:

@@ -77,8 +77,36 @@ def bucket_midpoints(boundaries: list[float]) -> list[float]:
 
 
 def _bucket_index(val: Column, boundaries: list[float]) -> Column:
-    """Count of boundaries ≤ val — a literal-array comparison fold,
-    bit-exact in every engine (no log, no floor, no float produced)."""
+    """Count of boundaries ≤ val — bit-exact in every engine (no log,
+    no floor, no float produced).
+
+    For the usual strictly-increasing boundary list the count equals a
+    binary search, emitted as a balanced nested-WHEN tree: ~log2(B)
+    codegen'd double comparisons per row instead of a B-step
+    interpreted higher-order fold (HOFs don't codegen; at the γ=1.05
+    price envelope B=100, and the fold was the measured per-row hot
+    loop of the ddsketch entries — guide §4.1/§1.2 "per-task work").
+    Identical values: with sorted boundaries, count(b ≤ v) IS the
+    search index; a NaN val satisfies every ``>=`` on BOTH paths
+    (Spark orders NaN above every double) → top bucket either way. A
+    non-monotonic list (never produced by ``log_bucket_boundaries``)
+    falls back to the literal fold."""
+    if all(a < b for a, b in zip(boundaries, boundaries[1:])):
+
+        def tree(lo: int, hi: int) -> Column:
+            # invariant: boundaries[:lo] ≤ val < boundaries[hi:]
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(
+                val >= F.lit(boundaries[mid]), tree(mid + 1, hi)
+            ).otherwise(tree(lo, mid))
+
+        # NULL val must stay NULL (the fold's semantics: acc + NULL);
+        # a bare WHEN tree would route NULL to bucket 0
+        return F.when(val.isNull(), F.lit(None).cast("int")).otherwise(
+            tree(0, len(boundaries))
+        )
     barr = F.array(*[F.lit(b) for b in boundaries])
     return F.aggregate(
         barr,

@@ -81,8 +81,16 @@ def cms_batch_update(
     delta = cms_build(
         batch_df, key_col, depth=depth, width=width, weight_col=weight_col
     ).withColumn("batch_id", F.lit(batch_id))
-    n = delta.count()
-    overwrite_partitions(delta, store_dir, ["batch_id"], fmt="parquet")
+    # persist: the count AND the write both consume the aggregation —
+    # unpersisted, the whole delta agg executes twice per batch (the
+    # span_stream pattern, applied here r8; guide §1.2 "don't compute
+    # things twice")
+    delta = delta.persist()
+    try:
+        n = delta.count()
+        overwrite_partitions(delta, store_dir, ["batch_id"], fmt="parquet")
+    finally:
+        delta.unpersist()
     return n
 
 

@@ -84,8 +84,16 @@ def histogram_batch_update(
     delta = log_bucket_histogram(
         batch_df, val_col, group_cols, boundaries
     ).withColumn("batch_id", F.lit(batch_id))
-    n = delta.count()
-    overwrite_partitions(delta, store_dir, ["batch_id"], fmt="parquet")
+    # persist: the count AND the write both consume the aggregation —
+    # unpersisted, the whole delta agg executes twice per batch (the
+    # span_stream pattern, applied here r8; guide §1.2 "don't compute
+    # things twice")
+    delta = delta.persist()
+    try:
+        n = delta.count()
+        overwrite_partitions(delta, store_dir, ["batch_id"], fmt="parquet")
+    finally:
+        delta.unpersist()
     return n
 
 

@@ -672,3 +672,23 @@ def test_top_shared_spans_report_text_and_counts(spark):
     # determinism: re-run returns the identical ordered set
     again = top_shared_spans(docs, k=5, min_docs=2, top_n=5).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_connected_components_unpersists_edge_cache(spark):
+    """r8 optimization pin: connected_components caches the loop-invariant
+    edge frame (every round's join re-reads it) but must release it
+    before returning — even though the returned labels frame is
+    checkpoint-materialized and safe to consume afterwards."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+    comp = connected_components(pairs)
+    roots = {r["id"]: r["component"] for r in comp.collect()}
+    # the CacheManager must be empty again: the edge persist is the only
+    # registered cache and the finally block releases it (localCheckpoint
+    # blocks live outside the CacheManager and are ContextCleaner-owned)
+    assert cache_mgr.isEmpty(), "connected_components leaked its edge cache"
+    assert roots["a"] == roots["b"] == roots["c"] == "a"
+    assert roots["x"] == roots["y"] == "x"

@@ -114,3 +114,49 @@ def test_null_values_skipped(spark):
     )
     hist = log_bucket_histogram(df, "x", ["g"], BOUNDS)
     assert hist.agg({"cnt": "sum"}).collect()[0][0] == 1
+
+
+def test_bucket_index_tree_equals_literal_fold(spark):
+    """r8 optimization pin: the balanced-WHEN binary search emitted for
+    strictly-increasing boundaries must agree with the reference
+    literal-array fold on every edge class — below-range, exact
+    boundary hits, interior, above-range, NaN (Spark orders NaN above
+    every double → top bucket on both paths), and NULL (stays NULL)."""
+    from pyspark.sql import functions as F
+
+    from nifi_hive_schema_generator_bundle_spark.operators.quantile_sketch import (
+        _bucket_index,
+    )
+
+    bounds = BOUNDS
+    edge_vals = (
+        [0.0, -5.0, bounds[0], bounds[-1], 5000.0, float("nan"), None]
+        + bounds[:3]
+        + [b + 1e-9 for b in bounds[40:43]]
+        + [123.456, 1.0000001]
+    )
+    df = spark.createDataFrame([(v,) for v in edge_vals], "x double")
+
+    def fold(val, bs):
+        barr = F.array(*[F.lit(b) for b in bs])
+        return F.aggregate(barr, F.lit(0), lambda acc, b: acc + (val >= b).cast("int"))
+
+    rows = df.select(
+        "x",
+        _bucket_index(F.col("x"), bounds).alias("tree"),
+        fold(F.col("x"), bounds).alias("ref"),
+    ).collect()
+    for r in rows:
+        assert r["tree"] == r["ref"], (r["x"], r["tree"], r["ref"])
+    nan_row = [r for r in rows if r["x"] is not None and r["x"] != r["x"]][0]
+    assert nan_row["tree"] == len(bounds)  # NaN → top bucket, pinned
+    null_row = [r for r in rows if r["x"] is None][0]
+    assert null_row["tree"] is None and null_row["ref"] is None
+    # non-monotonic boundary lists take the fold path and still agree
+    wonky = [5.0, 1.0, 3.0]
+    got = df.select(
+        _bucket_index(F.col("x"), wonky).alias("a"),
+        fold(F.col("x"), wonky).alias("b"),
+    ).collect()
+    for r in got:
+        assert r["a"] == r["b"]
