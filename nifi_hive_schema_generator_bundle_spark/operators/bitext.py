@@ -15,15 +15,18 @@ considers normal. Pairs are kept at ``margin ≥ threshold`` and
 optionally restricted to mutual best matches (the high-precision mode
 used for training-corpus construction).
 
-Spark shape: the gate entry runs the EXACT form — a broadcast cross of
-the two sides with a narrow JVM quantized-dot expression, then two
-row_number windows (per-src and per-tgt top-k) — which is the right
+Spark shape: the gate entry runs the EXACT form — every source
+partition scored against the driver-collected target matrix in one
+Arrow stage (vectorized integer-quantized products; the target side of
+this path was always driver-materialized, previously as a broadcast
+cross whose per-pair interpreted HOF fold was the measured bottleneck),
+then two row_number windows (per-src and per-tgt top-k) — the right
 plan for the ≤10⁵-row per-language-pair samples where thresholds are
 tuned. At corpus scale the all-pairs stage is replaced by ANN candidate
 generation (``candidates=``: any (src_id, tgt_id) frame, e.g.
-`similarity.ivf_topk` output per direction); margin scoring and the
-mutual-best filter are unchanged — exact rescoring over candidates, the
-FAISS-mine pattern.
+`similarity.ivf_topk` output per direction); margin scoring stays a
+pure-JVM equi-join pipeline and the mutual-best filter is unchanged —
+exact rescoring over candidates, the FAISS-mine pattern.
 
 Hash-determinism (the exact-integer discipline from `operators/pca`):
 dot products are folds of ``floor((x·y)·1e8)`` int64 terms (scale
@@ -77,6 +80,111 @@ def quantized_cosine(a: Column, b: Column) -> Column:
     return qd / F.sqrt(qa * qb)
 
 
+def _exact_arrow_scores(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame | None:
+    """All-pairs (src_id, tgt_id, cos double) via ONE Arrow stage.
+
+    The exact/sample path's previous shape — broadcast cross join + a
+    per-pair `zip_with`+`aggregate` fold — spent its time in the
+    interpreted HOF (Spark never codegens higher-order functions;
+    measured r8 at sf0.1: 8.4 s of the 11.1 s warm scoring stage for
+    the 1 M-pair cross, and a 64-term `element_at` unroll was 4× WORSE
+    — codegen collapse). Instead the target side is collected to a
+    driver numpy matrix — the SAME memory class as the broadcast the
+    cross join already required, this path is the ≤10⁵-row
+    threshold-tuning sample mode by contract — and each source
+    partition scores its rows against the matrix with vectorized
+    floor((aᵢ·bᵢ)·1e8) int64 sums (guide §4.2: batch native compute
+    inside Arrow; §8: score against a broadcast matrix). Emits 24-byte
+    (id, id, cos) rows; vector payloads never enter a JVM pair row.
+
+    Bit-equality with the SQL expression form: numpy performs the same
+    IEEE multiply → floor → int64 sum → double divide / sqrt chain,
+    term order preserved (pinned by tests against the SQL candidates
+    path). Rows whose vector is NULL or off-dimension get NULL cos —
+    the fold's semantics. Returns None when the TARGET side is empty,
+    ragged, or has NULL vectors; callers fall back to the bit-equal
+    SQL form (the corpus contract expects uniform dims, so this is the
+    degenerate-input escape hatch, not a real mode)."""
+    import numpy as np
+
+    t_rows = tgt.select(F.col(id_col), F.col(vec_col)).collect()
+    if not t_rows:
+        return None
+    t_vecs = [r[1] for r in t_rows]
+    if any(v is None for v in t_vecs):
+        return None
+    dims = {len(v) for v in t_vecs}
+    if len(dims) != 1 or 0 in dims:
+        return None
+    dim = dims.pop()
+    qscale = float(10**_DOT_SCALE)
+    T = np.array(t_vecs, dtype=np.float64)
+    tids = np.array([r[0] for r in t_rows])
+    # per-target norms once, cast to double BEFORE the product — the SQL
+    # form multiplies sn.double * tn.double, never int64*int64
+    qb = (
+        np.floor((T * T) * qscale).astype(np.int64).sum(axis=1).astype(np.float64)
+    )
+    nt = len(tids)
+    id_type = src.schema[id_col].dataType.simpleString()
+    out_schema = f"src_id {id_type}, tgt_id {id_type}, cos double"
+
+    def score(batches):
+        import pandas as pd
+
+        # bound the (block × nt × dim) float64 product temp to ~64 MB
+        block = max(1, (64 * 1024 * 1024) // (nt * dim * 8))
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].to_numpy()
+            vecs = pdf.iloc[:, 1].to_numpy()
+            for i0 in range(0, len(ids), block):
+                sub = vecs[i0 : i0 + block]
+                good = [v is not None and len(v) == dim for v in sub]
+                if all(good):
+                    A = np.array(list(sub), dtype=np.float64)
+                else:
+                    A = np.array(
+                        [list(v) if g else [0.0] * dim for v, g in zip(sub, good)],
+                        dtype=np.float64,
+                    )
+                qd = (
+                    np.floor((A[:, None, :] * T[None, :, :]) * qscale)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                    .astype(np.float64)
+                )
+                qa = (
+                    np.floor((A * A) * qscale)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                    .astype(np.float64)
+                )
+                cos = (qd / np.sqrt(qa[:, None] * qb[None, :])).reshape(-1)
+                out = {
+                    "src_id": np.repeat(ids[i0 : i0 + block], nt),
+                    "tgt_id": np.tile(tids, len(sub)),
+                }
+                if all(good):
+                    out["cos"] = cos
+                else:
+                    # NULL/ragged source vectors score NULL on every pair
+                    # (zip_with+aggregate over a null side folds to NULL)
+                    vals = cos.astype(object)
+                    vals[np.repeat(~np.array(good), nt)] = None
+                    out["cos"] = pd.array(vals, dtype="Float64")
+                yield pd.DataFrame(out)
+
+    return src.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, schema=out_schema
+    )
+
+
 def bitext_margin_scores(
     src: DataFrame,
     tgt: DataFrame,
@@ -91,42 +199,48 @@ def bitext_margin_scores(
     ``candidates``: optional (src_id, tgt_id) frame restricting which
     pairs are scored AND which pairs define each side's neighborhood
     (the ANN-mining contract: neighborhoods are the retrieved top-k).
-    Without it, all pairs are scored via a broadcast cross — the
-    exact/sample path; the k-nearest neighborhoods are then true
-    nearest neighbors.
+    Without it, all pairs are scored — the exact/sample path; the
+    k-nearest neighborhoods are then true nearest neighbors.
 
-    Scale: cos is a narrow JVM fold (no Python); the two neighborhood
+    Scale: the exact path scores every source partition against the
+    driver-collected target matrix in one Arrow stage (the sample-scale
+    threshold-tuning mode — the target side was always
+    driver-materialized here, previously as a broadcast cross); the
+    candidates path is a pure-JVM equi-join pipeline. The neighborhood
     aggregates shuffle (id, long) pairs only; windows are per-id top-k
-    with id tiebreaks. All-pairs cost appears only in the exact path —
-    pass ``candidates`` beyond sample scale."""
-    # norms once per row, not once per pair (3× fewer folds in the cross)
-    s = src.select(
-        F.col(id_col).alias("src_id"),
-        F.col(vec_col).alias("__sv"),
-        _qdot(F.col(vec_col), F.col(vec_col)).alias("__sn"),
-    )
-    t = tgt.select(
-        F.col(id_col).alias("tgt_id"),
-        F.col(vec_col).alias("__tv"),
-        _qdot(F.col(vec_col), F.col(vec_col)).alias("__tn"),
-    )
+    with id tiebreaks. Pass ``candidates`` beyond sample scale."""
+
+    def _sql_scored(pairs: DataFrame) -> DataFrame:
+        cos = _qdot(F.col("__sv"), F.col("__tv")).cast("double") / F.sqrt(
+            F.col("__sn").cast("double") * F.col("__tn").cast("double")
+        )
+        return pairs.select("src_id", "tgt_id", cos.alias("cos"))
+
+    def _norms(df: DataFrame, side: str) -> DataFrame:
+        # norms once per row, not once per pair (3× fewer folds)
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"__{side[0]}v"),
+            _qdot(F.col(vec_col), F.col(vec_col)).alias(f"__{side[0]}n"),
+        )
+
     if candidates is None:
-        pairs = s.crossJoin(F.broadcast(t))
+        scored = _exact_arrow_scores(src, tgt, id_col=id_col, vec_col=vec_col)
+        if scored is None:  # degenerate target side: bit-equal SQL form
+            scored = _sql_scored(
+                _norms(src, "src").crossJoin(F.broadcast(_norms(tgt, "tgt")))
+            )
     else:
         # The candidates path is the PRODUCTION (100 TB) path: both sides
         # are full corpora, so neither may carry a broadcast hint — the
         # target join is a plain equi-join on tgt_id (shuffle is bounded
         # by the candidate volume, which LSH banding caps per bucket) and
         # AQE is free to pick broadcast at sample scale on its own.
-        pairs = (
+        scored = _sql_scored(
             candidates.select("src_id", "tgt_id")
-            .join(s, "src_id")
-            .join(t, "tgt_id")
+            .join(_norms(src, "src"), "src_id")
+            .join(_norms(tgt, "tgt"), "tgt_id")
         )
-    cos = _qdot(F.col("__sv"), F.col("__tv")).cast("double") / F.sqrt(
-        F.col("__sn").cast("double") * F.col("__tn").cast("double")
-    )
-    scored = pairs.select("src_id", "tgt_id", cos.alias("cos"))
     qcos = F.floor(F.col("cos") * F.lit(float(10**_COS_SCALE))).cast("long")
     wf = Window.partitionBy("src_id").orderBy(
         F.col("cos").desc(), F.col("tgt_id").asc()
@@ -134,43 +248,59 @@ def bitext_margin_scores(
     wb = Window.partitionBy("tgt_id").orderBy(
         F.col("cos").desc(), F.col("src_id").asc()
     )
-    ranked = scored.select(
-        "src_id",
-        "tgt_id",
-        "cos",
-        qcos.alias("__qc"),
-        F.row_number().over(wf).alias("__rf"),
-        F.row_number().over(wb).alias("__rb"),
-    )
     # neighborhood denominators: exact-int sums of the top-k quantized
     # cosines per side (float top-k sums differ by association order
-    # across engines; integer sums don't)
-    fsum = (
-        ranked.filter(F.col("__rf") <= k)
-        .groupBy("src_id")
-        .agg(F.sum("__qc").alias("__fs"), F.count(F.lit(1)).alias("__fn"))
-    )
-    bsum = (
-        ranked.filter(F.col("__rb") <= k)
-        .groupBy("tgt_id")
-        .agg(F.sum("__qc").alias("__bs"), F.count(F.lit(1)).alias("__bn"))
+    # across engines; integer sums don't). They ride UNORDERED window
+    # aggregates over the SAME partitions the rank windows establish —
+    # r8 restructure: the previous filter+groupBy+join-back form made
+    # `ranked` a 3-consumer frame (output + both sums), and Spark has
+    # no subtree sharing, so the entire scoring lineage (exact path:
+    # the Arrow all-pairs stage; ANN path: the candidate equi-join
+    # pipeline) executed THREE times per query (guide §1.2 "don't
+    # compute things twice", §2.4 two ops keyed the same way share one
+    # exchange). Same int64 sums, same counts, same divisions —
+    # bit-equal rows; plan goes 3 subtree executions + 2 joins + 2
+    # aggregates → 1 execution, 2 exchanges total.
+    wsrc = Window.partitionBy("src_id")
+    wtgt = Window.partitionBy("tgt_id")
+    topf = F.when(F.col("__rf") <= k, F.col("__qc"))
+    topb = F.when(F.col("__rb") <= k, F.col("__qc"))
+    # counts must tally top-k ROWS (the old filter+count(lit(1)) form),
+    # not non-null qcos — count a literal gated on the rank alone
+    inf_ = F.when(F.col("__rf") <= k, F.lit(1))
+    inb_ = F.when(F.col("__rb") <= k, F.lit(1))
+    ranked = (
+        scored.select(
+            "src_id",
+            "tgt_id",
+            "cos",
+            qcos.alias("__qc"),
+            F.row_number().over(wf).alias("__rf"),
+        )
+        .select(
+            "*",
+            F.sum(topf).over(wsrc).alias("__fs"),
+            F.count(inf_).over(wsrc).alias("__fn"),
+        )
+        .select("*", F.row_number().over(wb).alias("__rb"))
+        .select(
+            "*",
+            F.sum(topb).over(wtgt).alias("__bs"),
+            F.count(inb_).over(wtgt).alias("__bn"),
+        )
     )
     unit = F.lit(float(10**_COS_SCALE))
     denom = (
         F.col("__fs").cast("double") / (F.col("__fn") * unit)
         + F.col("__bs").cast("double") / (F.col("__bn") * unit)
     ) / F.lit(2.0)
-    return (
-        ranked.join(fsum, "src_id")
-        .join(bsum, "tgt_id")
-        .select(
-            "src_id",
-            "tgt_id",
-            "cos",
-            (F.col("cos") / denom).alias("margin"),
-            F.col("__rf").alias("fwd_rank"),
-            F.col("__rb").alias("bwd_rank"),
-        )
+    return ranked.select(
+        "src_id",
+        "tgt_id",
+        "cos",
+        (F.col("cos") / denom).alias("margin"),
+        F.col("__rf").alias("fwd_rank"),
+        F.col("__rb").alias("bwd_rank"),
     )
 
 

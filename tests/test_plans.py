@@ -210,6 +210,15 @@ ARROW_BATCHED = {
     # the mojibake repair is a declared Arrow stage (codec work, the
     # compression_ratio contract)
     "doc_fix_mojibake",
+    # r8: the exact bitext path scores each source partition against the
+    # driver-collected target matrix in one Arrow stage (operators/
+    # bitext._exact_arrow_scores — replaced the broadcast cross whose
+    # interpreted per-pair HOF fold was the measured bottleneck); the
+    # candidates/production path stays pure JVM
+    "embedding_bitext_mine",
+    # the recall instrument composes the Arrow exact path above with the
+    # pure-JVM ANN candidates path
+    "bitext_ann_recall_eval",
     # unigram-LM Viterbi segmentation: one memoized mapInPandas stage
     # (functions/unigram_lm.unigram_tokenize_words) — lattice DP is not
     # expressible in JVM expressions; the stats joins after are JVM
@@ -303,13 +312,9 @@ BNLJ_ALLOWED = {
     # three 1-row scalar broadcasts (n_exact × n_lsh × n_common counts
     # combined into the single report row), the q22 class
     "dedup_lsh_recall_eval",
-    # the exact/sample path broadcasts the full target side against the
-    # source scan (the ann_cosine_topk bounded-anchor class); at corpus
-    # scale the candidates= parameter replaces it with equi-joins
-    "embedding_bitext_mine",
-    # the recall instrument composes the exact path above (inherits its
-    # documented sample-scale cross) with the ANN path's equi-join
-    # pipeline, plus the dedup_lsh_recall_eval three-scalar combine
+    # r8: the exact/sample path's broadcast cross became the Arrow
+    # matrix scorer (no BNLJ left), but the recall instrument's
+    # three-scalar combine (the dedup_lsh_recall_eval class) remains
     "bitext_ann_recall_eval",
     # bounded scalar cross joins: the |strata|-row rate table × 1-row
     # feasible cap, and the 1-row bucket-threshold broadcast
@@ -457,8 +462,9 @@ def test_bitext_ann_rescoring_has_no_forced_broadcast(spark, sf_smoke_dir):
     """The ANN-candidates bitext path is the production 100 TB shape: both
     corpora are full-size, so the margin-rescoring joins must carry NO
     broadcast hint anywhere (VERDICT r6 #1). The exact path
-    (embedding_bitext_mine) keeps its broadcast cross — that one is the
-    sample-scale threshold-tuning mode by contract."""
+    (embedding_bitext_mine) keeps its driver-materialized target matrix
+    (r8: Arrow scorer) — that one is the sample-scale threshold-tuning
+    mode by contract."""
     df = QUERIES["embedding_bitext_mine_ann"](spark, sf_smoke_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, (
