@@ -1768,13 +1768,28 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, num_perm=16, bands=4, threshold=0.5,
         max_bucket=10**9, hash_fn="md5",
     ).select("id_a", "id_b")
-    common = exact.join(lsh, ["id_a", "id_b"])
-    # one declarative plan: three 1-row aggregates joined as scalar
-    # broadcasts (the engine's standard scalar-combine shape)
+    # one pass per kernel (r8): the previous three-scalar combine
+    # (count(exact) × count(lsh) × count(exact⋈lsh)) consumed each
+    # pair pipeline TWICE — Spark has no subtree sharing, so the whole
+    # prefix-filter join and the banding pipeline executed once for
+    # their own count and again inside the common join (guide §1.2).
+    # A full-outer join on the pair key + one aggregate reads each
+    # exactly once; both kernels emit unique (id_a, id_b) rows, so the
+    # counts are identical.
     row = (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(F.broadcast(lsh.agg(F.count(F.lit(1)).alias("n_lsh"))))
-        .join(F.broadcast(common.agg(F.count(F.lit(1)).alias("n_common"))))
+        exact.select("id_a", "id_b", F.lit(1).alias("__e"))
+        .join(
+            lsh.select("id_a", "id_b", F.lit(1).alias("__l")),
+            ["id_a", "id_b"],
+            "full",
+        )
+        .agg(
+            F.count("__e").alias("n_exact"),
+            F.count("__l").alias("n_lsh"),
+            F.count(
+                F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1)
+            ).alias("n_common"),
+        )
     )
     return row.select(
         "n_exact",
@@ -12125,7 +12140,7 @@ def _bitext_ann_recall_oracle() -> str | None:
 @register_query("bitext_ann_recall_eval", oracle=_bitext_ann_recall_oracle())
 def bitext_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical recall/precision of the ANN-candidates bitext path
-    (``embedding_bitext_mine_ann``) against the exact broadcast-cross
+    (``embedding_bitext_mine_ann``) against the exact all-pairs
     path (``embedding_bitext_mine``) at the same k/threshold — the
     measure-don't-guess readout for the banding trade, the
     ``dedup_lsh_recall_eval`` sibling for bitext mining. Banding can
@@ -12149,11 +12164,26 @@ def bitext_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = mine_bitext_pairs(
         src, tgt, k=4, threshold=1.05, mutual_best=True, candidates=cands
     ).select("src_id", "tgt_id")
-    common = exact.join(ann, ["src_id", "tgt_id"])
+    # one pass per path (r8, the dedup_lsh_recall_eval restructure):
+    # the three-scalar combine consumed the exact AND ANN mining
+    # pipelines twice each (own count + the common join); a full-outer
+    # join on the pair key + one aggregate reads each exactly once.
+    # Both paths emit unique mutual-best (src_id, tgt_id) rows, so the
+    # counts are identical.
     row = (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(F.broadcast(ann.agg(F.count(F.lit(1)).alias("n_ann"))))
-        .join(F.broadcast(common.agg(F.count(F.lit(1)).alias("n_common"))))
+        exact.select("src_id", "tgt_id", F.lit(1).alias("__e"))
+        .join(
+            ann.select("src_id", "tgt_id", F.lit(1).alias("__a")),
+            ["src_id", "tgt_id"],
+            "full",
+        )
+        .agg(
+            F.count("__e").alias("n_exact"),
+            F.count("__a").alias("n_ann"),
+            F.count(
+                F.when(F.col("__e").isNotNull() & F.col("__a").isNotNull(), 1)
+            ).alias("n_common"),
+        )
     )
     return row.select(
         "n_exact",

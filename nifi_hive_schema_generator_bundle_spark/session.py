@@ -53,6 +53,15 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash joins when the per-partition
+        # build side fits (guide §3.1/§9) — sort-merge stays available
+        # and AQE skew handling still applies; measured r8 on a 12-query
+        # join-heavy subset at sf0.1: 39.0 → 30.3 s (every query ≤), the
+        # biggest single-setting win of the round. Build-side OOM risk is
+        # the documented trade: partition counts are sized so build sides
+        # fit (AQE coalescing bounds them); override via extra_conf where
+        # a deployment prefers the always-spillable sort-merge.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -309,13 +309,10 @@ BNLJ_ALLOWED = {
     # definition; the content-intersection join itself is an equi-join
     "dataset_overlap_matrix",
     "ngram_jaccard_docs",
-    # three 1-row scalar broadcasts (n_exact × n_lsh × n_common counts
-    # combined into the single report row), the q22 class
-    "dedup_lsh_recall_eval",
-    # r8: the exact/sample path's broadcast cross became the Arrow
-    # matrix scorer (no BNLJ left), but the recall instrument's
-    # three-scalar combine (the dedup_lsh_recall_eval class) remains
-    "bitext_ann_recall_eval",
+    # r8: dedup_lsh_recall_eval and bitext_ann_recall_eval left this
+    # list — their three-scalar combines became single full-outer-join
+    # aggregates and the exact bitext cross became the Arrow matrix
+    # scorer, so neither plans a BNLJ anymore (blanket-checked below)
     # bounded scalar cross joins: the |strata|-row rate table × 1-row
     # feasible cap, and the 1-row bucket-threshold broadcast
     "doc_mixture_sample",
