@@ -52,89 +52,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # test pins against the registry and the cumulative CORRECTNESS_r0*.json
 # hash ledger, so the counts cannot drift).
 #
-# Round 8 = 12 changed-or-new + 2 canaries + 10 never-driver-hashed
-# (the r7 deferrals — this round CLOSES the rotation: after a green r8
-# gate every oracle-backed entry has been driver-hashed at least once)
-# + 26 oldest-hash re-verifications (r1-r3 vintage).
+# Round 9 (optimization round 2) = 16 changed-optimizer-touched + 2
+# canaries + 0 never-driver-hashed (r8 closed the rotation: every
+# oracle-backed entry carries at least one driver hash) + 32 oldest-hash
+# re-verifications (the full remaining r3 vintage — after a green r9
+# gate nothing is older than r4).
 
-# --- changed-or-new code this round: must (re)verify ---
-R8_CHANGED = [
-    "user_event_type_sets",        # array output -> array_join scalar (r7 gate crash)
-    "q11_top_value_parts",         # threshold scaled to part count (was 0==0 rows)
-    "customers_without_orders",    # dormant-customer filter (was 0==0 rows)
-    "events_partition_completeness",  # planted gap (was 0==0 rows)
-    "events_sketch_bounds",        # NEW: sketch error bounds, oracle-backed
-    # store-protocol entries: exclusive fold healing + FS-listing
-    # compactors + banding-config guard all changed shared store code
+# --- code paths the r9 optimizer touched: must re-verify ---
+R9_CHANGED = [
+    # store protocol: write_counted (observe-backed counts) + the
+    # concurrent three-way batch write in incremental_near_dedup
     "doc_incremental_near_dedup",
     "doc_incremental_near_dedup_compacted",
     "doc_incremental_span_stats",
-    "embedding_incremental_dedup",
     "lineitem_ddsketch_incremental",
     "events_hll_incremental",
     "events_ewma_incremental",
+    # exact n-gram jaccard fallback: prefix-filtered inverted index
+    "ngram_jaccard_docs",
+    "doc_duplicate_clusters",
+    "doc_near_dedup_exact",
+    "doc_near_dedup_best",
+    # bitext exact path: bounded collect + element-level NULL guards
+    "embedding_bitext_mine",
+    "embedding_bitext_mine_ann",
+    "bitext_ann_recall_eval",
+    # connected_components checkpoint-dir restore moved into finally
+    "doc_semantic_dedup",
+    # iterative / sketch paths re-examined this round
+    "part_supplier_pagerank",
+    "orders_join_size_estimate",
 ]
 
 # --- canary overlap with every prior round (core inference + scan-agg
 # flagship re-verify every round) ---
-R8_CANARIES = [
+R9_CANARIES = [
     "infer_props_schema",
     "q1_pricing_summary",
 ]
 
-# --- the last 10 never-driver-hashed oracle-backed entries (deferred
-# from r7 with driver-verified structural siblings; verifying them
-# completes 254/254 cumulative coverage) ---
-R8_NEVER_VERIFIED = [
-    "simhash_near_dup_portable",  # ~ simhash_near_dup (r6)
-    "doc_duplicate_spans",        # kernel re-verified via doc_cross_doc_spans (r6)
-    "doc_duplicate_clusters",     # CC kernel ~ doc_semantic_dedup (r4/r6)
-    "events_dow_anomaly",         # ~ events_daily_anomaly (same seasonal kernel, r7)
-    "doc_langs_except_all",       # ~ doc_langs_intersect_all (set-op sibling, r7)
-    "daily_revenue_lag_delta",    # ~ daily_revenue_moving_avg (window sibling, r7)
-    "doc_sentences",              # ~ doc_sentence_dedup (sentence-split kernel, r6)
-    "doc_epoch_upsample",         # ~ doc_weighted_sample (hash-sampler family, r7)
-    "events_value_histogram",     # ~ events_value_bands (floor-tiled bucketing, r6)
-    "doc_token_fertility",        # ~ doc_bpe_token_count (BPE kernel, r7)
+# --- rotation closed in r8: no oracle-backed entry is unhashed ---
+R9_NEVER_VERIFIED: list[str] = []
+
+# --- oldest-hash re-verification: the full r3 vintage (32 entries) ---
+R9_REVERIFY = [
+    "events_funnel",
+    "events_props_extract",
+    "events_rollup",
+    "events_sessionize",
+    "events_topk_per_user",
+    "events_type_day_cube",
+    "exact_dedup_docs",
+    "infer_roundtrip_parse",
+    "kmeans_assign_embeddings",
+    "language_id_docs",
+    "lineitem_price_stats",
+    "orders_above_cust_avg",
+    "props_schema_drift",
+    "purchase_attribution_asof",
+    "q14_promo_revenue_share",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q2_best_price_supplier",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q6_revenue_delta",
+    "q8_market_share",
+    "quality_scores_docs",
+    "redact_numbers_events",
+    "route_json_validity",
+    "route_json_validity_lax",
+    "sources_langs_union",
+    "tfidf_top_terms_docs",
+    "token_stats_docs",
+    "training_prep_pipeline",
+    "doc_bigram_logprob",
 ]
 
-# --- oldest-hash re-verification: every remaining entry last hashed in
-# r1-r2, plus the r3 vintage up to the 50-slot cap — drift insurance on
-# code that hasn't been driver-checked for 5+ rounds ---
-R8_REVERIFY = [
-    "q19_disjunctive_revenue",    # r1
-    "doc_char_entropy",           # r2
-    "event_type_daily_counts",    # r2
-    "events_hourly_windows",      # r2
-    "events_user_reach",          # r2
-    "langs_in_both_sources",      # r2
-    "langs_not_in_source",        # r2
-    "lineitem_price_quantiles",   # r2
-    "part_brand_pricing",         # r2
-    "q10_returned_revenue",       # r2
-    "q13_order_count_distribution",  # r2
-    "q4_priority_late_ship",      # r2
-    "ann_cosine_topk",            # r3
-    "customers_with_big_orders",  # r3
-    "doc_decontamination",        # r3
-    "doc_fingerprints",           # r3
-    "doc_holdout_split",          # r3
-    "doc_mixture_sample",         # r3
-    "doc_ngram_repetition",       # r3
-    "doc_sequence_packing",       # r3
-    "doc_snapshot_diff",          # r3
-    "doc_token_budget_select",    # r3
-    "documents_profile",          # r3
-    "embedding_near_dup",         # r3
-    "embedding_norm_stats",       # r3
-    "events_daily_pivot",         # r3
-]
-
-# rotation complete: nothing deferred this round
-R8_DEFERRED: list[str] = []
+# nothing deferred this round
+R9_DEFERRED: list[str] = []
 
 DRIVER_PRIORITY = (
-    R8_CHANGED + R8_CANARIES + R8_NEVER_VERIFIED + R8_REVERIFY
+    R9_CHANGED + R9_CANARIES + R9_NEVER_VERIFIED + R9_REVERIFY
 )
 
 

@@ -623,16 +623,84 @@ def doc_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prefiltered_anti_join(batch, old, "key").orderBy("doc_id")
 
 
-@register_query(
-    "doc_incremental_near_dedup",
-    oracle=r"""
-    WITH RECURSIVE toks AS (
+def _cross_batch_survivor_sql(
+    n_batches: int, thr: float, members: str
+) -> tuple[str, str]:
+    """Shared CTE generator for the incremental-dedup replay oracles:
+    given an ``est`` CTE of (id_a, id_b, batch_a, batch_b, e) banded
+    pairs and a ``members`` CTE of (doc_id, batch), emits per-batch
+    within-batch connected-components keep-min blocks plus the
+    cross-batch survivor chain (a keeper drops on any est ≥ thr edge
+    to a SURVIVING earlier-batch member). Returns (blocks, final).
+
+    Every non-recursive CTE is ``MATERIALIZED`` (r9, VERDICT r8 #1 —
+    driver-verify wall clock): DuckDB inlines a CTE once PER REFERENCE,
+    and this chain references each e/kept/surv block several times from
+    the next block, so inlining multiplied the whole upstream pipeline
+    3^batches-fold — the un-materialized 4-batch replay oracle spent
+    ~90 s in DuckDB's optimizer alone (measured; 0.1-1 s materialized,
+    identical results — it is a hint, not a semantic change)."""
+    blocks = []
+    for b in range(n_batches):
+        blocks.append(f""", e{b} AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM est
+        WHERE batch_a = {b} AND batch_b = {b} AND e >= {thr}
+        UNION SELECT id_b, id_a FROM est
+        WHERE batch_a = {b} AND batch_b = {b} AND e >= {thr}
+    ), r{b}(n, m) AS (
+        SELECT a, b FROM e{b}
+        UNION SELECT r.n, e.b FROM r{b} r JOIN e{b} e ON r.m = e.a
+    ), kept{b} AS MATERIALIZED (
+        SELECT doc_id FROM {members} WHERE batch = {b} AND doc_id NOT IN
+            (SELECT n FROM r{b} GROUP BY n HAVING min(m) < n)
+    )""")
+    surv = [
+        ", surv0 AS MATERIALIZED (\n        SELECT doc_id FROM kept0\n    )"
+    ]
+    for b in range(1, n_batches):
+        earlier = " OR ".join(
+            f"id_b IN (SELECT doc_id FROM surv{j})" for j in range(b)
+        )
+        earlier_rev = " OR ".join(
+            f"id_a IN (SELECT doc_id FROM surv{j})" for j in range(b)
+        )
+        surv.append(f""", surv{b} AS MATERIALIZED (
+        SELECT doc_id FROM kept{b} WHERE doc_id NOT IN (
+            SELECT CASE WHEN batch_a = {b} THEN id_a ELSE id_b END
+            FROM est WHERE e >= {thr} AND (
+                (batch_a = {b} AND batch_b < {b}
+                 AND id_a IN (SELECT doc_id FROM kept{b})
+                 AND ({earlier}))
+             OR (batch_a < {b} AND batch_b = {b}
+                 AND id_b IN (SELECT doc_id FROM kept{b})
+                 AND ({earlier_rev}))))
+    )""")
+    final = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS ingest_batch FROM surv{b}"
+        if b == 0
+        else f"SELECT doc_id, {b} FROM surv{b}"
+        for b in range(n_batches)
+    )
+    return "".join(blocks) + "".join(surv), final
+
+
+def _incnd_oracle_sql(n_batches: int, thr: float = 0.5) -> str:
+    """Generalized DuckDB twin of the incremental near-dedup replay for
+    any batch count (the 3-batch literal above, parameterized): per-batch
+    within-batch LSH dedup via recursive-CTE connected components +
+    keep-min, then each batch's keepers drop on any est ≥ thr edge to a
+    SURVIVING earlier-batch doc. Store compaction on the engine side must
+    be invisible here — history is a set, and folding batch partitions
+    renumbers ids without changing membership."""
+    ctes, final = _cross_batch_survivor_sql(n_batches, thr, "sigs")
+    return rf"""
+    WITH RECURSIVE toks AS MATERIALIZED (
         SELECT doc_id,
                list_filter(
                    string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
                    x -> x <> '') AS t
         FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
                     ELSE list_distinct(list_transform(
@@ -640,21 +708,21 @@ def doc_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                         i -> array_to_string(t[i:i+2], ' ')))
                END AS shingles
         FROM toks
-    ), mh AS (
+    ), mh AS MATERIALIZED (
         SELECT doc_id, r.i AS i,
                min(CAST(concat('0x', substring(md5(u.sh || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT)) AS h
         FROM sh, LATERAL unnest(shingles) AS u(sh)
         CROSS JOIN (SELECT unnest(range(0, 16)) AS i) r
         GROUP BY doc_id, r.i
-    ), sigs AS (
-        SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch,
+    ), sigs AS MATERIALIZED (
+        SELECT doc_id, CAST(doc_id % {n_batches} AS INT) AS batch,
                list(h ORDER BY i) AS sig
         FROM mh GROUP BY doc_id
-    ), bandx AS (
+    ), bandx AS MATERIALIZED (
         SELECT doc_id, batch, b.b AS band,
                array_to_string(sig[CAST(b.b*4+1 AS INT):CAST(b.b*4+4 AS INT)], ':') AS bucket
         FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
-    ), est AS (
+    ), est AS MATERIALIZED (
         SELECT c.id_a, c.id_b, c.batch_a, c.batch_b,
                len(list_filter(
                    list_transform(generate_series(1, 16),
@@ -669,69 +737,21 @@ def doc_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         JOIN sigs sa ON sa.doc_id = c.id_a
         JOIN sigs sb ON sb.doc_id = c.id_b
-    ), e0 AS (
-        SELECT id_a AS a, id_b AS b FROM est
-        WHERE batch_a = 0 AND batch_b = 0 AND e >= 0.5
-        UNION SELECT id_b, id_a FROM est
-        WHERE batch_a = 0 AND batch_b = 0 AND e >= 0.5
-    ), r0(n, m) AS (
-        SELECT a, b FROM e0
-        UNION SELECT r.n, e.b FROM r0 r JOIN e0 e ON r.m = e.a
-    ), e1 AS (
-        SELECT id_a AS a, id_b AS b FROM est
-        WHERE batch_a = 1 AND batch_b = 1 AND e >= 0.5
-        UNION SELECT id_b, id_a FROM est
-        WHERE batch_a = 1 AND batch_b = 1 AND e >= 0.5
-    ), r1(n, m) AS (
-        SELECT a, b FROM e1
-        UNION SELECT r.n, e.b FROM r1 r JOIN e1 e ON r.m = e.a
-    ), e2 AS (
-        SELECT id_a AS a, id_b AS b FROM est
-        WHERE batch_a = 2 AND batch_b = 2 AND e >= 0.5
-        UNION SELECT id_b, id_a FROM est
-        WHERE batch_a = 2 AND batch_b = 2 AND e >= 0.5
-    ), r2(n, m) AS (
-        SELECT a, b FROM e2
-        UNION SELECT r.n, e.b FROM r2 r JOIN e2 e ON r.m = e.a
-    ), kept0 AS (
-        SELECT doc_id FROM sigs WHERE batch = 0 AND doc_id NOT IN
-            (SELECT n FROM r0 GROUP BY n HAVING min(m) < n)
-    ), kept1 AS (
-        SELECT doc_id FROM sigs WHERE batch = 1 AND doc_id NOT IN
-            (SELECT n FROM r1 GROUP BY n HAVING min(m) < n)
-    ), kept2 AS (
-        SELECT doc_id FROM sigs WHERE batch = 2 AND doc_id NOT IN
-            (SELECT n FROM r2 GROUP BY n HAVING min(m) < n)
-    ), surv0 AS (
-        SELECT doc_id FROM kept0
-    ), surv1 AS (
-        SELECT doc_id FROM kept1 WHERE doc_id NOT IN (
-            SELECT CASE WHEN batch_a = 1 THEN id_a ELSE id_b END
-            FROM est WHERE e >= 0.5 AND (
-                (batch_a = 1 AND batch_b = 0
-                 AND id_a IN (SELECT doc_id FROM kept1)
-                 AND id_b IN (SELECT doc_id FROM surv0))
-             OR (batch_a = 0 AND batch_b = 1
-                 AND id_b IN (SELECT doc_id FROM kept1)
-                 AND id_a IN (SELECT doc_id FROM surv0))))
-    ), surv2 AS (
-        SELECT doc_id FROM kept2 WHERE doc_id NOT IN (
-            SELECT CASE WHEN batch_a = 2 THEN id_a ELSE id_b END
-            FROM est WHERE e >= 0.5 AND (
-                (batch_a = 2 AND batch_b < 2
-                 AND id_a IN (SELECT doc_id FROM kept2)
-                 AND (id_b IN (SELECT doc_id FROM surv0)
-                      OR id_b IN (SELECT doc_id FROM surv1)))
-             OR (batch_a < 2 AND batch_b = 2
-                 AND id_b IN (SELECT doc_id FROM kept2)
-                 AND (id_a IN (SELECT doc_id FROM surv0)
-                      OR id_a IN (SELECT doc_id FROM surv1)))))
-    )
-    SELECT doc_id, 0 AS ingest_batch FROM surv0
-    UNION ALL SELECT doc_id, 1 FROM surv1
-    UNION ALL SELECT doc_id, 2 FROM surv2
+    ){ctes}
+    {final}
     ORDER BY doc_id
-    """,
+    """
+
+
+
+@register_query(
+    "doc_incremental_near_dedup",
+    # r9: the inline 3-batch literal was the un-parameterized twin of
+    # _incnd_oracle_sql(3) (equivalent modulo CTE block order and a
+    # batch_b=0 vs batch_b<1 spelling); using the generator gives the
+    # MATERIALIZED CTE hints the 4-batch sibling documents — ~15 s of
+    # DuckDB optimizer time per gate run gone, identical results.
+    oracle=_incnd_oracle_sql(3),
 )
 def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-run NEAR-dedup, batch-replayed (streaming/
@@ -775,116 +795,6 @@ def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-
-
-def _cross_batch_survivor_sql(
-    n_batches: int, thr: float, members: str
-) -> tuple[str, str]:
-    """Shared CTE generator for the incremental-dedup replay oracles:
-    given an ``est`` CTE of (id_a, id_b, batch_a, batch_b, e) banded
-    pairs and a ``members`` CTE of (doc_id, batch), emits per-batch
-    within-batch connected-components keep-min blocks plus the
-    cross-batch survivor chain (a keeper drops on any est ≥ thr edge
-    to a SURVIVING earlier-batch member). Returns (blocks, final)."""
-    blocks = []
-    for b in range(n_batches):
-        blocks.append(f""", e{b} AS (
-        SELECT id_a AS a, id_b AS b FROM est
-        WHERE batch_a = {b} AND batch_b = {b} AND e >= {thr}
-        UNION SELECT id_b, id_a FROM est
-        WHERE batch_a = {b} AND batch_b = {b} AND e >= {thr}
-    ), r{b}(n, m) AS (
-        SELECT a, b FROM e{b}
-        UNION SELECT r.n, e.b FROM r{b} r JOIN e{b} e ON r.m = e.a
-    ), kept{b} AS (
-        SELECT doc_id FROM {members} WHERE batch = {b} AND doc_id NOT IN
-            (SELECT n FROM r{b} GROUP BY n HAVING min(m) < n)
-    )""")
-    surv = [", surv0 AS (\n        SELECT doc_id FROM kept0\n    )"]
-    for b in range(1, n_batches):
-        earlier = " OR ".join(
-            f"id_b IN (SELECT doc_id FROM surv{j})" for j in range(b)
-        )
-        earlier_rev = " OR ".join(
-            f"id_a IN (SELECT doc_id FROM surv{j})" for j in range(b)
-        )
-        surv.append(f""", surv{b} AS (
-        SELECT doc_id FROM kept{b} WHERE doc_id NOT IN (
-            SELECT CASE WHEN batch_a = {b} THEN id_a ELSE id_b END
-            FROM est WHERE e >= {thr} AND (
-                (batch_a = {b} AND batch_b < {b}
-                 AND id_a IN (SELECT doc_id FROM kept{b})
-                 AND ({earlier}))
-             OR (batch_a < {b} AND batch_b = {b}
-                 AND id_b IN (SELECT doc_id FROM kept{b})
-                 AND ({earlier_rev}))))
-    )""")
-    final = "\n    UNION ALL ".join(
-        f"SELECT doc_id, {b} AS ingest_batch FROM surv{b}"
-        if b == 0
-        else f"SELECT doc_id, {b} FROM surv{b}"
-        for b in range(n_batches)
-    )
-    return "".join(blocks) + "".join(surv), final
-
-
-def _incnd_oracle_sql(n_batches: int, thr: float = 0.5) -> str:
-    """Generalized DuckDB twin of the incremental near-dedup replay for
-    any batch count (the 3-batch literal above, parameterized): per-batch
-    within-batch LSH dedup via recursive-CTE connected components +
-    keep-min, then each batch's keepers drop on any est ≥ thr edge to a
-    SURVIVING earlier-batch doc. Store compaction on the engine side must
-    be invisible here — history is a set, and folding batch partitions
-    renumbers ids without changing membership."""
-    ctes, final = _cross_batch_survivor_sql(n_batches, thr, "sigs")
-    return rf"""
-    WITH RECURSIVE toks AS (
-        SELECT doc_id,
-               list_filter(
-                   string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
-                   x -> x <> '') AS t
-        FROM documents
-    ), sh AS (
-        SELECT doc_id,
-               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                    ELSE list_distinct(list_transform(
-                        generate_series(1, len(t) - 2),
-                        i -> array_to_string(t[i:i+2], ' ')))
-               END AS shingles
-        FROM toks
-    ), mh AS (
-        SELECT doc_id, r.i AS i,
-               min(CAST(concat('0x', substring(md5(u.sh || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT)) AS h
-        FROM sh, LATERAL unnest(shingles) AS u(sh)
-        CROSS JOIN (SELECT unnest(range(0, 16)) AS i) r
-        GROUP BY doc_id, r.i
-    ), sigs AS (
-        SELECT doc_id, CAST(doc_id % {n_batches} AS INT) AS batch,
-               list(h ORDER BY i) AS sig
-        FROM mh GROUP BY doc_id
-    ), bandx AS (
-        SELECT doc_id, batch, b.b AS band,
-               array_to_string(sig[CAST(b.b*4+1 AS INT):CAST(b.b*4+4 AS INT)], ':') AS bucket
-        FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
-    ), est AS (
-        SELECT c.id_a, c.id_b, c.batch_a, c.batch_b,
-               len(list_filter(
-                   list_transform(generate_series(1, 16),
-                       i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END),
-                   v -> v = 1)) / 16.0 AS e
-        FROM (
-            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-                   x.batch AS batch_a, y.batch AS batch_b
-            FROM bandx x JOIN bandx y
-              ON x.band = y.band AND x.bucket = y.bucket
-             AND x.doc_id < y.doc_id
-        ) c
-        JOIN sigs sa ON sa.doc_id = c.id_a
-        JOIN sigs sb ON sb.doc_id = c.id_b
-    ){ctes}
-    {final}
-    ORDER BY doc_id
-    """
 
 
 @register_query(
@@ -964,7 +874,7 @@ def _inc_embdedup_oracle_sql(n_batches: int = 4, thr: float = 0.3) -> str:
     b1 = " + ".join(f"{2**j} * {bit(4 + j)}" for j in range(4))
     ctes, final = _cross_batch_survivor_sql(n_batches, thr, "members")
     return f"""
-    WITH RECURSIVE vecs AS (
+    WITH RECURSIVE vecs AS MATERIALIZED (
         SELECT vec_id, CAST(vec_id % {n_batches} AS INT) AS batch,
                embedding::DOUBLE[] AS v,
                list_transform(embedding::DOUBLE[],
@@ -975,13 +885,13 @@ def _inc_embdedup_oracle_sql(n_batches: int = 4, thr: float = 0.3) -> str:
                    AS qn
         FROM embeddings
         WHERE embedding IS NOT NULL AND len(embedding) = 64
-    ), members AS (
+    ), members AS MATERIALIZED (
         SELECT vec_id AS doc_id, batch FROM vecs
-    ), bandx AS (
+    ), bandx AS MATERIALIZED (
         SELECT vec_id AS doc_id, batch, 0 AS band, {b0} AS bucket FROM vecs
         UNION ALL
         SELECT vec_id, batch, 1, {b1} FROM vecs
-    ), est AS (
+    ), est AS MATERIALIZED (
         SELECT c.id_a, c.id_b, c.batch_a, c.batch_b,
                CAST(list_sum(list_transform(generate_series(1, 64),
                    i -> CAST(floor((va.v[i] * vb.v[i]) * 1e8) AS BIGINT)))
@@ -6350,34 +6260,34 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_query(
     "part_copurchase_kcore",
     oracle="""
-    WITH ps AS (
+    WITH ps AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         FROM lineitem WHERE l_quantity >= 40
-    ), e0 AS (
+    ), e0 AS MATERIALIZED (
         SELECT DISTINCT a.p AS u, b.p AS v
         FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p
-    ), k1 AS (
+    ), k1 AS MATERIALIZED (
         SELECT node FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
         GROUP BY node HAVING count(*) >= 2
-    ), e1 AS (
+    ), e1 AS MATERIALIZED (
         SELECT u, v FROM e0
         WHERE u IN (SELECT node FROM k1) AND v IN (SELECT node FROM k1)
-    ), k2 AS (
+    ), k2 AS MATERIALIZED (
         SELECT node FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
         GROUP BY node HAVING count(*) >= 2
-    ), e2 AS (
+    ), e2 AS MATERIALIZED (
         SELECT u, v FROM e1
         WHERE u IN (SELECT node FROM k2) AND v IN (SELECT node FROM k2)
-    ), k3 AS (
+    ), k3 AS MATERIALIZED (
         SELECT node FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
         GROUP BY node HAVING count(*) >= 2
-    ), e3 AS (
+    ), e3 AS MATERIALIZED (
         SELECT u, v FROM e2
         WHERE u IN (SELECT node FROM k3) AND v IN (SELECT node FROM k3)
-    ), k4 AS (
+    ), k4 AS MATERIALIZED (
         SELECT node FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
         GROUP BY node HAVING count(*) >= 2
-    ), e4 AS (
+    ), e4 AS MATERIALIZED (
         SELECT u, v FROM e3
         WHERE u IN (SELECT node FROM k4) AND v IN (SELECT node FROM k4)
     )

@@ -44,8 +44,24 @@ def get_session(
     *,
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    prefer_sort_merge_join: bool = False,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    """Build (or reuse) the engine's tuned session.
+
+    ``prefer_sort_merge_join`` gates the join-strategy posture (ADVICE
+    r8: make the trade a first-class parameter, not a conf key to
+    know). The default ``False`` lets the planner pick shuffled-hash
+    joins when the per-partition build side fits (guide §3.1/§9) —
+    sort-merge stays available, broadcast decisions are unaffected, and
+    AQE skew handling applies to both kinds; measured r8 on a 12-query
+    join-heavy subset at sf0.1: 39.0 → 30.3 s with every query ≤. The
+    documented trade: a shuffled-hash build side that does not fit in
+    execution memory OOMs instead of spilling — AQE coalescing bounds
+    post-shuffle partition sizes, but deployments with extreme skew or
+    tight executor memory should pass ``prefer_sort_merge_join=True``
+    for the always-spillable sort-merge everywhere (per-join SHUFFLE_HASH
+    / MERGE hints still win over either default)."""
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -53,15 +69,10 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # let the planner pick shuffled-hash joins when the per-partition
-        # build side fits (guide §3.1/§9) — sort-merge stays available
-        # and AQE skew handling still applies; measured r8 on a 12-query
-        # join-heavy subset at sf0.1: 39.0 → 30.3 s (every query ≤), the
-        # biggest single-setting win of the round. Build-side OOM risk is
-        # the documented trade: partition counts are sized so build sides
-        # fit (AQE coalescing bounds them); override via extra_conf where
-        # a deployment prefers the always-spillable sort-merge.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true" if prefer_sort_merge_join else "false",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -31,8 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..sources.formats import overwrite_partitions
 from ._store import (
+    write_counted,
     durable_fold,
     finish_pending_fold,
     read_store,
@@ -84,17 +84,10 @@ def count_batch_update(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .withColumn("batch_id", F.lit(batch_id))
     )
-    # persist: the count AND the write both consume the aggregation —
-    # unpersisted, the whole delta agg executes twice per batch (the
-    # span_stream pattern, applied here r8; guide §1.2 "don't compute
-    # things twice")
-    delta = delta.persist()
-    try:
-        n = delta.count()
-        overwrite_partitions(delta, store_dir, ["batch_id"], fmt="parquet")
-    finally:
-        delta.unpersist()
-    return n
+    # the returned row count rides the write itself (r9: Dataset.observe
+    # — one job, no cache block; the r8 persist+count+write protocol
+    # paid a dedicated count job per batch). See _store.write_counted.
+    return write_counted(delta, store_dir, ["batch_id"])
 
 
 def run_count_stream(

@@ -37,6 +37,7 @@ from ._store import (
     finish_pending_fold,
     store_batch_ids_or_scan,
     store_max_batch_id,
+    write_counted,
 )
 
 __all__ = [
@@ -103,13 +104,15 @@ def dedup_batch_against_store(
         survivors = batch_first.join(history, "__fp", "left_anti")
     else:
         survivors = batch_first
+    # persist: the corpus write and the fingerprint write both consume
+    # survivors; the kept count rides the corpus write via observe (r9:
+    # the dedicated count job is gone — see _store.write_counted)
     survivors = survivors.persist()
     try:
-        n = survivors.count()
         out = survivors.drop("__fp").withColumn(
             "ingest_batch", F.lit(batch_id)
         )
-        overwrite_partitions(out, out_dir, ["ingest_batch"], fmt=fmt)
+        n = write_counted(out, out_dir, ["ingest_batch"], fmt=fmt)
         new_fps = (
             survivors.select("__fp")
             .distinct()

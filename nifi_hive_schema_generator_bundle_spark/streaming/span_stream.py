@@ -36,8 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import _gram_positions, _span_coverage
-from ..sources.formats import overwrite_partitions
 from ._store import (
+    write_counted,
     durable_fold,
     finish_pending_fold,
     read_store,
@@ -92,13 +92,11 @@ def span_gram_batch_update(
             F.countDistinct(F.col(id_col)).cast("long").alias("ndocs"),
         )
         .withColumn("batch_id", F.lit(batch_id))
-    ).persist()
-    try:
-        n = partial.count()
-        overwrite_partitions(partial, store_dir, ["batch_id"], fmt="parquet")
-    finally:
-        partial.unpersist()
-    return n
+    )
+    # the returned row count rides the write itself (r9: Dataset.observe
+    # — one job, no cache block; the persist+count+write protocol paid a
+    # dedicated count job per batch). See _store.write_counted.
+    return write_counted(partial, store_dir, ["batch_id"])
 
 
 def span_store_grams(spark, store_dir: str, *, heal: bool = True) -> DataFrame:

@@ -219,3 +219,87 @@ def test_candidate_neighborhood_stats_counts_zero_candidate_ids(spark):
     assert r.starved_src_ppm == 750_000  # 3 of 4 srcs retrieved nothing
     # 5 tgts got 1 candidate each, 5 got none -> all 10 below k=4
     assert r.starved_tgt_ppm == 1_000_000
+
+
+def test_exact_target_cap_raises_with_actionable_error(spark, corpora, monkeypatch):
+    """VERDICT r8 #6: the exact path's driver collect is bounded — a
+    target side beyond the cap raises immediately (one limit(cap+1)
+    probe job) with a 'pass candidates=' message instead of silently
+    OOMing the driver on a corpus-sized target."""
+    from nifi_hive_schema_generator_bundle_spark.operators import bitext
+
+    src, tgt = corpora  # tgt has 20 rows
+    monkeypatch.setattr(bitext, "_EXACT_TARGET_ROW_CAP", 5)
+    with pytest.raises(ValueError, match="candidates="):
+        bitext.bitext_margin_scores(src, tgt, k=3)
+    # the candidates path is unaffected by the cap
+    grid = src.select(F.col("vec_id").alias("src_id")).crossJoin(
+        tgt.select(F.col("vec_id").alias("tgt_id"))
+    )
+    assert (
+        bitext.bitext_margin_scores(src, tgt, k=3, candidates=grid).count()
+        > 0
+    )
+
+
+def test_null_element_source_vector_scores_null_cos(spark):
+    """ADVICE r8 #1: a source vector containing a NULL ELEMENT must
+    score NULL cos on the Arrow path (the SQL fold's semantics — a NULL
+    term folds the whole sum to NULL), never floor(NaN) int64 garbage.
+    Non-finite elements (outside the quantization contract) route to
+    the same NULL."""
+    from nifi_hive_schema_generator_bundle_spark.operators.bitext import (
+        bitext_margin_scores,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (1, [0.6, 0.8]),
+            (2, [0.6, None]),          # NULL element
+            (3, [0.6, float("nan")]),  # non-finite element
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(10, [0.6, 0.8]), (11, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = bitext_margin_scores(src, tgt, k=1).collect()
+    cos_by_src = {}
+    for r in rows:
+        cos_by_src.setdefault(r.src_id, set()).add(
+            None if r.cos is None else round(r.cos, 6)
+        )
+    assert cos_by_src[2] == {None}
+    assert cos_by_src[3] == {None}
+    assert None not in cos_by_src[1] and 1.0 in cos_by_src[1]
+    # and the Arrow path's NULL matches the SQL candidates path's NULL
+    # for the NULL-element row (bit-equality contract)
+    grid = src.select(F.col("vec_id").alias("src_id")).crossJoin(
+        tgt.select(F.col("vec_id").alias("tgt_id"))
+    )
+    sql_rows = bitext_margin_scores(src, tgt, k=1, candidates=grid).collect()
+    sql_cos_2 = {r.cos for r in sql_rows if r.src_id == 2}
+    assert sql_cos_2 == {None}
+
+
+def test_null_element_target_vector_falls_back_to_sql_form(spark):
+    """ADVICE r8 #1 (target side): any NULL/non-finite element in the
+    target matrix routes the whole exact path to the bit-equal SQL
+    form — good pairs keep exact cos, pairs against the degenerate
+    target fold to NULL."""
+    from nifi_hive_schema_generator_bundle_spark.operators.bitext import (
+        bitext_margin_scores,
+    )
+
+    src = spark.createDataFrame(
+        [(1, [0.6, 0.8])], "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        [(10, [0.6, 0.8]), (11, [0.5, None])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = bitext_margin_scores(src, tgt, k=1).collect()
+    by_tgt = {r.tgt_id: r.cos for r in rows}
+    assert by_tgt[11] is None
+    assert by_tgt[10] == pytest.approx(1.0, abs=1e-6)

@@ -692,3 +692,70 @@ def test_connected_components_unpersists_edge_cache(spark):
     assert cache_mgr.isEmpty(), "connected_components leaked its edge cache"
     assert roots["a"] == roots["b"] == roots["c"] == "a"
     assert roots["x"] == roots["y"] == "x"
+
+
+def _brute_jaccard_pairs(rows, k=3, threshold=0.5):
+    """Reference exact n-gram jaccard in plain Python (lowercased
+    whitespace tokens, distinct k-gram shingles, whole-text shingle for
+    sub-k docs — the shingles_from_tokens contract)."""
+
+    def sh(text):
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = [(i, sh(t)) for i, t in rows]
+    out = {}
+    for x in range(len(sets)):
+        for y in range(x + 1, len(sets)):
+            ia, sa = sets[x]
+            ib, sb = sets[y]
+            a, b = (ia, ib) if ia < ib else (ib, ia)
+            u = len(sa | sb)
+            j = round(len(sa & sb) / u, 6) if u else 0.0
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_ngram_jaccard_fallback_survives_planted_hot_gram(spark):
+    """VERDICT r8 #5: one shingle planted in 10% of docs must not
+    square the candidate join (prefix filtering keeps globally-frequent
+    grams out of short prefixes), and the surfaced pairs + jaccard
+    values must equal the brute-force exact computation."""
+    boiler = "shared legal banner text"  # one hot 3-gram region
+    rows = []
+    for i in range(200):
+        body = f"unique body {i} with tokens alpha{i} beta{i} gamma{i} delta{i}"
+        if i % 10 == 0:  # 10% of docs carry the hot grams
+            body = boiler + " " + body
+        rows.append((i, body))
+    # two planted near-dup pairs
+    rows.append((500, "unique body 3 with tokens alpha3 beta3 gamma3 delta3 tail"))
+    rows.append((501, boiler + " unique body 30 with tokens alpha30 beta30 gamma30 delta30 tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    expected = _brute_jaccard_pairs(rows, k=3, threshold=0.5)
+    assert got == pytest.approx(expected)
+    assert (3, 500) in got and (30, 501) in got
+    # the fallback must stay an equi-join pipeline: no nested-loop /
+    # cartesian stage anywhere in the plan
+    plan = ngram_jaccard_pairs(df, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_fallback_matches_bruteforce_on_threshold_grid(spark, docs):
+    """Prefix-filter completeness across thresholds (the rounding
+    cushion included): surfaced pairs and values equal brute force."""
+    rows = [(r.doc_id, r.text) for r in docs.orderBy("doc_id").collect()]
+    for t in (0.1, 0.5, 0.9, 1.0):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert got == pytest.approx(_brute_jaccard_pairs(rows, threshold=t)), t

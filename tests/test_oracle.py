@@ -57,8 +57,11 @@ ALL_QUERIES = entry_mod.queries()
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle(spark, ddb, name):
-    sdf = ALL_QUERIES[name](spark, SF_DIR)
+def test_query_matches_oracle(spark, ddb, all_query_frames, name):
+    # shared construction (conftest.all_query_frames): the store-replay
+    # entries' multi-batch ingest ran once for the whole session; this
+    # collect re-runs only the lazy readout over those stores
+    sdf = all_query_frames[name]
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
@@ -78,8 +81,8 @@ def test_query_matches_oracle(spark, ddb, name):
 
 
 @pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = ALL_QUERIES[name](spark, SF_DIR)
+def test_rows_only_queries_run(spark, all_query_frames, name):
+    df = all_query_frames[name]
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 

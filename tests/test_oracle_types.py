@@ -83,13 +83,14 @@ def _kind(t: str) -> str:
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
-def test_spark_and_duckdb_column_kinds_agree(spark, ddb, name):
+def test_spark_and_duckdb_column_kinds_agree(spark, ddb, all_query_frames, name):
     """Cross-engine type-KIND audit: a Spark int vs DuckDB double (or
     decimal vs float, ts vs date) hashes differently even when values
     are equal — the r1 HUGEINT episode generalized. The DuckDB-side
     allowlist above can't see this; comparing both engines' schemas
-    kind-for-kind can."""
-    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    kind-for-kind can. Frames come from the session-shared construction
+    (conftest.all_query_frames) — only the schema is read here."""
+    sdf = all_query_frames[name]
     stypes = {f.name: _kind(f.dataType.simpleString()) for f in sdf.schema}
     rel = ddb.sql(entry_mod.oracle_sql()[name])
     dtypes = dict(zip(rel.columns, [_kind(t) for t in rel.types]))

@@ -391,17 +391,14 @@ BNLJ_ALLOWED = {
 }
 
 
-def test_no_query_degrades_to_cartesian_or_stray_python(spark, sf_smoke_dir):
+def test_no_query_degrades_to_cartesian_or_stray_python(
+    spark, all_query_frames
+):
     """Blanket plan hygiene over the WHOLE registry: no operator may
     silently plan a cartesian product or an unlisted nested-loop join,
     and Python appears only in the declared Arrow-batched set."""
-    for name, fn in sorted(QUERIES.items()):
-        plan = (
-            fn(spark, sf_smoke_dir)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
+    for name, df in sorted(all_query_frames.items()):
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
         if name not in BNLJ_ALLOWED:
             assert "BroadcastNestedLoopJoin" not in plan, (
@@ -414,7 +411,7 @@ def test_no_query_degrades_to_cartesian_or_stray_python(spark, sf_smoke_dir):
             assert not has_py, f"{name} unexpectedly runs Python on the data path"
 
 
-def test_oracle_backed_outputs_are_driver_hashable(spark, sf_smoke_dir):
+def test_oracle_backed_outputs_are_driver_hashable(spark, all_query_frames):
     """VERDICT r7 #1: the driver gate's canonicalizer pandas-sorts the
     result frame, which cannot factorize Array/Map cells —
     ``user_event_type_sets`` was the registry's one array-typed output
@@ -431,10 +428,10 @@ def test_oracle_backed_outputs_are_driver_hashable(spark, sf_smoke_dir):
 
     oracle = set(get_oracle_sql())
     bad = []
-    for name, fn in sorted(QUERIES.items()):
+    for name, df in sorted(all_query_frames.items()):
         if name not in oracle:
             continue
-        for f in fn(spark, sf_smoke_dir).schema.fields:
+        for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append((name, f.name, f.dataType.simpleString()))
     assert not bad, (

@@ -51,9 +51,15 @@ def ddb():
 
 
 def test_every_oracle_binds_in_duckdb(ddb):
-    """EXPLAIN runs DuckDB's binder (names, types, functions) without
-    executing — a syntax-or-schema break in ANY oracle fails here in
-    milliseconds instead of at the driver's gate."""
+    """Relation construction runs DuckDB's binder (names, types,
+    functions) without executing — a syntax-or-schema break in ANY
+    oracle fails here in milliseconds instead of at the driver's gate.
+    r9 (VERDICT r8 #1, suite speed): this used to ``EXPLAIN`` each
+    oracle, which runs the full OPTIMIZER — 339 s of the suite's 40 min
+    went to four recursive store-replay oracles' join enumeration
+    alone. ``con.sql(sql).description`` binds and type-checks
+    identically (the thing this test pins) at 8 s for the whole
+    roster."""
     from nifi_hive_schema_generator_bundle_spark.plans.queries import (
         get_oracle_sql,
     )
@@ -61,7 +67,9 @@ def test_every_oracle_binds_in_duckdb(ddb):
     broken = []
     for name, sql in get_oracle_sql().items():
         try:
-            ddb.sql("EXPLAIN " + sql)
+            assert ddb.sql(sql).description  # bind only; never executed
+        except AssertionError:
+            broken.append((name, "no result description"))
         except Exception as e:          # noqa: BLE001 - report all binder errors
             broken.append((name, str(e).splitlines()[0]))
     assert not broken, f"oracles failing DuckDB bind: {broken}"
@@ -158,15 +166,15 @@ def test_driver_priority_decomposition():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pri = entry_mod.DRIVER_PRIORITY
     sections = (
-        entry_mod.R8_CHANGED,
-        entry_mod.R8_CANARIES,
-        entry_mod.R8_NEVER_VERIFIED,
-        entry_mod.R8_REVERIFY,
+        entry_mod.R9_CHANGED,
+        entry_mod.R9_CANARIES,
+        entry_mod.R9_NEVER_VERIFIED,
+        entry_mod.R9_REVERIFY,
     )
     assert pri == [n for sec in sections for n in sec]
     assert len(pri) == 50 == len(set(pri)), "driver gate caps at 50 slots"
     unknown = [
-        n for n in pri + entry_mod.R8_DEFERRED if n not in QUERIES
+        n for n in pri + entry_mod.R9_DEFERRED if n not in QUERIES
     ]
     assert not unknown, f"roster names missing from registry: {unknown}"
 
@@ -177,11 +185,11 @@ def test_driver_priority_decomposition():
                 hashed.add(k)
     oracle = set(get_oracle_sql())
     never = {n for n in oracle if n not in hashed}
-    in_rotation = set(entry_mod.R8_NEVER_VERIFIED)
-    deferred = set(entry_mod.R8_DEFERRED)
-    changed_new = {n for n in entry_mod.R8_CHANGED if n not in hashed}
+    in_rotation = set(entry_mod.R9_NEVER_VERIFIED)
+    deferred = set(entry_mod.R9_DEFERRED)
+    changed_new = {n for n in entry_mod.R9_CHANGED if n not in hashed}
     assert not (in_rotation & hashed), (
-        "R8_NEVER_VERIFIED contains already-hashed entries: "
+        "R9_NEVER_VERIFIED contains already-hashed entries: "
         f"{sorted(in_rotation & hashed)}"
     )
     assert not (in_rotation & deferred)
@@ -191,6 +199,6 @@ def test_driver_priority_decomposition():
     )
     # the re-verify section must be real re-verification: every entry
     # already carries a driver hash from an earlier round
-    assert set(entry_mod.R8_REVERIFY) <= hashed, (
-        sorted(set(entry_mod.R8_REVERIFY) - hashed)
+    assert set(entry_mod.R9_REVERIFY) <= hashed, (
+        sorted(set(entry_mod.R9_REVERIFY) - hashed)
     )
