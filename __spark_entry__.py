@@ -52,11 +52,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # test pins against the registry and the cumulative CORRECTNESS_r0*.json
 # hash ledger, so the counts cannot drift).
 #
-# Round 9 (optimization round 2) = 16 changed-optimizer-touched + 2
+# Round 9 (optimization round 2) = 18 changed-optimizer-touched + 2
 # canaries + 0 never-driver-hashed (r8 closed the rotation: every
 # oracle-backed entry carries at least one driver hash) + 32 oldest-hash
-# re-verifications (the full remaining r3 vintage — after a green r9
-# gate nothing is older than r4).
+# re-verifications (r3 vintage).
 
 # --- code paths the r9 optimizer touched: must re-verify ---
 R9_CHANGED = [
@@ -79,9 +78,12 @@ R9_CHANGED = [
     "bitext_ann_recall_eval",
     # connected_components checkpoint-dir restore moved into finally
     "doc_semantic_dedup",
-    # iterative / sketch paths re-examined this round
+    # iterative / sketch paths optimized this round (pagerank edge
+    # cache pre-partitioned by src; cms_build input fan-out)
     "part_supplier_pagerank",
+    "doc_host_pagerank",
     "orders_join_size_estimate",
+    "doc_token_heavy_hitters",
 ]
 
 # --- canary overlap with every prior round (core inference + scan-agg
@@ -94,7 +96,9 @@ R9_CANARIES = [
 # --- rotation closed in r8: no oracle-backed entry is unhashed ---
 R9_NEVER_VERIFIED: list[str] = []
 
-# --- oldest-hash re-verification: the full r3 vintage (32 entries) ---
+# --- oldest-hash re-verification: the r3 vintage minus the two slots
+# ceded to the optimizer-touched entries above (sources_langs_union and
+# the r4-vintage doc_bigram_logprob filler roll to the r10 pool) ---
 R9_REVERIFY = [
     "events_funnel",
     "events_props_extract",
@@ -123,11 +127,9 @@ R9_REVERIFY = [
     "redact_numbers_events",
     "route_json_validity",
     "route_json_validity_lax",
-    "sources_langs_union",
     "tfidf_top_terms_docs",
     "token_stats_docs",
     "training_prep_pipeline",
-    "doc_bigram_logprob",
 ]
 
 # nothing deferred this round

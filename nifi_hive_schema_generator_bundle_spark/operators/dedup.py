@@ -1059,10 +1059,21 @@ def connected_components(
                     (new_comp < F.col("component")).alias("chg"),
                 )
             )
+            # the convergence count rides the checkpoint job itself via
+            # Dataset.observe (r9): the probe used to be a second
+            # scheduled job per round over the just-materialized frame —
+            # pure protocol floor at ~0.15-0.3 s/job locally (guide
+            # §1.2/§1.5). Metrics land when the eager checkpoint
+            # materializes, so obs.get returns without scheduling
+            # anything.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            updated = updated.observe(
+                obs, F.sum(F.col("chg").cast("int")).alias("n")
+            )
             updated = _materialize(updated)
-            n_changed = updated.agg(
-                F.sum(F.col("chg").cast("int")).alias("n")
-            ).collect()[0]["n"]
+            n_changed = obs.get["n"]
             labels = updated.drop("chg")
             if not n_changed:
                 break

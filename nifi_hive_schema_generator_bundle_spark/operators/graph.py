@@ -248,9 +248,21 @@ def pagerank(
     # to static cached (src,dst,deg) + dangling-set tables measured
     # SLOWER (8.4 → 10.4 s median warm, sf0.1×5 rounds): it trades the
     # reused exchange for an extra per-round semi-join.
+    # r9 (guide §2.4: two operations keyed the same way share one
+    # exchange): the loop reads `e` keyed by src EVERY round (the
+    # contribution join) and `deg` is an aggregate by src — but
+    # distinct() leaves the cache partitioned by (src, dst), so each of
+    # the `iters` rounds re-exchanged the full edge table and deg paid
+    # its own exchange. Hash-partitioning the cache by src once makes
+    # the per-round contribution join and the deg aggregate (and the
+    # ranks⋈deg build side, which inherits deg's partitioning)
+    # exchange-free on the edge side: measured at sf0.1 ×5 rounds,
+    # 8.0-9.6 s → 6.5-7.5 s for the loop, plan loses one Exchange per
+    # round. Identical results: partitioning only.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .repartition("src")
         .cache()
     )
     nodes = (

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_partitions
+
 __all__ = [
     "cms_build",
     "cms_merge",
@@ -58,11 +60,20 @@ def cms_build(
     (or summing ``weight_col``). NULL keys are skipped. Output ≤
     depth × width rows; the aggregation is map-side combinable to the
     same cap per task."""
-    rows = df.filter(F.col(key_col).isNotNull()).select(
-        F.col(key_col).alias("__k"),
-        (
-            F.col(weight_col).cast("long") if weight_col else F.lit(1)
-        ).alias("__w"),
+    # fan the narrow (key, weight) rows out to the session's parallelism
+    # BEFORE the depth-way explode + per-row md5 bucketing (r9, guide
+    # §2.5 input parallelism): the grid build is compute-bound on the
+    # md5 chain, and a compact parquet scan yields only a handful of
+    # input splits — measured at sf0.1 the lineitem grid ran its 2.4 M
+    # md5 rows on 3 of 32 cores (2.6 s; ~0.9 s fanned out). The shuffle
+    # this buys moves only 9-16 bytes/row.
+    rows = ensure_min_partitions(
+        df.filter(F.col(key_col).isNotNull()).select(
+            F.col(key_col).alias("__k"),
+            (
+                F.col(weight_col).cast("long") if weight_col else F.lit(1)
+            ).alias("__w"),
+        )
     )
     fanned = rows.select(
         "__k",
