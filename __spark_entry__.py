@@ -52,7 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # test pins against the registry and the cumulative CORRECTNESS_r0*.json
 # hash ledger, so the counts cannot drift).
 #
-# Round 9 (optimization round 2) = 18 changed-optimizer-touched + 2
+# Round 9 (optimization round 2) = 21 changed-optimizer-touched + 2
 # canaries + 0 never-driver-hashed (r8 closed the rotation: every
 # oracle-backed entry carries at least one driver hash) + 32 oldest-hash
 # re-verifications (r3 vintage).
@@ -78,6 +78,11 @@ R9_CHANGED = [
     "bitext_ann_recall_eval",
     # connected_components checkpoint-dir restore moved into finally
     "doc_semantic_dedup",
+    # oracle SQL rewritten (inverted-index jaccard/containment — values
+    # proven byte-equal at both gate SFs, DuckDB side 5-36 s -> <1 s)
+    "dedup_lsh_recall_eval",
+    "doc_jaccard_join",
+    "doc_containment_join",
     # iterative / sketch paths optimized this round (pagerank edge
     # cache pre-partitioned by src; cms_build input fan-out)
     "part_supplier_pagerank",
@@ -96,8 +101,9 @@ R9_CANARIES = [
 # --- rotation closed in r8: no oracle-backed entry is unhashed ---
 R9_NEVER_VERIFIED: list[str] = []
 
-# --- oldest-hash re-verification: the r3 vintage minus the two slots
-# ceded to the optimizer-touched entries above (sources_langs_union and
+# --- oldest-hash re-verification: the r3 vintage minus the five slots
+# ceded to the optimizer-touched entries above (sources_langs_union,
+# props_schema_drift, route_json_validity_lax, events_type_day_cube and
 # the r4-vintage doc_bigram_logprob filler roll to the r10 pool) ---
 R9_REVERIFY = [
     "events_funnel",
@@ -105,14 +111,12 @@ R9_REVERIFY = [
     "events_rollup",
     "events_sessionize",
     "events_topk_per_user",
-    "events_type_day_cube",
     "exact_dedup_docs",
     "infer_roundtrip_parse",
     "kmeans_assign_embeddings",
     "language_id_docs",
     "lineitem_price_stats",
     "orders_above_cust_avg",
-    "props_schema_drift",
     "purchase_attribution_asof",
     "q14_promo_revenue_share",
     "q18_large_orders",
@@ -126,7 +130,6 @@ R9_REVERIFY = [
     "quality_scores_docs",
     "redact_numbers_events",
     "route_json_validity",
-    "route_json_validity_lax",
     "tfidf_top_terms_docs",
     "token_stats_docs",
     "training_prep_pipeline",

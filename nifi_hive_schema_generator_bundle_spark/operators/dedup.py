@@ -1619,7 +1619,14 @@ def jaccard_threshold_join(
         raise ValueError("threshold must be in (0, 1]")
     words = whitespace_tokens(F.lower(F.col(text_col)))
     # tokens materialize into a real column first — shingles_from_tokens'
-    # O(len²) HOF-inlining contract (see its docstring)
+    # O(len²) HOF-inlining contract (see its docstring).
+    # NOTE (r9, measured): do NOT ensure_min_partitions here. Fanning the
+    # 1-split document scan to 32 partitions made the whole pipeline
+    # SLOWER at 1× and 2× worse at the 10× sweep (doc_jaccard_join 13.3
+    # → 23.5 s, doc_containment_join 20.0 → 35.0 s warm): the persists
+    # bound the single-threaded tokenize stage already, and the wide
+    # input defeats AQE's advisory sizing for every downstream exchange
+    # of this many-exchange pipeline (32-way micro-stages each way).
     base = df.select(F.col(id_col).alias("id"), words.alias("__toks"))
     if k is None:
         elems = F.array_distinct(F.col("__toks"))
@@ -1844,6 +1851,8 @@ def containment_join(
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
     words = whitespace_tokens(F.lower(F.col(text_col)))
+    # no ensure_min_partitions: see the jaccard_threshold_join note (r9
+    # measured regression — AQE advisory sizing beats a forced fan-out)
     base = df.select(F.col(id_col).alias("id"), words.alias("__toks"))
     if k is None:
         elems = F.array_distinct(F.col("__toks"))

@@ -1606,12 +1606,22 @@ def minhash_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                         i -> array_to_string(t[i:i+2], ' ')))
                END AS shingles
         FROM toks
+    ), jidx AS MATERIALIZED (
+        -- inverted-index form of the exact all-pairs jaccard (r9): the
+        -- O(n^2) list_intersect cross join dominated this oracle's
+        -- DuckDB time; shingle lists are distinct by construction, so
+        -- |A U B| = nA + nB - c and the equi-join on the gram computes
+        -- identical pairs and values (zero-intersection pairs score 0
+        -- on both forms and fail the threshold either way)
+        SELECT doc_id, len(shingles) AS n, unnest(shingles) AS g FROM sh
     ), exact AS (
         SELECT id_a, id_b FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                   / len(list_distinct(a.shingles || b.shingles)) AS j
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                   count(*)::DOUBLE
+                   / (min(a.n) + min(b.n) - count(*)) AS j
+            FROM jidx a JOIN jidx b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         ) WHERE j >= 0.5
     ), mh AS (
         SELECT doc_id, r.i AS i,
@@ -1932,11 +1942,16 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         i -> array_to_string(t[i:i+2], ' '))) END AS sh
         FROM toks
     )
+    , jidx AS MATERIALIZED (
+        -- inverted-index form (r9): see the dedup_lsh_recall_eval note
+        SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh
+    )
     SELECT id_a, id_b, jaccard FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                     / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               round(count(*)::DOUBLE
+                     / (min(a.n) + min(b.n) - count(*)), 6) AS jaccard
+        FROM jidx a JOIN jidx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     ) WHERE jaccard >= 0.5
     ORDER BY id_a, id_b
     """,
@@ -5413,12 +5428,17 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                         generate_series(1, len(t) - 2),
                         i -> array_to_string(t[i:i+2], ' '))) END AS sh
         FROM toks
+    ), jidx AS MATERIALIZED (
+        -- inverted-index form (r9): see the dedup_lsh_recall_eval note
+        SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh
     ), pairs AS (
         SELECT id_a, id_b FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / len(list_distinct(a.sh || b.sh)) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                   count(*)::DOUBLE
+                   / (min(a.n) + min(b.n) - count(*)) AS jaccard
+            FROM jidx a JOIN jidx b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         ) WHERE jaccard >= 0.5
     ), edges AS (
         SELECT id_a AS a, id_b AS b FROM pairs
@@ -5560,12 +5580,17 @@ def doc_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         generate_series(1, len(t) - 2),
                         i -> array_to_string(t[i:i+2], ' '))) END AS sh
         FROM toks
+    ), jidx AS MATERIALIZED (
+        -- inverted-index form (r9): see the dedup_lsh_recall_eval note
+        SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh
     ), pairs AS (
         SELECT id_a, id_b FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / len(list_distinct(a.sh || b.sh)) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                   count(*)::DOUBLE
+                   / (min(a.n) + min(b.n) - count(*)) AS jaccard
+            FROM jidx a JOIN jidx b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         ) WHERE jaccard >= 0.5
     ), edges AS (
         SELECT id_a AS a, id_b AS b FROM pairs
@@ -6825,12 +6850,17 @@ def user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                         generate_series(1, len(t) - 2),
                         i -> array_to_string(t[i:i+2], ' '))) END AS sh
         FROM toks
+    ), jidx AS MATERIALIZED (
+        -- inverted-index form (r9): see the dedup_lsh_recall_eval note
+        SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh
     ), pairs AS (
         SELECT id_a, id_b FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / len(list_distinct(a.sh || b.sh)) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                   count(*)::DOUBLE
+                   / (min(a.n) + min(b.n) - count(*)) AS jaccard
+            FROM jidx a JOIN jidx b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         ) WHERE jaccard >= 0.5
     ), edges AS (
         SELECT id_a AS a, id_b AS b FROM pairs
@@ -12372,12 +12402,19 @@ def orders_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ne AS (
         SELECT * FROM t
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.s, b.s)) * 1.0
-                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
-    FROM ne a JOIN ne b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.s, b.s)) * 1.0
-          / len(list_distinct(a.s || b.s)) >= 0.5
+    , jidx AS MATERIALIZED (
+        -- inverted-index form (r9): see the dedup_lsh_recall_eval note
+        SELECT doc_id, len(s) AS n, unnest(s) AS g FROM ne
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(count(*) * 1.0
+                     / (min(a.n) + min(b.n) - count(*)), 6) AS jaccard,
+               count(*) * 1.0
+                     / (min(a.n) + min(b.n) - count(*)) AS raw_j
+        FROM jidx a JOIN jidx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) WHERE raw_j >= 0.5
     ORDER BY id_a, id_b
     """,
 )
@@ -13198,12 +13235,20 @@ def orders_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                         i -> array_to_string(t[i:i+2], ' '))) END AS s
         FROM toks
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6)
-               AS containment
-    FROM t a JOIN t b ON a.doc_id <> b.doc_id
-    WHERE len(a.s) >= 1
-      AND len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.8
+    , jidx AS MATERIALIZED (
+        -- inverted-index form, DIRECTED (r9): c is symmetric per pair,
+        -- the denominator is the contained side's set size; shingle
+        -- lists are never empty (sub-k docs carry the whole-text
+        -- shingle), so the old len(a.s) >= 1 guard is vacuous
+        SELECT doc_id, len(s) AS n, unnest(s) AS g FROM t
+    )
+    SELECT id_a, id_b, containment FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(count(*) * 1.0 / min(a.n), 6) AS containment,
+               count(*) * 1.0 / min(a.n) AS raw_c
+        FROM jidx a JOIN jidx b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ) WHERE raw_c >= 0.8
     ORDER BY id_a, id_b
     """,
 )
