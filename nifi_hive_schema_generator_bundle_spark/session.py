@@ -76,6 +76,18 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # Driver status-store hygiene (guide §5: the driver should do
+        # almost no data work): even with the UI off, AppStatusListener
+        # and SQLAppStatusListener retain per-job/stage/task rollups and
+        # per-execution PLAN GRAPHS on the driver heap — at the library's
+        # plan sizes (hundreds of operators for the dedup/θ-join paths)
+        # the 1000-execution/100k-task defaults grow to GBs over a long
+        # session and late queries pay the GC bill. Bounded here;
+        # deployments that want deep UI history can raise via extra_conf.
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "20000")
+        .config("spark.sql.ui.retainedExecutions", "40")
     )
     if shuffle_partitions is not None:
         builder = builder.config(
