@@ -211,11 +211,20 @@ def semantic_dedup(
     no smaller-id near-twin in its cell — deterministic on any
     partitioning, and exactly replayable in SQL via EXISTS.
     """
+    from ..functions.partitioning import ensure_min_partitions
     from ..functions.vectors import l2_normalize
     from .dedup import _blocked_cosine_pairs
 
+    # Fan the input to session parallelism before the assign+normalize
+    # chain (guide §2.5 input parallelism): both are compute-bound
+    # narrow transforms that inherit the scan's split count, and
+    # `assigned` is consumed twice (pair generation + the survivor
+    # anti-join), so a single-split embedding table paid two
+    # one-core passes (measured 3.5 s vs 2.7 s fanned at sf0.1).
+    # No-op when the scan is already well-split (the at-scale case).
     assigned = assign_clusters(
-        df, centroids, vec_col=vec_col, out_col="cluster_id"
+        ensure_min_partitions(df), centroids, vec_col=vec_col,
+        out_col="cluster_id",
     )
     # normalize ONCE per row (O(N·d), JVM-side — same index-ordered fold
     # the oracle replays) so the GEMM is a plain matmul of unit vectors

@@ -286,7 +286,20 @@ def _poisson_replicas(pts: DataFrame, n_boot: int, seed: str) -> DataFrame:
     column between the two explodes; deriving lanes inside one HOF
     would re-inline the md5 per lane (the SCALE.md O(len²) trap).
     DuckDB replays the identical draw: ``substring(md5(seed || '|' ||
-    (b // 4) || '|' || k), 1 + 8 * (b % 4), 8)``."""
+    (b // 4) || '|' || k), 1 + 8 * (b % 4), 8)``.
+
+    The narrow (value, key) projection is fanned to the session's
+    parallelism BEFORE the explode+md5 chain (the `cms_build` pattern,
+    guide §2.5 input parallelism): the hash stage is compute-bound and
+    inherits the scan's split count — a compact single-split parquet
+    events table ran the whole 32-replica grid on one core (measured
+    2.9 s vs 0.55 s fanned at sf0.1). A no-op when the input is already
+    well-split (the at-scale case); the weights are key-derived, every
+    downstream consumer aggregates, and the engine-twin contract is
+    layout-independent, so placement does not affect results."""
+    from ..functions.partitioning import ensure_min_partitions
+
+    pts = ensure_min_partitions(pts)
     n_groups = (n_boot + 3) // 4
     grp = F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))).alias("__gq")
     st = pts.select("*", grp).withColumn(

@@ -146,7 +146,13 @@ def decode_features(
 
     # Arrow batch sizing for large payloads is a session conf
     # (spark.sql.execution.arrow.maxRecordsPerBatch), not a plan property.
-    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+    # Fan the narrow projection to session parallelism before the Arrow
+    # decode stage (guide §2.5 input parallelism; see perceptual_hashes).
+    from ..functions.partitioning import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, payload_col)).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def frame_sample(
@@ -310,7 +316,17 @@ def perceptual_hashes(
                 his.append(hi)
             yield pd.DataFrame({id_col: pdf[id_col], "lo": los, "hi": his})
 
-    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+    # Fan the (id, payload) projection to session parallelism before the
+    # Arrow decode stage (guide §2.5 input parallelism): the hash pass is
+    # decode-bound and inherits the scan's split count — a single-split
+    # media table decoded everything on one core (image near-dup measured
+    # 3.0 s vs 1.7 s fanned at sf0.1). No-op when the scan is already
+    # well-split (the at-scale case, where payloads never re-shuffle).
+    from ..functions.partitioning import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, payload_col)).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def media_near_dup(

@@ -199,7 +199,19 @@ def cdc_chunk_documents(
     # per element, so inlining the tokenizer would re-split the whole
     # document at every boundary position — O(n²) per doc (measured
     # 16.6 s vs 2 s at sf0.1). A column reference evaluates once per row.
-    tokd = df.select(
+    # Fan the (id, text) projection to session parallelism first (guide
+    # §2.5 input parallelism): the boundary-hash chain is compute-bound
+    # and inherits the scan's split count — a single-split document
+    # table ran the whole md5 rolling window on one core (measured
+    # 2.9 s vs 0.9 s fanned at sf0.1). No-op when the scan is already
+    # well-split (the at-scale case); downstream is one output explode,
+    # so the forced width has no exchange pipeline to fight (the
+    # θ-join counter-case).
+    from ..functions.partitioning import ensure_min_partitions
+
+    tokd = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__toks")
     ).where(F.size("__toks") > 0)
     toks = F.col("__toks")
