@@ -52,9 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # test pins against the registry and the cumulative CORRECTNESS_r0*.json
 # hash ledger, so the counts cannot drift).
 #
-# Round 9 (optimization round 2) = 21 changed-optimizer-touched + 2
+# Round 9 (optimization round 2) = 26 changed-optimizer-touched + 2
 # canaries + 0 never-driver-hashed (r8 closed the rotation: every
-# oracle-backed entry carries at least one driver hash) + 32 oldest-hash
+# oracle-backed entry carries at least one driver hash) + 22 oldest-hash
 # re-verifications (r3 vintage).
 
 # --- code paths the r9 optimizer touched: must re-verify ---
@@ -89,6 +89,19 @@ R9_CHANGED = [
     "doc_host_pagerank",
     "orders_join_size_estimate",
     "doc_token_heavy_hitters",
+    # input fan-out (ensure_min_partitions) ahead of the compute-bound
+    # narrow stages: bootstrap replica grid, CDC boundary hashes
+    # (media_*_near_dup / media_features_docs got the same treatment
+    # but are rows-only entries — covered by tests, not the oracle)
+    "events_bootstrap_ci",
+    "events_ab_test",
+    "doc_cdc_chunks",
+    # multi-consumer signature/normalize frames now persisted inside
+    # packed_hamming_pairs / simhash_pairs / _blocked_cosine_pairs
+    # (results identical; the media_*_near_dup and simhash_near_dup
+    # consumers are rows-only entries covered by tests)
+    "simhash_near_dup_portable",
+    "embedding_near_dup",
 ]
 
 # --- canary overlap with every prior round (core inference + scan-agg
@@ -101,10 +114,13 @@ R9_CANARIES = [
 # --- rotation closed in r8: no oracle-backed entry is unhashed ---
 R9_NEVER_VERIFIED: list[str] = []
 
-# --- oldest-hash re-verification: the r3 vintage minus the five slots
+# --- oldest-hash re-verification: the r3 vintage minus the slots
 # ceded to the optimizer-touched entries above (sources_langs_union,
-# props_schema_drift, route_json_validity_lax, events_type_day_cube and
-# the r4-vintage doc_bigram_logprob filler roll to the r10 pool) ---
+# props_schema_drift, route_json_validity_lax, events_type_day_cube,
+# the r4-vintage doc_bigram_logprob filler, and — for the late-round
+# fan-out/persist entries — q3_top_orders, q5_region_revenue,
+# q6_revenue_delta, q18_large_orders and q2_best_price_supplier roll
+# to the r10 pool) ---
 R9_REVERIFY = [
     "events_funnel",
     "events_props_extract",
@@ -119,13 +135,8 @@ R9_REVERIFY = [
     "orders_above_cust_avg",
     "purchase_attribution_asof",
     "q14_promo_revenue_share",
-    "q18_large_orders",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    "q2_best_price_supplier",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "q6_revenue_delta",
     "q8_market_share",
     "quality_scores_docs",
     "redact_numbers_events",

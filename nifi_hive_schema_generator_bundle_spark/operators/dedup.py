@@ -683,6 +683,12 @@ def packed_hamming_pairs(
     the ``max_bucket`` degenerate-bucket cap, verify =
     ``bit_count(xor)`` on the packed halves (one codegen'd instruction
     per half)."""
+    # The signature frame has FOUR consumers (each self-join side plus
+    # each side's bucket-cap aggregate); unpersisted, every consumer
+    # replays the whole upstream signature computation — for the media
+    # callers that is the full Arrow payload decode ×4 (guide §1.2,
+    # the minhash_lsh_pairs precedent). Cached rows are (id, 2 longs).
+    sh = sh.persist()
     chunk_vals = [
         F.col("lo").bitwiseAND(F.lit(0xFFFF)),
         F.call_function("shiftright", F.col("lo"), F.lit(16)).bitwiseAND(
@@ -758,7 +764,13 @@ def simhash_pairs(
     completeness guarantee is intact; a dropped bucket is the explicit,
     sized trade — same contract as the MinHash path."""
     df = ensure_min_partitions(df)
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    # four consumers below (both self-join sides + both bucket-cap
+    # aggregates) — persist so the tokenize+simhash pass runs once, not
+    # 4× (guide §1.2; the minhash_lsh_pairs/packed_hamming_pairs
+    # pattern). Cached rows are (id, long).
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
+    ).persist()
     chunked = sh.select(
         "id",
         "sh",
@@ -838,7 +850,12 @@ def embedding_near_dup_pairs(
     if n_planes > 0:
         from .similarity import random_hyperplane_bucket
 
-        base = base.withColumn("bucket", random_hyperplane_bucket("v", n_planes))
+        # both self-join sides replay normalize + n_planes dot products
+        # per row unpersisted (guide §1.2; the signature-frame pattern
+        # used across this file). Cached rows are (id, dim doubles, int).
+        base = base.withColumn(
+            "bucket", random_hyperplane_bucket("v", n_planes)
+        ).persist()
         a, b = base.alias("a"), base.alias("b")
         cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
         return (
@@ -882,9 +899,12 @@ def _blocked_cosine_pairs(
     B = n_blocks
     id_sql_type = base.schema["id"].dataType.simpleString()
 
+    # two consumers (the main side emission + the diagonal side-1 copy
+    # unioned below) — persist so the caller's scan + normalize chain
+    # runs once, not twice (guide §1.2; the signature-frame pattern).
     blocked = base.filter(F.col("v").isNotNull()).withColumn(
         "blk", F.pmod(F.hash("id"), F.lit(B))
-    )
+    ).persist()
     cell_keys = [cell_col] if cell_col is not None else []
     sides = blocked.select(
         *cell_keys,

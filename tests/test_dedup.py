@@ -759,3 +759,47 @@ def test_ngram_jaccard_fallback_matches_bruteforce_on_threshold_grid(spark, docs
             for r in ngram_jaccard_pairs(docs, threshold=t).collect()
         }
         assert got == pytest.approx(_brute_jaccard_pairs(rows, threshold=t)), t
+
+
+def test_packed_hamming_persists_signature_frame(spark):
+    """r9 optimization pin: packed_hamming_pairs has FOUR consumers of
+    the signature frame (both self-join sides + both bucket-cap
+    aggregates). Unpersisted, each consumer replays the whole upstream
+    signature computation — for the media callers that is the full
+    Arrow payload decode ×4. The persist must collapse the plan to ONE
+    upstream computation read through InMemoryTableScan everywhere."""
+    import re
+
+    from nifi_hive_schema_generator_bundle_spark.operators.dedup import (
+        packed_hamming_pairs,
+    )
+
+    base = spark.createDataFrame(
+        [(i, i % 7, i % 5) for i in range(50)], "id long, lo long, hi long"
+    )
+    # stand-in for the expensive upstream (media Arrow decode / portable
+    # simhash): an opaque mapInPandas stage the optimizer cannot dedupe
+    sig = base.mapInPandas(lambda it: it, "id long, lo long, hi long")
+    out = packed_hamming_pairs(sig, max_hamming=3, max_bucket=1000)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    n_python = len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M))
+    n_cached = len(re.findall(r"^\(\d+\) InMemoryTableScan", plan, re.M))
+    assert n_python == 1, f"signature stage duplicated {n_python}x:\n{plan}"
+    assert n_cached == 4, f"expected 4 cached consumers, got {n_cached}"
+    # and the result itself is right: ids pair iff they agree on
+    # (lo, hi) chunks within hamming 3 — brute-force the tiny grid
+    rows = [(i, i % 7, i % 5) for i in range(50)]
+
+    def ham(a, b):
+        return bin((a[1] ^ b[1]) | ((a[2] ^ b[2]) << 32)).count("1")
+
+    expect = {
+        (a[0], b[0]): ham(a, b)
+        for x, a in enumerate(rows)
+        for b in rows[x + 1 :]
+        if ham(a, b) <= 3
+    }
+    got = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert got == expect
