@@ -52,9 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # test pins against the registry and the cumulative CORRECTNESS_r0*.json
 # hash ledger, so the counts cannot drift).
 #
-# Round 9 (optimization round 2) = 26 changed-optimizer-touched + 2
+# Round 9 (optimization round 2) = 27 changed-optimizer-touched + 2
 # canaries + 0 never-driver-hashed (r8 closed the rotation: every
-# oracle-backed entry carries at least one driver hash) + 22 oldest-hash
+# oracle-backed entry carries at least one driver hash) + 21 oldest-hash
 # re-verifications (r3 vintage).
 
 # --- code paths the r9 optimizer touched: must re-verify ---
@@ -102,6 +102,10 @@ R9_CHANGED = [
     # consumers are rows-only entries covered by tests)
     "simhash_near_dup_portable",
     "embedding_near_dup",
+    # bradley_terry: result now materialized before the loop caches are
+    # released (the pagerank pattern; the old order recomputed the
+    # pair/win aggregations once per MM round at action time)
+    "events_bradley_terry",
 ]
 
 # --- canary overlap with every prior round (core inference + scan-agg
@@ -119,8 +123,8 @@ R9_NEVER_VERIFIED: list[str] = []
 # props_schema_drift, route_json_validity_lax, events_type_day_cube,
 # the r4-vintage doc_bigram_logprob filler, and — for the late-round
 # fan-out/persist entries — q3_top_orders, q5_region_revenue,
-# q6_revenue_delta, q18_large_orders and q2_best_price_supplier roll
-# to the r10 pool) ---
+# q6_revenue_delta, q18_large_orders, q2_best_price_supplier and
+# q14_promo_revenue_share roll to the r10 pool) ---
 R9_REVERIFY = [
     "events_funnel",
     "events_props_extract",
@@ -134,7 +138,6 @@ R9_REVERIFY = [
     "lineitem_price_stats",
     "orders_above_cust_avg",
     "purchase_attribution_asof",
-    "q14_promo_revenue_share",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
     "q8_market_share",

@@ -205,7 +205,7 @@ def bradley_terry(
                     (F.col("raw") * n_models / F.col("t")).alias("rating"),
                 )
             )
-        return (
+        out = (
             nodes.join(ratings, "node")
             .join(wins, "node", "left")
             .select(
@@ -220,6 +220,16 @@ def bradley_terry(
                 ).alias("elo"),
             )
         )
+        # Materialize the models-sized result BEFORE the finally releases
+        # the loop caches (pagerank's `ranks.count()` rationale): the
+        # rounds above are lazy (localCheckpoint(eager=False)), so
+        # unpersisting first would hand the caller a lineage whose every
+        # round recomputes the pair/win aggregations from the raw battle
+        # table — measured ~30% of the fit at sf0.1. The result frame is
+        # one row per model, so the eager checkpoint is a trivial job;
+        # its blocks are ContextCleaner-owned (the connected_components
+        # NOTE applies).
+        return out.localCheckpoint(eager=True)
     finally:
         pairs.unpersist()
         wins.unpersist()

@@ -139,3 +139,32 @@ class TestPairwiseWinRates:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_fit_materializes_before_cache_release(spark):
+    """r9 optimization pin: the MM rounds are lazy localCheckpoints, so
+    the result must be eagerly materialized BEFORE the finally block
+    releases the pair/win/node caches (the pagerank `ranks.count()`
+    rationale) — the old order unregistered the caches at build time
+    and the caller's action recomputed the battle aggregations once per
+    round. Pins: (a) the loop caches are released by return time,
+    (b) the returned plan reads stored blocks (no battle-table scan),
+    (c) values still match the python replica."""
+    battles = (
+        [("A", "B", "a")] * 8 + [("A", "B", "b")] * 2
+        + [("B", "C", "a")] * 7 + [("B", "C", "b")] * 3
+    )
+    df = spark.createDataFrame(battles, SCHEMA)
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+    out = bradley_terry(df, iters=6)
+    assert cache_mgr.isEmpty(), "bradley_terry leaked its loop caches"
+    # materialized result: the physical plan is a checkpoint scan, not
+    # the 6-round join tree over the battle table
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Scan ExistingRDD" in plan and "Join" not in plan, plan
+    ref = _fit_reference(battles, 6)
+    got = {r["model"]: r["rating"] for r in out.collect()}
+    assert got == {m: pytest.approx(round(v, 6)) for m, v in ref.items()}
